@@ -1,0 +1,607 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Cpf, SchemaConform, TextFunctions}
+import graft.operators.{Dedup, MultiModal, Relational, Similarity}
+import graft.sources.{FixedWidthReader, Lake}
+
+/** The engine's query inventory: one named query per SURVEY §2 operator
+  * class, each paired (in [[Queries.oracles]]) with ANSI SQL the driver runs
+  * in DuckDB over the same parquet tables for a hash-match check.
+  *
+  * Determinism conventions (required for cross-engine hash equality):
+  *  - every query ends in a total-order `orderBy`, and the oracle carries the
+  *    same ORDER BY;
+  *  - every aggregate/computed column is aliased identically on both sides;
+  *  - double SUMs go through DECIMAL(18,2) so the sum is associative (Spark's
+  *    partial aggregation adds in partition order, DuckDB sequentially —
+  *    decimal makes both exact), then back to double, rounded;
+  *  - AVGs are written sum/count from the decimal sum for the same reason;
+  *  - raw double *columns* pass through untouched (bit-identical in parquet).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Lake.table(s, dir, name)
+
+  /** Associative (decimal-backed) sum of a 2-dp double column, as double. */
+  private def sumDec(c: Column): Column =
+    round(sum(c.cast("decimal(18,2)")).cast("double"), 2)
+
+  /** Deterministic mean of a 2-dp double column (decimal sum / count). */
+  private def avgDec(c: Column): Column =
+    round(sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1)), 6)
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P1/P2/P9: projection + predicate, pushed to the parquet scan.
+    "q01_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // P4: conjunctive multi-predicate filter (isin + range + non-null).
+    "q02_multi_predicate" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus").isin("O", "F") &&
+          col("o_totalprice") > 150000 && col("o_orderdate").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // A11/A3: hash aggregate with partial (map-side) combine — TPC-H Q1 shape.
+    "q03_agg_q1" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sumDec(col("l_quantity")).as("sum_qty"),
+          sumDec(col("l_extendedprice")).as("sum_base"),
+          avgDec(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A1: collect_list per group (sorted for determinism).
+    "q04_collect_list" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(concat_ws(",",
+          transform(sort_array(collect_list(col("c_custkey"))),
+            _.cast("string"))).as("cust_ids"),
+          count(lit(1)).as("n_custs"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // A2/A3: per-group + global rates in ONE pass via ROLLUP grouping sets.
+    "q05_rate_rollup" -> ((s, dir) => {
+      Relational.rateRollup(t(s, dir, "events"), "event_type",
+          Map("high" -> (col("value") > 100)))
+        .select(col("event_type"), round(col("high_rate"), 6).as("high_rate"),
+          col("n"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
+    // A6/A10: exact COUNT(DISTINCT) per group.
+    "q06_count_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // A5/A7: min/max extremes per group (freshness-style query).
+    "q07_minmax" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // J7: star-schema join — both dims broadcast (no shuffle of the fact).
+    "q08_star_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"), sumDec(col("c_acctbal")).as("tot_bal"))
+        .orderBy(col("r_name"))
+    }),
+
+    // J1: resume-ledger anti join (customers with no high-value order = the
+    // "work remaining" set against a done-ledger).
+    "q09_anti_join" -> ((s, dir) => {
+      val done = t(s, dir, "orders").filter(col("o_totalprice") > 250000)
+        .select(col("o_custkey").as("c_custkey"))
+      Relational.remaining(t(s, dir, "customer"), Some(done), Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J5/P8: semi join (customers with at least one open order).
+    "q10_semi_join" -> ((s, dir) => {
+      val open = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      val c = t(s, dir, "customer")
+      c.join(open, c("c_custkey") === open("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J6: band (range-membership) join against a broadcast interval table.
+    "q11_band_join" -> ((s, dir) => {
+      import s.implicits._
+      val ranges = Seq(("small", 1, 10), ("medium", 11, 25), ("large", 26, 50))
+        .toDF("band", "lo", "hi")
+      Relational.bandJoin(t(s, dir, "part"), ranges, col("p_size"), "lo", "hi")
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"), sumDec(col("p_retailprice")).as("sum_price"))
+        .orderBy(col("band"))
+    }),
+
+    // W1: latest record per key via row_number window (NOT dropDuplicates).
+    "q12_latest_per_key" -> ((s, dir) => {
+      Dedup.latestPerKey(t(s, dir, "orders"), Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Dedup (exact): content-hash duplicate groups over documents.
+    "q13_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fp"))
+    }),
+
+    // O3: top-k — TakeOrderedAndProject, no global sort.
+    "q14_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(50)
+    }),
+
+    // U1: union-by-name accumulation (overlap kept, as in pd.concat).
+    "q15_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val p1 = o.filter(col("o_totalprice") > 200000)
+        .select(col("o_orderkey"), lit("high").as("src"))
+      val p2 = o.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), lit("y1995").as("src"))
+      Relational.unionAll(Seq(p1, p2)).orderBy(col("o_orderkey"), col("src"))
+    }),
+
+    // U3/A10: distinct tuples.
+    "q16_distinct" -> ((s, dir) => {
+      t(s, dir, "events").select(col("event_type"), col("user_id")).distinct()
+        .orderBy(col("event_type"), col("user_id"))
+    }),
+
+    // F10/S6: JSON payload point-access + aggregate.
+    "q17_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
+        .orderBy(col("k"))
+    }),
+
+    // T3/K3: day-grain temporal grouping (tumbling daily window).
+    "q18_date_group" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).cast("string").as("d"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
+        .orderBy(col("d"))
+    }),
+
+    // F7: deterministic surrogate key (uuid5 analog = sha2 over joined keys).
+    "q19_surrogate_key" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          Relational.surrogateKey(Seq(col("o_orderkey"), col("o_custkey"))).as("sk"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // F5: CPF mod-11 checksum as a codegen'd Catalyst Expression.
+    "q20_cpf_valid" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          lpad(col("c_custkey").cast("string"), 11, "0").as("cpf"))
+        .withColumn("valid", Cpf.isValid(col("cpf")))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // S20: fixed-width record projection (pure substring codegen).
+    "q21_fixed_width" -> ((s, dir) => {
+      val lined = t(s, dir, "customer").select(
+        concat(rpad(col("c_custkey").cast("string"), 12, " "),
+          rpad(col("c_mktsegment"), 12, " "),
+          rpad(col("c_name"), 25, " ")).as("line"))
+      FixedWidthReader.project(lined, "line",
+          FixedWidthReader.dictionary(Seq("custkey" -> 12, "seg" -> 12, "name" -> 25)))
+        .orderBy(col("custkey"))
+    }),
+
+    // F1/F2: schema conformance (accent-strip + snake-case rename).
+    "q22_schema_conform" -> ((s, dir) => {
+      val messy = t(s, dir, "customer").select(
+        col("c_custkey").as("C Custkey"),
+        col("c_name").as("Nome Ação"),
+        col("c_mktsegment").as("Conta$Segmento"))
+      SchemaConform.conform(messy).orderBy(col("c_custkey"))
+    }),
+
+    // Text: token counting (whitespace + BPE-ish regex).
+    "q30_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text: quality scoring (length/punct/stopword ratios).
+    "q31_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          round(TextFunctions.meanTokenLen(col("text")), 6).as("mean_token_len"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text: n-gram-marker language ID heuristic.
+    "q32_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"),
+          col("lang").as("actual_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dedup (near): MinHash+LSH banded candidate pairs (not SQL-expressible:
+    // xxhash64 signatures — driver records a rows-only check).
+    "q33_minhash_pairs" -> ((s, dir) => {
+      Dedup.minHashCandidatePairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Dedup (near): SimHash chunked near-dup pairs (rows-only).
+    "q34_simhash_pairs" -> ((s, dir) => {
+      Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Dedup (near): n-gram Jaccard over source-blocked candidate pairs.
+    "q35_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+        .select(col("source"), col("doc_id"), col("text"))
+      val a = docs.select(col("source"), col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = docs.select(col("source"), col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+        .select(col("source"), col("id_a"), col("id_b"),
+          round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 6).as("jaccard"))
+        .orderBy(col("source"), col("id_a"), col("id_b"))
+    }),
+
+    // ANN: exact cosine top-k per query over a broadcast query set.
+    "q36_knn_per_query" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.topKPerQuery(emb, qs, "vec_id", "embedding", "q_id", "q_vec", 5)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("q_id"), col("vec_id"))
+    }),
+
+    // ANN: brute-force cosine top-k against one literal query vector.
+    "q37_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 20)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // ANN: LSH-bucketed approximate top-k (seeded hyperplanes; rows-only).
+    "q38_lsh_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.annTopK(emb, "vec_id", "embedding", qv, k = 20, numPlanes = 12)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // Multimodal: binary payload → deterministic feature extraction
+    // (decode kernel stubbed; plumbing real — rows-only).
+    "q40_media_features" -> ((s, dir) => {
+      val media = MultiModal.fromText(s, t(s, dir, "documents"), "doc_id", "text")
+      MultiModal.extractFeatures(media).toDF().orderBy(col("media_id"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val stopwordsSql =
+    "('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from')"
+
+  /** DuckDB-dialect ANSI SQL equivalents, keyed like [[queries]]. Omitted
+    * keys (minhash/simhash/LSH/media) are non-SQL-expressible → the driver
+    * records a weaker rows-only check for them.
+    */
+  val oracles: Map[String, String] = Map(
+
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_multi_predicate" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus IN ('O','F') AND o_totalprice > 150000
+        |  AND o_orderdate IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q03_agg_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q04_collect_list" ->
+      """SELECT c_nationkey,
+        |  array_to_string(list_sort(list(c_custkey)), ',') AS cust_ids,
+        |  count(*) AS n_custs
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q05_rate_rollup" ->
+      """SELECT event_type,
+        |  round(avg(CASE WHEN value > 100 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS high_rate,
+        |  count(*) AS n
+        |FROM events GROUP BY ROLLUP(event_type)
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q06_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q07_minmax" ->
+      """SELECT o_orderpriority, min(o_orderdate) AS min_date,
+        |  max(o_orderdate) AS max_date, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q08_star_join" ->
+      """SELECT r_name, count(*) AS n_cust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS tot_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_band_join" ->
+      """SELECT band, count(*) AS n_parts,
+        |  round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+        |FROM part
+        |JOIN (VALUES ('small',1,10),('medium',11,25),('large',26,50)) AS b(band,lo,hi)
+        |  ON p_size BETWEEN lo AND hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q12_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q13_exact_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |  min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q14_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "q15_union" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, 'high' AS src FROM orders WHERE o_totalprice > 200000
+        |  UNION ALL
+        |  SELECT o_orderkey, 'y1995' AS src FROM orders WHERE year(o_orderdate) = 1995
+        |) ORDER BY o_orderkey, src""".stripMargin,
+
+    "q16_distinct" ->
+      """SELECT DISTINCT event_type, user_id FROM events
+        |ORDER BY event_type, user_id""".stripMargin,
+
+    "q17_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q18_date_group" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
+
+    "q19_surrogate_key" ->
+      """SELECT o_orderkey, sha256(concat_ws('|',
+        |  coalesce(CAST(o_orderkey AS VARCHAR), ' '),
+        |  coalesce(CAST(o_custkey AS VARCHAR), ' '))) AS sk
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q20_cpf_valid" ->
+      """WITH g AS (
+        |  SELECT c_custkey, lpad(CAST(c_custkey AS VARCHAR), 11, '0') AS cpf FROM customer
+        |), d AS (
+        |  SELECT c_custkey, cpf,
+        |    CAST(substr(cpf,1,1) AS INT) AS d1, CAST(substr(cpf,2,1) AS INT) AS d2,
+        |    CAST(substr(cpf,3,1) AS INT) AS d3, CAST(substr(cpf,4,1) AS INT) AS d4,
+        |    CAST(substr(cpf,5,1) AS INT) AS d5, CAST(substr(cpf,6,1) AS INT) AS d6,
+        |    CAST(substr(cpf,7,1) AS INT) AS d7, CAST(substr(cpf,8,1) AS INT) AS d8,
+        |    CAST(substr(cpf,9,1) AS INT) AS d9, CAST(substr(cpf,10,1) AS INT) AS d10,
+        |    CAST(substr(cpf,11,1) AS INT) AS d11
+        |  FROM g
+        |)
+        |SELECT c_custkey, cpf,
+        |  (NOT (d2=d1 AND d3=d1 AND d4=d1 AND d5=d1 AND d6=d1 AND d7=d1
+        |        AND d8=d1 AND d9=d1 AND d10=d1 AND d11=d1))
+        |  AND (NOT (d2=(d1+1)%10 AND d3=(d1+2)%10 AND d4=(d1+3)%10 AND d5=(d1+4)%10
+        |        AND d6=(d1+5)%10 AND d7=(d1+6)%10 AND d8=(d1+7)%10 AND d9=(d1+8)%10
+        |        AND d10=(d1+9)%10 AND d11=(d1+10)%10))
+        |  AND ((CASE WHEN ((d1*10+d2*9+d3*8+d4*7+d5*6+d6*5+d7*4+d8*3+d9*2)*10)%11 = 10
+        |        THEN 0 ELSE ((d1*10+d2*9+d3*8+d4*7+d5*6+d6*5+d7*4+d8*3+d9*2)*10)%11 END) = d10)
+        |  AND ((CASE WHEN ((d1*11+d2*10+d3*9+d4*8+d5*7+d6*6+d7*5+d8*4+d9*3+d10*2)*10)%11 = 10
+        |        THEN 0 ELSE ((d1*11+d2*10+d3*9+d4*8+d5*7+d6*6+d7*5+d8*4+d9*3+d10*2)*10)%11 END) = d11)
+        |  AS valid
+        |FROM d ORDER BY c_custkey""".stripMargin,
+
+    "q21_fixed_width" ->
+      """SELECT trim(substr(line, 1, 12)) AS custkey,
+        |  trim(substr(line, 13, 12)) AS seg,
+        |  trim(substr(line, 25, 25)) AS name
+        |FROM (SELECT rpad(CAST(c_custkey AS VARCHAR), 12, ' ')
+        |        || rpad(c_mktsegment, 12, ' ') || rpad(c_name, 25, ' ') AS line
+        |      FROM customer)
+        |ORDER BY custkey""".stripMargin,
+
+    "q22_schema_conform" ->
+      """SELECT c_custkey, c_name AS nome_acao, c_mktsegment AS conta_segmento
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q30_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_quality" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '\\S+') AS ltoks,
+        |    regexp_extract_all(text, '\\S+') AS toks
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS p_ratio,
+        |    CASE WHEN len(ltoks) > 0
+        |      THEN CAST(len(list_filter(ltoks, x -> x IN $stopwordsSql)) AS DOUBLE) / CAST(len(ltoks) AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS sw_ratio,
+        |    CASE WHEN len(toks) > 0
+        |      THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS mt_len
+        |  FROM t
+        |)
+        |SELECT doc_id, round(p_ratio, 6) AS punct_ratio,
+        |  round(sw_ratio, 6) AS stopword_ratio,
+        |  round(mt_len, 6) AS mean_token_len,
+        |  round((CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+        |      + (CASE WHEN sw_ratio >= 0.05 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+        |      + (CASE WHEN p_ratio <= 0.2 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 1) AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q32_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '\S+') AS toks FROM documents
+        |), sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','is','with'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('o','os','de','que','e'))) AS s_pt
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_pt) AND s_en > 0 THEN 'en'
+        |       WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_pt) AND s_es > 0 THEN 'es'
+        |       WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_pt) AND s_fr > 0 THEN 'fr'
+        |       WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_pt) AND s_de > 0 THEN 'de'
+        |       WHEN s_pt = greatest(s_en,s_es,s_fr,s_de,s_pt) AND s_pt > 0 THEN 'pt'
+        |       ELSE 'und' END AS pred_lang,
+        |  lang AS actual_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q35_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    list_distinct(list_transform(range(greatest(len(toks)-2, 0)),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+        |  FROM (SELECT source, doc_id,
+        |          regexp_extract_all(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\S+') AS toks
+        |        FROM documents WHERE doc_id % 20 = 0)
+        |)
+        |SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        |    THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END, 6) AS jaccard
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |ORDER BY source, id_a, id_b""".stripMargin,
+
+    "q36_knn_per_query" ->
+      """WITH c AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 8
+        |), s AS (
+        |  SELECT q.q_id, c.vec_id,
+        |    CASE WHEN sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.qv, q.qv)) > 0
+        |      THEN list_inner_product(c.v, q.qv)
+        |        / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.qv, q.qv)))
+        |      ELSE CAST(0.0 AS DOUBLE) END AS cos
+        |  FROM c CROSS JOIN q
+        |)
+        |SELECT q_id, vec_id, round(cos, 6) AS cosine FROM s
+        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5
+        |ORDER BY q_id, vec_id""".stripMargin,
+
+    "q37_cosine_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), q AS (
+        |  SELECT v AS qv FROM c WHERE vec_id = 0
+        |), s AS (
+        |  SELECT c.vec_id,
+        |    CASE WHEN sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.qv, q.qv)) > 0
+        |      THEN list_inner_product(c.v, q.qv)
+        |        / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.qv, q.qv)))
+        |      ELSE CAST(0.0 AS DOUBLE) END AS cos
+        |  FROM c CROSS JOIN q
+        |)
+        |SELECT vec_id, round(cos, 6) AS cosine FROM s
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column combinators for large-scale document pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting, shingling.
+  * All pure `org.apache.spark.sql.functions` compositions — they stay inside
+  * whole-stage codegen and push down through Catalyst (no UDF boundary),
+  * which is what keeps a 100 TB documents scan CPU-bound instead of
+  * serialization-bound.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens; empty/blank text → empty array (split of "" yields
+    * [""], which we filter out).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-space symbols — a deterministic regex approximation of a
+    * byte-pair-encoded token stream for cost estimation.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("bigint")
+
+  /** Punctuation-to-character ratio (0 for empty text). */
+  def punctRatio(text: Column): Column = {
+    val punct = size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
+    when(length(text) > 0, punct.cast("double") / length(text).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  private val stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "on", "for", "with", "as", "at", "by", "be", "this", "that", "from")
+
+  /** Fraction of tokens that are (English) stopwords — a standard
+    * fluency/quality signal for pretraining corpora.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val sw = filter(toks, t => t.isin(stopwords.map(lit(_)): _*))
+    when(size(toks) > 0, size(sw).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length in characters (0 for empty text). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword presence and
+    * moderate token length, penalizes punctuation soup. Deterministic and
+    * fully codegen'd; thresholds follow common corpus-filtering heuristics
+    * (Gopher-style rules).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(tokenCount(text).between(5, 100000), lit(0.4)).otherwise(lit(0.0))
+    val swOk = when(stopwordRatio(text) >= 0.05, lit(0.3)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) <= 0.2, lit(0.3)).otherwise(lit(0.0))
+    round(lenOk + swOk + punctOk, 1)
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "pt" -> Seq("o", "os", "de", "que", "e"))
+
+  /** N-gram/stopword-marker language ID heuristic: counts occurrences of
+    * each language's top function words and picks the argmax (ties broken
+    * by fixed language order, `und` = undetermined when nothing matches).
+    * This is the classic cheap lang-ID used as a pre-filter before an
+    * expensive model pass.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores: Seq[(String, Column)] = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Canonical text normalization for fingerprinting: lower, strip
+    * non-alphanumerics to single spaces, trim.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Deterministic document fingerprint = md5 of the normalized text.
+    * Used for exact near-canonical dedup; stable across engines.
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Word n-gram shingles as an array column (distinct, order of first
+    * occurrence dropped by array_distinct semantics).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(normalized(text))
+    // size < n would make sequence(0, size-n) run DOWNWARD (Spark's default
+    // step is -1 for stop < start) and feed slice() a 0 index — guard to [].
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(size(toks) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 64-bit rolling-hash style fingerprints of every shingle (xxhash64 over
+    * the shingle string with per-document-stable seed).
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(wordShingles(text, n), s => xxhash64(s))
+
+  /** MinHash signature: for each of `k` hash families, the minimum of
+    * xxhash64(salt_i ++ shingle) over the document's shingles. Null-safe:
+    * empty shingle set yields nulls.
+    */
+  def minHashSignature(text: Column, n: Int, k: Int): Column = {
+    val sh = wordShingles(text, n)
+    val sigs = (0 until k).map { i =>
+      array_min(transform(sh, s => xxhash64(concat(lit(s"mh$i|"), s))))
+    }
+    array(sigs: _*)
+  }
+
+  /** SimHash-64 over word tokens: per bit, sum +1/-1 weighted votes of each
+    * token's xxhash64, then collapse signs into a 64-bit long. Expressed as
+    * an `aggregate` over the token array — one pass per row, no explode, no
+    * shuffle.
+    */
+  def simHash64(text: Column): Column = {
+    val toks = array_distinct(tokens(normalized(text)))
+    val hashes = transform(toks, t => xxhash64(t))
+    // per-bit ±1 votes, accumulated in one pass over the token array
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(
+        acc,
+        array((0 until 64).map(b =>
+          when(shiftright(h, b).bitwiseAND(1L) === 1L, lit(1L))
+            .otherwise(lit(-1L))): _*),
+        (a, v) => a + v))
+    // positive vote → bit set; bit values are Scala-side literals
+    val bitVals = array((0 until 64).map(i => lit(1L << i)): _*)
+    aggregate(
+      zip_with(votes, bitVals, (v, bv) => when(v > 0, bv).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

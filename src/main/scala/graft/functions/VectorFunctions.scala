@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `array<float>` columns, expressed with
+  * higher-order functions (`zip_with`/`aggregate`/`transform`) so the whole
+  * similarity computation stays columnar — no UDF, no row-object
+  * materialization per comparison. For a 100 TB ANN sweep the LSH-bucketed
+  * path (`Similarity.lshBuckets`) bounds the candidate set; these kernels
+  * are the inner loop.
+  */
+object VectorFunctions {
+
+  /** Dot product of two equal-length vectors, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm, accumulated in double. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity in double precision; null/zero-norm safe (0.0). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn > 0, d / nn).otherwise(lit(0.0))
+  }
+
+  /** Quantize a float vector to `array<bigint>` of round(x * scale).
+    * Integer-exact across engines — this is the cross-engine-reproducible
+    * form used when a result must hash-match an external oracle (float
+    * summation order is not associative; integer summation is).
+    */
+  def quantize(a: Column, scale: Int): Column =
+    transform(a, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Dot product over quantized vectors — exact integer math. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine over quantized vectors: integer dot / sqrt(int)·sqrt(int).
+    * Deterministic bit-for-bit on any IEEE-754 engine given the same ints.
+    */
+  def cosineQ(a: Column, b: Column, scale: Int): Column = {
+    val qa = quantize(a, scale)
+    val qb = quantize(b, scale)
+    val d = dotQ(qa, qb).cast("double")
+    val nn = sqrt(dotQ(qa, qa).cast("double")) * sqrt(dotQ(qb, qb).cast("double"))
+    when(nn > 0, d / nn).otherwise(lit(0.0))
+  }
+
+  /** Sign bit of the dot product against a fixed hyperplane given as a
+    * literal Seq — one bit of a random-hyperplane LSH signature.
+    */
+  def hyperplaneBit(v: Column, plane: Seq[Double]): Column = {
+    val planeCol = array(plane.map(lit(_)): _*)
+    when(dot(v, planeCol) >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** Random-hyperplane LSH signature packed into a long: `planes` is a
+    * deterministic (seeded) list of hyperplanes, bit i = sign(v·plane_i).
+    * Vectors with equal signatures are cosine-close with high probability.
+    */
+  def lshSignature(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      shiftleft(hyperplaneBit(v, p), i)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed → reproducible
+    * plans and signatures across runs and engines).
+    */
+  def seededPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators, from the reference's latest-record-per-key
+  * pattern up to the MinHash/SimHash near-dup machinery a pretraining-data
+  * pipeline needs. Everything shuffles at most once on the dedup key and
+  * uses map-side-combinable aggregations; candidate generation for near-dup
+  * is bucketed (LSH bands) so the join never goes quadratic.
+  */
+object Dedup {
+
+  /** Latest record per key — the reference's `sort_values` +
+    * `drop_duplicates(keep="last")` (reference:
+    * pipelines/datalake/migrate/bq_to_subpav/utils.py:298-313,337-352).
+    * pandas keep-last-after-sort is deterministic; Spark's `dropDuplicates`
+    * after `orderBy` is NOT (partition order), so the correct translation
+    * is a row_number window. Callers must make `order` a total order within
+    * key (append a unique tiebreaker) for determinism.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact duplicate groups by content hash: one row per distinct content
+    * with the canonical (minimum) id and the duplicate count. Single
+    * hash-aggregate — partial aggregation happens map-side, so the shuffle
+    * carries one row per distinct hash, not per input row.
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_dups"))
+
+  /** Rows to keep after exact dedup (canonical = lowest id per fingerprint). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextFunctions.fingerprint(col(textCol)))
+      .orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** MinHash + LSH banding candidate pairs: signature of `numHashes`
+    * minhashes split into `bands`; documents sharing any band bucket are
+    * candidates. The band→bucket groupBy bounds comparisons to collisions
+    * instead of the full n², which is what makes near-dup feasible at
+    * corpus scale; the final Jaccard check runs only on candidates.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minHashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val withSig = df.select(
+      col(idCol).as("id"),
+      TextFunctions.wordShingles(col(textCol), shingleN).as("shingles"),
+      TextFunctions.minHashSignature(col(textCol), shingleN, numHashes).as("sig"))
+      .filter(size(col("shingles")) > 0)
+    // one row per (doc, band): bucket = hash of the band's slice of the sig
+    val banded = withSig.select(
+      col("id"), col("shingles"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws(",",
+          transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+            _.cast("string"))))): _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .distinct()
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits, candidate-bounded by
+    * 16-bit chunk equality (pigeonhole: any pair within 3 bits of a 64-bit
+    * hash agrees on at least one of 4 chunks).
+    */
+  def simHashNearDups(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"),
+      TextFunctions.simHash64(col(textCol)).as("sim"))
+    val chunked = withSim.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "key")))
+    val a = chunked.select(col("chunk"), col("key"),
+      col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("key"),
+      col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextFunctions.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** N-gram Jaccard similarity for explicit candidate pairs (pairs given by
+    * a join condition the caller controls — e.g. same-source blocking).
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = TextFunctions.wordShingles(a, n)
+    val sb = TextFunctions.wordShingles(b, n)
+    when(size(array_union(sa, sb)) > 0,
+      size(array_intersect(sa, sb)).cast("double") /
+        size(array_union(sa, sb)).cast("double"))
+      .otherwise(lit(0.0))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers:
+  *  - brute-force cosine top-k: exact, one scan, TakeOrderedAndProject —
+  *    the correctness baseline and fine whenever the query set is small;
+  *  - LSH-bucketed ANN: random-hyperplane signatures bucket the corpus so a
+  *    batch of queries joins only its buckets (equi-join on signature →
+  *    shuffle/broadcast hash join instead of a cartesian product). At 100 TB
+  *    the bucket join is the only shape that survives; multi-probe (probe
+  *    neighboring signatures within 1 bit) recovers recall.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against one literal query vector. Spark compiles
+    * orderBy+limit into TakeOrderedAndProject: each partition keeps a k-heap
+    * and only k rows per partition reach the driver — no full sort.
+    */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(lit(_)): _*)
+    corpus.select(col(idCol),
+      VectorFunctions.cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All-pairs exact top-k per query row against a (small, broadcastable)
+    * query table: crossJoin(broadcast(queries)) + per-query window top-k.
+    */
+  def topKPerQuery(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .select(col(qIdCol), col(idCol),
+        VectorFunctions.cosine(col(vecCol), col(qVecCol)).as("cosine"))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Attach a random-hyperplane LSH bucket signature (`numPlanes` bits,
+    * seeded → deterministic). Write-once as a corpus column; the ANN query
+    * path then equi-joins on it.
+    */
+  def withLshBucket(corpus: DataFrame, vecCol: String, numPlanes: Int,
+      dim: Int, seed: Long = 42L): DataFrame = {
+    val planes = VectorFunctions.seededPlanes(numPlanes, dim, seed)
+    corpus.withColumn("lsh_bucket",
+      VectorFunctions.lshSignature(col(vecCol), planes))
+  }
+
+  /** ANN top-k: restrict to the query vector's LSH bucket (plus all buckets
+    * within `probeBits` Hamming bits for recall), then exact cosine top-k
+    * inside the candidate set. The bucket predicate prunes the scan;
+    * candidates ≪ corpus.
+    */
+  def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, numPlanes: Int, seed: Long = 42L,
+      probeBits: Int = 1): DataFrame = {
+    val planes = VectorFunctions.seededPlanes(numPlanes, query.length, seed)
+    // query signature computed driver-side with the same IEEE math
+    val qSig = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (w, x) => w * x.toDouble }.sum
+      if (d >= 0) 1L << i else 0L
+    }.reduce(_ | _)
+    val probes: Seq[Long] =
+      if (probeBits >= 1) qSig +: (0 until numPlanes).map(b => qSig ^ (1L << b))
+      else Seq(qSig)
+    val bucketed = withLshBucket(corpus, vecCol, numPlanes, query.length, seed)
+    val q = array(query.map(lit(_)): _*)
+    bucketed.filter(col("lsh_bucket").isin(probes: _*))
+      .select(col(idCol),
+        VectorFunctions.cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF-style coarse quantization: assign every vector to the nearest of
+    * `centroids` (broadcast literal array of centroid vectors); queries then
+    * scan only their cell(s). This is the scale path when LSH recall is not
+    * enough: `nprobe` cells bound the candidate set independently of corpus
+    * size.
+    */
+  def withIvfCell(corpus: DataFrame, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    val sims = centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorFunctions.cosine(col(vecCol),
+        array(c.map(lit(_)): _*)).as("sim"), lit(i).as("cell"))
+    }
+    corpus.withColumn("ivf_cell",
+      greatest(sims: _*).getField("cell"))
+  }
+}

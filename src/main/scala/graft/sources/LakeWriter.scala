@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lake landing writes with the reference's partition scheme and audit
+  * columns (reference: pipelines/utils/tasks.py:707-809,936-1001 —
+  * `ano_particao=YYYY/mes_particao=M/data_particao=YYYY-MM-DD` Hive dirs,
+  * `loaded_at`/run-id stamps, append vs overwrite vs per-partition
+  * overwrite).
+  *
+  * Scale notes: `partitionBy` writes one file per (task, partition) — we
+  * repartition on the partition columns first so each day lands as a few
+  * large files instead of numPartitions small ones (the small-files problem
+  * is the classic 100 TB lake killer). Partition overwrite is DYNAMIC: only
+  * the days present in the batch are replaced, which is what makes re-runs
+  * idempotent without truncating the table.
+  */
+object LakeWriter {
+
+  /** Audit columns: run timestamp and run id are explicit parameters (the
+    * reference stamps datetime.now() inside the task — nondeterministic;
+    * here determinism is the caller's choice).
+    */
+  def withAudit(df: DataFrame, runId: String, loadedAt: java.sql.Timestamp): DataFrame =
+    df.withColumn("run_id", lit(runId))
+      .withColumn("loaded_at", lit(loadedAt))
+
+  /** Day-grain partition stamp columns from a date/timestamp column. */
+  def withDatePartitions(df: DataFrame, dateCol: Column): DataFrame =
+    df.withColumn("ano_particao", year(dateCol))
+      .withColumn("mes_particao", month(dateCol))
+      .withColumn("data_particao", to_date(dateCol).cast("string"))
+
+  /** Month-grain variant (data_particao = first day of month). */
+  def withMonthPartitions(df: DataFrame, dateCol: Column): DataFrame =
+    df.withColumn("ano_particao", year(dateCol))
+      .withColumn("mes_particao", month(dateCol))
+      .withColumn("data_particao", trunc(dateCol, "month").cast("string"))
+
+  private val partCols = Seq("ano_particao", "mes_particao", "data_particao")
+
+  /** Append new days to the lake table. */
+  def append(df: DataFrame, path: String, filesPerPartition: Int = 1): Unit =
+    df.repartition(partCols.map(col) :+ (rand(42) * filesPerPartition).cast("int"): _*)
+      .write.mode("append").partitionBy(partCols: _*).parquet(path)
+
+  /** Replace ONLY the date partitions present in `df` (idempotent re-run
+    * semantics — the reference's staged-delete + reload,
+    * pipelines/utils/tasks.py:812-933, collapses to dynamic partition
+    * overwrite).
+    */
+  def overwritePartitions(df: DataFrame, path: String): Unit =
+    df.repartition(partCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*).parquet(path)
+
+  /** Full overwrite (reference dump_mode=overwrite). */
+  def overwriteAll(df: DataFrame, path: String): Unit =
+    df.repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+
+  /** The reference's all-string landing cast (pipelines/utils/
+    * tasks.py:958-960): typing deferred to the transform layer.
+    */
+  def allString(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(s"`$c`").cast("string").as(c)): _*)
+}

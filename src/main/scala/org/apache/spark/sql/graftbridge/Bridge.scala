@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made the conversion utilities
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`), so
+  * custom Catalyst expressions need this one-file shim inside the sql
+  * package to surface as user-facing `Column`s. No Spark internals are
+  * modified — these are straight delegations.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,140 @@
+package graft.functions
+
+import java.time.LocalDate
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SchemaConformSpec extends AnyFunSuite {
+  test("accent strip + snake case") {
+    assert(SchemaConform.conformName("Nome Ação") == "nome_acao")
+    assert(SchemaConform.conformName("Conta$Saldo") == "conta_saldo")
+    assert(SchemaConform.conformName("  Já-Foi  ") == "ja_foi")
+  }
+  test("numeric-leading names get underscore prefix") {
+    assert(SchemaConform.conformName("2024 total") == "_2024_total")
+  }
+  test("empty/symbol-only names fall back to col") {
+    assert(SchemaConform.conformName("!!!") == "col")
+  }
+  test("collisions deduplicate with suffixes") {
+    assert(SchemaConform.conformNames(Seq("a b", "A-B", "a_b")) ==
+      Seq("a_b", "a_b_2", "a_b_3"))
+  }
+}
+
+class RelativeDateSpec extends AnyFunSuite {
+  private val anchor = LocalDate.of(2026, 8, 12)
+  test("D-n / M-n / Y-n / today / yesterday / ISO") {
+    assert(RelativeDate.resolve("D-7", anchor) == LocalDate.of(2026, 8, 5))
+    assert(RelativeDate.resolve("M-1", anchor) == LocalDate.of(2026, 7, 1))
+    assert(RelativeDate.resolve("Y-1", anchor) == LocalDate.of(2025, 1, 1))
+    assert(RelativeDate.resolve("today", anchor) == anchor)
+    assert(RelativeDate.resolve("yesterday", anchor) == anchor.minusDays(1))
+    assert(RelativeDate.resolve("2024-02-29", anchor) == LocalDate.of(2024, 2, 29))
+  }
+  test("tumbling windows cover the range without overlap") {
+    val ws = RelativeDate.tumblingWindows(
+      LocalDate.of(2026, 1, 1), LocalDate.of(2026, 1, 10), 4)
+    assert(ws == Seq(
+      (LocalDate.of(2026, 1, 1), LocalDate.of(2026, 1, 4)),
+      (LocalDate.of(2026, 1, 5), LocalDate.of(2026, 1, 8)),
+      (LocalDate.of(2026, 1, 9), LocalDate.of(2026, 1, 10))))
+  }
+  test("unparseable token throws") {
+    assertThrows[IllegalArgumentException](RelativeDate.resolve("W-1", anchor))
+  }
+}
+
+class CpfSpec extends SparkSpec {
+  test("known-valid CPFs pass (pure)") {
+    assert(CpfUtil.isValidStr("529.982.247-25"))
+    assert(CpfUtil.isValidStr("52998224725"))
+  }
+  test("checksum failures / blocklist / malformed rejected (pure)") {
+    assert(!CpfUtil.isValidStr("52998224724"))   // bad check digit
+    assert(!CpfUtil.isValidStr("111.111.111-11")) // all-same
+    assert(!CpfUtil.isValidStr("01234567890"))   // ascending blocklist
+    assert(!CpfUtil.isValidStr("1234567890"))    // 10 digits
+    assert(!CpfUtil.isValidStr("abc"))
+    assert(!CpfUtil.isValidStr(""))
+  }
+  test("expression evaluates through the DataFrame API with codegen") {
+    import spark.implicits._
+    val df = Seq("52998224725", "11111111111", "nope", null)
+      .toDF("cpf").select(Cpf.isValid(col("cpf")).as("v"))
+    assert(df.collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0)).toSeq
+      == Seq(true, false, false, null))
+  }
+}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token and subword counts") {
+    val df = Seq("  hello  world ", "", "a b-c 42").toDF("t")
+      .select(TextFunctions.tokenCount(col("t")).as("n"),
+        TextFunctions.subwordCount(col("t")).as("s"))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 2L), (0L, 0L), (3L, 5L)))
+  }
+
+  test("wordShingles guards short texts (< n tokens)") {
+    val df = Seq("one two", "one two three four").toDF("t")
+      .select(size(TextFunctions.wordShingles(col("t"), 3)).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 2))
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val df = Seq("Hello,   World!", "hello world").toDF("t")
+      .select(TextFunctions.fingerprint(col("t")).as("fp"))
+    val fps = df.collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("simhash identical texts → hamming 0; langId picks markers") {
+    val df = Seq(("the cat and the dog is here", "the cat and the dog is here"))
+      .toDF("a", "b")
+      .select(TextFunctions.hamming64(TextFunctions.simHash64(col("a")),
+        TextFunctions.simHash64(col("b"))).as("h"),
+        TextFunctions.langId(col("a")).as("lang"))
+    val r = df.collect().head
+    assert(r.getInt(0) == 0)
+    assert(r.getString(1) == "en")
+  }
+
+  test("quality score composes the three signals") {
+    val good = "the quick brown fox jumps over the lazy dog and runs to the hills"
+    val df = Seq(good, "x y").toDF("t")
+      .select(TextFunctions.qualityScore(col("t")).as("q"))
+    val qs = df.collect().map(_.getDouble(0))
+    assert(qs(0) == 1.0)
+    assert(qs(1) < 1.0)
+  }
+}
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity 1, orthogonal 0, zero-norm safe") {
+    val df = Seq(
+      (Seq(1.0f, 0f, 0f), Seq(1.0f, 0f, 0f)),
+      (Seq(1.0f, 0f, 0f), Seq(0f, 1.0f, 0f)),
+      (Seq(0f, 0f, 0f), Seq(1.0f, 2f, 3f))).toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0, 0.0))
+  }
+
+  test("quantized dot is exact integer math") {
+    val df = Seq((Seq(0.1f, 0.2f), Seq(0.3f, 0.4f))).toDF("a", "b")
+      .select(VectorFunctions.dotQ(
+        VectorFunctions.quantize(col("a"), 10),
+        VectorFunctions.quantize(col("b"), 10)).as("d"))
+    assert(df.collect().head.getLong(0) == (1 * 3 + 2 * 4))
+  }
+
+  test("seeded planes are reproducible") {
+    assert(VectorFunctions.seededPlanes(4, 8, 7L) ==
+      VectorFunctions.seededPlanes(4, 8, 7L))
+  }
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("remaining = candidates − done (anti join); None ledger = all pending") {
+    val cand = Seq(1, 2, 3, 4).toDF("k")
+    val done = Seq(2, 4).toDF("k")
+    assert(Relational.remaining(cand, Some(done), Seq("k"))
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    assert(Relational.remaining(cand, None, Seq("k")).count() == 4)
+  }
+
+  test("bandJoin matches inclusive ranges and broadcasts the interval side") {
+    val rows = Seq(1, 10, 11, 25, 26, 99).toDF("v")
+    val ranges = Seq(("a", 1, 10), ("b", 11, 25)).toDF("band", "lo", "hi")
+    val joined = Relational.bandJoin(rows, ranges, col("v"), "lo", "hi")
+    assert(joined.count() == 5) // 99 matches nothing
+    // AQE finalizes the physical plan only after execution
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      joined.queryExecution.optimizedPlan.toString.contains("Join"))
+  }
+
+  test("unionAll tolerates schema drift (missing columns → null)") {
+    val a = Seq((1, "x")).toDF("id", "a")
+    val b = Seq((2, "y")).toDF("id", "b")
+    val u = Relational.unionAll(Seq(a, b))
+    assert(u.columns.toSet == Set("id", "a", "b"))
+    assert(u.count() == 2)
+  }
+
+  test("schemaDrift reports missing/extra") {
+    val df = Seq((1, "x")).toDF("id", "extra")
+    assert(Relational.schemaDrift(df, Seq("id", "wanted")) ==
+      (Set("wanted"), Set("extra")))
+  }
+
+  test("surrogateKey distinguishes null from empty and is deterministic") {
+    val df = Seq((Some(""), "a"), (None, "a")).toDF("x", "y")
+      .select(Relational.surrogateKey(Seq(col("x"), col("y"))).as("k"))
+    val ks = df.collect().map(_.getString(0))
+    assert(ks(0) != ks(1))
+  }
+
+  test("reconcileCount enforces tolerance") {
+    Relational.reconcileCount(95, 100, 0.05)
+    assertThrows[IllegalArgumentException](Relational.reconcileCount(94, 100, 0.05))
+    Relational.reconcileCount(0, 0)
+  }
+
+  test("rateRollup emits per-group rows plus a grand-total row") {
+    val df = Seq(("a", 10.0), ("a", 200.0), ("b", 300.0)).toDF("g", "v")
+    val r = Relational.rateRollup(df, "g", Map("high" -> (col("v") > 100)))
+      .collect().map(row => (Option(row.getString(0)), row.getDouble(1), row.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(r == Seq((None, 2.0 / 3, 3L), (Some("a"), 0.5, 2L), (Some("b"), 1.0, 1L)))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("latestPerKey keeps exactly the max-order row per key") {
+    val df = Seq((1, 1, "old"), (1, 3, "new"), (1, 2, "mid"), (2, 5, "only"))
+      .toDF("k", "v", "tag")
+    val r = Dedup.latestPerKey(df, Seq("k"), Seq(col("v")))
+      .collect().map(x => (x.getInt(0), x.getString(2))).sorted.toSeq
+    assert(r == Seq((1, "new"), (2, "only")))
+  }
+
+  test("exactDedup keeps the lowest id per normalized content") {
+    val df = Seq((3L, "Hello,  World"), (1L, "hello world"), (2L, "unrelated"))
+      .toDF("id", "text")
+    val kept = Dedup.exactDedup(df, "id", "text").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L))
+    val groups = Dedup.exactDupGroups(df, "id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(groups.exists { case (_, canon, n) => canon == 1L && n == 2L })
+  }
+
+  test("minHash LSH surfaces a genuine near-duplicate pair") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok30", "changed")
+    val far = (1 to 60).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashCandidatePairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.8 })
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("simHash near-dups found within hamming budget") {
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val nearDup = base + " extra"
+    val df = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDups(df, "doc_id", "text", maxHamming = 8)
+    assert(pairs.count() == 1)
+  }
+
+  test("ngramJaccard: identical 1.0, disjoint 0.0") {
+    val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("a", "b")
+      .select(Dedup.ngramJaccard(col("a"), col("b"), 2).as("j"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, Seq(1.0f, 0f, 0f)),
+    (2L, Seq(0.9f, 0.1f, 0f)),
+    (3L, Seq(0f, 1.0f, 0f)),
+    (4L, Seq(0f, 0f, 1.0f))).toDF("id", "vec")
+
+  test("bruteForceTopK ranks the exact match first") {
+    val r = Similarity.bruteForceTopK(corpus, "id", "vec", Seq(1.0f, 0f, 0f), 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(1L, 2L))
+  }
+
+  test("topKPerQuery returns k rows per query via window") {
+    val qs = Seq((10L, Seq(1.0f, 0f, 0f)), (20L, Seq(0f, 1.0f, 0f)))
+      .toDF("q_id", "q_vec")
+    val r = Similarity.topKPerQuery(corpus, qs, "id", "vec", "q_id", "q_vec", 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+    assert(r == Seq((10L, 1L), (20L, 3L)))
+  }
+
+  test("annTopK finds the exact neighbor through its LSH bucket") {
+    val r = Similarity.annTopK(corpus, "id", "vec", Seq(1.0f, 0f, 0f),
+      k = 1, numPlanes = 4)
+    assert(r.collect().head.getLong(0) == 1L)
+  }
+}
+
+class JsonNormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pack/unpack roundtrip") {
+    val df = Seq((1, "a", "meta")).toDF("id", "x", "keep")
+    val packed = JsonNormalize.pack(df, Seq("id", "x"), "data")
+    assert(packed.columns.toSet == Set("data", "keep"))
+    val schema = StructType(Seq(StructField("id", IntegerType), StructField("x", StringType)))
+    val back = JsonNormalize.unpack(packed, "data", schema)
+    val r = back.select("id", "x", "keep").collect().head
+    assert((r.getInt(0), r.getString(1), r.getString(2)) == ((1, "a", "meta")))
+  }
+
+  test("flattenStructs prefixes nested fields") {
+    val df = Seq((1, ("x", 2))).toDF("id", "s")
+    val flat = JsonNormalize.flattenStructs(df)
+    assert(flat.columns.toSeq == Seq("id", "s__1", "s__2"))
+  }
+
+  test("explodeChild emits one row per child with deterministic keys") {
+    val df = Seq((1, Seq("a", "b"))).toDF("pid", "kids")
+    val r = JsonNormalize.explodeChild(df, "kids", col("pid"))
+    assert(r.count() == 2)
+    assert(r.select("child_key").distinct().count() == 2)
+    // re-running produces identical keys (determinism)
+    val again = JsonNormalize.explodeChild(df, "kids", col("pid"))
+    assert(r.select("child_key").except(again.select("child_key")).count() == 0)
+  }
+}
+
+class MultiModalSpec extends SparkSpec {
+  test("feature extraction is deterministic and schema-stable") {
+    val docs = graft.sources.Lake.table(spark, sfDir, "documents").limit(50)
+    val media = MultiModal.fromText(spark, docs, "doc_id", "text")
+    val f1 = MultiModal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = MultiModal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall(f => f.byte_len > 0 && f.width >= 16 && f.height >= 16))
+    assert(f1.filter(_.modality != "video").forall(_.n_frames == 1))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class FixedWidthReaderSpec extends SparkSpec {
+  test("dictionary derives cumulative 1-based offsets") {
+    assert(FixedWidthReader.dictionary(Seq("a" -> 3, "b" -> 5, "c" -> 2)) ==
+      Seq(FixedWidthReader.Field("a", 1, 3), FixedWidthReader.Field("b", 4, 5),
+        FixedWidthReader.Field("c", 9, 2)))
+  }
+  test("read slices fixed-width lines into trimmed string columns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fw").toString
+    Seq("001alpha     X", "002beta      Y").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val fields = FixedWidthReader.dictionary(Seq("id" -> 3, "name" -> 10, "flag" -> 1))
+    val r = FixedWidthReader.read(spark, dir, fields)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getString(2))).sorted.toSeq
+    assert(r == Seq(("001", "alpha", "X"), ("002", "beta", "Y")))
+  }
+}
+
+class CsvReaderSpec extends SparkSpec {
+  test("reads with explicit separator and conforms headers") {
+    val dir = Files.createTempDirectory("csv").toString
+    Files.writeString(java.nio.file.Path.of(dir, "t.csv"),
+      "Nome Ação;Valor Total\nabc;10\ndef;20\n")
+    val df = CsvReader.read(spark, s"$dir/t.csv", CsvReader.Options(sep = ";"))
+    assert(df.columns.toSeq == Seq("nome_acao", "valor_total"))
+    assert(df.count() == 2)
+  }
+  test("sniffSep detects semicolon vs comma") {
+    val dir = Files.createTempDirectory("csv2").toString
+    Files.writeString(java.nio.file.Path.of(dir, "t.csv"), "a;b;c\n1;2;3\n")
+    assert(CsvReader.sniffSep(spark, s"$dir/t.csv") == ";")
+  }
+}
+
+class LakeWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned write + dynamic partition overwrite is idempotent") {
+    val dir = Files.createTempDirectory("lake").toString + "/tbl"
+    val day1 = Seq((1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00"))
+      .toDF("id", "ts").withColumn("ts", to_timestamp(col("ts")))
+    val day2 = Seq((3, "2024-01-02 10:00:00")).toDF("id", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+    LakeWriter.overwritePartitions(LakeWriter.withDatePartitions(day1, col("ts")), dir)
+    LakeWriter.overwritePartitions(LakeWriter.withDatePartitions(day2, col("ts")), dir)
+    // re-write day1: replaces ONLY that partition, day2 stays
+    LakeWriter.overwritePartitions(LakeWriter.withDatePartitions(day1, col("ts")), dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    assert(back.select("data_particao").distinct().count() == 2)
+  }
+
+  test("audit columns + all-string landing cast") {
+    val df = Seq((1, 2.5)).toDF("id", "v")
+    val stamped = LakeWriter.withAudit(df, "run-1",
+      java.sql.Timestamp.valueOf("2026-08-12 00:00:00"))
+    assert(stamped.columns.contains("run_id") && stamped.columns.contains("loaded_at"))
+    val strings = LakeWriter.allString(stamped)
+    assert(strings.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+}
