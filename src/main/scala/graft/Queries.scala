@@ -286,14 +286,24 @@ object Queries {
     }),
 
     // Dedup (near): n-gram Jaccard over source-blocked candidate pairs.
+    // Shingles are computed ONCE per document before the pair join (not once
+    // per pair), and intersect/union are bound once per pair.
     "q35_ngram_jaccard" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
-        .select(col("source"), col("doc_id"), col("text"))
-      val a = docs.select(col("source"), col("doc_id").as("id_a"), col("text").as("text_a"))
-      val b = docs.select(col("source"), col("doc_id").as("id_b"), col("text").as("text_b"))
+      val toked = t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokens(TextFunctions.normalized(col("text"))).as("toks"))
+      val docs = toked.select(col("source"), col("doc_id"),
+        TextFunctions.shinglesFromTokens(col("toks"), 3).as("sh"))
+      val a = docs.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
         .select(col("source"), col("id_a"), col("id_b"),
-          round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 6).as("jaccard"))
+          size(array_intersect(col("sh_a"), col("sh_b"))).as("nix"),
+          size(array_union(col("sh_a"), col("sh_b"))).as("nun"))
+        .select(col("source"), col("id_a"), col("id_b"),
+          round(when(col("nun") > 0,
+            col("nix").cast("double") / col("nun").cast("double"))
+            .otherwise(lit(0.0)), 6).as("jaccard"))
         .orderBy(col("source"), col("id_a"), col("id_b"))
     }),
 

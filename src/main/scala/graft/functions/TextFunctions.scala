@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** ASCII-only lowercasing via `translate` (a plain char map). Spark 4's
+    * `lower()` routes through ICU collation support whose first heavy use
+    * stalls for tens of seconds under many threads (contended
+    * BreakIteratorCache) — a pure char-map is codegen'd and constant-cost.
+    * Downstream normalization strips non-[a-z0-9] anyway, so full-Unicode
+    * case mapping would be erased for every path that uses this.
+    */
+  def asciiLower(c: Column): Column =
+    translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
   /** Whitespace tokens; empty/blank text → empty array (split of "" yields
     * [""], which we filter out).
     */
@@ -44,7 +54,7 @@ object TextFunctions {
     * fluency/quality signal for pretraining corpora.
     */
   def stopwordRatio(text: Column): Column = {
-    val toks = tokens(lower(text))
+    val toks = tokens(asciiLower(text))
     val sw = filter(toks, t => t.isin(stopwords.map(lit(_)): _*))
     when(size(toks) > 0, size(sw).cast("double") / size(toks).cast("double"))
       .otherwise(lit(0.0))
@@ -85,7 +95,7 @@ object TextFunctions {
     * expensive model pass.
     */
   def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
+    val toks = tokens(asciiLower(text))
     val scores: Seq[(String, Column)] = langMarkers.map { case (lang, markers) =>
       lang -> size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
     }
@@ -99,7 +109,7 @@ object TextFunctions {
     * non-alphanumerics to single spaces, trim.
     */
   def normalized(text: Column): Column =
-    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    trim(regexp_replace(asciiLower(text), "[^a-z0-9]+", " "))
 
   /** Deterministic document fingerprint = md5 of the normalized text.
     * Used for exact near-canonical dedup; stable across engines.
@@ -109,8 +119,19 @@ object TextFunctions {
   /** Word n-gram shingles as an array column (distinct, order of first
     * occurrence dropped by array_distinct semantics).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(normalized(text))
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(normalized(text)), n)
+
+  /** Shingles from an ALREADY-MATERIALIZED token array column.
+    *
+    * Callers in hot paths must pass a bound column (project the token array
+    * first), not the raw `tokens(...)` expression: higher-order functions
+    * re-evaluate subtrees referenced inside the lambda once PER ELEMENT, so
+    * an inline tokens() subtree turns shingling into O(tokens²) regex work
+    * per document. Catalyst won't collapse an expensive multi-referenced
+    * alias back into the lambda, so a projection boundary is a real fence.
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     // size < n would make sequence(0, size-n) run DOWNWARD (Spark's default
     // step is -1 for stop < start) and feed slice() a 0 index — guard to [].
     val grams = transform(
@@ -126,17 +147,20 @@ object TextFunctions {
   def shingleHashes(text: Column, n: Int): Column =
     transform(wordShingles(text, n), s => xxhash64(s))
 
-  /** MinHash signature: for each of `k` hash families, the minimum of
-    * xxhash64(salt_i ++ shingle) over the document's shingles. Null-safe:
-    * empty shingle set yields nulls.
+  /** MinHash signature: for each of `k` hash families, the minimum over the
+    * document's shingles of a family-specific rehash. Shingle strings are
+    * hashed ONCE (xxhash64) and each family remixes the resulting long with
+    * its index — k array passes of integer hashing instead of k passes of
+    * string building, which is what keeps signature cost linear in shingles
+    * (not shingle *bytes*) at corpus scale.
     */
-  def minHashSignature(text: Column, n: Int, k: Int): Column = {
-    val sh = wordShingles(text, n)
-    val sigs = (0 until k).map { i =>
-      array_min(transform(sh, s => xxhash64(concat(lit(s"mh$i|"), s))))
-    }
-    array(sigs: _*)
-  }
+  def minHashSignature(text: Column, n: Int, k: Int): Column =
+    minHashFromHashes(transform(wordShingles(text, n), s => xxhash64(s)), k)
+
+  /** Signature from pre-hashed shingles (see [[minHashSignature]]). */
+  def minHashFromHashes(hashes: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(hashes, h => xxhash64(h, lit(i))))): _*)
 
   /** SimHash-64 over word tokens: per bit, sum +1/-1 weighted votes of each
     * token's xxhash64, then collapse signs into a 64-bit long. Expressed as

@@ -59,28 +59,44 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val withSig = df.select(
-      col(idCol).as("id"),
-      TextFunctions.wordShingles(col(textCol), shingleN).as("shingles"),
-      TextFunctions.minHashSignature(col(textCol), shingleN, numHashes).as("sig"))
-      .filter(size(col("shingles")) > 0)
-    // one row per (doc, band): bucket = hash of the band's slice of the sig
-    val banded = withSig.select(
-      col("id"), col("shingles"),
+    // tokens materialized FIRST (projection fence — see shinglesFromTokens),
+    // then shingle strings hashed ONCE per doc; signatures remix the longs.
+    // The empty-doc guard filters on TOKEN COUNT, not on size(shingles):
+    // a filter over the shingle expression gets predicate-pushed below the
+    // projection with the whole pipeline inlined into the lambda — per-
+    // element re-evaluation, O(tokens²) regex per row. size(toks) >= n is
+    // equivalent (n tokens always yield ≥1 shingle) and pushdown-safe.
+    val toked = df.select(col(idCol).as("id"),
+      TextFunctions.tokens(TextFunctions.normalized(col(textCol))).as("toks"))
+      .filter(size(col("toks")) >= shingleN)
+    val base = toked.select(col("id"),
+      TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("shingles"))
+    // bind the hashed-shingle array before the k-family remix — the remix
+    // references it k times and must read a column, not re-hash k times
+    val hashed = base.select(col("id"),
+      transform(col("shingles"), s => xxhash64(s)).as("h"))
+    val sig = hashed.select(col("id"),
+      TextFunctions.minHashFromHashes(col("h"), numHashes).as("sig"))
+    // slim (id, band, bucket) rows — the bucket join must NOT carry shingle
+    // arrays, or the shuffle width scales with document size instead of 3
+    // longs per row
+    val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
-        xxhash64(concat_ws(",",
-          transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-            _.cast("string"))))): _*)).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+        .as(Seq("band", "bucket")))
+    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // exact Jaccard only for surviving candidates: re-attach shingle sets
+    candidates
+      .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-      .distinct()
   }
 
   /** SimHash near-dup pairs within `maxHamming` bits, candidate-bounded by
