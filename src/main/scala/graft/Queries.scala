@@ -244,6 +244,65 @@ object Queries {
       SchemaConform.conform(messy).orderBy(col("c_custkey"))
     }),
 
+    // UDTF-analog: parent/child explosion with deterministic child keys
+    // (posexplode generator — no custom UDTF needed).
+    "q23_explode_child" -> ((s, dir) => {
+      val parents = t(s, dir, "documents")
+        .select(col("doc_id"),
+          slice(TextFunctions.tokens(col("text")), 1, 5).as("kids"))
+      operators.JsonNormalize.explodeChild(parents, "kids", col("doc_id"))
+        .select(col("doc_id"), col("child").cast("string").as("child"),
+          col("child_key"))
+        .orderBy(col("doc_id"), col("child_key"))
+    }),
+
+    // F10 + flatten: JSON payload → typed struct → flattened columns.
+    "q24_json_flatten" -> ((s, dir) => {
+      val parsed = t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
+      operators.JsonNormalize.flattenStructs(parsed)
+        .orderBy(col("event_id"))
+    }),
+
+    // T1/T2: relative-date window resolution (anchor is an explicit
+    // parameter — never now()) driving a partition-prunable filter.
+    "q25_relative_window" -> ((s, dir) => {
+      import java.time.LocalDate
+      val anchor = LocalDate.of(2024, 1, 20)
+      val (start, end) = graft.functions.RelativeDate.range("D-7", "yesterday", anchor)
+      t(s, dir, "events")
+        .filter(to_date(col("ts")).between(
+          lit(graft.functions.RelativeDate.fmt(start)),
+          lit(graft.functions.RelativeDate.fmt(end))))
+        .groupBy(to_date(col("ts")).cast("string").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("d"))
+    }),
+
+    // W4: presentation sort with NULLS LAST over a coalesce-style key.
+    "q26_sort_nulls_last" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderpriority") === "3-MEDIUM", lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")).as("pr"))
+        .orderBy(col("pr").asc_nulls_last, col("o_orderkey"))
+    }),
+
+    // F3: multi-format date parsing (ANSI-safe dispatch on shape).
+    "q27_multi_format_dates" -> ((s, dir) => {
+      val shaped = t(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_orderkey") % 2 === 0,
+          date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .otherwise(date_format(col("o_orderdate"), "dd/MM/yyyy")).as("raw"))
+      shaped.select(col("o_orderkey"), col("raw"),
+          when(col("raw").rlike("^\\d{4}-"), to_date(col("raw"), "yyyy-MM-dd"))
+            .otherwise(to_date(col("raw"), "dd/MM/yyyy"))
+            .cast("string").as("parsed"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Text: token counting (whitespace + BPE-ish regex).
     "q30_token_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -333,6 +392,16 @@ object Queries {
         .select(col("embedding")).head().getSeq[Float](0)
       Similarity.annTopK(emb, "vec_id", "embedding", qv, k = 20, numPlanes = 12)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // ANN: IVF coarse quantization with one-hot unit centroids — the cell
+    // assignment is the scale path (queries scan only their cells).
+    "q39_ivf_cells" -> ((s, dir) => {
+      val centroids = Seq(0, 16, 32, 48).map(i =>
+        Seq.tabulate(64)(j => if (j == i) 1.0 else 0.0))
+      Similarity.withIvfCell(t(s, dir, "embeddings"), "embedding", centroids)
+        .select(col("vec_id"), col("ivf_cell"))
+        .orderBy(col("vec_id"))
     }),
 
     // Multimodal: binary payload → deterministic feature extraction
@@ -508,6 +577,68 @@ object Queries {
     "q22_schema_conform" ->
       """SELECT c_custkey, c_name AS nome_acao, c_mktsegment AS conta_segmento
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q23_explode_child" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+')[1:5] AS l FROM documents
+        |), u AS (
+        |  SELECT doc_id,
+        |    unnest(list_zip(l, list_transform(range(len(l)), i -> i))) AS z
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(z[1] AS VARCHAR) AS child,
+        |  sha256(concat_ws('|',
+        |    coalesce(CAST(doc_id AS VARCHAR), ' '),
+        |    coalesce(CAST(z[2] AS VARCHAR), ' '))) AS child_key
+        |FROM u ORDER BY doc_id, child_key""".stripMargin,
+
+    "q24_json_flatten" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS p_k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q25_relative_window" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, count(*) AS n
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-13' AND DATE '2024-01-19'
+        |GROUP BY 1 ORDER BY d""".stripMargin,
+
+    "q26_sort_nulls_last" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+        |       ELSE o_orderpriority END AS pr
+        |FROM orders ORDER BY pr ASC NULLS LAST, o_orderkey""".stripMargin,
+
+    "q27_multi_format_dates" ->
+      """WITH s AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |         ELSE strftime(o_orderdate, '%d/%m/%Y') END AS raw
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, raw,
+        |  CASE WHEN regexp_matches(raw, '^\d{4}-')
+        |       THEN CAST(CAST(strptime(raw, '%Y-%m-%d') AS DATE) AS VARCHAR)
+        |       ELSE CAST(CAST(strptime(raw, '%d/%m/%Y') AS DATE) AS VARCHAR) END AS parsed
+        |FROM s ORDER BY o_orderkey""".stripMargin,
+
+    "q39_ivf_cells" ->
+      """WITH c AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm,
+        |    v[1] AS e0, v[17] AS e16, v[33] AS e32, v[49] AS e48
+        |  FROM c
+        |)
+        |SELECT vec_id,
+        |  (list_sort([
+        |    {'sim': CASE WHEN nrm > 0 THEN e0 / nrm ELSE CAST(0.0 AS DOUBLE) END, 'cell': 0},
+        |    {'sim': CASE WHEN nrm > 0 THEN e16 / nrm ELSE CAST(0.0 AS DOUBLE) END, 'cell': 1},
+        |    {'sim': CASE WHEN nrm > 0 THEN e32 / nrm ELSE CAST(0.0 AS DOUBLE) END, 'cell': 2},
+        |    {'sim': CASE WHEN nrm > 0 THEN e48 / nrm ELSE CAST(0.0 AS DOUBLE) END, 'cell': 3}
+        |  ]))[4].cell AS ivf_cell
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "q30_token_stats" ->
       """SELECT doc_id,

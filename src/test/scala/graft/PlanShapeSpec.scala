@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape assertions: these encode the scale contracts — a
+  * filter that doesn't reach the parquet scan or a dim join that doesn't
+  * broadcast is a perf regression even while results stay correct.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String = {
+    df.count() // force AQE to finalize
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  private def q(name: String): DataFrame =
+    Queries.queries(name)(spark, sfDir)
+
+  test("q01 filter+projection push into the parquet scan") {
+    val plan = planOf(q("q01_filter_project"))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_shipdate"), plan)
+    // column pruning: scanned schema must not include unused columns
+    assert(!plan.contains("l_comment"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("q08 star join broadcasts both dimension tables") {
+    val plan = planOf(q("q08_star_join"))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q09 anti join stays an anti join (no cartesian fallback)") {
+    val plan = planOf(q("q09_anti_join"))
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("q11 band join is BroadcastNestedLoop over the interval side only") {
+    val plan = planOf(q("q11_band_join"))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q14 top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = planOf(q("q14_topk"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q03 aggregation has a map-side partial phase") {
+    val plan = planOf(q("q03_agg_q1"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q33 LSH band join carries slim rows (no shingle arrays through it)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = q("q33_minhash_pairs")
+    // the band/bucket self-join inputs must be (id, band, bucket) only — a
+    // shingle array here would make the shuffle width scale with doc size
+    val bandJoins = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "bucket")) => j
+    }
+    assert(bandJoins.nonEmpty)
+    for (j <- bandJoins; side <- j.children)
+      assert(side.output.map(_.name).forall(n => !n.contains("sh")),
+        side.output.map(_.name).mkString(","))
+  }
+}
