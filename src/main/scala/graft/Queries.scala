@@ -303,6 +303,34 @@ object Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // S19: SQL-dump scan — dump text generated from the table, then parsed
+    // back through the statement-splitting reader (roundtrip vs oracle).
+    "q28_sql_dump" -> ((s, dir) => {
+      val dump = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .collect()
+        .map(r => s"INSERT INTO public.customer (c_custkey, c_name, c_mktsegment) " +
+          s"VALUES (${r.getLong(0)}, '${r.getString(1)}', '${r.getString(2)}');")
+        .mkString("\n")
+      val tmp = java.nio.file.Files.createTempDirectory("dump")
+      java.nio.file.Files.writeString(tmp.resolve("c.sql"), dump)
+      sources.SqlDumpReader.read(s, tmp.resolve("c.sql").toString, "customer", 3)
+        .select(col("c0"), col("c1"), col("c2"))
+        .orderBy(col("c0"), col("c1"))
+    }),
+
+    // F4/F6: age-at-date and CPF presentation formatting.
+    "q29_age_cpf_format" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          functions.Dates.ageYears(
+            date_add(to_date(lit("2000-06-15")), (col("c_custkey") % 365).cast("int")),
+            to_date(lit("2026-08-12"))).as("age"),
+          functions.Cpf.format(
+            lpad(col("c_custkey").cast("string"), 11, "0")).as("cpf_fmt"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Text: token counting (whitespace + BPE-ish regex).
     "q30_token_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -402,6 +430,20 @@ object Queries {
       Similarity.withIvfCell(t(s, dir, "embeddings"), "embedding", centroids)
         .select(col("vec_id"), col("ivf_cell"))
         .orderBy(col("vec_id"))
+    }),
+
+    // F12: geodesic reprojection EPSG:31983 → 4326 over synthetic UTM
+    // points (Krüger series not SQL-expressible — rows-only; correctness is
+    // pinned by GeoSpec round-trip tests).
+    "q41_geo_reproject" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          (lit(600000.0) + (col("c_custkey") % 100000)).as("e"),
+          (lit(7400000.0) + (col("c_custkey") % 50000)).as("n"))
+        .select(col("c_custkey"),
+          round(functions.Geo.latFromUtm23S(col("e"), col("n")), 6).as("lat"),
+          round(functions.Geo.lonFromUtm23S(col("e"), col("n")), 6).as("lon"))
+        .orderBy(col("c_custkey"))
     }),
 
     // Multimodal: binary payload → deterministic feature extraction
@@ -639,6 +681,28 @@ object Queries {
         |    {'sim': CASE WHEN nrm > 0 THEN e48 / nrm ELSE CAST(0.0 AS DOUBLE) END, 'cell': 3}
         |  ]))[4].cell AS ivf_cell
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q28_sql_dump" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS c0, c_name AS c1,
+        |  c_mktsegment AS c2
+        |FROM customer ORDER BY c0, c1""".stripMargin,
+
+    "q29_age_cpf_format" ->
+      """WITH b AS (
+        |  SELECT c_custkey,
+        |    DATE '2000-06-15' + CAST(c_custkey % 365 AS INTEGER) AS birth,
+        |    lpad(CAST(c_custkey AS VARCHAR), 11, '0') AS cpf
+        |  FROM customer
+        |)
+        |SELECT c_custkey,
+        |  CAST(year(DATE '2026-08-12') - year(birth)
+        |    - CASE WHEN (month(DATE '2026-08-12') < month(birth))
+        |        OR (month(DATE '2026-08-12') = month(birth)
+        |            AND day(DATE '2026-08-12') < day(birth))
+        |      THEN 1 ELSE 0 END AS INTEGER) AS age,
+        |  substr(cpf,1,3) || '.' || substr(cpf,4,3) || '.' ||
+        |    substr(cpf,7,3) || '-' || substr(cpf,10,2) AS cpf_fmt
+        |FROM b ORDER BY c_custkey""".stripMargin,
 
     "q30_token_stats" ->
       """SELECT doc_id,

@@ -1,0 +1,46 @@
+package graft.state
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ProgressLedgerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resume flow: all pending → mark some → remaining shrinks; re-mark is harmless") {
+    val ledger = ProgressLedger(spark, Files.createTempDirectory("ledger").toString + "/p")
+    val candidates = Seq("w1", "w2", "w3", "w4").toDF("op")
+    assert(ledger.remaining(candidates, "op").count() == 4)
+    val doneAt = java.sql.Timestamp.valueOf("2026-08-12 00:00:00")
+    ledger.markDone(Seq("w1", "w3").toDF("op"), "op", "run-1", doneAt)
+    assert(ledger.remaining(candidates, "op")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("w2", "w4"))
+    // duplicate marks don't break resume
+    ledger.markDone(Seq("w1").toDF("op"), "op", "run-2", doneAt)
+    assert(ledger.remaining(candidates, "op").count() == 2)
+    ledger.markDone(Seq("w2", "w4").toDF("op"), "op", "run-2", doneAt)
+    assert(ledger.remaining(candidates, "op").count() == 0)
+  }
+}
+
+class AuditListenerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("records one audit row per action and flushes to parquet") {
+    val listener = AuditListener.install(spark)
+    try {
+      Seq(1, 2, 3).toDF("x").filter(col("x") > 1).count()
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.snapshot.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(listener.snapshot.exists(r => r.status == "success" && r.durationNs >= 0))
+      val out = Files.createTempDirectory("audit").toString + "/log"
+      listener.flushTo(spark, out, "run-1")
+      val back = spark.read.parquet(out)
+      assert(back.count() >= 1)
+      assert(back.columns.toSet ==
+        Set("run_id", "func", "duration_ns", "status", "error"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+}
