@@ -1,0 +1,63 @@
+package graft.flows
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SchemaConform
+import graft.operators.{JsonNormalize, Relational}
+import graft.sources.LakeWriter
+
+/** Flow-family ingest bodies (SURVEY §7.1/5): the reference's ~33 extraction
+  * flows share one landing shape — conform column names, cast everything to
+  * string, stamp audit columns, write date-partitioned — differing only in
+  * the source. These compose that shared body over any source DataFrame, so
+  * a JDBC/CSV/DBF/API scan all land identically
+  * (reference: pipelines/utils/tasks.py:936-1001 upload_df_to_datalake +
+  * datalake/utils/tasks.py:69-117).
+  */
+object Ingest {
+
+  final case class RunStamp(runId: String, loadedAt: Timestamp)
+
+  /** The shared landing body: conform → all-string → audit stamps. */
+  def conformForLanding(src: DataFrame, stamp: RunStamp): DataFrame =
+    LakeWriter.withAudit(
+      LakeWriter.allString(SchemaConform.conform(src)),
+      stamp.runId, stamp.loadedAt)
+
+  /** Relational-DB style ingest (reference extract_load/relational_db):
+    * source rows land under day partitions derived from the load timestamp.
+    * Guard: empty extraction skips the write entirely (the reference's
+    * empty-DF skip, utils/tasks.py:950-951).
+    */
+  def landByLoadDate(src: DataFrame, stamp: RunStamp, path: String): Boolean = {
+    val landed = LakeWriter.withDatePartitions(
+      conformForLanding(src, stamp), col("loaded_at"))
+    if (landed.isEmpty) false
+    else { LakeWriter.overwritePartitions(landed, path); true }
+  }
+
+  /** API-JSON style ingest (reference extract_load/vitacare_api_v2): raw
+    * payload columns packed into a single JSON-string `data` column beside
+    * source metadata, landed under the target date's partition.
+    */
+  def landJsonPayload(src: DataFrame, payloadCols: Seq[String],
+      metadata: Map[String, Column], targetDate: String, stamp: RunStamp,
+      path: String): Unit = {
+    val packed = metadata.foldLeft(JsonNormalize.pack(src, payloadCols, "data")) {
+      case (df, (name, c)) => df.withColumn(name, c)
+    }
+    val stamped = LakeWriter.withAudit(packed, stamp.runId, stamp.loadedAt)
+      .withColumn("_target_date", lit(targetDate))
+    LakeWriter.overwritePartitions(
+      LakeWriter.withDatePartitions(stamped, to_date(lit(targetDate))), path)
+  }
+
+  /** Post-load reconciliation (±tolerance) — the reference's hard count
+    * check after Mongo/ES extractions.
+    */
+  def reconcile(path: String, expected: Long, spark: org.apache.spark.sql.SparkSession,
+      tolerance: Double = 0.05): Unit =
+    Relational.reconcileCount(spark.read.parquet(path).count(), expected, tolerance)
+}
