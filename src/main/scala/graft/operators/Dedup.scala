@@ -99,14 +99,36 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
   }
 
+  /** SimHash-64 per document via explode + hash aggregate. Semantically
+    * identical to [[TextFunctions.simHash64]] (per-bit ±1 votes over
+    * distinct-token hashes) but expressed as a groupBy with 64 codegen'd
+    * conditional sums instead of a per-row higher-order `aggregate`: HOFs
+    * run interpreted with a 64-wide array per token, while this shape stays
+    * in whole-stage codegen and combines map-side — the difference between
+    * CPU-bound and interpreter-bound at corpus scale. Documents with no
+    * tokens drop out (they have no signature to compare).
+    */
+  def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.tokens(TextFunctions.normalized(col(textCol)))).as("toks"))
+    val hashes = toks.select(col("id"), explode(col("toks")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$b"))
+    hashes.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sim"))
+  }
+
   /** SimHash near-dup pairs within `maxHamming` bits, candidate-bounded by
     * 16-bit chunk equality (pigeonhole: any pair within 3 bits of a 64-bit
     * hash agrees on at least one of 4 chunks).
     */
   def simHashNearDups(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"),
-      TextFunctions.simHash64(col(textCol)).as("sim"))
+    val withSim = simHashSignatures(df, idCol, textCol)
     val chunked = withSim.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*))
@@ -119,8 +141,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         TextFunctions.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
-      .distinct()
+      // hamming is a codegen'd xor+popcount — filter BEFORE the distinct so
+      // the dedup shuffle carries only surviving near-dup pairs, not every
+      // chunk collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** N-gram Jaccard similarity for explicit candidate pairs (pairs given by
