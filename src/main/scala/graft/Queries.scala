@@ -432,6 +432,23 @@ object Queries {
         .orderBy(col("vec_id"))
     }),
 
+    // A2 (full grouping sets): CUBE over two dimensions in one pass.
+    "q42_cube" -> ((s, dir) => {
+      t(s, dir, "events")
+        .cube(col("event_type"), to_date(col("ts")).cast("string").as("d"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("d").asc_nulls_first)
+    }),
+
+    // T3 (data-side tumbling window): epoch-aligned 6-hour buckets.
+    "q43_tumbling_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
+        .select(col("window.start").cast("string").as("ws"), col("n"), col("sum_value"))
+        .orderBy(col("ws"))
+    }),
+
     // F12: geodesic reprojection EPSG:31983 → 4326 over synthetic UTM
     // points (Krüger series not SQL-expressible — rows-only; correctness is
     // pinned by GeoSpec round-trip tests).
@@ -703,6 +720,20 @@ object Queries {
         |  substr(cpf,1,3) || '.' || substr(cpf,4,3) || '.' ||
         |    substr(cpf,7,3) || '-' || substr(cpf,10,2) AS cpf_fmt
         |FROM b ORDER BY c_custkey""".stripMargin,
+
+    "q42_cube" ->
+      """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events
+        |GROUP BY CUBE(event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+        |ORDER BY event_type NULLS FIRST, d NULLS FIRST""".stripMargin,
+
+    "q43_tumbling_window" ->
+      """SELECT CAST(time_bucket(INTERVAL 6 HOUR, ts) AS VARCHAR) AS ws,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY ws""".stripMargin,
 
     "q30_token_stats" ->
       """SELECT doc_id,

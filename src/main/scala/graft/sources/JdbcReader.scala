@@ -29,7 +29,10 @@ object JdbcReader {
       window: Option[(String, String, String)] = None): DataFrame = {
     val base = window match {
       case Some((refCol, start, end)) =>
-        s"(SELECT * FROM ${scan.table} WHERE $refCol BETWEEN '$start' AND '$end') AS w"
+        // bounds are data, not SQL: escape quotes so a crafted window value
+        // can't break out of the literal
+        def q(s: String) = s.replace("'", "''")
+        s"(SELECT * FROM ${scan.table} WHERE $refCol BETWEEN '${q(start)}' AND '${q(end)}') AS w"
       case None => scan.table
     }
     var reader = spark.read.format("jdbc")

@@ -29,4 +29,33 @@ object Lake {
   /** Register every table as a temp view for `spark.sql` programs. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Recursive file listing as a DataFrame (driver-side FS walk — listings
+    * are metadata-sized; the data itself is never read).
+    */
+  def listFiles(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    val rows = Iterator.continually(it)
+      .takeWhile(_.hasNext)
+      .map { i => val st = i.next(); (st.getPath.toString, st.getModificationTime) }
+      .toSeq
+    rows.toDF("path", "mod_time")
+  }
+
+  /** Newest file per logical key (reference: keep max snapshot date per
+    * (cnes, type) from a bucket listing — prontuario_gcs/tasks.py:378-414,
+    * migrate/gcs_to_cloudsql/tasks.py:32-63): regex-extract key and version
+    * from the path, then a latest-per-key window.
+    */
+  def newestFilePerKey(files: org.apache.spark.sql.DataFrame,
+      keyRegex: String, versionRegex: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.Dedup.latestPerKey(
+      files.withColumn("key", regexp_extract(col("path"), keyRegex, 1))
+        .withColumn("version", regexp_extract(col("path"), versionRegex, 1)),
+      Seq("key"), Seq(col("version"), col("path")))
+  }
 }

@@ -65,3 +65,19 @@ class LakeWriterSpec extends SparkSpec {
     assert(strings.schema.fields.forall(_.dataType.typeName == "string"))
   }
 }
+
+class FileListingSpec extends SparkSpec {
+  test("newestFilePerKey keeps the max version per extracted key") {
+    import java.nio.file.{Files, Path}
+    val dir = Files.createTempDirectory("listing")
+    Seq("unit-111-sql-20240101.bak", "unit-111-sql-20240301.bak",
+      "unit-222-sql-20240201.bak").foreach(n => Files.writeString(dir.resolve(n), "x"))
+    val files = Lake.listFiles(spark, dir.toString)
+    assert(files.count() == 3)
+    val newest = Lake.newestFilePerKey(files,
+      keyRegex = "unit-(\\d+)-sql", versionRegex = "sql-(\\d+)\\.bak")
+    val byKey = newest.collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("version"))).toMap
+    assert(byKey == Map("111" -> "20240301", "222" -> "20240201"))
+  }
+}
