@@ -432,6 +432,18 @@ object Queries {
         .orderBy(col("vec_id"))
     }),
 
+    // As-of join: every event enriched with the user's latest signup at or
+    // before the event time (union + running-last; one shuffle).
+    "q44_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cp = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("cp_ts"),
+          col("ts").cast("string").as("last_signup"))
+      Relational.asOfJoin(ev, cp, Seq("user_id"), "ts", "cp_ts", Seq("last_signup"))
+        .select(col("event_id"), col("last_signup"))
+        .orderBy(col("event_id"))
+    }),
+
     // A2 (full grouping sets): CUBE over two dimensions in one pass.
     "q42_cube" -> ((s, dir) => {
       t(s, dir, "events")
@@ -720,6 +732,15 @@ object Queries {
         |  substr(cpf,1,3) || '.' || substr(cpf,4,3) || '.' ||
         |    substr(cpf,7,3) || '-' || substr(cpf,10,2) AS cpf_fmt
         |FROM b ORDER BY c_custkey""".stripMargin,
+
+    "q44_asof_join" ->
+      """WITH cp AS (
+        |  SELECT user_id, ts AS cp_ts FROM events WHERE event_type = 'signup'
+        |)
+        |SELECT e.event_id, CAST(cp.cp_ts AS VARCHAR) AS last_signup
+        |FROM events e ASOF LEFT JOIN cp
+        |  ON e.user_id = cp.user_id AND e.ts >= cp.cp_ts
+        |ORDER BY e.event_id""".stripMargin,
 
     "q42_cube" ->
       """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS d,

@@ -54,6 +54,21 @@ class RelationalSpec extends SparkSpec {
     Relational.reconcileCount(0, 0)
   }
 
+  test("asOfJoin: latest right ≤ left per key, inclusive ties, null before first") {
+    val left = Seq((1, 5, "e1"), (1, 10, "e2"), (1, 2, "e0"), (2, 7, "f1"))
+      .toDF("k", "ts", "ev")
+    val right = Seq((1, 5, "cpA"), (1, 8, "cpB"), (2, 9, "cpC"))
+      .toDF("k", "cp_ts", "cp")
+    val r = Relational.asOfJoin(left, right, Seq("k"), "ts", "cp_ts", Seq("cp"))
+      .select(col("ev"), col("cp")).collect()
+      .map(x => (x.getString(0), Option(x.getString(1)))).toMap
+    assert(r == Map(
+      "e0" -> None,        // before any checkpoint
+      "e1" -> Some("cpA"), // tie at ts=5 is inclusive
+      "e2" -> Some("cpB"), // latest ≤ 10
+      "f1" -> None))       // key 2's checkpoint is later
+  }
+
   test("rateRollup emits per-group rows plus a grand-total row") {
     val df = Seq(("a", 10.0), ("a", 200.0), ("b", 300.0)).toDF("g", "v")
     val r = Relational.rateRollup(df, "g", Map("high" -> (col("v") > 100)))
