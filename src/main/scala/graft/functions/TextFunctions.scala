@@ -22,6 +22,20 @@ object TextFunctions {
   def asciiLower(c: Column): Column =
     translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
 
+  /** Strip null bytes and other C0 control chars except tab/newline/CR —
+    * the reference scrubs null bytes out of dump payloads before load
+    * (prontuario_gcs/tasks.py:489-495).
+    */
+  def stripControlChars(c: Column): Column =
+    regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+
+  /** Header surgery: drop a `TO_CHAR(...)`-style wrapper that some DATASUS
+    * exports leave in the first CSV header cell (reference:
+    * datasus_ftp/datasus/utils.py:55-94).
+    */
+  def stripFunctionWrapper(c: Column): Column =
+    regexp_replace(c, "(?i)TO_CHAR\\(([^)]*)\\)", "$1")
+
   /** Whitespace tokens; empty/blank text → empty array (split of "" yields
     * [""], which we filter out).
     */

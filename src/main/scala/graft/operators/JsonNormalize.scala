@@ -16,6 +16,19 @@ import org.apache.spark.sql.types.StructType
   */
 object JsonNormalize {
 
+  /** Infer a schema for a JSON-string column from a driver-side sample
+    * (the reference infers nested RECORD/REPEATED schemas from the data,
+    * pipelines/utils/googleutils.py:14-53). Sampled inference keeps the
+    * scan bounded; pass the result to [[unpack]] for the full read.
+    */
+  def inferSchema(df: DataFrame, jsonCol: String, sampleRows: Int = 1000): StructType = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = df.select(col(jsonCol)).filter(col(jsonCol).isNotNull)
+      .limit(sampleRows).as[String]
+    spark.read.json(sample).schema
+  }
+
   /** Pack selected columns into a JSON-string payload column (the lake
     * landing format for raw API rows).
     */

@@ -78,6 +78,40 @@ class RelationalSpec extends SparkSpec {
   }
 }
 
+class GuardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("row-size guard flags and drops oversized rows") {
+    val df = Seq(("a", "x" * 2000), ("b", "y")).toDF("id", "payload")
+    assert(Relational.oversizedRows(df, 1000).collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(Relational.dropOversizedRows(df, 1000).collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("schema adequacy is the matched fraction") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    assert(Relational.schemaAdequacy(df, Seq("a", "b", "c", "d")) == 0.5)
+    assert(Relational.schemaAdequacy(df, Nil) == 1.0)
+  }
+
+  test("control-char strip and TO_CHAR header surgery") {
+    import graft.functions.TextFunctions
+    val df = Seq(("ab\u0000cd\u0001", "TO_CHAR(CO_CNES) ,NOME")).toDF("s", "h")
+      .select(TextFunctions.stripControlChars(col("s")).as("s"),
+        TextFunctions.stripFunctionWrapper(col("h")).as("h"))
+    val r = df.collect().head
+    assert(r.getString(0) == "abcd")
+    assert(r.getString(1) == "CO_CNES ,NOME")
+  }
+
+  test("inferSchema recovers nested JSON structure from a sample") {
+    val df = Seq("""{"a": 1, "b": {"c": "x"}, "d": [1,2]}""").toDF("data")
+    val schema = JsonNormalize.inferSchema(df, "data")
+    assert(schema.fieldNames.sorted.toSeq == Seq("a", "b", "d"))
+    val back = JsonNormalize.unpack(df, "data", schema)
+    assert(back.select("b.c").head.getString(0) == "x")
+  }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
