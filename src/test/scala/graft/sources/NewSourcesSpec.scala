@@ -110,3 +110,37 @@ class JdbcUpsertWriterSpec extends AnyFunSuite {
     assert(r == 42 && calls == 3)
   }
 }
+
+class SlicePlannerSpec extends AnyFunSuite {
+  test("longRanges covers the space exactly once with near-equal widths") {
+    val rs = SlicePlanner.longRanges(1, 10, 3)
+    assert(rs == Seq((1L, 4L), (5L, 7L), (8L, 10L)))
+    // exhaustive cover, no overlap
+    assert(rs.flatMap { case (a, b) => a to b } == (1L to 10L))
+    // more slices than values degrades gracefully
+    assert(SlicePlanner.longRanges(5, 6, 10).size == 2)
+    assert(SlicePlanner.longRanges(5, 5, 3) == Seq((5L, 5L)))
+  }
+  test("pageCount ceil-divides; truncation guard fires at the cap") {
+    assert(SlicePlanner.pageCount(0, 100) == 0)
+    assert(SlicePlanner.pageCount(101, 100) == 2)
+    SlicePlanner.assertNotTruncated(999999, 1000000)
+    assertThrows[IllegalArgumentException](
+      SlicePlanner.assertNotTruncated(1000000, 1000000))
+  }
+}
+
+class XmlReaderSpec extends SparkSpec {
+  test("reads row-tagged XML with conformed columns") {
+    import java.nio.file.{Files, Path}
+    val dir = Files.createTempDirectory("xml").toString
+    Files.writeString(Path.of(dir, "t.xml"),
+      """<artigos>
+        |  <artigo><Título>A</Título><Texto>corpo um</Texto></artigo>
+        |  <artigo><Título>B</Título><Texto>corpo dois</Texto></artigo>
+        |</artigos>""".stripMargin)
+    val df = XmlReader.read(spark, s"$dir/t.xml", rowTag = "artigo")
+    assert(df.columns.sorted.toSeq == Seq("texto", "titulo"))
+    assert(df.count() == 2)
+  }
+}
