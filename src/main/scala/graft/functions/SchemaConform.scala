@@ -33,12 +33,16 @@ object SchemaConform {
     * suffixes so the resulting schema is valid (unique names).
     */
   def conformNames(names: Seq[String]): Seq[String] = {
-    val seen = scala.collection.mutable.Map.empty[String, Int]
+    // membership-checked against every emitted name: a naive counter suffix
+    // can itself collide (e.g. "a", "a", "a_2" → "a", "a_2", "a_2")
+    val used = scala.collection.mutable.Set.empty[String]
     names.map { n =>
       val c = conformName(n)
-      val k = seen.getOrElse(c, 0)
-      seen(c) = k + 1
-      if (k == 0) c else s"${c}_${k + 1}"
+      val unique =
+        if (!used.contains(c)) c
+        else Iterator.from(2).map(k => s"${c}_$k").find(!used.contains(_)).get
+      used += unique
+      unique
     }
   }
 

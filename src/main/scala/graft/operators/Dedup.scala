@@ -123,16 +123,30 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within `maxHamming` bits, candidate-bounded by
-    * 16-bit chunk equality (pigeonhole: any pair within 3 bits of a 64-bit
-    * hash agrees on at least one of 4 chunks).
+    * chunk equality. Pigeonhole: a pair differing in ≤ maxHamming bits must
+    * agree on at least one of maxHamming+1 chunks — so the chunk count is
+    * DERIVED from maxHamming (a fixed 4-chunk split is only complete for
+    * hamming ≤ 3 and silently loses pairs beyond that).
     */
   def simHashNearDups(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      "maxHamming must be in [0, 32) — beyond that the chunks stop pruning")
+    val numChunks = maxHamming + 1
+    val baseBits = 64 / numChunks
+    // chunk i covers [i*baseBits, next) with the last chunk absorbing the
+    // remainder — every bit belongs to exactly one chunk
+    val chunkRanges = (0 until numChunks).map { i =>
+      val lo = i * baseBits
+      val hi = if (i == numChunks - 1) 64 else (i + 1) * baseBits
+      (lo, hi - lo)
+    }
     val withSim = simHashSignatures(df, idCol, textCol)
     val chunked = withSim.select(col("id"), col("sim"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk", "key")))
+      posexplode(array(chunkRanges.map { case (lo, width) =>
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        shiftright(col("sim"), lo).bitwiseAND(mask)
+      }: _*)).as(Seq("chunk", "key")))
     val a = chunked.select(col("chunk"), col("key"),
       col("id").as("id_a"), col("sim").as("sim_a"))
     val b = chunked.select(col("chunk"), col("key"),

@@ -40,9 +40,10 @@ object LlmTransform {
             val wait = minIntervalMs - (System.currentTimeMillis() - lastCall)
             if (wait > 0) Thread.sleep(wait)
             lastCall = System.currentTimeMillis()
-            out = try Some(client(text)) catch {
-              case _: Exception if attempt < maxRetries => None
-            }
+            // the FINAL attempt must also be caught: a persistently failing
+            // row degrades to an empty result instead of killing the task
+            // (and with it the partition's completed work)
+            out = try Some(client(text)) catch { case _: Exception => None }
           }
           LlmResult(id, out.getOrElse(""), attempt)
         }

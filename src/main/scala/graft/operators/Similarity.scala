@@ -71,9 +71,17 @@ object Similarity {
       val d = p.zip(query).map { case (w, x) => w * x.toDouble }.sum
       if (d >= 0) 1L << i else 0L
     }.reduce(_ | _)
-    val probes: Seq[Long] =
-      if (probeBits >= 1) qSig +: (0 until numPlanes).map(b => qSig ^ (1L << b))
-      else Seq(qSig)
+    require(probeBits >= 0 && probeBits <= 2,
+      s"probeBits $probeBits unsupported — enumeration implemented for 0..2")
+    val oneBit = (0 until numPlanes).map(b => qSig ^ (1L << b))
+    val twoBit = for {
+      b1 <- 0 until numPlanes; b2 <- (b1 + 1) until numPlanes
+    } yield qSig ^ (1L << b1) ^ (1L << b2)
+    val probes: Seq[Long] = probeBits match {
+      case 0 => Seq(qSig)
+      case 1 => qSig +: oneBit
+      case _ => (qSig +: oneBit) ++ twoBit
+    }
     val bucketed = withLshBucket(corpus, vecCol, numPlanes, query.length, seed)
     val q = array(query.map(lit(_)): _*)
     bucketed.filter(col("lsh_bucket").isin(probes: _*))

@@ -59,19 +59,29 @@ object DbfReader {
     DbfFile(fields, records)
   }
 
-  /** Read one or more .dbf files into a DataFrame of trimmed strings. */
+  /** Read one or more .dbf files into a DataFrame of trimmed strings.
+    * Every file must carry the SAME field layout as the reference file the
+    * schema was taken from — a mismatching file fails loudly with both
+    * layouts named instead of zipping values against the wrong columns
+    * (DATASUS layouts drift between monthly drops).
+    */
   def read(spark: SparkSession, path: String, charset: String = "ISO-8859-1"): DataFrame = {
     val files = spark.read.format("binaryFile").load(path)
       .select("path", "content")
-    val decoded = files.rdd.flatMap { row =>
-      val dbf = decode(row.getAs[Array[Byte]]("content"), charset)
-      dbf.records.map(vals => Row.fromSeq(vals))
-    }
-    // schema from the first file (driver-side peek at one header)
     val firstBytes = files.limit(1).collect().headOption
       .map(_.getAs[Array[Byte]]("content"))
       .getOrElse(throw new IllegalArgumentException(s"no files at $path"))
-    val schema = StructType(decode(firstBytes, charset).fields
+    val expectedFields = decode(firstBytes, charset).fields
+    val expected = spark.sparkContext.broadcast(expectedFields)
+    val decoded = files.rdd.flatMap { row =>
+      val dbf = decode(row.getAs[Array[Byte]]("content"), charset)
+      require(dbf.fields == expected.value,
+        s"DBF layout mismatch in ${row.getAs[String]("path")}: " +
+          s"${dbf.fields.map(_.name).mkString(",")} vs expected " +
+          expected.value.map(_.name).mkString(","))
+      dbf.records.map(vals => Row.fromSeq(vals))
+    }
+    val schema = StructType(expectedFields
       .map(f => StructField(graft.functions.SchemaConform.conformName(f.name), StringType)))
     spark.createDataFrame(decoded, schema)
   }

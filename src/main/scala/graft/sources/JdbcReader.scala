@@ -27,24 +27,29 @@ object JdbcReader {
     */
   def read(spark: SparkSession, scan: TableScan,
       window: Option[(String, String, String)] = None): DataFrame = {
-    val base = window match {
+    // bounds are data, not SQL: escape quotes so a crafted window value
+    // can't break out of the literal
+    def q(s: String) = s.replace("'", "''")
+    val where = window match {
       case Some((refCol, start, end)) =>
-        // bounds are data, not SQL: escape quotes so a crafted window value
-        // can't break out of the literal
-        def q(s: String) = s.replace("'", "''")
-        s"(SELECT * FROM ${scan.table} WHERE $refCol BETWEEN '${q(start)}' AND '${q(end)}') AS w"
-      case None => scan.table
+        s" WHERE $refCol BETWEEN '${q(start)}' AND '${q(end)}'"
+      case None => ""
     }
+    val base =
+      if (where.isEmpty) scan.table
+      else s"(SELECT * FROM ${scan.table}$where) AS w"
     var reader = spark.read.format("jdbc")
       .option("url", scan.url)
       .option("dbtable", base)
       .option("fetchsize", scan.fetchSize.toString)
     scan.properties.foreach { case (k, v) => reader = reader.option(k, v) }
     scan.partitionColumn.foreach { pc =>
-      // bounds probed with one min/max query, then numPartitions range scans
+      // bounds probed with one min/max query over the SAME window, then
+      // numPartitions range scans (the probe rebuilds the subquery itself —
+      // `base` already carries an alias and cannot be re-aliased)
       val bounds = spark.read.format("jdbc")
         .option("url", scan.url)
-        .option("dbtable", s"(SELECT MIN($pc) lo, MAX($pc) hi FROM $base t) b")
+        .option("dbtable", s"(SELECT MIN($pc) lo, MAX($pc) hi FROM ${scan.table}$where) b")
         .options(scan.properties)
         .load().collect().head
       if (!bounds.isNullAt(0)) {

@@ -73,16 +73,28 @@ object JdbcUpsertWriter {
         try {
           conn.setAutoCommit(false)
           val st = conn.prepareStatement(sql)
-          var n = 0
-          rows.foreach { r =>
-            cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
-            st.addBatch()
-            n += 1
-            if (n % batchSize == 0)
-              withRetries(maxRetries, backoffMs) { st.executeBatch(); conn.commit() }
+          // rows are buffered per batch and RE-ADDED inside the retry body:
+          // executeBatch clears the statement's batch even on failure, so a
+          // bare retry of executeBatch would commit an empty batch and
+          // silently drop the rows
+          val buffer = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+          def flush(): Unit = if (buffer.nonEmpty) {
+            withRetries(maxRetries, backoffMs) {
+              st.clearBatch()
+              buffer.foreach { vals =>
+                vals.zipWithIndex.foreach { case (v, i) => st.setObject(i + 1, v) }
+                st.addBatch()
+              }
+              st.executeBatch()
+              conn.commit()
+            }
+            buffer.clear()
           }
-          if (n % batchSize != 0)
-            withRetries(maxRetries, backoffMs) { st.executeBatch(); conn.commit() }
+          rows.foreach { r =>
+            buffer += cols.indices.map(r.get)
+            if (buffer.size >= batchSize) flush()
+          }
+          flush()
         } finally conn.close()
       }
     }

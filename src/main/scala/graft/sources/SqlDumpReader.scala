@@ -73,12 +73,30 @@ object SqlDumpReader {
   /** Read the dump and emit one row per inserted tuple of `targetTable`,
     * with columns `c0..c{n-1}` (all strings; dumps are untyped text — the
     * reference lands everything string-typed too).
+    *
+    * Fast path splits statements at `;` in the SOURCE (splittable), which is
+    * only sound when no string value contains a semicolon — fragments with
+    * unbalanced quotes fail LOUDLY rather than emitting truncated rows.
+    * `wholeFile = true` reads one file per task and splits statements with
+    * the quote-aware scanner instead (correct for arbitrary values; a file
+    * is no longer splittable).
     */
   def read(spark: SparkSession, path: String, targetTable: String,
-      numFields: Int): DataFrame = {
+      numFields: Int, wholeFile: Boolean = false): DataFrame = {
     import spark.implicits._
     val statements: Dataset[String] =
-      spark.read.option("lineSep", ";").text(path).as[String]
+      if (wholeFile)
+        spark.read.option("wholetext", "true").text(path).as[String]
+          .flatMap(splitStatements)
+      else
+        spark.read.option("lineSep", ";").text(path).as[String]
+          .map { frag =>
+            if (frag.count(_ == '\'') % 2 != 0)
+              throw new IllegalArgumentException(
+                "dump statement was split inside a quoted value (a string " +
+                  "contains ';') — re-read with wholeFile = true")
+            frag
+          }
     val rows = statements.flatMap { stmt =>
       val compact = stmt.replace("\n", " ").replace("\r", " ")
       compact match {
@@ -92,5 +110,31 @@ object SqlDumpReader {
       }
     }
     rows.select((0 until numFields).map(i => col("value")(i).as(s"c$i")): _*)
+  }
+
+  /** Quote-aware statement split: `;` inside '…' (with '' escapes) does not
+    * terminate a statement. Pure function — unit-testable.
+    */
+  def splitStatements(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQuote) {
+        cur.append(c)
+        if (c == '\'') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '\'') {
+            cur.append('\''); i += 1
+          } else inQuote = false
+        }
+      } else if (c == '\'') { inQuote = true; cur.append(c) }
+      else if (c == ';') { out += cur.toString; cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result()
   }
 }

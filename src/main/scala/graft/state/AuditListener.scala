@@ -29,7 +29,11 @@ final class AuditListener extends QueryExecutionListener {
 
   def clear(): Unit = records.clear()
 
-  /** Persist the collected audit rows as a lake table slice. */
+  /** Persist the collected audit rows as a lake table slice. Removes ONLY
+    * the snapshotted records afterwards: the flush write itself fires
+    * onSuccess on this listener (as can concurrent queries), and a blanket
+    * clear() would silently drop those later records.
+    */
   def flushTo(spark: SparkSession, path: String, runId: String): Unit = {
     import spark.implicits._
     val snap = snapshot
@@ -38,7 +42,7 @@ final class AuditListener extends QueryExecutionListener {
           r.error.getOrElse("")))
         .toDF("run_id", "func", "duration_ns", "status", "error")
         .write.mode("append").parquet(path)
-      clear()
+      snap.foreach(records.remove)
     }
   }
 }
