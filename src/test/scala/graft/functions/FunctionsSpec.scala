@@ -138,3 +138,12 @@ class VectorFunctionsSpec extends SparkSpec {
       VectorFunctions.seededPlanes(4, 8, 7L))
   }
 }
+
+class ConformCollisionSpec extends AnyFunSuite {
+  test("suffix generation never collides with later conformed names") {
+    assert(SchemaConform.conformNames(Seq("a", "a", "a_2")) ==
+      Seq("a", "a_2", "a_2_2"))
+    assert(SchemaConform.conformNames(Seq("a", "a 2", "a")) ==
+      Seq("a", "a_2", "a_3"))
+  }
+}

@@ -144,3 +144,23 @@ class XmlReaderSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 }
+
+class SqlDumpEdgeSpec extends SparkSpec {
+  test("split mode fails loudly on ';' inside values; wholeFile parses them") {
+    val dir = Files.createTempDirectory("dump2").toString
+    Files.writeString(Path.of(dir, "d.sql"),
+      "INSERT INTO t (a, b) VALUES (1, 'x;y');\nINSERT INTO t (a, b) VALUES (2, 'z');\n")
+    val ex = intercept[org.apache.spark.SparkException] {
+      SqlDumpReader.read(spark, s"$dir/d.sql", "t", 2).collect()
+    }
+    assert(ex.getMessage.contains("wholeFile") ||
+      Option(ex.getCause).exists(_.getMessage.contains("wholeFile")))
+    val rows = SqlDumpReader.read(spark, s"$dir/d.sql", "t", 2, wholeFile = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq(("1", "x;y"), ("2", "z")))
+  }
+  test("splitStatements is quote-aware (pure)") {
+    assert(SqlDumpReader.splitStatements("a 'x;y' b; c ''';' d; e") ==
+      Seq("a 'x;y' b", " c ''';' d", " e"))
+  }
+}
