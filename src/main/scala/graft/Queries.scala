@@ -366,9 +366,12 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Dedup (near): SimHash chunked near-dup pairs (rows-only).
+    // Dedup (near): SimHash chunked near-dup pairs (rows-only). maxHamming=3
+    // is the textbook near-dup radius — 4 chunks of 16 bits keep the
+    // candidate join selective; wider radii are supported but chunk width
+    // shrinks and collisions grow accordingly.
     "q34_simhash_pairs" -> ((s, dir) => {
-      Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+      Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
