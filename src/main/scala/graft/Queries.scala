@@ -102,8 +102,8 @@ object Queries {
     "q07_minmax" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
-        .agg(min(col("o_orderdate")).as("min_date"),
-          max(col("o_orderdate")).as("max_date"),
+        .agg(min(col("o_orderdate")).cast("string").as("min_date"),
+          max(col("o_orderdate")).cast("string").as("max_date"),
           max(col("o_totalprice")).as("max_price"))
         .orderBy(col("o_orderpriority"))
     }),
@@ -154,7 +154,8 @@ object Queries {
     "q12_latest_per_key" -> ((s, dir) => {
       Dedup.latestPerKey(t(s, dir, "orders"), Seq("o_custkey"),
           Seq(col("o_orderdate"), col("o_orderkey")))
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("string").as("o_orderdate"),
           col("o_totalprice"))
         .orderBy(col("o_custkey"))
     }),
@@ -538,8 +539,8 @@ object Queries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q07_minmax" ->
-      """SELECT o_orderpriority, min(o_orderdate) AS min_date,
-        |  max(o_orderdate) AS max_date, max(o_totalprice) AS max_price
+      """SELECT o_orderpriority, CAST(min(o_orderdate) AS VARCHAR) AS min_date,
+        |  CAST(max(o_orderdate) AS VARCHAR) AS max_date, max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q08_star_join" ->
@@ -571,7 +572,8 @@ object Queries {
         |GROUP BY band ORDER BY band""".stripMargin,
 
     "q12_latest_per_key" ->
-      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM orders
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+        |  o_totalprice FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
         |ORDER BY o_custkey""".stripMargin,

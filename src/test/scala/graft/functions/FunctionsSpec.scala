@@ -147,3 +147,16 @@ class ConformCollisionSpec extends AnyFunSuite {
       Seq("a", "a_2", "a_3"))
   }
 }
+
+class ExtensionsSpec extends graft.SparkSpec {
+  test("cpf_is_valid is callable from plain SQL after registration") {
+    // getOrCreate returns the suite-shared session, so exercise the
+    // register-on-existing-session path (the extensions class delegates to
+    // the same registrations)
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT cpf_is_valid('52998224725') AS a, cpf_is_valid('11111111111') AS b")
+      .collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+}
