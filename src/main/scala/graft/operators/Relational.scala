@@ -127,6 +127,25 @@ object Relational {
     filled.filter(col("__side") === 1).drop("__ts", "__side")
   }
 
+  /** Skew-salted equi join: when a handful of hot keys dominate, a plain
+    * shuffle join puts an entire hot key in one task. Salting splits every
+    * left key into `saltFactor` sub-keys (deterministically, by hashing the
+    * whole row) and replicates each RIGHT row `saltFactor` times, so a hot
+    * key spreads over `saltFactor` tasks. Result is row-identical to the
+    * unsalted inner join. AQE's skew handling covers sort-merge joins
+    * post-hoc; explicit salting remains the tool when the skew is known and
+    * extreme, or the join must be hash-partitioned a specific way.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    val saltedRight = right.crossJoin(
+      right.sparkSession.range(saltFactor).select(col("id").cast("int").as("__salt")))
+    saltedLeft.join(saltedRight, keys :+ "__salt").drop("__salt")
+  }
+
   /** Deterministic surrogate key from natural-key columns: the reference
     * uses uuid5 over pipe-joined keys (cientificalab_api/tasks.py:131-188);
     * any deterministic namespaced hash preserves the semantics, so we use

@@ -66,4 +66,17 @@ object LakeWriter {
     */
   def allString(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(s"`$c`").cast("string").as(c)): _*)
+
+  /** Bucketed catalog table: pre-shuffles once at write time so every
+    * subsequent equi-join/aggregation on `bucketCols` between co-bucketed
+    * tables runs with NO exchange — the cheapest repeated-join strategy at
+    * lake scale (pay the shuffle once, amortize it over every downstream
+    * query). Requires a catalog (saveAsTable), not a bare path.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
 }

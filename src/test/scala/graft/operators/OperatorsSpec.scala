@@ -230,3 +230,45 @@ class MultiModalSpec extends SparkSpec {
     assert(f1.filter(_.modality != "video").forall(_.n_frames == 1))
   }
 }
+
+class ScaleStrategySpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin is row-identical to the plain inner join") {
+    val left = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("k", "lv")
+    val right = Seq((1, "X"), (2, "Y")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val salted = Relational.saltedJoin(left, right, Seq("k"), saltFactor = 4)
+      .select("k", "lv", "rv")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("co-bucketed tables join without an exchange") {
+    import graft.sources.LakeWriter
+    // unique names: a stale managed-table location from a previous JVM
+    // would otherwise fail the CREATE
+    val suffix = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    val (ta, tb) = (s"bk_a_$suffix", s"bk_b_$suffix")
+    val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path: tiny test tables would otherwise be
+      // broadcast and never exercise bucketing at all
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      LakeWriter.writeBucketed(
+        Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), ta, Seq("k"), 4)
+      LakeWriter.writeBucketed(
+        Seq((1, 10.0), (2, 20.0)).toDF("k", "w"), tb, Seq("k"), 4)
+      val joined = spark.table(ta).join(spark.table(tb), Seq("k"))
+      assert(joined.count() == 2)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+      spark.sql(s"DROP TABLE IF EXISTS $ta")
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+    }
+  }
+}
