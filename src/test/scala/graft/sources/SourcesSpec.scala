@@ -81,3 +81,21 @@ class FileListingSpec extends SparkSpec {
     assert(byKey == Map("111" -> "20240301", "222" -> "20240201"))
   }
 }
+
+class PartitionPruningSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("data_particao filter prunes partition directories at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString + "/t"
+    val rows = Seq((1, "2024-01-01 10:00:00"), (2, "2024-01-02 10:00:00"),
+      (3, "2024-01-03 10:00:00")).toDF("id", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+    LakeWriter.overwritePartitions(LakeWriter.withDatePartitions(rows, col("ts")), dir)
+    val pruned = spark.read.parquet(dir).filter(col("data_particao") === "2024-01-02")
+    assert(pruned.count() == 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse(plan)
+    assert(scanLine.contains("data_particao"), scanLine)
+  }
+}
