@@ -307,11 +307,17 @@ object Queries {
     // S19: SQL-dump scan — dump text generated from the table, then parsed
     // back through the statement-splitting reader (roundtrip vs oracle).
     "q28_sql_dump" -> ((s, dir) => {
+      // '' -escape values so the generated text matches the parser's escape
+      // handling even if a value carries a quote (TPC-H values never do, but
+      // the roundtrip must not desync on one). The collect() is inherent to
+      // the fixture: the dump is a driver-written temp file feeding the
+      // reader under test, not a data-path operator.
+      def esc(v: String) = v.replace("'", "''")
       val dump = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .collect()
         .map(r => s"INSERT INTO public.customer (c_custkey, c_name, c_mktsegment) " +
-          s"VALUES (${r.getLong(0)}, '${r.getString(1)}', '${r.getString(2)}');")
+          s"VALUES (${r.getLong(0)}, '${esc(r.getString(1))}', '${esc(r.getString(2))}');")
         .mkString("\n")
       val tmp = java.nio.file.Files.createTempDirectory("dump")
       java.nio.file.Files.writeString(tmp.resolve("c.sql"), dump)

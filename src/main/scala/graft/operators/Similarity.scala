@@ -61,6 +61,14 @@ object Similarity {
     * within `probeBits` Hamming bits for recall), then exact cosine top-k
     * inside the candidate set. The bucket predicate prunes the scan;
     * candidates ≪ corpus.
+    *
+    * Recall floor: only numPlanes+1 (probeBits=1) of 2^numPlanes buckets are
+    * probed, so as numPlanes grows relative to corpus size the candidate set
+    * can fall below k. We escalate — widen to 2-bit probes, then fall back to
+    * exact [[bruteForceTopK]] — so the caller always gets min(k, corpus) rows.
+    * The candidate count check (`limit(k).count`) is an extra action on the
+    * pruned candidate set only; at scale it touches candidate partitions,
+    * never the full corpus.
     */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, numPlanes: Int, seed: Long = 42L,
@@ -84,11 +92,19 @@ object Similarity {
     }
     val bucketed = withLshBucket(corpus, vecCol, numPlanes, query.length, seed)
     val q = array(query.map(lit(_)): _*)
-    bucketed.filter(col("lsh_bucket").isin(probes: _*))
-      .select(col(idCol),
+    def topK(cands: DataFrame): DataFrame =
+      cands.select(col(idCol),
         VectorFunctions.cosine(col(vecCol), q).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .limit(k)
+        .orderBy(col("cosine").desc, col(idCol).asc)
+        .limit(k)
+    val candidates = bucketed.filter(col("lsh_bucket").isin(probes: _*))
+    if (candidates.limit(k).count() >= k) topK(candidates)
+    else if (probeBits < 2) {
+      val wider = bucketed.filter(
+        col("lsh_bucket").isin(((qSig +: oneBit) ++ twoBit): _*))
+      if (wider.limit(k).count() >= k) topK(wider)
+      else bruteForceTopK(corpus, idCol, vecCol, query, k)
+    } else bruteForceTopK(corpus, idCol, vecCol, query, k)
   }
 
   /** IVF-style coarse quantization: assign every vector to the nearest of

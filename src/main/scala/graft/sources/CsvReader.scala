@@ -36,17 +36,27 @@ object CsvReader {
   }
 
   /** UTF-8 → CP1252 fallback: if the UTF-8 read produced replacement
-    * characters in the sampled head, re-read as windows-1252 (the
+    * characters ANYWHERE in the file, re-read as windows-1252 (the
     * reference's chardet-sniff + fallback).
+    *
+    * The check is a distributed short-circuit scan, not a head sample: a
+    * CP1252 file whose first non-ASCII byte appears late would otherwise be
+    * silently kept as mojibake. `filter(any col contains U+FFFD).isEmpty`
+    * stops at the first matching row, so the common all-ASCII/valid-UTF-8
+    * case still reads each split once.
     */
   def readWithEncodingFallback(spark: SparkSession, path: String,
       opts: Options = Options()): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StringType
     val utf8 = read(spark, path, opts.copy(encoding = "UTF-8"))
-    val sample = utf8.limit(100).collect()
-    val hasReplacement = sample.exists(_.toSeq.exists {
-      case s: String => s.contains('�')
-      case _ => false
-    })
+    val strCols = utf8.schema.fields.collect {
+      case f if f.dataType == StringType => col(f.name)
+    }
+    val hasReplacement = strCols.nonEmpty && {
+      val pred = strCols.map(_.contains("�")).reduce(_ || _)
+      !utf8.filter(pred).isEmpty
+    }
     if (hasReplacement) read(spark, path, opts.copy(encoding = "windows-1252"))
     else utf8
   }

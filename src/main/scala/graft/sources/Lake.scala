@@ -18,7 +18,16 @@ object Lake {
     // the legacy flag surfaces it as a nanos bigint, and we restore a real
     // timestamp at microsecond grain with exact integer division (a double
     // `/` would lose precision past 2^53 ns).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    //
+    // The flag is touched ONLY for events reads (never for the other nine
+    // tables), and only when not already set — sessions that never read
+    // events keep default nanos behavior everywhere. It cannot be restored
+    // after this call returns: parquet reader conf is consumed lazily at
+    // plan time (first action on the returned DataFrame), so a reset here
+    // would make that action throw on the NANOS column.
+    if (name == "events" &&
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" &&
         df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
