@@ -59,20 +59,28 @@ object Similarity {
 
   /** ANN top-k: restrict to the query vector's LSH bucket (plus all buckets
     * within `probeBits` Hamming bits for recall), then exact cosine top-k
-    * inside the candidate set. The bucket predicate prunes the scan;
-    * candidates ≪ corpus.
+    * inside the candidate set.
     *
     * Recall floor: only numPlanes+1 (probeBits=1) of 2^numPlanes buckets are
     * probed, so as numPlanes grows relative to corpus size the candidate set
-    * can fall below k. We escalate — widen to 2-bit probes, then fall back to
-    * exact [[bruteForceTopK]] — so the caller always gets min(k, corpus) rows.
-    * The candidate count check (`limit(k).count`) is an extra action on the
-    * pruned candidate set only; at scale it touches candidate partitions,
-    * never the full corpus.
+    * can fall below k. With `ensureK = true` (default) we escalate — widen to
+    * 2-bit probes, then fall back to exact [[bruteForceTopK]] — so the caller
+    * always gets min(k, corpus) rows.
+    *
+    * EAGER when `ensureK = true`: escalation is data-dependent, so this path
+    * runs Spark jobs at call time and returns the ≤k result rows as a local
+    * relation. To keep that bounded, the signature column is computed ONCE
+    * into a cached frame; the tier decision is a single aggregation over the
+    * cache (not one count per tier), and the cache is released before
+    * returning. Callers composing lazy plans — or running at a scale where
+    * `lsh_bucket` should be a stored partition/bucket column written by
+    * [[withLshBucket]] at ingest — should pass `ensureK = false`, which
+    * returns the plan-lazy candidate top-k with no driver-side actions (and
+    * no row-count guarantee).
     */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, numPlanes: Int, seed: Long = 42L,
-      probeBits: Int = 1): DataFrame = {
+      probeBits: Int = 1, ensureK: Boolean = true): DataFrame = {
     val planes = VectorFunctions.seededPlanes(numPlanes, query.length, seed)
     // query signature computed driver-side with the same IEEE math
     val qSig = planes.zipWithIndex.map { case (p, i) =>
@@ -85,11 +93,12 @@ object Similarity {
     val twoBit = for {
       b1 <- 0 until numPlanes; b2 <- (b1 + 1) until numPlanes
     } yield qSig ^ (1L << b1) ^ (1L << b2)
-    val probes: Seq[Long] = probeBits match {
+    val narrow: Seq[Long] = probeBits match {
       case 0 => Seq(qSig)
       case 1 => qSig +: oneBit
       case _ => (qSig +: oneBit) ++ twoBit
     }
+    val wide: Seq[Long] = (qSig +: oneBit) ++ twoBit
     val bucketed = withLshBucket(corpus, vecCol, numPlanes, query.length, seed)
     val q = array(query.map(lit(_)): _*)
     def topK(cands: DataFrame): DataFrame =
@@ -97,14 +106,24 @@ object Similarity {
         VectorFunctions.cosine(col(vecCol), q).as("cosine"))
         .orderBy(col("cosine").desc, col(idCol).asc)
         .limit(k)
-    val candidates = bucketed.filter(col("lsh_bucket").isin(probes: _*))
-    if (candidates.limit(k).count() >= k) topK(candidates)
-    else if (probeBits < 2) {
-      val wider = bucketed.filter(
-        col("lsh_bucket").isin(((qSig +: oneBit) ++ twoBit): _*))
-      if (wider.limit(k).count() >= k) topK(wider)
-      else bruteForceTopK(corpus, idCol, vecCol, query, k)
-    } else bruteForceTopK(corpus, idCol, vecCol, query, k)
+
+    if (!ensureK) return topK(bucketed.filter(col("lsh_bucket").isin(narrow: _*)))
+
+    bucketed.persist()
+    try {
+      // one job decides the tier: candidate counts for both probe widths
+      val row = bucketed.agg(
+        sum(when(col("lsh_bucket").isin(narrow: _*), 1L).otherwise(0L)),
+        sum(when(col("lsh_bucket").isin(wide: _*), 1L).otherwise(0L))).head()
+      def cnt(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+      val chosen =
+        if (cnt(0) >= k) topK(bucketed.filter(col("lsh_bucket").isin(narrow: _*)))
+        else if (cnt(1) >= k) topK(bucketed.filter(col("lsh_bucket").isin(wide: _*)))
+        else topK(bucketed)  // exact over the cached frame — still one scan
+      val spark = corpus.sparkSession
+      val rows = java.util.Arrays.asList(chosen.collect(): _*)
+      spark.createDataFrame(rows, chosen.schema)
+    } finally bucketed.unpersist()
   }
 
   /** IVF-style coarse quantization: assign every vector to the nearest of

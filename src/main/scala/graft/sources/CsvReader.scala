@@ -23,7 +23,18 @@ object CsvReader {
       quote: String = "\"",
       multiLine: Boolean = false)
 
+  /** Charsets Spark 4 accepts without the legacy escape hatch
+    * (org.apache.spark.sql.catalyst.util.CharsetProvider.VALID_CHARSETS).
+    */
+  private val standardCharsets = Set("iso-8859-1", "us-ascii", "utf-16",
+    "utf-16be", "utf-16le", "utf-32", "utf-8")
+
   def read(spark: SparkSession, path: String, opts: Options = Options()): DataFrame = {
+    // windows-1252 (the reference's fallback charset) is outside Spark 4's
+    // CharsetProvider whitelist; the legacy flag restores full JVM charset
+    // support. Only flipped when a non-whitelisted charset is requested.
+    if (!standardCharsets.contains(opts.encoding.toLowerCase))
+      spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     val df = spark.read
       .option("sep", opts.sep)
       .option("encoding", opts.encoding)
@@ -35,30 +46,143 @@ object CsvReader {
     SchemaConform.conform(df)
   }
 
-  /** UTF-8 → CP1252 fallback: if the UTF-8 read produced replacement
-    * characters ANYWHERE in the file, re-read as windows-1252 (the
-    * reference's chardet-sniff + fallback).
+  /** UTF-8 → CP1252 fallback (the reference's chardet-sniff + fallback).
     *
-    * The check is a distributed short-circuit scan, not a head sample: a
-    * CP1252 file whose first non-ASCII byte appears late would otherwise be
-    * silently kept as mojibake. `filter(any col contains U+FFFD).isEmpty`
-    * stops at the first matching row, so the common all-ASCII/valid-UTF-8
-    * case still reads each split once.
+    * Default path: a BOUNDED driver-side raw-byte sniff — head + tail sample
+    * of up to `sniffFiles` files, `sniffBytes` per file — validated with a
+    * strict UTF-8 state machine. Deciding on raw bytes (not decoded text)
+    * means a valid-UTF-8 file that legitimately contains U+FFFD can never be
+    * misclassified, and the common valid-UTF-8 case costs O(sample), not a
+    * second full read. Sampling the tail as well as the head catches the
+    * CP1252 file whose first non-ASCII byte appears late.
+    *
+    * `fullScan = true` opts into a distributed whole-file check for the rare
+    * pathological layout (non-ASCII confined to an unsampled middle region):
+    * every line is read as latin-1 (a 1:1 byte mapping, so the original
+    * bytes are recoverable) and validated with the same strict UTF-8 state
+    * machine — EXACT, so a legit U+FFFD in valid UTF-8 can never flip the
+    * file, unlike any decoded-replacement-char heuristic. Per-line
+    * validation is sound because 0x0A/0x0D never appear inside a UTF-8
+    * multi-byte sequence. This path reads the data twice (validity pass +
+    * the real read) — reserve it for audits.
     */
   def readWithEncodingFallback(spark: SparkSession, path: String,
-      opts: Options = Options()): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.types.StringType
-    val utf8 = read(spark, path, opts.copy(encoding = "UTF-8"))
-    val strCols = utf8.schema.fields.collect {
-      case f if f.dataType == StringType => col(f.name)
+      opts: Options = Options(), fullScan: Boolean = false,
+      sniffBytes: Int = 1 << 20, sniffFiles: Int = 8): DataFrame = {
+    val utf8Valid =
+      if (fullScan) allBytesUtf8(spark, path)
+      else sampleIsUtf8(spark, path, sniffBytes, sniffFiles)
+    val enc = if (utf8Valid) "UTF-8" else "windows-1252"
+    read(spark, path, opts.copy(encoding = enc))
+  }
+
+  /** Distributed exact UTF-8 validity: one short-circuiting pass over the
+    * raw line bytes. This must be byte-level — every DataFrame text path
+    * materializes strings lossily (invalid sequences are already U+FFFD by
+    * the time a UDF sees them), so we use the Hadoop line reader directly:
+    * per-partition imperative byte validation is the one genuinely
+    * RDD-shaped job in this module.
+    */
+  private def allBytesUtf8(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapred.TextInputFormat
+    val rdd = spark.sparkContext.hadoopFile(
+      path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
+    val anyInvalid = rdd.mapPartitions { it =>
+      var bad = false
+      while (it.hasNext && !bad) {
+        val t = it.next()._2
+        val bytes = java.util.Arrays.copyOf(t.getBytes, t.getLength)
+        bad = !isValidUtf8(bytes, truncatedStart = false)
+      }
+      if (bad) Iterator.single(true) else Iterator.empty
     }
-    val hasReplacement = strCols.nonEmpty && {
-      val pred = strCols.map(_.contains("�")).reduce(_ || _)
-      !utf8.filter(pred).isEmpty
+    // take(1) launches partitions incrementally — stops at the first invalid
+    anyInvalid.take(1).isEmpty
+  }
+
+  /** Head+tail byte sample of up to `maxFiles` files under `path` (file,
+    * directory, or glob), each validated as UTF-8. Returns false iff some
+    * sampled region is definitively not UTF-8.
+    */
+  private def sampleIsUtf8(spark: SparkSession, path: String,
+      bytesPerFile: Int, maxFiles: Int): Boolean = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val statuses = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      .flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st)
+      }
+      .sortBy(_.getPath.getName).take(maxFiles)
+    val half = math.max(bytesPerFile / 2, 4)
+    statuses.forall { st =>
+      val len = st.getLen
+      val in = fs.open(st.getPath)
+      try {
+        def readAt(off: Long, n: Int): Array[Byte] = {
+          val buf = new Array[Byte](n)
+          in.readFully(off, buf, 0, n)
+          buf
+        }
+        if (len <= bytesPerFile) {
+          isValidUtf8(readAt(0L, len.toInt), truncatedStart = false)
+        } else {
+          isValidUtf8(readAt(0L, half), truncatedStart = false) &&
+          isValidUtf8(readAt(len - half, half), truncatedStart = true)
+        }
+      } finally in.close()
     }
-    if (hasReplacement) read(spark, path, opts.copy(encoding = "windows-1252"))
-    else utf8
+  }
+
+  /** Strict UTF-8 validity over a byte slice. Tolerates a multi-byte char
+    * truncated at the END of the slice (sampling cut), and — when
+    * `truncatedStart` — up to 3 orphan continuation bytes at the START
+    * (a tail sample can begin mid-character).
+    */
+  private[sources] def isValidUtf8(bytes: Array[Byte],
+      truncatedStart: Boolean): Boolean = {
+    var i = 0
+    if (truncatedStart) {
+      var skipped = 0
+      while (i < bytes.length && skipped < 3 && (bytes(i) & 0xC0) == 0x80) {
+        i += 1; skipped += 1
+      }
+    }
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      val need =
+        if (b < 0x80) 0
+        else if (b >= 0xC2 && b <= 0xDF) 1
+        else if (b >= 0xE0 && b <= 0xEF) 2
+        else if (b >= 0xF0 && b <= 0xF4) 3
+        else return false // 0x80–0xC1 lead, or >0xF4: never valid UTF-8
+      if (i + need >= bytes.length && need > 0) {
+        // truncated trailing char: valid only if every present byte fits
+        var j = i + 1
+        while (j < bytes.length) {
+          if ((bytes(j) & 0xC0) != 0x80) return false
+          j += 1
+        }
+        return true
+      }
+      var j = 1
+      while (j <= need) {
+        val c = bytes(i + j) & 0xFF
+        if ((c & 0xC0) != 0x80) return false
+        // reject overlong/surrogate/out-of-range forms at the second byte
+        if (j == 1) {
+          if (b == 0xE0 && c < 0xA0) return false
+          if (b == 0xED && c > 0x9F) return false
+          if (b == 0xF0 && c < 0x90) return false
+          if (b == 0xF4 && c > 0x8F) return false
+        }
+        j += 1
+      }
+      i += need + 1
+    }
+    true
   }
 
   /** Detect the more plausible of `;` vs `,` separators from the first line

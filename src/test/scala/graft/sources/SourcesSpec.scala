@@ -36,6 +36,57 @@ class CsvReaderSpec extends SparkSpec {
     Files.writeString(java.nio.file.Path.of(dir, "t.csv"), "a;b;c\n1;2;3\n")
     assert(CsvReader.sniffSep(spark, s"$dir/t.csv") == ";")
   }
+
+  test("isValidUtf8: ascii, multibyte, truncation tolerance, cp1252 rejection") {
+    def v(bs: Array[Byte], ts: Boolean = false) = CsvReader.isValidUtf8(bs, ts)
+    assert(v("hello".getBytes("UTF-8")))
+    assert(v("ação é çãâ".getBytes("UTF-8")))
+    assert(v("� legit replacement".getBytes("UTF-8"))) // U+FFFD itself is valid UTF-8
+    assert(!v("ação".getBytes("windows-1252")))             // 0xE7/0xE3 lead bytes invalid
+    assert(!v(Array(0xC0.toByte, 0xAF.toByte)))             // overlong
+    assert(!v(Array(0xED.toByte, 0xA0.toByte, 0x80.toByte))) // surrogate
+    val eur = "€x".getBytes("UTF-8")                         // E2 82 AC 78
+    assert(v(eur.take(2)))                                   // truncated tail char ok
+    assert(v(eur.drop(1), ts = true))                        // orphan continuations at start ok
+    assert(!v(eur.drop(1), ts = false))
+  }
+
+  test("encoding fallback: cp1252 file detected via bounded sniff") {
+    val dir = Files.createTempDirectory("csvenc").toString
+    val text = "nome;valor\njoão ação;10\ncoração;20\n"
+    Files.write(java.nio.file.Path.of(dir, "t.csv"), text.getBytes("windows-1252"))
+    val df = CsvReader.readWithEncodingFallback(spark, s"$dir/t.csv",
+      CsvReader.Options(sep = ";"))
+    val names = df.collect().map(_.getString(0)).sorted.toSeq
+    assert(names == Seq("coração", "joão ação"))
+  }
+
+  test("encoding fallback: valid UTF-8 containing a literal U+FFFD stays UTF-8") {
+    val dir = Files.createTempDirectory("csvenc2").toString
+    val text = "nome;valor\nbad�char açaí;10\n"
+    Files.write(java.nio.file.Path.of(dir, "t.csv"), text.getBytes("UTF-8"))
+    val df = CsvReader.readWithEncodingFallback(spark, s"$dir/t.csv",
+      CsvReader.Options(sep = ";"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("bad�char açaí"))
+    val full = CsvReader.readWithEncodingFallback(spark, s"$dir/t.csv",
+      CsvReader.Options(sep = ";"), fullScan = true)
+    // fullScan compares replacement counts both ways; UTF-8 decode (1 legit
+    // U+FFFD) beats cp1252 mojibake (which garbles açaí and keeps the U+FFFD
+    // bytes as three cp1252 chars) — file must NOT flip
+    assert(full.collect().map(_.getString(0)).toSeq == Seq("bad�char açaí"))
+  }
+
+  test("encoding fallback: late non-ASCII caught by the tail sample") {
+    val dir = Files.createTempDirectory("csvenc3").toString
+    val sb = new StringBuilder("nome;valor\n")
+    (1 to 200000).foreach(i => sb.append(s"plain_ascii_row_$i;$i\n"))
+    sb.append("coração final;0\n")
+    Files.write(java.nio.file.Path.of(dir, "t.csv"),
+      sb.toString.getBytes("windows-1252"))
+    val df = CsvReader.readWithEncodingFallback(spark, s"$dir/t.csv",
+      CsvReader.Options(sep = ";"))
+    assert(df.filter(col("nome") === "coração final").count() == 1)
+  }
 }
 
 class LakeWriterSpec extends SparkSpec {
