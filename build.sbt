@@ -32,4 +32,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-XX:+UseG1GC",
+  // With a large mostly-empty heap G1 never starts an old-gen cycle, so
+  // weak-keyed ThreadLocalMap entries from per-query machinery are never
+  // expunged in the long-lived executor threads; probing chains grow until
+  // ThreadLocal.get (hit per JSON parse by Jackson's buffer recycler) turns
+  // a sub-second query into minutes. Observed live: a stalled bench
+  // recovered the instant a full GC was forced externally. A periodic
+  // concurrent cycle keeps reference processing moving.
+  "-XX:G1PeriodicGCInterval=20000",
 )

@@ -36,11 +36,17 @@ object TextFunctions {
   def stripFunctionWrapper(c: Column): Column =
     regexp_replace(c, "(?i)TO_CHAR\\(([^)]*)\\)", "$1")
 
-  /** Whitespace tokens; empty/blank text → empty array (split of "" yields
-    * [""], which we filter out).
+  /** Whitespace tokens; empty/blank text → empty array; null → null.
+    * Deliberately HOF-free: after trim, a "\\s+" split can only produce an
+    * empty token for empty input, so a `when` guard replaces the
+    * interpreted `filter` lambda and the whole expression stays inside
+    * whole-stage codegen.
     */
-  def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(length(t) > 0, split(t, "\\s+"))
+      .when(t.isNotNull, array().cast("array<string>"))
+  }
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
@@ -171,10 +177,15 @@ object TextFunctions {
   def minHashSignature(text: Column, n: Int, k: Int): Column =
     minHashFromHashes(transform(wordShingles(text, n), s => xxhash64(s)), k)
 
-  /** Signature from pre-hashed shingles (see [[minHashSignature]]). */
-  def minHashFromHashes(hashes: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(hashes, h => xxhash64(h, lit(i))))): _*)
+  /** Signature from pre-hashed shingles (see [[minHashSignature]]).
+    * Codegen'd single pass ([[MinHashFromHashes]]) — k×n integer remixes
+    * per row with no intermediate arrays; values identical to the
+    * `array_min(transform(h, xxhash64(h, i)))` composition.
+    */
+  def minHashFromHashes(hashes: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(MinHashFromHashes(Bridge.expression(hashes), k))
+  }
 
   /** SimHash-64 over word tokens: per bit, sum +1/-1 weighted votes of each
     * token's xxhash64, then collapse signs into a 64-bit long. Expressed as

@@ -1,0 +1,248 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native codegen'd kernels for the vector/hash hot paths.
+  *
+  * WHY NOT higher-order functions: `zip_with`/`aggregate`/`transform` are
+  * CodegenFallback — every element evaluation goes through interpreted
+  * `Expression.eval` with per-element boxing and virtual dispatch. Besides
+  * the steady-state cost, the interpreted tree is hostile to the JIT: under
+  * a long-lived session the shared eval call sites go megamorphic and can
+  * deoptimize to raw-bytecode-interpreter speed (observed in this repo's
+  * bench as nondeterministic 100× stalls — a 1 s cosine sweep taking 150 s
+  * inside `ZipWith.eval`/`ArrayAggregate.eval`). A real `Expression` with
+  * `doGenCode` emits a tight primitive loop inside whole-stage codegen:
+  * no allocation per element, no dispatch, JIT-stable — the kernel a
+  * 100 TB ANN/dedup sweep actually needs.
+  *
+  * All kernels preserve the exact IEEE semantics (accumulation order,
+  * float→double widening, null behavior) of the HOF compositions they
+  * replace, so results — and the DuckDB oracle hashes — are unchanged.
+  */
+object VectorKernels {
+
+  /** Cosine in double precision, left-to-right accumulation.
+    * Parity with `when(norm(a)*norm(b) > 0, dot/(norm*norm)).otherwise(0.0)`
+    * over HOF dot/norm: any null element → 0.0; length mismatch → null
+    * (boxed null); zero norm → 0.0.
+    */
+  def cosine(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): java.lang.Double = {
+    val la = a.numElements(); val lb = b.numElements()
+    var i = 0
+    while (i < la) { if (a.isNullAt(i)) return java.lang.Double.valueOf(0.0); i += 1 }
+    i = 0
+    while (i < lb) { if (b.isNullAt(i)) return java.lang.Double.valueOf(0.0); i += 1 }
+    if (la != lb) return null
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    i = 0
+    while (i < la) {
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    java.lang.Double.valueOf(if (nn > 0) d / nn else 0.0)
+  }
+
+  /** Packed random-hyperplane signature. Parity with the HOF form (bit i =
+    * `when(dot(v, plane_i) >= 0, 1L << i)`, OR-reduced): a null vector, any
+    * null element, or a length mismatch yields dot=null → bit 0, hence
+    * signature 0.
+    */
+  def lshSignature(v: ArrayData, flatPlanes: Array[Double], numPlanes: Int,
+      dim: Int, vF: Boolean): Long = {
+    if (v == null || v.numElements() != dim) return 0L
+    var i = 0
+    while (i < dim) { if (v.isNullAt(i)) return 0L; i += 1 }
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var d = 0.0
+      var j = 0
+      val off = p * dim
+      while (j < dim) {
+        val x = if (vF) v.getFloat(j).toDouble else v.getDouble(j)
+        d += x * flatPlanes(off + j)
+        j += 1
+      }
+      if (d >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  /** MinHash signature from pre-hashed shingles. Parity with
+    * `array((0 until k).map(i => array_min(transform(h, x => xxhash64(x, lit(i))))))`:
+    * family-i remix of hash x = XXH64.hashInt(i, XXH64.hashLong(x, 42L))
+    * (xxhash64's child fold with default seed 42); null input array or empty
+    * array → k null entries; a null element remixes as hashInt(i, 42L)
+    * (xxhash64 skips null children, leaving the seed).
+    */
+  def minHash(h: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Any](k)
+    if (h == null || h.numElements() == 0) return new GenericArrayData(out)
+    val n = h.numElements()
+    var i = 0
+    while (i < k) {
+      var min = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val base = if (h.isNullAt(j)) 42L else XXH64.hashLong(h.getLong(j), 42L)
+        val r = XXH64.hashInt(i, base)
+        if (r < min) min = r
+        j += 1
+      }
+      out(i) = min
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-element xxhash64 (seed 42) of a string array. Parity with
+    * `transform(arr, s => xxhash64(s))`: null element hashes to the seed.
+    */
+  def arrayHash64(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private[functions] def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** `cosine_sim(a, b)` — exact cosine over two numeric arrays (float or
+  * double elements), codegen'd. Null input → 0.0 (matching the HOF
+  * composition it replaces), length mismatch → null.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private lazy val lf = VectorKernels.isFloatArray(left)
+  private lazy val rf = VectorKernels.isFloatArray(right)
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) 0.0
+    else {
+      val r = VectorKernels.cosine(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lf, rf)
+      if (r == null) null else r.doubleValue()
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGen = left.genCode(ctx)
+    val bGen = right.genCode(ctx)
+    val boxed = ctx.freshName("cosRes")
+    ev.copy(code = code"""
+      ${aGen.code}
+      ${bGen.code}
+      boolean ${ev.isNull} = false;
+      double ${ev.value} = 0.0;
+      if (!${aGen.isNull} && !${bGen.isNull}) {
+        java.lang.Double $boxed = graft.functions.VectorKernels.cosine(
+          ${aGen.value}, ${bGen.value}, $lf, $rf);
+        if ($boxed == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $boxed.doubleValue(); }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSimilarity = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** `lsh_signature(v)` — numPlanes-bit random-hyperplane signature packed in
+  * a long; planes are plan-time constants (seeded), so the whole signature
+  * is one fused primitive loop per row.
+  */
+case class LshSignature(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  @transient private lazy val flat: Array[Double] = planes.flatten.toArray
+  private def numPlanes: Int = planes.size
+  private def dim: Int = planes.head.size
+  private lazy val vf = VectorKernels.isFloatArray(child)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    VectorKernels.lshSignature(
+      v.asInstanceOf[ArrayData], flat, numPlanes, dim, vf)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vGen = child.genCode(ctx)
+    val planesRef = ctx.addReferenceObj("flatPlanes", flat, "double[]")
+    ev.copy(code = code"""
+      ${vGen.code}
+      boolean ${ev.isNull} = false;
+      long ${ev.value} = graft.functions.VectorKernels.lshSignature(
+        ${vGen.isNull} ? null : ${vGen.value}, $planesRef, $numPlanes, $dim, $vf);""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignature =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_signature"
+}
+
+/** `minhash(hashes, k)` — k-family MinHash signature from pre-hashed
+  * shingles, one fused loop (k × n integer hashes, no per-family array).
+  */
+case class MinHashFromHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val h = child.eval(input)
+    VectorKernels.minHash(h.asInstanceOf[ArrayData], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${hGen.code}
+      boolean ${ev.isNull} = false;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.VectorKernels.minHash(
+          ${hGen.isNull} ? null : ${hGen.value}, $k);""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =
+    copy(child = newChild)
+  override def prettyName: String = "minhash"
+}
+
+/** `array_xxhash64(arr)` — xxhash64 (seed 42) of every string element. */
+case class ArrayXxHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.arrayHash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.arrayHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayXxHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "array_xxhash64"
+}

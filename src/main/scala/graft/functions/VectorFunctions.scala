@@ -23,11 +23,14 @@ object VectorFunctions {
     sqrt(aggregate(a, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  /** Cosine similarity in double precision; null/zero-norm safe (0.0). */
+  /** Cosine similarity in double precision; null/zero-norm safe (0.0).
+    * Backed by the codegen'd [[CosineSimilarity]] expression (identical
+    * numerics to the HOF composition — see [[VectorKernels.cosine]]); the
+    * HOF [[dot]]/[[norm]] remain for callers composing custom formulas.
+    */
   def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn > 0, d / nn).otherwise(lit(0.0))
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
   }
 
   /** Quantize a float vector to `array<bigint>` of round(x * scale).
@@ -64,11 +67,22 @@ object VectorFunctions {
   /** Random-hyperplane LSH signature packed into a long: `planes` is a
     * deterministic (seeded) list of hyperplanes, bit i = sign(v·plane_i).
     * Vectors with equal signatures are cosine-close with high probability.
+    * One fused codegen'd loop ([[LshSignature]]) — numPlanes × dim
+    * multiply-adds per row, no per-bit array allocation.
     */
-  def lshSignature(v: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      shiftleft(hyperplaneBit(v, p), i)
-    }.reduce((a, b) => a.bitwiseOR(b))
+  def lshSignature(v: Column, planes: Seq[Seq[Double]]): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(LshSignature(Bridge.expression(v), planes))
+  }
+
+  /** xxhash64 (seed 42) of every element of a string array — the
+    * shingle-hashing kernel ([[ArrayXxHash64]], codegen'd single pass;
+    * values identical to `transform(arr, s => xxhash64(s))`).
+    */
+  def stringArrayHashes(arr: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(ArrayXxHash64(Bridge.expression(arr)))
+  }
 
   /** Deterministic pseudo-random hyperplanes (fixed seed → reproducible
     * plans and signatures across runs and engines).

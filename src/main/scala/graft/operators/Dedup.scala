@@ -69,12 +69,26 @@ object Dedup {
     val toked = df.select(col(idCol).as("id"),
       TextFunctions.tokens(TextFunctions.normalized(col(textCol))).as("toks"))
       .filter(size(col("toks")) >= shingleN)
+    // bind the hashed-shingle array before the k-family remix — the remix
+    // references it k times and must read a column, not re-hash k times.
+    // This (id, array<long>) table is the ONE intermediate worth keeping:
+    // it feeds the banding path AND both sides of the candidate-Jaccard
+    // join, and without a persist each consumer re-runs
+    // normalize+tokenize+shingle+hash from the scan (observed: 4 file scans,
+    // no exchange reuse). Longs are ~4× slimmer than the shingle strings —
+    // this is also the artifact a 100 TB pipeline would WRITE as a
+    // signature table instead of caching (the persist is for the ad-hoc,
+    // single-query path; the ContextCleaner unpersists it when the returned
+    // plan is dropped).
+    // PROJECTION FENCE (do not inline): shingles must be bound to a real
+    // column BEFORE the transform — ArrayTransform re-evaluates its argument
+    // subtree per element when inlined, turning this into O(shingles²)
+    // regex+concat per row (observed as a minutes-long single-task stall).
     val base = toked.select(col("id"),
       TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("shingles"))
-    // bind the hashed-shingle array before the k-family remix — the remix
-    // references it k times and must read a column, not re-hash k times
     val hashed = base.select(col("id"),
-      transform(col("shingles"), s => xxhash64(s)).as("h"))
+      graft.functions.VectorFunctions.stringArrayHashes(col("shingles")).as("h"))
+      .persist()
     val sig = hashed.select(col("id"),
       TextFunctions.minHashFromHashes(col("h"), numHashes).as("sig"))
     // slim (id, band, bucket) rows — the bucket join must NOT carry shingle
@@ -90,10 +104,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    // exact Jaccard only for surviving candidates: re-attach shingle sets
+    // exact Jaccard only for surviving candidates, over the hashed shingle
+    // sets (set-identical to string shingles modulo xxhash64 collisions —
+    // the same approximation MinHash itself rests on)
     candidates
-      .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .join(hashed.select(col("id").as("id_a"), col("h").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("h").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
@@ -141,7 +157,11 @@ object Dedup {
       val hi = if (i == numChunks - 1) 64 else (i + 1) * baseBits
       (lo, hi - lo)
     }
-    val withSim = simHashSignatures(df, idCol, textCol)
+    // one row per doc, two longs wide — persisted so the a/b self-join does
+    // not run the explode + 64-sum signature aggregation twice (no exchange
+    // reuse across the differing chunk projections). Tiny even at corpus
+    // scale; ContextCleaner drops it with the plan.
+    val withSim = simHashSignatures(df, idCol, textCol).persist()
     val chunked = withSim.select(col("id"), col("sim"),
       posexplode(array(chunkRanges.map { case (lo, width) =>
         val mask = if (width >= 64) -1L else (1L << width) - 1L

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Parity: the codegen'd kernels must be value-identical to the HOF
+  * compositions they replaced (same IEEE accumulation order, same null
+  * semantics), so oracle hashes and persisted signatures are unchanged.
+  */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofCosine(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) = {
+    val d = VectorFunctions.dot(a, b)
+    val nn = VectorFunctions.norm(a) * VectorFunctions.norm(b)
+    when(nn > 0, d / nn).otherwise(lit(0.0))
+  }
+
+  test("cosine matches the HOF composition bit-for-bit") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f, -3.5f), Seq(0.5f, -1.0f, 2.0f)),
+      (Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f)),
+      (Seq(1.25f, -2.75f, 3.125f), Seq(9.5f, 0.125f, -4.25f))
+    ).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("fast"),
+      hofCosine(col("a"), col("b")).as("hof")).collect()
+    r.foreach(row => assert(
+      java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(row.getDouble(1))))
+  }
+
+  test("cosine null semantics: null vector → 0.0, mismatched length → null") {
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f, 3.0f))),
+      (None, Some(Seq(1.0f)))
+    ).toDF("a", "b")
+    val r = df.select(VectorFunctions.cosine(col("a"), col("b"))).collect()
+    assert(r(0).isNullAt(0))
+    assert(r(1).getDouble(0) == 0.0)
+  }
+
+  test("lshSignature matches the per-bit HOF composition") {
+    val planes = VectorFunctions.seededPlanes(12, 8, 42L)
+    def hofSig(v: org.apache.spark.sql.Column) =
+      planes.zipWithIndex.map { case (p, i) =>
+        shiftleft(VectorFunctions.hyperplaneBit(v, p), i)
+      }.reduce((a, b) => a.bitwiseOR(b))
+    val df = Seq(
+      Seq(1.0f, -2.0f, 0.5f, 3.0f, -0.25f, 1.5f, -1.0f, 0.75f),
+      Seq(-1.0f, 2.0f, -0.5f, -3.0f, 0.25f, -1.5f, 1.0f, -0.75f),
+      Seq(0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f)
+    ).toDF("v")
+    val r = df.select(
+      VectorFunctions.lshSignature(col("v"), planes).as("fast"),
+      hofSig(col("v")).as("hof")).collect()
+    r.foreach(row => assert(row.getLong(0) == row.getLong(1)))
+  }
+
+  test("minHashFromHashes matches array_min(transform(xxhash64(h, i)))") {
+    def hofMin(h: org.apache.spark.sql.Column, k: Int) =
+      array((0 until k).map(i =>
+        array_min(transform(h, x => xxhash64(x, lit(i))))): _*)
+    val df = Seq(
+      Seq(123456789L, -987654321L, 42L),
+      Seq(1L),
+      Seq.empty[Long]
+    ).toDF("h")
+    val r = df.select(
+      VectorFunctions.stringArrayHashes(lit(null).cast("array<string>")), // exercise codegen path
+      TextFunctions.minHashFromHashes(col("h"), 16).as("fast"),
+      hofMin(col("h"), 16).as("hof")).collect()
+    r.foreach { row =>
+      assert(row.getSeq[Any](1) == row.getSeq[Any](2),
+        s"fast=${row.getSeq[Any](1)} hof=${row.getSeq[Any](2)}")
+    }
+  }
+
+  test("stringArrayHashes matches transform(arr, xxhash64)") {
+    val df = Seq(
+      Seq("alpha beta", "gamma", ""),
+      Seq("ação coração"),
+      Seq.empty[String]
+    ).toDF("s")
+    val r = df.select(
+      VectorFunctions.stringArrayHashes(col("s")).as("fast"),
+      transform(col("s"), x => xxhash64(x)).as("hof")).collect()
+    r.foreach(row => assert(row.getSeq[Long](0) == row.getSeq[Long](1)))
+  }
+
+  test("tokens: blank → empty, null → null, interior whitespace split") {
+    val df = Seq(Some("  a  b\tc "), Some("   "), Some(""), None).toDF("t")
+    val r = df.select(TextFunctions.tokens(col("t"))).collect()
+    assert(r(0).getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r(1).getSeq[String](0) == Seq.empty)
+    assert(r(2).getSeq[String](0) == Seq.empty)
+    assert(r(3).isNullAt(0))
+  }
+}
