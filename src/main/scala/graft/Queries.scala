@@ -423,7 +423,9 @@ object Queries {
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
-    // ANN: LSH-bucketed approximate top-k (seeded hyperplanes; rows-only).
+    // ANN: LSH-bucketed approximate top-k. Oracle-backed: the seeded planes
+    // are embedded in the SQL as literals, so DuckDB recomputes signatures,
+    // probe buckets, the escalation tier, and the final top-k identically.
     "q38_lsh_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0)
@@ -472,8 +474,10 @@ object Queries {
     }),
 
     // F12: geodesic reprojection EPSG:31983 → 4326 over synthetic UTM
-    // points (Krüger series not SQL-expressible — rows-only; correctness is
-    // pinned by GeoSpec round-trip tests).
+    // points. Oracle-backed: the inverse-Krüger series is transcribed
+    // term-for-term into DuckDB SQL (same literals, same left-assoc float
+    // op order), hash-matching at 6 decimals; GeoSpec round-trips pin the
+    // math independently.
     "q41_geo_reproject" -> ((s, dir) => {
       t(s, dir, "customer")
         .select(col("c_custkey"),
@@ -498,11 +502,102 @@ object Queries {
   private val stopwordsSql =
     "('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','from')"
 
+  /** q38's oracle: the seeded hyperplanes are plan-time constants, so they
+    * embed as SQL literals and DuckDB replays the whole ANN path — per-row
+    * signature, query signature, 1-bit/2-bit probe enumeration, the
+    * data-dependent escalation tier, and the exact top-k — independently.
+    */
+  private def q38Oracle: String = {
+    val planes = graft.functions.VectorFunctions.seededPlanes(12, 64, 42L)
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n")
+    s"""WITH c AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), planes(i, p) AS (VALUES
+       |$planeRows
+       |), q AS (
+       |  SELECT v AS qv FROM c WHERE vec_id = 0
+       |), sig AS (
+       |  SELECT c.vec_id,
+       |    SUM(CASE WHEN list_inner_product(c.v, pl.p) >= 0 THEN (CAST(1 AS BIGINT) << pl.i) ELSE 0 END) AS sig
+       |  FROM c CROSS JOIN planes pl GROUP BY c.vec_id
+       |), qsig AS (
+       |  SELECT SUM(CASE WHEN list_inner_product(q.qv, pl.p) >= 0 THEN (CAST(1 AS BIGINT) << pl.i) ELSE 0 END) AS qs
+       |  FROM q CROSS JOIN planes pl
+       |), bits AS (SELECT unnest(range(12)) AS b),
+       |narrow AS (
+       |  SELECT qs AS p FROM qsig
+       |  UNION ALL SELECT xor(qs, CAST(1 AS BIGINT) << b) FROM qsig, bits
+       |), wide AS (
+       |  SELECT p FROM narrow
+       |  UNION ALL
+       |  SELECT xor(xor(qs, CAST(1 AS BIGINT) << b1.b), CAST(1 AS BIGINT) << b2.b)
+       |  FROM qsig, bits b1, bits b2 WHERE b1.b < b2.b
+       |), nc AS (SELECT count(*) AS n FROM sig WHERE sig IN (SELECT p FROM narrow)),
+       |wc AS (SELECT count(*) AS n FROM sig WHERE sig IN (SELECT p FROM wide)),
+       |cand AS (
+       |  SELECT c.vec_id, c.v FROM c JOIN sig USING (vec_id)
+       |  WHERE CASE
+       |    WHEN (SELECT n FROM nc) >= 20 THEN sig.sig IN (SELECT p FROM narrow)
+       |    WHEN (SELECT n FROM wc) >= 20 THEN sig.sig IN (SELECT p FROM wide)
+       |    ELSE TRUE END
+       |), s AS (
+       |  SELECT cand.vec_id,
+       |    CASE WHEN sqrt(list_inner_product(cand.v, cand.v)) * sqrt(list_inner_product(q.qv, q.qv)) > 0
+       |      THEN list_inner_product(cand.v, q.qv)
+       |        / (sqrt(list_inner_product(cand.v, cand.v)) * sqrt(list_inner_product(q.qv, q.qv)))
+       |      ELSE CAST(0.0 AS DOUBLE) END AS cos
+       |  FROM cand CROSS JOIN q
+       |)
+       |SELECT vec_id, round(cos, 6) AS cosine FROM s
+       |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+  }
+
   /** DuckDB-dialect ANSI SQL equivalents, keyed like [[queries]]. Omitted
-    * keys (minhash/simhash/LSH/media) are non-SQL-expressible → the driver
-    * records a weaker rows-only check for them.
+    * keys (minhash/simhash/media) are non-SQL-expressible (xxhash64 / Java
+    * long-wraparound checksums don't exist in DuckDB) → the driver records
+    * a weaker rows-only check for them.
     */
   val oracles: Map[String, String] = Map(
+
+    "q38_lsh_ann" -> q38Oracle,
+
+    "q41_geo_reproject" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |         600000.0 + (c_custkey % 100000) AS e,
+        |         7400000.0 + (c_custkey % 50000) AS n
+        |  FROM customer
+        |), k AS (
+        |  SELECT 6378137.0 AS a, 1.0/298.257222101 AS f, 0.9996 AS k0
+        |), k2 AS (
+        |  SELECT a, k0, f*(2-f) AS e2, (f*(2-f))/(1-(f*(2-f))) AS ep2 FROM k
+        |), s1 AS (
+        |  SELECT p.c_custkey, k2.*, p.e - 500000.0 AS x, p.n - 10000000.0 AS y
+        |  FROM pts p CROSS JOIN k2
+        |), s2 AS (
+        |  SELECT *, (y/k0) / (a*(1 - e2/4 - 3*e2*e2/64 - 5*e2*e2*e2/256)) AS mu,
+        |         (1-sqrt(1-e2))/(1+sqrt(1-e2)) AS e1 FROM s1
+        |), s3 AS (
+        |  SELECT *, mu + (3*e1/2 - 27*pow(e1,3)/32)*sin(2*mu)
+        |             + (21*e1*e1/16 - 55*pow(e1,4)/32)*sin(4*mu)
+        |             + (151*pow(e1,3)/96)*sin(6*mu)
+        |             + (1097*pow(e1,4)/512)*sin(8*mu) AS phi1 FROM s2
+        |), s4 AS (
+        |  SELECT *, sin(phi1) AS sin1, cos(phi1) AS cos1, sin(phi1)/cos(phi1) AS tan1 FROM s3
+        |), s5 AS (
+        |  SELECT *, ep2*cos1*cos1 AS cc1, tan1*tan1 AS t1,
+        |         a/sqrt(1-e2*sin1*sin1) AS n1,
+        |         a*(1-e2)/pow(1-e2*sin1*sin1, 1.5) AS r1 FROM s4
+        |), s6 AS (
+        |  SELECT *, x/(n1*k0) AS d FROM s5
+        |)
+        |SELECT c_custkey,
+        |  round(degrees(phi1 - (n1*tan1/r1)*(d*d/2 - (5 + 3*t1 + 10*cc1 - 4*cc1*cc1 - 9*ep2)*pow(d,4)/24 + (61 + 90*t1 + 298*cc1 + 45*t1*t1 - 252*ep2 - 3*cc1*cc1)*pow(d,6)/720)), 6) AS lat,
+        |  round(degrees(radians(-45.0) + (d - (1 + 2*t1 + cc1)*pow(d,3)/6 + (5 - 2*cc1 + 28*t1 - 3*cc1*cc1 + 8*ep2 + 24*t1*t1)*pow(d,5)/120)/cos1), 6) AS lon
+        |FROM s6
+        |ORDER BY c_custkey""".stripMargin,
 
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
