@@ -13,10 +13,9 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *
   * All fields land as trimmed strings (the reference's all-string staging).
   * Deleted records (flag '*') are skipped. One task per file — DBF files
-  * are small; corpus-level parallelism comes from the file listing. (.dbc is
-  * the same payload behind a PKWare-compressed block; decompression would
-  * slot in front of `decode` — not implemented: no codec in this repo's
-  * dependency budget.)
+  * are small; corpus-level parallelism comes from the file listing. `.dbc`
+  * files (the same payload behind a PKWare-imploded block) are detected by
+  * extension and routed through [[Implode.dbcToDbf]] before decoding.
   */
 object DbfReader {
 
@@ -65,18 +64,23 @@ object DbfReader {
     * layouts named instead of zipping values against the wrong columns
     * (DATASUS layouts drift between monthly drops).
     */
+  /** `.dbc` → decompress to DBF bytes first; `.dbf` → as-is. */
+  private def toDbfBytes(path: String, content: Array[Byte]): Array[Byte] =
+    if (path.toLowerCase.endsWith(".dbc")) Implode.dbcToDbf(content) else content
+
   def read(spark: SparkSession, path: String, charset: String = "ISO-8859-1"): DataFrame = {
     val files = spark.read.format("binaryFile").load(path)
       .select("path", "content")
-    val firstBytes = files.limit(1).collect().headOption
-      .map(_.getAs[Array[Byte]]("content"))
+    val first = files.limit(1).collect().headOption
       .getOrElse(throw new IllegalArgumentException(s"no files at $path"))
+    val firstBytes = toDbfBytes(first.getAs[String]("path"), first.getAs[Array[Byte]]("content"))
     val expectedFields = decode(firstBytes, charset).fields
     val expected = spark.sparkContext.broadcast(expectedFields)
     val decoded = files.rdd.flatMap { row =>
-      val dbf = decode(row.getAs[Array[Byte]]("content"), charset)
+      val p = row.getAs[String]("path")
+      val dbf = decode(toDbfBytes(p, row.getAs[Array[Byte]]("content")), charset)
       require(dbf.fields == expected.value,
-        s"DBF layout mismatch in ${row.getAs[String]("path")}: " +
+        s"DBF layout mismatch in $p: " +
           s"${dbf.fields.map(_.name).mkString(",")} vs expected " +
           expected.value.map(_.name).mkString(","))
       dbf.records.map(vals => Row.fromSeq(vals))

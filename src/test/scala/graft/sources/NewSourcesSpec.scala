@@ -81,6 +81,35 @@ class DbfReaderSpec extends SparkSpec {
     assert(df.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq ==
       Seq(("1", "Maria"), ("2", "Joao")))
   }
+
+  /** Wrap the DBF fixture as a DATASUS-style .dbc: uncompressed header,
+    * 4 CRC bytes, imploded record block.
+    */
+  private def tinyDbc: Array[Byte] = {
+    val dbf = tinyDbf
+    val headerLen = (dbf(8) & 0xFF) | ((dbf(9) & 0xFF) << 8)
+    val body = java.util.Arrays.copyOfRange(dbf, headerLen, dbf.length)
+    val imploded = TestImplodeEncoder.compress(body, lit = 0, dict = 4)
+    val out = java.nio.ByteBuffer.allocate(headerLen + 4 + imploded.length)
+    out.put(dbf, 0, headerLen)
+    out.putInt(0xDEADBEEF) // CRC bytes — ignored by the reader, as in dbc2dbf
+    out.put(imploded)
+    out.array()
+  }
+
+  test("dbcToDbf reconstructs the exact original DBF bytes") {
+    val back = Implode.dbcToDbf(tinyDbc)
+    assert(back.toSeq == tinyDbf.toSeq)
+  }
+
+  test("read decodes .dbc files transparently, mixed with .dbf") {
+    val dir = Files.createTempDirectory("dbc").toString
+    Files.write(Path.of(dir, "a.dbc"), tinyDbc)
+    Files.write(Path.of(dir, "b.dbf"), tinyDbf)
+    val df = DbfReader.read(spark, dir)
+    assert(df.columns.toSeq == Seq("id", "nome"))
+    assert(df.count() == 4) // 2 live records per file
+  }
 }
 
 class JdbcUpsertWriterSpec extends AnyFunSuite {
