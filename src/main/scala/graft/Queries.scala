@@ -494,6 +494,21 @@ object Queries {
     "q40_media_features" -> ((s, dir) => {
       val media = MultiModal.fromText(s, t(s, dir, "documents"), "doc_id", "text")
       MultiModal.extractFeatures(media).toDF().orderBy(col("media_id"))
+    }),
+
+    // Custom whole-operator path: top-2 lineitems per order by price via the
+    // engine's TopKPerKeyPlan/Strategy/Exec (bounded per-partition heaps →
+    // survivors-only shuffle; no full sort, no window). Total order via the
+    // (price DESC, linenumber ASC) tiebreak.
+    "q45_topk_per_key" -> ((s, dir) => {
+      graft.plans.TopKPerKey(t(s, dir, "lineitem"),
+        Seq(col("l_orderkey")),
+        Seq(col("l_extendedprice").desc, col("l_linenumber").asc), 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        // l_linenumber is NOT unique within an order in this corpus — the
+        // price column makes the output order total (oracle-compare is
+        // positional)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
     })
   )
 
@@ -562,6 +577,14 @@ object Queries {
   val oracles: Map[String, String] = Map(
 
     "q38_lsh_ann" -> q38Oracle,
+
+    "q45_topk_per_key" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY l_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber) <= 2
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
 
     "q41_geo_reproject" ->
       """WITH pts AS (

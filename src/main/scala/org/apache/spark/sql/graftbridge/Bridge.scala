@@ -14,6 +14,22 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column → catalyst conversion. `expression` returns a lazy
+    * `ColumnNodeExpression` wrapper whose payload is the non-serializable
+    * internal column AST — fine inside Dataset operators (the analyzer
+    * unwraps it) but fatal when a custom physical operator captures the
+    * expression in a task closure. This resolves to the real catalyst tree
+    * immediately.
+    */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** DataFrame from a custom LogicalPlan (`Dataset.ofRows` is private[sql]). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a function on an ALREADY-RUNNING session (the
     * `spark.sql.extensions` config only applies at session construction;
     * `sessionState` is private[sql], hence this shim).
