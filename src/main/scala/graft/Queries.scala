@@ -496,6 +496,15 @@ object Queries {
       MultiModal.extractFeatures(media).toDF().orderBy(col("media_id"))
     }),
 
+    // Dedup (near): embedding-cosine near-dup pairs, LSH-bucketed candidates
+    // + exact cosine threshold (oracle replays planes/buckets/cosine).
+    "q46_cosine_dedup" -> ((s, dir) => {
+      Dedup.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.30, numPlanes = 6)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Custom whole-operator path: top-2 lineitems per order by price via the
     // engine's TopKPerKeyPlan/Strategy/Exec (bounded per-partition heaps →
     // survivors-only shuffle; no full sort, no window). Total order via the
@@ -522,11 +531,18 @@ object Queries {
     * signature, query signature, 1-bit/2-bit probe enumeration, the
     * data-dependent escalation tier, and the exact top-k — independently.
     */
-  private def q38Oracle: String = {
-    val planes = graft.functions.VectorFunctions.seededPlanes(12, 64, 42L)
-    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+  /** Seeded hyperplanes as DuckDB VALUES literals — the same constants the
+    * Spark plans embed, so oracles replay signatures independently.
+    */
+  private def planeValuesSql(numPlanes: Int): String = {
+    val planes = graft.functions.VectorFunctions.seededPlanes(numPlanes, 64, 42L)
+    planes.zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n")
+  }
+
+  private def q38Oracle: String = {
+    val planeRows = planeValuesSql(12)
     s"""WITH c AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
        |), planes(i, p) AS (VALUES
@@ -577,6 +593,31 @@ object Queries {
   val oracles: Map[String, String] = Map(
 
     "q38_lsh_ann" -> q38Oracle,
+
+    "q46_cosine_dedup" -> {
+      val planeRows = planeValuesSql(6)
+      s"""WITH c AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), planes(i, p) AS (VALUES
+         |$planeRows
+         |), sig AS (
+         |  SELECT c.vec_id,
+         |    SUM(CASE WHEN list_inner_product(c.v, pl.p) >= 0 THEN (CAST(1 AS BIGINT) << pl.i) ELSE 0 END) AS sig
+         |  FROM c CROSS JOIN planes pl GROUP BY c.vec_id
+         |), j AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CASE WHEN sqrt(list_inner_product(ca.v, ca.v)) * sqrt(list_inner_product(cb.v, cb.v)) > 0
+         |      THEN list_inner_product(ca.v, cb.v)
+         |        / (sqrt(list_inner_product(ca.v, ca.v)) * sqrt(list_inner_product(cb.v, cb.v)))
+         |      ELSE CAST(0.0 AS DOUBLE) END AS cos
+         |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |  JOIN c ca ON ca.vec_id = a.vec_id
+         |  JOIN c cb ON cb.vec_id = b.vec_id
+         |)
+         |SELECT id_a, id_b, round(cos, 6) AS cosine FROM j
+         |WHERE cos >= 0.30
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q45_topk_per_key" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice

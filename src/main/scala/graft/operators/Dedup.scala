@@ -182,6 +182,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Embedding-cosine near-dup pairs, LSH-bucketed: vectors sharing a
+    * random-hyperplane signature are candidates; exact cosine then filters
+    * to `threshold`. The bucket equi-join is what keeps this viable at
+    * corpus scale — candidates ≈ Σ per-bucket n², never the full n² — at
+    * the standard ANN-recall tradeoff (a near-dup pair split across
+    * buckets is missed; more planes ⇒ fewer candidates and lower recall).
+    * At 100 TB the signature is a stored column ([[Similarity.withLshBucket]]
+    * at ingest) and this reduces to one shuffle on `lsh_bucket`.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, numPlanes: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    val bucketed = Similarity.withLshBucket(df, vecCol, numPlanes, dim, seed)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket"))
+    val a = bucketed.select(col("lsh_bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("lsh_bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("lsh_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** N-gram Jaccard similarity for explicit candidate pairs (pairs given by
     * a join condition the caller controls — e.g. same-source blocking).
     */

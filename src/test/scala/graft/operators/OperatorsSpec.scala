@@ -152,6 +152,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() == 1)
   }
 
+  test("cosineNearDupPairs: near-identical vectors pair up, orthogonal don't") {
+    val v1 = Seq(1.0f, 0.0f, 0.0f, 0.1f)
+    val v2 = Seq(0.99f, 0.01f, 0.0f, 0.1f)  // cosine ≈ 1 with v1, same bucket
+    val v3 = Seq(0.0f, 1.0f, 0.0f, 0.0f)    // orthogonal to both
+    val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("id", "vec")
+    val pairs = Dedup.cosineNearDupPairs(df, "id", "vec", dim = 4,
+      threshold = 0.95, numPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("ngramJaccard: identical 1.0, disjoint 0.0") {
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("a", "b")
       .select(Dedup.ngramJaccard(col("a"), col("b"), 2).as("j"))
