@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
 
 /** Structured Streaming mappings for the reference's batch-simulated
@@ -42,6 +42,66 @@ object Incremental {
       keys: Seq[String]): DataFrame =
     stream.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** One input event for [[sessionize]]: `ts` is the event-time column the
+    * caller's watermark is declared on (kept as a Timestamp so the
+    * watermark metadata survives into the typed Dataset).
+    */
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** One closed session. */
+  final case class UserSession(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long, total_value: Double)
+
+  /** Internal per-key accumulator (public: the state Encoder's generated
+    * code must reach its accessors).
+    */
+  final case class SessionAcc(start: Long, end: Long, n: Long, total: Double)
+
+  /** Custom keyed state via `flatMapGroupsWithState`: inactivity-gap
+    * sessionization of a user event stream — the state shape the built-in
+    * windowed aggregates can't express (a session's length is data-driven,
+    * not clock-aligned). State per key is one fixed-size accumulator;
+    * event-time timeout (watermark + `gapMs` past the last event) both
+    * CLOSES the session and frees the state, so memory is bounded by
+    * concurrently-active users — the property that keeps this alive on an
+    * unbounded stream.
+    *
+    * Input must already carry a watermark on the event-time column backing
+    * `ts_ms` (see the spec for the wiring).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(user, s.start, s.end, s.n, s.total))
+          } else {
+            // events within a micro-batch are not ordered — fold min/max
+            val closed = scala.collection.mutable.ListBuffer.empty[UserSession]
+            var acc = state.getOption.orNull
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              acc match {
+                case null =>
+                  acc = SessionAcc(t, t, 1L, e.value)
+                case a if t - a.end > gapMs =>
+                  closed += UserSession(user, a.start, a.end, a.n, a.total)
+                  acc = SessionAcc(t, t, 1L, e.value)
+                case a =>
+                  acc = SessionAcc(a.start, math.max(a.end, t), a.n + 1, a.total + e.value)
+              }
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.end + gapMs)
+            closed.iterator
+          }
+      }
+  }
 
   /** Idempotent micro-batch sink: each batch lands via dynamic partition
     * overwrite keyed by the batch's dates — re-processing a batch replaces

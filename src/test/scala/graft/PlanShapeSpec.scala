@@ -67,4 +67,18 @@ class PlanShapeSpec extends SparkSpec {
       assert(side.output.map(_.name).forall(n => !n.contains("sh")),
         side.output.map(_.name).mkString(","))
   }
+
+  test("q46 cosine dedup joins on the bucket key (no cartesian product)") {
+    val plan = planOf(q("q46_cosine_dedup"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("lsh_bucket"), plan)
+  }
+
+  test("q45 custom operator: no Sort/Window, survivors-only exchange") {
+    val plan = planOf(q("q45_topk_per_key"))
+    assert(plan.contains("TopKPerKeyPartial"), plan)
+    assert(plan.contains("TopKPerKeyFinal"), plan)
+    assert(!plan.contains("WindowExec"), plan)
+  }
 }

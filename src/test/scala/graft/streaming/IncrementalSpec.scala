@@ -68,4 +68,40 @@ class IncrementalSpec extends SparkSpec {
     assert(back.count() == 2)
     assert(back.select("data_particao").distinct().count() == 2)
   }
+
+  test("sessionize: inactivity gap closes sessions via event-time timeout state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+      .as[Incremental.SessionEvent]
+    val sessions = Incremental.sessionize(events, gapMs = 10 * 60 * 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two bursts 30 min apart (two sessions); user 2: one event
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:05:00"), 2.0),
+        (1L, ts("2024-01-01 10:35:00"), 4.0),
+        (2L, ts("2024-01-01 10:01:00"), 8.0))
+      q.processAllAvailable()
+      // advance the watermark far past every open session's gap so the
+      // event-time timeouts fire and the remaining sessions close
+      input.addData((99L, ts("2024-01-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData((99L, ts("2024-01-01 14:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+        .toSet
+      val t0 = ts("2024-01-01 10:00:00").getTime
+      val t3 = ts("2024-01-01 10:35:00").getTime
+      val t2 = ts("2024-01-01 10:01:00").getTime
+      assert(got.contains((1L, t0, 2L, 3.0)))   // first burst: 2 events, sum 3
+      assert(got.contains((1L, t3, 1L, 4.0)))   // second burst
+      assert(got.contains((2L, t2, 1L, 8.0)))
+    } finally q.stop()
+  }
 }
