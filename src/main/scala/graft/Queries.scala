@@ -366,10 +366,14 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
-    // Dedup (near): MinHash+LSH banded candidate pairs (not SQL-expressible:
-    // xxhash64 signatures — driver records a rows-only check).
+    // Dedup (near): MinHash+LSH banded candidate pairs in PORTABLE hash
+    // mode — every hash md5-derived, so the DuckDB oracle replays the whole
+    // shingle→signature→band→bucket→Jaccard pipeline bit-for-bit. The
+    // xxhash64 fast path stays the production default
+    // (Dedup.minHashCandidatePairs, spec-pinned).
     "q33_minhash_pairs" -> ((s, dir) => {
-      Dedup.minHashCandidatePairs(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.minHashCandidatePairsPortable(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -541,6 +545,55 @@ object Queries {
     }.mkString(",\n")
   }
 
+  /** q33's oracle: replays the PORTABLE MinHash+LSH pipeline —
+    * normalize→tokenize→shingle→md5-derived 60-bit hashes→k min-remixes→
+    * band buckets→candidate join→exact Jaccard — entirely in DuckDB SQL.
+    * Every hash is `int(md5(s)[0:15], 16)`, the one primitive both engines
+    * share bit-for-bit (Spark `conv(substring(md5,1,15),16,10)`, DuckDB
+    * `CAST('0x'||substr(md5,1,15) AS BIGINT)`).
+    */
+  private def q33Oracle: String = {
+    val numHashes = 16; val bands = 4; val rpb = numHashes / bands
+    def h60(e: String) = s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+    val mins = (0 until numHashes).map(i =>
+      s"    min(${h60(s"CAST(h AS VARCHAR) || '_$i'")}) AS m$i").mkString(",\n")
+    val sigArr = (0 until numHashes).map(i => s"m$i").mkString("[", ", ", "]")
+    s"""WITH toked AS (
+       |  SELECT doc_id AS id,
+       |    regexp_extract_all(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\S+') AS toks
+       |  FROM documents
+       |), base AS (
+       |  SELECT id,
+       |    list_distinct(list_transform(range(len(toks)-2),
+       |      i -> array_to_string(toks[i+1:i+3], ' '))) AS shingles
+       |  FROM toked WHERE len(toks) >= 3
+       |), ex AS (
+       |  SELECT id, ${h60("s")} AS h
+       |  FROM (SELECT id, unnest(shingles) AS s FROM base)
+       |), mins AS (
+       |  SELECT id,
+       |$mins
+       |  FROM ex GROUP BY id
+       |), siga AS (
+       |  SELECT id, $sigArr AS sig FROM mins
+       |), banded AS (
+       |  SELECT id, b.band,
+       |    ${h60(s"array_to_string(list_transform(sig[b.band*$rpb+1:b.band*$rpb+$rpb], x -> CAST(x AS VARCHAR)), ',')")} AS bucket
+       |  FROM siga, (SELECT unnest(range($bands)) AS band) b
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+       |  FROM banded a JOIN banded b2
+       |    ON a.band = b2.band AND a.bucket = b2.bucket AND a.id < b2.id
+       |)
+       |SELECT c.id_a, c.id_b,
+       |  round(CAST(len(list_intersect(ba.shingles, bb.shingles)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(ba.shingles, bb.shingles))) AS DOUBLE), 6) AS jaccard
+       |FROM cand c
+       |JOIN base ba ON ba.id = c.id_a
+       |JOIN base bb ON bb.id = c.id_b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private def q38Oracle: String = {
     val planeRows = planeValuesSql(12)
     s"""WITH c AS (
@@ -593,6 +646,8 @@ object Queries {
   val oracles: Map[String, String] = Map(
 
     "q38_lsh_ann" -> q38Oracle,
+
+    "q33_minhash_pairs" -> q33Oracle,
 
     "q46_cosine_dedup" -> {
       val planeRows = planeValuesSql(6)

@@ -36,7 +36,12 @@ object Verify {
     // can still be oracle-checked instead of zeroing the whole round
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     var failed = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional comma-separated filter (same contract as Bench) for fast
+    // single-query iteration against tools/check_oracle.py
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       System.gc() // see Bench.scala — expunge stale ThreadLocals between queries
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -182,6 +182,60 @@ object Dedup {
       .distinct()
   }
 
+  /** Portable (cross-engine-reproducible) MinHash+LSH candidate pairs: the
+    * same shingle→signature→band→bucket→Jaccard pipeline as
+    * [[minHashCandidatePairs]], but every hash is derived from md5 — the
+    * one 64-bit-capable hash primitive shared verbatim by Spark, DuckDB,
+    * and most engines — so an external system can replay the whole
+    * pipeline bit-for-bit (the oracle for q33 does exactly that).
+    * h(s) = first 15 md5 hex chars as a 60-bit integer; family-i remix
+    * rehashes the decimal string of h. Signatures via explode + k min
+    * aggregates: fully codegen'd, map-side combinable, no HOF lambdas.
+    * ~3× the hashing cost of the xxhash64 fast path — use that one when
+    * cross-engine replay isn't needed.
+    */
+  def minHashCandidatePairsPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    def md5h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val toked = df.select(col(idCol).as("id"),
+      TextFunctions.tokens(TextFunctions.normalized(col(textCol))).as("toks"))
+      .filter(size(col("toks")) >= shingleN)
+    val base = toked.select(col("id"),
+      TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("shingles"))
+      .persist()
+    // one row per (doc, shingle); h computed once, k remixes as codegen'd
+    // column exprs inside a single hash aggregate (explode+agg — the same
+    // shape as simHashSignatures, no interpreted lambdas)
+    val exploded = base.select(col("id"), explode(col("shingles")).as("s"))
+      .select(col("id"), md5h60(col("s")).as("h"))
+    val mins = (0 until numHashes).map(i =>
+      min(md5h60(concat(col("h").cast("string"), lit("_"), lit(i)))).as(s"m$i"))
+    val sig = exploded.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        md5h60(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
+      }: _*)).as(Seq("band", "bucket")))
+    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+  }
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed: vectors sharing a
     * random-hyperplane signature are candidates; exact cosine then filters
     * to `threshold`. The bucket equi-join is what keeps this viable at

@@ -144,6 +144,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("portable minHash agrees with the fast path on pair recall") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok30", "changed")
+    val far = (1 to 60).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashCandidatePairsPortable(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.8 })
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
   test("simHash near-dups found within hamming budget") {
     val base = (1 to 80).map(i => s"tok$i").mkString(" ")
     val nearDup = base + " extra"
