@@ -377,12 +377,14 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Dedup (near): SimHash chunked near-dup pairs (rows-only). maxHamming=3
-    // is the textbook near-dup radius — 4 chunks of 16 bits keep the
-    // candidate join selective; wider radii are supported but chunk width
-    // shrinks and collisions grow accordingly.
+    // Dedup (near): SimHash chunked near-dup pairs in PORTABLE hash mode
+    // (md5-derived 60-bit token hashes — the DuckDB oracle replays votes,
+    // signature collapse, chunk candidates, and hamming filter exactly).
+    // maxHamming=3 is the textbook near-dup radius — 4 chunks of 15 bits
+    // keep the candidate join selective. The xxhash64 64-bit fast path
+    // stays the production default (Dedup.simHashNearDups, spec-pinned).
     "q34_simhash_pairs" -> ((s, dir) => {
-      Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      Dedup.simHashNearDupsPortable(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -594,6 +596,53 @@ object Queries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q34's oracle: replays the PORTABLE SimHash pipeline — distinct tokens →
+    * md5-derived 60-bit hashes → per-bit ±1 votes → sign collapse → 15-bit
+    * chunk candidate join → hamming ≤ 3 — in DuckDB SQL (same bit ops,
+    * verified sign/shift semantics).
+    */
+  private def q34Oracle: String = {
+    val bits = 60; val maxHamming = 3
+    val numChunks = maxHamming + 1; val baseBits = bits / numChunks
+    def h60(e: String) = s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+    val bitSums = (0 until bits).map(b =>
+      s"    sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n")
+    val simExpr = (0 until bits).map(b =>
+      s"(CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+      .grouped(6).map(_.mkString(" + ")).mkString("\n    + ")
+    val keyCases = (0 until numChunks).map { i =>
+      val lo = i * baseBits
+      val width = if (i == numChunks - 1) bits - lo else baseBits
+      val mask = (1L << width) - 1L
+      s"WHEN $i THEN (sim >> $lo) & CAST($mask AS BIGINT)"
+    }.mkString(" ")
+    s"""WITH toked AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct(regexp_extract_all(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\S+')) AS toks
+       |  FROM documents
+       |), ex AS (
+       |  SELECT id, ${h60("t")} AS h
+       |  FROM (SELECT id, unnest(toks) AS t FROM toked)
+       |), votes AS (
+       |  SELECT id,
+       |$bitSums
+       |  FROM ex GROUP BY id
+       |), sims AS (
+       |  SELECT id, $simExpr AS sim
+       |  FROM votes
+       |), chunked AS (
+       |  SELECT id, sim, c.chunk,
+       |    CASE c.chunk $keyCases END AS key
+       |  FROM sims, (SELECT unnest(range($numChunks)) AS chunk) c
+       |)
+       |SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+       |  bit_count(xor(a.sim, b2.sim)) AS hamming
+       |FROM chunked a JOIN chunked b2
+       |  ON a.chunk = b2.chunk AND a.key = b2.key AND a.id < b2.id
+       |WHERE bit_count(xor(a.sim, b2.sim)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private def q38Oracle: String = {
     val planeRows = planeValuesSql(12)
     s"""WITH c AS (
@@ -648,6 +697,8 @@ object Queries {
     "q38_lsh_ann" -> q38Oracle,
 
     "q33_minhash_pairs" -> q33Oracle,
+
+    "q34_simhash_pairs" -> q34Oracle,
 
     "q46_cosine_dedup" -> {
       val planeRows = planeValuesSql(6)

@@ -13,6 +13,14 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Portable 60-bit hash: first 15 md5 hex chars as an integer. The one
+    * hash construction Spark, DuckDB, and most engines reproduce
+    * bit-for-bit — the foundation of the `*Portable` dedup variants whose
+    * oracles replay the pipeline in another engine.
+    */
+  private def md5h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Latest record per key — the reference's `sort_values` +
     * `drop_duplicates(keep="last")` (reference:
     * pipelines/datalake/migrate/bq_to_subpav/utils.py:298-313,337-352).
@@ -124,17 +132,31 @@ object Dedup {
     * CPU-bound and interpreter-bound at corpus scale. Documents with no
     * tokens drop out (they have no signature to compare).
     */
-  def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashCore(df, idCol, textCol, xxhash64(_), 64)
+
+  /** Portable SimHash: identical vote/collapse algorithm but token hashes are
+    * md5-derived 60-bit values ([[md5h60]]) and only bits 0–59 carry signal,
+    * so any engine with md5 (the q34 DuckDB oracle) replays signatures
+    * bit-for-bit. Hamming semantics are unchanged — the four always-zero top
+    * bits never differ.
+    */
+  def simHashSignaturesPortable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashCore(df, idCol, textCol, md5h60, 60)
+
+  private def simHashCore(
+      df: DataFrame, idCol: String, textCol: String,
+      hashFn: Column => Column, bits: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       array_distinct(TextFunctions.tokens(TextFunctions.normalized(col(textCol)))).as("toks"))
     val hashes = toks.select(col("id"), explode(col("toks")).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map(b =>
+      .select(col("id"), hashFn(col("t")).as("h"))
+    val bitSums = (0 until bits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$b"))
     hashes.groupBy(col("id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        (0 until bits).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("sim"))
   }
 
@@ -145,23 +167,35 @@ object Dedup {
     * hamming ≤ 3 and silently loses pairs beyond that).
     */
   def simHashNearDups(
-      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
+    simHashNearDupsFrom(simHashSignatures(df, idCol, textCol), maxHamming, 64)
+
+  /** [[simHashNearDups]] over the portable md5-derived signatures (60
+    * signal bits — see [[simHashSignaturesPortable]]); replayable by the
+    * q34 DuckDB oracle.
+    */
+  def simHashNearDupsPortable(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
+    simHashNearDupsFrom(simHashSignaturesPortable(df, idCol, textCol), maxHamming, 60)
+
+  private def simHashNearDupsFrom(
+      sims: DataFrame, maxHamming: Int, bits: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       "maxHamming must be in [0, 32) — beyond that the chunks stop pruning")
     val numChunks = maxHamming + 1
-    val baseBits = 64 / numChunks
+    val baseBits = bits / numChunks
     // chunk i covers [i*baseBits, next) with the last chunk absorbing the
     // remainder — every bit belongs to exactly one chunk
     val chunkRanges = (0 until numChunks).map { i =>
       val lo = i * baseBits
-      val hi = if (i == numChunks - 1) 64 else (i + 1) * baseBits
+      val hi = if (i == numChunks - 1) bits else (i + 1) * baseBits
       (lo, hi - lo)
     }
     // one row per doc, two longs wide — persisted so the a/b self-join does
     // not run the explode + 64-sum signature aggregation twice (no exchange
     // reuse across the differing chunk projections). Tiny even at corpus
     // scale; ContextCleaner drops it with the plan.
-    val withSim = simHashSignatures(df, idCol, textCol).persist()
+    val withSim = sims.persist()
     val chunked = withSim.select(col("id"), col("sim"),
       posexplode(array(chunkRanges.map { case (lo, width) =>
         val mask = if (width >= 64) -1L else (1L << width) - 1L
@@ -199,8 +233,6 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    def md5h60(c: Column): Column =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     val toked = df.select(col(idCol).as("id"),
       TextFunctions.tokens(TextFunctions.normalized(col(textCol))).as("toks"))
       .filter(size(col("toks")) >= shingleN)

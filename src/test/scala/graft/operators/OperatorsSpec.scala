@@ -163,6 +163,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() == 1)
   }
 
+  test("portable simHash finds near-dups within hamming budget") {
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val nearDup = base + " extra"
+    val df = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDupsPortable(df, "doc_id", "text", maxHamming = 8)
+    assert(pairs.count() == 1)
+    // portable signatures only carry 60 signal bits
+    val sims = Dedup.simHashSignaturesPortable(df, "doc_id", "text")
+      .collect().map(_.getLong(1))
+    assert(sims.forall(s => (s >>> 60) == 0L))
+  }
+
   test("cosineNearDupPairs: near-identical vectors pair up, orthogonal don't") {
     val v1 = Seq(1.0f, 0.0f, 0.0f, 0.1f)
     val v2 = Seq(0.99f, 0.01f, 0.0f, 0.1f)  // cosine ≈ 1 with v1, same bucket
