@@ -495,8 +495,12 @@ object Queries {
         .orderBy(col("c_custkey"))
     }),
 
-    // Multimodal: binary payload → deterministic feature extraction
-    // (decode kernel stubbed; plumbing real — rows-only).
+    // Multimodal: binary payload → deterministic feature extraction.
+    // Decode kernel stubbed (no codec libs in-container) but the stub's
+    // features are md5-derived, so the DuckDB oracle replays byte_len,
+    // checksum, dimensions, and frame counts exactly; the Spark-side
+    // plumbing (binary schema, typed Dataset, mapPartitions batching) is
+    // the real scale path.
     "q40_media_features" -> ((s, dir) => {
       val media = MultiModal.fromText(s, t(s, dir, "documents"), "doc_id", "text")
       MultiModal.extractFeatures(media).toDF().orderBy(col("media_id"))
@@ -699,6 +703,22 @@ object Queries {
     "q33_minhash_pairs" -> q33Oracle,
 
     "q34_simhash_pairs" -> q34Oracle,
+
+    "q40_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents
+        |)
+        |SELECT media_id, modality, byte_len, h AS checksum,
+        |  CAST(16 + (h % 1024) AS INTEGER) AS width,
+        |  CAST(16 + ((h // 7) % 1024) AS INTEGER) AS height,
+        |  CAST(CASE WHEN modality = 'video' THEN 1 + ((h // 13) % 300)
+        |       ELSE 1 END AS INTEGER) AS n_frames
+        |FROM b ORDER BY media_id""".stripMargin,
 
     "q46_cosine_dedup" -> {
       val planeRows = planeValuesSql(6)

@@ -29,20 +29,23 @@ object MultiModal {
   /** STUB decode: a real implementation would decode the media and emit
     * true dimensions / frame counts. This derives them deterministically
     * from the payload so the pipeline shape (schema, batching,
-    * partitioning) is testable without codec libraries.
+    * partitioning) is testable without codec libraries. The checksum is the
+    * PORTABLE 60-bit md5 prefix (first 15 hex chars as an integer, always
+    * non-negative) so external engines can replay every derived feature —
+    * the q40 DuckDB oracle does exactly that.
     */
   def decodeStub(r: MediaRow): MediaFeatures = {
-    var h = 1125899906842597L // deterministic FNV-ish rolling checksum
-    var i = 0
-    while (i < r.content.length) { h = 31 * h + r.content(i); i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(r.content).map(b => f"$b%02x").mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
     MediaFeatures(
       media_id = r.media_id,
       modality = r.modality,
       byte_len = r.content.length.toLong,
       checksum = h,
-      width = 16 + (math.abs(h) % 1024).toInt,
-      height = 16 + (math.abs(h / 7) % 1024).toInt,
-      n_frames = if (r.modality == "video") 1 + (math.abs(h / 13) % 300).toInt else 1)
+      width = 16 + (h % 1024).toInt,
+      height = 16 + (h / 7 % 1024).toInt,
+      n_frames = if (r.modality == "video") 1 + (h / 13 % 300).toInt else 1)
   }
 
   /** Batch feature extraction: partition-preserving mapPartitions (the
