@@ -560,9 +560,10 @@ object Queries {
     */
   private def q33Oracle: String = {
     val numHashes = 16; val bands = 4; val rpb = numHashes / bands
+    val p = Dedup.minHashP
     def h60(e: String) = s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
-    val mins = (0 until numHashes).map(i =>
-      s"    min(${h60(s"CAST(h AS VARCHAR) || '_$i'")}) AS m$i").mkString(",\n")
+    val mins = Dedup.minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      s"    min((h * $a + $b) % $p) AS m$i" }.mkString(",\n")
     val sigArr = (0 until numHashes).map(i => s"m$i").mkString("[", ", ", "]")
     s"""WITH toked AS (
        |  SELECT doc_id AS id,
@@ -574,7 +575,7 @@ object Queries {
        |      i -> array_to_string(toks[i+1:i+3], ' '))) AS shingles
        |  FROM toked WHERE len(toks) >= 3
        |), ex AS (
-       |  SELECT id, ${h60("s")} AS h
+       |  SELECT id, ${h60("s")} % $p AS h
        |  FROM (SELECT id, unnest(shingles) AS s FROM base)
        |), mins AS (
        |  SELECT id,

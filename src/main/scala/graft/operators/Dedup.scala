@@ -216,36 +216,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Mersenne prime modulus for the portable MinHash's universal-hash
+    * family — products stay under 2^62, so BIGINT math is exact in every
+    * engine.
+    */
+  val minHashP: Long = 2147483647L
+
+  /** Deterministic affine coefficients (a_i, b_i) for the portable MinHash
+    * remix family h_i(x) = (a_i·x + b_i) mod [[minHashP]]. Seeded — query
+    * plans and oracle SQL embed the SAME literals.
+    */
+  def minHashCoeffs(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((1L + math.abs(rnd.nextLong() % (minHashP - 1)),
+      math.abs(rnd.nextLong() % minHashP)))
+  }
+
   /** Portable (cross-engine-reproducible) MinHash+LSH candidate pairs: the
     * same shingle→signature→band→bucket→Jaccard pipeline as
-    * [[minHashCandidatePairs]], but every hash is derived from md5 — the
-    * one 64-bit-capable hash primitive shared verbatim by Spark, DuckDB,
-    * and most engines — so an external system can replay the whole
-    * pipeline bit-for-bit (the oracle for q33 does exactly that).
-    * h(s) = first 15 md5 hex chars as a 60-bit integer; family-i remix
-    * rehashes the decimal string of h. Signatures via explode + k min
-    * aggregates: fully codegen'd, map-side combinable, no HOF lambdas.
-    * ~3× the hashing cost of the xxhash64 fast path — use that one when
-    * cross-engine replay isn't needed.
+    * [[minHashCandidatePairs]], but replayable bit-for-bit by any engine
+    * with md5 and 64-bit integers (the q33 DuckDB oracle does exactly that):
+    * base hash = first 15 md5 hex chars of the shingle as a 60-bit integer
+    * ([[md5h60]], ONE md5 per shingle), then the k families are affine
+    * universal-hash remixes (a_i·h + b_i) mod 2^31-1 — pure codegen'd
+    * integer ops, exact in BIGINT. Signatures via explode + k min
+    * aggregates: map-side combinable, no HOF lambdas. Only the per-shingle
+    * md5 separates this from the xxhash64 fast path's cost.
     */
   def minHashCandidatePairsPortable(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    val coeffs = minHashCoeffs(numHashes)
     val toked = df.select(col(idCol).as("id"),
       TextFunctions.tokens(TextFunctions.normalized(col(textCol))).as("toks"))
       .filter(size(col("toks")) >= shingleN)
     val base = toked.select(col("id"),
       TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("shingles"))
       .persist()
-    // one row per (doc, shingle); h computed once, k remixes as codegen'd
-    // column exprs inside a single hash aggregate (explode+agg — the same
+    // one row per (doc, shingle); md5 computed once, k remixes as codegen'd
+    // integer exprs inside a single hash aggregate (explode+agg — the same
     // shape as simHashSignatures, no interpreted lambdas)
     val exploded = base.select(col("id"), explode(col("shingles")).as("s"))
-      .select(col("id"), md5h60(col("s")).as("h"))
-    val mins = (0 until numHashes).map(i =>
-      min(md5h60(concat(col("h").cast("string"), lit("_"), lit(i)))).as(s"m$i"))
+      .select(col("id"), (md5h60(col("s")) % minHashP).as("h"))
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % minHashP).as(s"m$i") }
     val sig = exploded.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
