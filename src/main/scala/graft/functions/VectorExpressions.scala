@@ -121,6 +121,61 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Portable 60-bit md5 hash of every string element: first 60 bits of the
+    * digest as a non-negative long — value-identical to
+    * `conv(substring(md5(s),1,15),16,10)` (15 hex chars = first 7.5 bytes =
+    * big-endian first-8-bytes >>> 4). One MessageDigest per CALL, reused
+    * across elements. Null element → null hash.
+    */
+  def arrayMd5H60(arr: ArrayData): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (d(j) & 0xFFL); j += 1 }
+        out(i) = h >>> 4
+      }
+      md.reset()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** SimHash from pre-hashed tokens: per bit b in [0, bits), sum ±1 votes of
+    * (h >> b) & 1 across the array, then set bit b iff the sum is positive.
+    * Parity with the explode + per-bit conditional-sum aggregation shape
+    * (null hash votes −1 on every bit, exactly like `when(bit===1,1)
+    * .otherwise(-1)` under a null hash); empty array → 0 signature — callers
+    * drop empty docs to match the explode path, where they vanish.
+    */
+  def simHashFromHashes(h: ArrayData, bits: Int): Long = {
+    if (h == null) return 0L
+    val n = h.numElements()
+    val votes = new Array[Int](bits)
+    var j = 0
+    while (j < n) {
+      val hv = if (h.isNullAt(j)) 0L else h.getLong(j)
+      var b = 0
+      while (b < bits) {
+        if (((hv >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
   private[functions] def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -230,6 +285,51 @@ case class MinHashFromHashes(child: Expression, k: Int) extends UnaryExpression 
   override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =
     copy(child = newChild)
   override def prettyName: String = "minhash"
+}
+
+/** `array_md5h60(arr)` — portable 60-bit md5 prefix of every string element
+  * (see [[VectorKernels.arrayMd5H60]]); the hash any md5-capable engine
+  * replays, feeding the portable SimHash/MinHash paths.
+  */
+case class ArrayMd5H60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.arrayMd5H60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.arrayMd5H60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayMd5H60 =
+    copy(child = newChild)
+  override def prettyName: String = "array_md5h60"
+}
+
+/** `simhash(hashes, bits)` — SimHash signature from pre-hashed tokens in one
+  * fused vote loop per row: replaces the explode + bits-wide conditional-sum
+  * aggregation (and its shuffle) with a narrow per-row computation.
+  */
+case class SimHashFromHashes(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val h = child.eval(input)
+    VectorKernels.simHashFromHashes(h.asInstanceOf[ArrayData], bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${hGen.code}
+      boolean ${ev.isNull} = false;
+      long ${ev.value} = graft.functions.VectorKernels.simHashFromHashes(
+        ${hGen.isNull} ? null : ${hGen.value}, $bits);""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashFromHashes =
+    copy(child = newChild)
+  override def prettyName: String = "simhash"
 }
 
 /** `array_xxhash64(arr)` — xxhash64 (seed 42) of every string element. */

@@ -84,6 +84,25 @@ object VectorFunctions {
     Bridge.column(ArrayXxHash64(Bridge.expression(arr)))
   }
 
+  /** Portable 60-bit md5 prefix of every string element ([[ArrayMd5H60]],
+    * codegen'd; value-identical to `conv(substring(md5(s),1,15),16,10)` per
+    * element) — the cross-engine-replayable sibling of
+    * [[stringArrayHashes]].
+    */
+  def stringArrayMd5H60(arr: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(ArrayMd5H60(Bridge.expression(arr)))
+  }
+
+  /** SimHash signature from a pre-hashed token array in one fused per-row
+    * vote loop ([[SimHashFromHashes]]) — no explode, no aggregation, no
+    * shuffle.
+    */
+  def simHashFromHashes(hashes: Column, bits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(SimHashFromHashes(Bridge.expression(hashes), bits))
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed → reproducible
     * plans and signatures across runs and engines).
     */

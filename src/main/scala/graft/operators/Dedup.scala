@@ -133,32 +133,35 @@ object Dedup {
     * tokens drop out (they have no signature to compare).
     */
   def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    simHashCore(df, idCol, textCol, xxhash64(_), 64)
+    simHashCore(df, idCol, textCol,
+      graft.functions.VectorFunctions.stringArrayHashes, 64)
 
   /** Portable SimHash: identical vote/collapse algorithm but token hashes are
-    * md5-derived 60-bit values ([[md5h60]]) and only bits 0–59 carry signal,
-    * so any engine with md5 (the q34 DuckDB oracle) replays signatures
-    * bit-for-bit. Hamming semantics are unchanged — the four always-zero top
-    * bits never differ.
+    * md5-derived 60-bit values ([[md5h60]] per element) and only bits 0–59
+    * carry signal, so any engine with md5 (the q34 DuckDB oracle) replays
+    * signatures bit-for-bit. Hamming semantics are unchanged — the four
+    * always-zero top bits never differ.
     */
   def simHashSignaturesPortable(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    simHashCore(df, idCol, textCol, md5h60, 60)
+    simHashCore(df, idCol, textCol,
+      graft.functions.VectorFunctions.stringArrayMd5H60, 60)
 
+  /** Narrow per-row signature: distinct tokens → hash array (one codegen'd
+    * pass) → fused ±1 vote loop ([[graft.functions.SimHashFromHashes]]).
+    * NO explode, NO `bits`-wide aggregation, NO shuffle — the signature is
+    * computed inside the scan's project, which is the shape that matters
+    * when the corpus is 100 TB: the only shuffle left in near-dup detection
+    * is the (id, sim) chunk-bucket join. Empty/blank docs are dropped (they
+    * have no signature to compare), matching the former explode semantics.
+    */
   private def simHashCore(
       df: DataFrame, idCol: String, textCol: String,
-      hashFn: Column => Column, bits: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+      hashArr: Column => Column, bits: Int): DataFrame =
+    df.select(col(idCol).as("id"),
       array_distinct(TextFunctions.tokens(TextFunctions.normalized(col(textCol)))).as("toks"))
-    val hashes = toks.select(col("id"), explode(col("toks")).as("t"))
-      .select(col("id"), hashFn(col("t")).as("h"))
-    val bitSums = (0 until bits).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$b"))
-    hashes.groupBy(col("id"))
-      .agg(bitSums.head, bitSums.tail: _*)
+      .filter(size(col("toks")) > 0)
       .select(col("id"),
-        (0 until bits).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("sim"))
-  }
+        graft.functions.VectorFunctions.simHashFromHashes(hashArr(col("toks")), bits).as("sim"))
 
   /** SimHash near-dup pairs within `maxHamming` bits, candidate-bounded by
     * chunk equality. Pigeonhole: a pair differing in ≤ maxHamming bits must

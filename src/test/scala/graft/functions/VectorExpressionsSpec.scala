@@ -89,6 +89,46 @@ class VectorExpressionsSpec extends SparkSpec {
     r.foreach(row => assert(row.getSeq[Long](0) == row.getSeq[Long](1)))
   }
 
+  test("arrayMd5H60 matches transform(arr, conv(substring(md5,1,15),16,10))") {
+    val df = Seq(
+      Seq("alpha beta", "gamma", ""),
+      Seq("ação coração"),
+      Seq.empty[String]
+    ).toDF("s")
+    val r = df.select(
+      VectorFunctions.stringArrayMd5H60(col("s")).as("fast"),
+      transform(col("s"),
+        x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")).as("hof")).collect()
+    r.foreach(row => assert(row.getSeq[Long](0) == row.getSeq[Long](1)))
+  }
+
+  test("simHashFromHashes matches the explode + per-bit vote aggregation") {
+    def aggSim(hashes: Seq[Long], bits: Int): Long = {
+      val votes = (0 until bits).map(b =>
+        hashes.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum)
+      (0 until bits).map(b => if (votes(b) > 0) 1L << b else 0L).reduce(_ | _)
+    }
+    val rows = Seq(
+      Seq(123456789L, -987654321L, 42L, Long.MaxValue, Long.MinValue),
+      Seq(7L))
+    val df = rows.toDF("h")
+    for (bits <- Seq(60, 64)) {
+      val fast = df.select(
+        VectorFunctions.simHashFromHashes(col("h"), bits)).collect().map(_.getLong(0))
+      assert(fast.toSeq == rows.map(aggSim(_, bits)))
+    }
+  }
+
+  test("simHash64 HOF form matches the kernel signature path") {
+    val df = Seq("the quick brown fox jumps", "over the lazy dog").toDF("text")
+    val hof = df.select(TextFunctions.simHash64(col("text"))).collect().map(_.getLong(0))
+    val kernel = df.select(VectorFunctions.simHashFromHashes(
+      VectorFunctions.stringArrayHashes(
+        array_distinct(TextFunctions.tokens(TextFunctions.normalized(col("text"))))),
+      64)).collect().map(_.getLong(0))
+    assert(hof.toSeq == kernel.toSeq)
+  }
+
   test("tokens: blank → empty, null → null, interior whitespace split") {
     val df = Seq(Some("  a  b\tc "), Some("   "), Some(""), None).toDF("t")
     val r = df.select(TextFunctions.tokens(col("t"))).collect()
