@@ -571,12 +571,14 @@ object Queries {
        |  FROM documents
        |), base AS (
        |  SELECT id,
-       |    list_distinct(list_transform(range(len(toks)-2),
-       |      i -> array_to_string(toks[i+1:i+3], ' '))) AS shingles
+       |    list_transform(
+       |      list_distinct(list_transform(range(len(toks)-2),
+       |        i -> array_to_string(toks[i+1:i+3], ' '))),
+       |      s -> ${h60("s")}) AS hs
        |  FROM toked WHERE len(toks) >= 3
        |), ex AS (
-       |  SELECT id, ${h60("s")} % $p AS h
-       |  FROM (SELECT id, unnest(shingles) AS s FROM base)
+       |  SELECT id, h0 % $p AS h
+       |  FROM (SELECT id, unnest(hs) AS h0 FROM base)
        |), mins AS (
        |  SELECT id,
        |$mins
@@ -593,8 +595,8 @@ object Queries {
        |    ON a.band = b2.band AND a.bucket = b2.bucket AND a.id < b2.id
        |)
        |SELECT c.id_a, c.id_b,
-       |  round(CAST(len(list_intersect(ba.shingles, bb.shingles)) AS DOUBLE)
-       |    / CAST(len(list_distinct(list_concat(ba.shingles, bb.shingles))) AS DOUBLE), 6) AS jaccard
+       |  round(CAST(len(list_intersect(ba.hs, bb.hs)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(ba.hs, bb.hs))) AS DOUBLE), 6) AS jaccard
        |FROM cand c
        |JOIN base ba ON ba.id = c.id_a
        |JOIN base bb ON bb.id = c.id_b

@@ -255,14 +255,21 @@ object Dedup {
     val toked = df.select(col(idCol).as("id"),
       TextFunctions.tokens(TextFunctions.normalized(col(textCol))).as("toks"))
       .filter(size(col("toks")) >= shingleN)
-    val base = toked.select(col("id"),
-      TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("shingles"))
+    // hashed shingle sets — ONE md5 per shingle (codegen'd array pass), and
+    // the only intermediate worth keeping: it feeds the signature path AND
+    // both sides of the candidate-Jaccard join, 4× slimmer than the shingle
+    // strings (same rationale as the fast path's `hashed`). Jaccard over
+    // hashed sets ≡ Jaccard over strings modulo md5 collisions — the same
+    // approximation MinHash itself rests on, and the oracle replays it.
+    val hashed = toked.select(col("id"),
+      graft.functions.VectorFunctions.stringArrayMd5H60(
+        TextFunctions.shinglesFromTokens(col("toks"), shingleN)).as("hs"))
       .persist()
-    // one row per (doc, shingle); md5 computed once, k remixes as codegen'd
-    // integer exprs inside a single hash aggregate (explode+agg — the same
-    // shape as simHashSignatures, no interpreted lambdas)
-    val exploded = base.select(col("id"), explode(col("shingles")).as("s"))
-      .select(col("id"), (md5h60(col("s")) % minHashP).as("h"))
+    // one row per (doc, shingle hash); k remixes as codegen'd integer exprs
+    // inside a single hash aggregate (explode+agg — the same shape as the
+    // fast path, no interpreted lambdas)
+    val exploded = hashed.select(col("id"), explode(col("hs")).as("h0"))
+      .select(col("id"), (col("h0") % minHashP).as("h"))
     val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % minHashP).as(s"m$i") }
     val sig = exploded.groupBy(col("id"))
@@ -280,8 +287,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
     candidates
-      .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .join(hashed.select(col("id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
