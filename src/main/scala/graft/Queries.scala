@@ -515,6 +515,39 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Text: PII redaction (anonymization scrub) — deterministic PII spans
+    // fabricated from doc_id, then redacted with typed markers; audit
+    // counts per pattern. The scrub a health-data pipeline runs before
+    // text leaves the secure zone.
+    "q47_pii_redact" -> ((s, dir) => {
+      val fabricated = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" Contato: "), functions.Cpf.format(
+            lpad(col("doc_id").cast("string"), 11, "0")),
+          lit(" user"), col("doc_id"), lit("@saude.rio.gov.br"),
+          lit(" (21) 9"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit("-"), lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")
+        ).as("text"))
+      val counts = TextFunctions.piiCounts(col("text"))
+      fabricated.select(
+          col("doc_id") +: counts.map { case (m, c) =>
+            c.as("n_" + m.substring(1, m.length - 1).toLowerCase) } :+
+            TextFunctions.redactPii(col("text")).as("redacted"): _*)
+        .select(col("doc_id"), col("n_cpf"), col("n_email"), col("n_phone"),
+          expr("right(redacted, 60)").as("tail"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified hash-sampling: urgent orders kept at 50%,
+    // the rest at 10%, reproducibly (same key → same verdict on any
+    // engine/partitioning — the discipline behind stable held-out splits).
+    "q48_hash_sample" -> ((s, dir) => {
+      val pct = when(col("o_orderpriority") === "1-URGENT", 50L).otherwise(10L)
+      Relational.hashSample(t(s, dir, "orders"), col("o_orderkey"), pct)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Custom whole-operator path: top-2 lineitems per order by price via the
     // engine's TopKPerKeyPlan/Strategy/Exec (bounded per-partition heaps →
     // survivors-only shuffle; no full sort, no window). Total order via the
@@ -706,6 +739,35 @@ object Queries {
     "q33_minhash_pairs" -> q33Oracle,
 
     "q34_simhash_pairs" -> q34Oracle,
+
+    "q47_pii_redact" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    text || ' Contato: '
+        |      || substr(lpad(CAST(doc_id AS VARCHAR), 11, '0'), 1, 3) || '.'
+        |      || substr(lpad(CAST(doc_id AS VARCHAR), 11, '0'), 4, 3) || '.'
+        |      || substr(lpad(CAST(doc_id AS VARCHAR), 11, '0'), 7, 3) || '-'
+        |      || substr(lpad(CAST(doc_id AS VARCHAR), 11, '0'), 10, 2)
+        |      || ' user' || CAST(doc_id AS VARCHAR) || '@saude.rio.gov.br'
+        |      || ' (21) 9' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\d{3}\.\d{3}\.\d{3}-\d{2}')) AS BIGINT) AS n_cpf,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\(\d{2}\)\s?\d{4,5}-\d{4}')) AS BIGINT) AS n_phone,
+        |  right(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '\d{3}\.\d{3}\.\d{3}-\d{2}', '[CPF]', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\(\d{2}\)\s?\d{4,5}-\d{4}', '[PHONE]', 'g'), 60) AS tail
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q48_hash_sample" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+        |  < CASE WHEN o_orderpriority = '1-URGENT' THEN 50 ELSE 10 END
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q40_media_features" ->
       """WITH b AS (

@@ -214,4 +214,30 @@ object TextFunctions {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** PII patterns for Brazilian health-pipeline text: formatted CPF,
+    * e-mail, and BR phone. Simple enough (character classes + bounded
+    * quantifiers) to behave identically under Java regex and RE2-style
+    * engines — a redaction a 100 TB corpus scrub must be able to replay
+    * anywhere.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "\\d{3}\\.\\d{3}\\.\\d{3}-\\d{2}" -> "[CPF]",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\(\\d{2}\\)\\s?\\d{4,5}-\\d{4}" -> "[PHONE]")
+
+  /** Redact PII spans with type markers — the anonymization pass a
+    * training-data pipeline runs before any text leaves the secure zone.
+    * Pure chained `regexp_replace` (codegen'd, no UDF).
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, marker)) =>
+      regexp_replace(c, pat, marker)
+    }
+
+  /** Count of PII matches per pattern type, for scrub auditing. */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (pat, marker) =>
+      marker -> size(regexp_extract_all(text, lit(pat), lit(0))).cast("bigint")
+    }
 }

@@ -162,4 +162,21 @@ object Relational {
     }
     sha2(concat_ws("|", encoded: _*), 256)
   }
+
+  /** Deterministic (hash-based) sampling: keep a row iff its key's portable
+    * 60-bit md5 bucket mod 100 falls under `percent` — which may be a
+    * per-row expression, giving STRATIFIED rates (e.g. downsample one
+    * source to 10% while keeping another at 50%) in the same single pass.
+    *
+    * Versus `df.sample()`: reproducible across runs, engines, and
+    * repartitioning (seeded `sample` is partition-order-dependent), and
+    * co-sampling holds — the same key draws the same verdict in every
+    * table, so sampled fact/dim joins stay consistent. This is the sampling
+    * discipline a training-data pipeline needs for stable held-out splits.
+    * Pure filter: pushes to the scan, no shuffle.
+    */
+  def hashSample(df: DataFrame, key: Column, percent: Column): DataFrame =
+    df.filter(pmod(
+      conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(100L)) < percent)
 }

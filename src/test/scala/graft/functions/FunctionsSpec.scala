@@ -111,6 +111,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(qs(0) == 1.0)
     assert(qs(1) < 1.0)
   }
+
+  test("redactPii masks CPF/e-mail/phone and counts them") {
+    val txt = "Paciente 123.456.789-09, contato a.b@x.org ou (21) 98765-4321 fim"
+    val df = Seq(txt, "nothing to hide").toDF("t")
+    val counts = TextFunctions.piiCounts(col("t"))
+    val r = df.select(TextFunctions.redactPii(col("t")).as("red"),
+      counts(0)._2.as("c"), counts(1)._2.as("e"), counts(2)._2.as("p")).collect()
+    assert(r(0).getString(0) == "Paciente [CPF], contato [EMAIL] ou [PHONE] fim")
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) == ((1L, 1L, 1L)))
+    assert(r(1).getString(0) == "nothing to hide")
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == ((0L, 0L, 0L)))
+  }
 }
 
 class VectorFunctionsSpec extends SparkSpec {

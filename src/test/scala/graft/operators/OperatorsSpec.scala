@@ -133,6 +133,22 @@ class DedupSpec extends SparkSpec {
     assert(groups.exists { case (_, canon, n) => canon == 1L && n == 2L })
   }
 
+  test("hashSample is deterministic, stratified, and repartition-stable") {
+    val df = (1L to 2000L).map(i => (i, if (i % 4 == 0) "keep" else "thin"))
+      .toDF("k", "stratum")
+    val pct = when(col("stratum") === "keep", lit(50L)).otherwise(lit(5L))
+    val s1 = Relational.hashSample(df, col("k"), pct).collect().map(_.getLong(0)).sorted
+    val s2 = Relational.hashSample(df.repartition(7), col("k"), pct)
+      .collect().map(_.getLong(0)).sorted
+    assert(s1.toSeq == s2.toSeq) // verdict depends only on the key
+    val byStratum = Relational.hashSample(df, col("k"), pct)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 500 keep-rows at ~50%, 1500 thin-rows at ~5%
+    assert(byStratum("keep") > 180 && byStratum("keep") < 320)
+    assert(byStratum("thin") > 30 && byStratum("thin") < 140)
+  }
+
   test("minHash LSH surfaces a genuine near-duplicate pair") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = base.replace("tok30", "changed")
