@@ -29,7 +29,14 @@ object Dedup {
     * is a row_number window. Callers must make `order` a total order within
     * key (append a unique tiebreaker) for determinism.
     */
-  def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+  def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    graft.plans.TopKPerKey(df, keys.map(col), order.map(_.desc), 1)
+
+  /** The window formulation of [[latestPerKey]] — identical rows; sorts (and
+    * spills) instead of heaping. The fallback for the k·distinctKeys ≫
+    * memory regime documented on [[graft.plans.TopKPerKeyPlan]].
+    */
+  def latestPerKeyWindow(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -25,12 +25,22 @@ import org.apache.spark.sql.graftbridge.Bridge
   *
   * Ties: callers must make `order` a total order within key (append a
   * unique tiebreaker) for deterministic results — same contract as
-  * `Dedup.latestPerKey`. Memory: one k-row heap per distinct key per task;
-  * for the k·distinct-keys ≫ memory regime use the window formulation
-  * (sort spills, heaps here don't).
+  * `Dedup.latestPerKey`.
+  *
+  * Memory: one k-row heap per distinct key per task. The PARTIAL phase is
+  * hard-capped at `maxPartialKeys` tracked keys — beyond the cap, rows of
+  * new keys pass through unfiltered, which is CORRECT (the partial output
+  * only needs to be a superset; the final phase re-filters) and bounds
+  * map-side state on adversarial key cardinality, exactly like hash
+  * aggregation's partial-skip fallback. The FINAL phase holds
+  * k · (distinctKeys / shufflePartitions) rows per task — size
+  * `spark.sql.shuffle.partitions` accordingly, or use the window
+  * formulation when k·distinctKeys ≫ cluster memory (sort spills, heaps
+  * don't).
   */
 case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: LogicalPlan) extends UnaryNode {
+    k: Int, child: LogicalPlan,
+    maxPartialKeys: Int = TopKPerKey.DefaultMaxPartialKeys) extends UnaryNode {
   require(k > 0, s"top-k needs k > 0, got $k")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -41,9 +51,10 @@ case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
 /** Planner rule: logical node → partial (narrow) + final (clustered). */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyPlan(keys, order, k, child) =>
-      val partial = TopKPerKeyExec(keys, order, k, planLater(child), partial = true)
-      TopKPerKeyExec(keys, order, k, partial, partial = false) :: Nil
+    case TopKPerKeyPlan(keys, order, k, child, maxPartialKeys) =>
+      val partial = TopKPerKeyExec(keys, order, k, planLater(child),
+        partial = true, maxPartialKeys)
+      TopKPerKeyExec(keys, order, k, partial, partial = false, maxPartialKeys) :: Nil
     case _ => Nil
   }
 }
@@ -54,7 +65,8 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * the partial survivors (≤ k·keys·partitions rows).
   */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: SparkPlan, partial: Boolean) extends UnaryExecNode {
+    k: Int, child: SparkPlan, partial: Boolean,
+    maxPartialKeys: Int = TopKPerKey.DefaultMaxPartialKeys) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
@@ -69,28 +81,39 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val orderExprs = order
     val attrs = output
+    val isPartial = partial
+    val keyCap = maxPartialKeys
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, attrs)
       val ord = RowOrdering.create(orderExprs, attrs)
       // Java PQ head = smallest per comparator; reversed() puts the WORST
       // retained row (last in sort order) at the head for O(log k) eviction
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, ord.reversed())
-          heaps.put(key.copy(), heap)
-        }
+      def absorb(heap: java.util.PriorityQueue[InternalRow], row: InternalRow): Unit =
         if (heap.size < kLocal) heap.add(row.copy())
         else if (ord.compare(row, heap.peek()) < 0) {
           heap.poll()
           heap.add(row.copy())
         }
+      // Absorbing pass, lazily interleaved with the cap's pass-throughs:
+      // a row of an untracked key past the cap is emitted immediately
+      // (never buffered), so state stays bounded whatever the cardinality.
+      val absorbed = iter.flatMap { row =>
+        val key = keyProj(row)
+        val heap = heaps.get(key)
+        if (heap != null) { absorb(heap, row); Iterator.empty }
+        else if (isPartial && heaps.size() >= keyCap) Iterator.single(row)
+        else {
+          val h = new java.util.PriorityQueue[InternalRow](kLocal + 1, ord.reversed())
+          heaps.put(key.copy(), h)
+          absorb(h, row)
+          Iterator.empty
+        }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      // ++ is by-name: the heap flush below reads final state only after
+      // `absorbed` is exhausted
+      absorbed ++ heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
 
@@ -100,11 +123,17 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 
 object TopKPerKey {
 
+  /** Partial-phase tracked-key cap: ~1M keys × (k+1) rows of state per
+    * task before new keys flow through unfiltered to the final phase.
+    */
+  val DefaultMaxPartialKeys: Int = 1 << 20
+
   /** Column-API entry: top-k rows per key by `order` (give a TOTAL order
     * within key for determinism). Registers the planner strategy on the
     * session if absent (idempotent).
     */
-  def apply(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+  def apply(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
+      maxPartialKeys: Int = DefaultMaxPartialKeys): DataFrame = {
     val exp = df.sparkSession.experimental
     if (!exp.extraStrategies.contains(TopKPerKeyStrategy))
       exp.extraStrategies = exp.extraStrategies :+ TopKPerKeyStrategy
@@ -113,7 +142,7 @@ object TopKPerKey {
       case e => SortOrder(e, Ascending)
     })
     val plan = TopKPerKeyPlan(keys.map(Bridge.catalystExpression), sortOrders, k,
-      df.queryExecution.analyzed)
+      df.queryExecution.analyzed, maxPartialKeys)
     Bridge.ofRows(df.sparkSession, plan)
   }
 }

@@ -55,6 +55,20 @@ class TopKPerKeySpec extends SparkSpec {
     assert(fast == ref)
   }
 
+  test("partial key cap: pass-through stays correct at tiny caps") {
+    val rnd = new scala.util.Random(23)
+    val big = Seq.fill(3000)((rnd.nextInt(50).toString, rnd.nextLong(), rnd.nextDouble()))
+      .toDF("key", "id", "v").repartition(5)
+    for (cap <- Seq(1, 3)) {
+      val capped = TopKPerKey(big, Seq(col("key")),
+        Seq(col("v").desc, col("id").asc), 2, maxPartialKeys = cap)
+        .select("key", "id").collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      val ref = windowTopK(big, 2)
+        .select("key", "id").collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(capped == ref, s"cap=$cap")
+    }
+  }
+
   test("k larger than any group returns everything; k must be positive") {
     val all = TopKPerKey(data, Seq(col("key")), Seq(col("id").asc), 100).count()
     assert(all == data.count())
