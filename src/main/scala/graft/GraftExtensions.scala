@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CpfIsValid
+import graft.functions.{ArrayMd5H60, ArrayXxHash64, CosineSimilarity,
+  CpfIsValid, MinHashFromHashes, SimHashFromHashes}
 
 /** Engine SQL surface: registers the custom Catalyst expressions so plain
   * `spark.sql` users get them by name — enable with
@@ -23,14 +24,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  private def reg(name: String, clazz: Class[_], arity: Int)(
+      build: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.size == arity, s"$name takes exactly $arity argument(s)")
+        build(children)
+      })
+
+  /** Literal-int helper for functions whose extra args must fold to plan-time
+    * constants (k / bits).
+    */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private val IntegerType = org.apache.spark.sql.types.IntegerType
+
   private val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => Expression)] = Seq((
-    new FunctionIdentifier("cpf_is_valid"),
-    new ExpressionInfo(classOf[CpfIsValid].getName, "cpf_is_valid"),
-    (children: Seq[Expression]) => {
-      require(children.size == 1, "cpf_is_valid takes exactly one argument")
-      CpfIsValid(children.head)
-    }))
+      Seq[Expression] => Expression)] = Seq(
+    reg("cpf_is_valid", classOf[CpfIsValid], 1)(c => CpfIsValid(c.head)),
+    reg("cosine_sim", classOf[CosineSimilarity], 2)(c =>
+      CosineSimilarity(c(0), c(1))),
+    reg("array_xxhash64", classOf[ArrayXxHash64], 1)(c => ArrayXxHash64(c.head)),
+    reg("array_md5h60", classOf[ArrayMd5H60], 1)(c => ArrayMd5H60(c.head)),
+    reg("minhash", classOf[MinHashFromHashes], 2)(c =>
+      MinHashFromHashes(c(0), litInt(c(1), "minhash k"))),
+    reg("simhash", classOf[SimHashFromHashes], 2)(c =>
+      SimHashFromHashes(c(0), litInt(c(1), "simhash bits"))))
 
   /** Register on a session that already exists (extensions configs only
     * apply at construction time).

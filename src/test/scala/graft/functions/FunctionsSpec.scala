@@ -171,4 +171,19 @@ class ExtensionsSpec extends graft.SparkSpec {
       .collect().head
     assert(r.getBoolean(0) && !r.getBoolean(1))
   }
+
+  test("vector/hash kernels are callable from plain SQL") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql("""
+      SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
+             array_xxhash64(array('a','b')) AS xh,
+             array_md5h60(array('a')) AS mh,
+             simhash(array_xxhash64(array('a','b')), 64) AS sh,
+             minhash(array_xxhash64(array('a','b')), 4) AS mins""").collect().head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getSeq[Long](1).size == 2)
+    // md5('a') = 0cc175b9c0f1b6a8... → first 15 hex chars as a long
+    assert(r.getSeq[Long](2).head == java.lang.Long.parseLong("0cc175b9c0f1b6a", 16))
+    assert(r.getSeq[Long](4).size == 4)
+  }
 }
