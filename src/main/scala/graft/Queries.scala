@@ -548,6 +548,19 @@ object Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Batch sessionization: per-user event-time sessions with a 30-min
+    // gap (lag + running-sum window, one shuffle), then per-session
+    // rollup. Batch complement of the streaming sessionize operator.
+    "q49_sessionize" -> ((s, dir) => {
+      Relational.sessionize(t(s, dir, "events"), Seq("user_id"), col("ts"),
+          Seq(col("ts"), col("event_id")), gapSeconds = 1800L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).cast("string").as("session_start"),
+          max(col("ts")).cast("string").as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // Custom whole-operator path: top-2 lineitems per order by price via the
     // engine's TopKPerKeyPlan/Strategy/Exec (bounded per-partition heaps →
     // survivors-only shuffle; no full sort, no window). Total order via the
@@ -762,6 +775,25 @@ object Queries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |    '\(\d{2}\)\s?\d{4,5}-\d{4}', '[PHONE]', 'g'), 60) AS tail
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q49_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(min(ts) AS VARCHAR) AS session_start,
+        |  CAST(max(ts) AS VARCHAR) AS session_end
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "q48_hash_sample" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core relational combinators the reference hand-rolls in pandas,
@@ -161,6 +162,28 @@ object Relational {
           regexp_replace(c.cast("string"), "\\\\", "\\\\\\\\"), "\\|", "\\\\|"))
     }
     sha2(concat_ws("|", encoded: _*), 256)
+  }
+
+  /** Batch event-time sessionization: assign a per-key session id that
+    * increments whenever the gap to the previous event exceeds
+    * `gapSeconds`. One shuffle (the window partition); the running sum is
+    * computed in the same sorted pass as the lag. `order` must make the
+    * within-key order total (append a unique tiebreaker) for deterministic
+    * ids. The batch complement of `streaming/Incremental.sessionize` —
+    * same session semantics, replayable by any engine with window
+    * functions.
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], ts: Column,
+      order: Seq[Column], gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    // integer microseconds (not seconds-as-double): gap comparison is
+    // integer-exact, so any engine replays boundaries identically
+    val gapBreak = when(
+      unix_micros(ts) - unix_micros(lag(ts, 1).over(w)) > gapSeconds * 1000000L, 1L)
+      .otherwise(lit(0L))
+    // running sum of gap-breaks = 0-based session ordinal within the key
+    df.withColumn("session_id", sum(gapBreak).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
   /** Deterministic (hash-based) sampling: keep a row iff its key's portable

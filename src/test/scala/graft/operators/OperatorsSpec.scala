@@ -133,6 +133,20 @@ class DedupSpec extends SparkSpec {
     assert(groups.exists { case (_, canon, n) => canon == 1L && n == 2L })
   }
 
+  test("sessionize: gap over threshold starts a new session, per key") {
+    val df = Seq(
+      ("u1", 1L, "2024-01-01 10:00:00"),
+      ("u1", 2L, "2024-01-01 10:10:00"),  // 10 min — same session
+      ("u1", 3L, "2024-01-01 11:00:00"),  // 50 min — new session
+      ("u2", 4L, "2024-01-01 10:00:00")
+    ).toDF("user", "id", "t").withColumn("ts", col("t").cast("timestamp"))
+    val r = Relational.sessionize(df, Seq("user"), col("ts"),
+        Seq(col("ts"), col("id")), gapSeconds = 1800L)
+      .select("user", "id", "session_id").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    assert(r == Seq(("u1", 1L, 0L), ("u1", 2L, 0L), ("u1", 3L, 1L), ("u2", 4L, 0L)))
+  }
+
   test("hashSample is deterministic, stratified, and repartition-stable") {
     val df = (1L to 2000L).map(i => (i, if (i % 4 == 0) "keep" else "thin"))
       .toDF("k", "stratum")
