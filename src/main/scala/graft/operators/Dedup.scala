@@ -109,10 +109,15 @@ object Dedup {
     // slim (id, band, bucket) rows — the bucket join must NOT carry shingle
     // arrays, or the shuffle width scales with document size instead of 3
     // longs per row
+    // persisted: BOTH sides of the candidate self-join read `banded`, and
+    // without the persist each side re-runs the whole explode + min-agg
+    // signature pipeline (observed in the formatted plan). 3 longs per
+    // (doc, band) — the slimmest artifact in the operator.
     val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
         .as(Seq("band", "bucket")))
+      .persist()
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
@@ -282,11 +287,14 @@ object Dedup {
     val sig = exploded.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // persisted for the same reason as the fast path: the candidate
+    // self-join reads `banded` twice, and signatures must compute once
     val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map { b =>
         md5h60(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
       }: _*)).as(Seq("band", "bucket")))
+      .persist()
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
@@ -313,8 +321,12 @@ object Dedup {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, numPlanes: Int = 6,
       seed: Long = 42L): DataFrame = {
+    // persisted: both sides of the bucket self-join read it; without the
+    // persist each side re-scans the source and recomputes every
+    // numPlanes×dim signature dot product
     val bucketed = Similarity.withLshBucket(df, vecCol, numPlanes, dim, seed)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket"))
+      .persist()
     val a = bucketed.select(col("lsh_bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(col("lsh_bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("lsh_bucket"))
