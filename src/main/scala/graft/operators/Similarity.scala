@@ -32,7 +32,11 @@ object Similarity {
   }
 
   /** All-pairs exact top-k per query row against a (small, broadcastable)
-    * query table: crossJoin(broadcast(queries)) + per-query window top-k.
+    * query table: crossJoin(broadcast(queries)) + per-query top-k via the
+    * engine's TopKPerKey operator — per-partition bounded heaps, so the
+    * post-join shuffle carries at most k rows per (query, partition)
+    * instead of every scored pair (the window formulation shuffles and
+    * sorts ALL corpus×queries rows).
     */
   def topKPerQuery(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
@@ -40,10 +44,8 @@ object Similarity {
     val joined = corpus.crossJoin(broadcast(queries))
       .select(col(qIdCol), col(idCol),
         VectorFunctions.cosine(col(vecCol), col(qVecCol)).as("cosine"))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k).drop("__rn")
+    graft.plans.TopKPerKey(joined, Seq(col(qIdCol)),
+      Seq(col("cosine").desc, col(idCol).asc), k)
   }
 
   /** Attach a random-hyperplane LSH bucket signature (`numPlanes` bits,
