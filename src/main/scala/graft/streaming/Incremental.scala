@@ -103,6 +103,27 @@ object Incremental {
       }
   }
 
+  /** Watermarked stream-stream interval join: match left rows to right rows
+    * with the same `key` whose event time falls in
+    * `[leftTs - lowerBound, leftTs + upperBound]`. BOTH sides carry
+    * watermarks and the join condition is time-bounded — the two facts
+    * Spark needs to know when buffered state can be evicted, which is what
+    * keeps a continuous enrich (clicks←impressions, events←signups) alive
+    * on unbounded streams instead of growing state forever. Columns must
+    * not collide except `key` (the usual pre-join projection discipline).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, lateness: String,
+      lowerBound: String, upperBound: String): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness).alias("l")
+    val r = right.withWatermark(rightTs, lateness).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= expr(s"l.$leftTs - INTERVAL $lowerBound") &&
+        col(s"r.$rightTs") <= expr(s"l.$leftTs + INTERVAL $upperBound"))
+      .drop(col(s"r.$key"))
+  }
+
   /** Idempotent micro-batch sink: each batch lands via dynamic partition
     * overwrite keyed by the batch's dates — re-processing a batch replaces
     * exactly the partitions it owns (the reference's staged-delete reload,

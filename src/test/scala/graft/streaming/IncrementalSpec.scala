@@ -104,4 +104,27 @@ class IncrementalSpec extends SparkSpec {
       assert(got.contains((2L, t2, 1L, 8.0)))
     } finally q.stop()
   }
+
+  test("intervalJoin: stream-stream match within the time bound only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(String, Timestamp)]
+    val imps = MemoryStream[(String, Timestamp)]
+    val joined = Incremental.intervalJoin(
+      clicks.toDF().toDF("ad", "click_ts"),
+      imps.toDF().toDF("ad", "imp_ts"),
+      key = "ad", leftTs = "click_ts", rightTs = "imp_ts",
+      lateness = "1 hour", lowerBound = "10 minutes", upperBound = "0 seconds")
+    val q = joined.writeStream.format("memory").queryName("clicks_imps")
+      .outputMode("append").start()
+    try {
+      imps.addData(("a", ts("2024-01-01 10:00:00")), ("b", ts("2024-01-01 09:00:00")))
+      clicks.addData(("a", ts("2024-01-01 10:05:00")), ("b", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val got = spark.table("clicks_imps").select("ad").collect().map(_.getString(0)).toSeq
+      // a's impression is 5 min before the click (inside the 10-min bound);
+      // b's is 65 min before (outside) — no match
+      assert(got == Seq("a"))
+    } finally q.stop()
+  }
 }
