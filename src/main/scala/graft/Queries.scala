@@ -548,6 +548,22 @@ object Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Dedup decision layer: near-dup PAIRS → transitive duplicate CLUSTERS
+    // (connected components over the thresholded pair graph; every doc gets
+    // the min reachable id as cluster_id, singletons cluster with
+    // themselves). Keeping min(id) per cluster_id is the final dedup.
+    "q50_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashCandidatePairsPortable(docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+      val clusters = Dedup.duplicateClusters(pairs)
+      docs.select(col("doc_id"))
+        .join(clusters, docs("doc_id") === clusters("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Batch sessionization: per-user event-time sessions with a 30-min
     // gap (lag + running-sum window, one shuffle), then per-session
     // rollup. Batch complement of the streaming sessionize operator.
@@ -604,14 +620,18 @@ object Queries {
     * share bit-for-bit (Spark `conv(substring(md5,1,15),16,10)`, DuckDB
     * `CAST('0x'||substr(md5,1,15) AS BIGINT)`).
     */
-  private def q33Oracle: String = {
+  /** The portable-MinHash pipeline as a reusable CTE chain ending in
+    * `pairs(id_a, id_b, jaccard)` — shared by q33 (pair listing) and q50
+    * (duplicate clustering over the pair graph).
+    */
+  private def minHashPairsCtes: String = {
     val numHashes = 16; val bands = 4; val rpb = numHashes / bands
     val p = Dedup.minHashP
     def h60(e: String) = s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
     val mins = Dedup.minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
       s"    min((h * $a + $b) % $p) AS m$i" }.mkString(",\n")
     val sigArr = (0 until numHashes).map(i => s"m$i").mkString("[", ", ", "]")
-    s"""WITH toked AS (
+    s"""toked AS (
        |  SELECT doc_id AS id,
        |    regexp_extract_all(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\S+') AS toks
        |  FROM documents
@@ -639,15 +659,41 @@ object Queries {
        |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
        |  FROM banded a JOIN banded b2
        |    ON a.band = b2.band AND a.bucket = b2.bucket AND a.id < b2.id
-       |)
-       |SELECT c.id_a, c.id_b,
-       |  round(CAST(len(list_intersect(ba.hs, bb.hs)) AS DOUBLE)
-       |    / CAST(len(list_distinct(list_concat(ba.hs, bb.hs))) AS DOUBLE), 6) AS jaccard
-       |FROM cand c
-       |JOIN base ba ON ba.id = c.id_a
-       |JOIN base bb ON bb.id = c.id_b
-       |ORDER BY id_a, id_b""".stripMargin
+       |), pairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(ba.hs, bb.hs)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(ba.hs, bb.hs))) AS DOUBLE) AS jaccard
+       |  FROM cand c
+       |  JOIN base ba ON ba.id = c.id_a
+       |  JOIN base bb ON bb.id = c.id_b
+       |)""".stripMargin
   }
+
+  private def q33Oracle: String =
+    s"""WITH $minHashPairsCtes
+       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q50's oracle: duplicate clustering = connected components over the
+    * thresholded pair graph, replayed with a recursive CTE (min-label
+    * transitive closure, then per-node min) — fixpoint semantics identical
+    * to the Spark iterative propagation.
+    */
+  private def q50Oracle: String =
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       |fpairs AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+       |edges2 AS (
+       |  SELECT id_a AS src, id_b AS dst FROM fpairs
+       |  UNION SELECT id_b, id_a FROM fpairs
+       |), nodes AS (SELECT DISTINCT src AS nid FROM edges2),
+       |reach(nid, label) AS (
+       |  SELECT nid, nid FROM nodes
+       |  UNION
+       |  SELECT e.src, r.label FROM reach r JOIN edges2 e ON e.dst = r.nid
+       |), comp AS (SELECT nid, min(label) AS cluster_id FROM reach GROUP BY nid)
+       |SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+       |FROM documents d LEFT JOIN comp c ON c.nid = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** q34's oracle: replays the PORTABLE SimHash pipeline — distinct tokens →
     * md5-derived 60-bit hashes → per-bit ±1 votes → sign collapse → 15-bit
@@ -752,6 +798,8 @@ object Queries {
     "q33_minhash_pairs" -> q33Oracle,
 
     "q34_simhash_pairs" -> q34Oracle,
+
+    "q50_dup_clusters" -> q50Oracle,
 
     "q47_pii_redact" ->
       """WITH f AS (

@@ -309,6 +309,53 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph — the step that turns
+    * PAIRS into dedup DECISIONS: every document gets `cluster_id` = the
+    * minimum doc id reachable through near-dup edges, so keeping one row
+    * per cluster_id dedups transitively (a~b, b~c ⇒ one survivor even when
+    * a~c was never a candidate pair).
+    *
+    * Iterative min-label propagation: each round joins labels across edges
+    * and keeps the per-node min, until a fixpoint. Near-dup components are
+    * overwhelmingly tiny (pairs, triples), so rounds ≈ the longest chain
+    * and each round is one equi-join + one map-side-combinable min-agg —
+    * the simple propagation is the right tool; alternating small-star/
+    * large-star is the upgrade path if components ever span millions of
+    * nodes. Each iteration's frames are persisted and the previous
+    * iteration's dropped, so lineage stays flat (no exponential plan
+    * growth).
+    *
+    * Returns (id, cluster_id) for every id APPEARING IN `pairs`; singleton
+    * documents are absent — callers `coalesce(cluster_id, id)` after a left
+    * join, keeping this operator proportional to the (small) near-dup
+    * subgraph instead of the corpus.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+    val undirected = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = undirected.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val prop = undirected.join(labels, undirected("dst") === labels("id"))
+        .select(undirected("src").as("id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist()
+      val changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    undirected.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed: vectors sharing a
     * random-hyperplane signature are candidates; exact cosine then filters
     * to `threshold`. The bucket equi-join is what keeps this viable at

@@ -193,6 +193,15 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() == 1)
   }
 
+  test("duplicateClusters: chains merge transitively, min id labels") {
+    // components: {1,2,3,4} via chain, {10,11}; 99 is a singleton (absent)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val r = Dedup.duplicateClusters(pairs).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(r == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
   test("portable simHash finds near-dups within hamming budget") {
     val base = (1 to 80).map(i => s"tok$i").mkString(" ")
     val nearDup = base + " extra"
