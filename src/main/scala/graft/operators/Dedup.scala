@@ -315,45 +315,124 @@ object Dedup {
     * per cluster_id dedups transitively (a~b, b~c ⇒ one survivor even when
     * a~c was never a candidate pair).
     *
-    * Iterative min-label propagation: each round joins labels across edges
-    * and keeps the per-node min, until a fixpoint. Near-dup components are
-    * overwhelmingly tiny (pairs, triples), so rounds ≈ the longest chain
-    * and each round is one equi-join + one map-side-combinable min-agg —
-    * the simple propagation is the right tool; alternating small-star/
-    * large-star is the upgrade path if components ever span millions of
-    * nodes. Each iteration's frames are persisted and the previous
-    * iteration's dropped, so lineage stays flat (no exponential plan
-    * growth).
+    * Two execution paths, chosen by edge count:
+    *
+    *  - **Driver union-find** when the (deduped, canonical) edge list fits
+    *    comfortably on the driver (`unionFindMaxEdges`, default 4M edges ≈
+    *    64 MB). Post-threshold near-dup pair graphs are almost always tiny
+    *    relative to the corpus — this turns the whole operator into one
+    *    Spark action plus microseconds of path-compressed union-find,
+    *    instead of N scheduler rounds over KB-sized frames.
+    *  - **Distributed pointer-jumping min-label propagation** otherwise:
+    *    each round unions (a) neighbor labels across edges and (b) the
+    *    pointer jump `label ← label(label)`, then takes the per-node min.
+    *    Jumping halves the remaining chain depth every round, so rounds are
+    *    O(log diameter) — a million-node chain converges in ~20 rounds, not
+    *    a million. The convergence probe is FUSED into the round's single
+    *    action (carry the old label, aggregate `max(label ≠ old)`), so each
+    *    round costs exactly one job. Frames are persisted per round and the
+    *    previous round's dropped, keeping lineage flat.
+    *
+    * Non-convergence within `maxIters` throws (`require`) instead of
+    * silently returning split clusters — wrong dedup labels must be loud.
     *
     * Returns (id, cluster_id) for every id APPEARING IN `pairs`; singleton
     * documents are absent — callers `coalesce(cluster_id, id)` after a left
     * join, keeping this operator proportional to the (small) near-dup
     * subgraph instead of the corpus.
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").cast("long").as("src"),
-        col("id_b").cast("long").as("dst"))
-    val undirected = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+  def duplicateClusters(
+      pairs: DataFrame, maxIters: Int = 25,
+      unionFindMaxEdges: Long = 4000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    // canonical (min, max) edges, deduped once — both paths start here, and
+    // the persist fences the (expensive) upstream candidate-pair pipeline
+    // from running once for the count and again for the collect/loop
+    val canon = pairs.select(
+        least(col("id_a").cast("long"), col("id_b").cast("long")).as("src"),
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("dst"))
+      .filter(col("src") =!= col("dst"))
       .distinct().persist()
-    var labels = undirected.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).persist()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val prop = undirected.join(labels, undirected("dst") === labels("id"))
-        .select(undirected("src").as("id"), col("label"))
-      val next = labels.union(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .persist()
-      val changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0L
-      i += 1
+    val edgeCount = canon.count()
+
+    if (edgeCount <= unionFindMaxEdges) {
+      // ---- driver union-find (path compression + min-root union) ----
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      val it = canon.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        // attach the larger root under the smaller so roots stay the
+        // component minimum — cluster_id = find(id) directly
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+        parent.putIfAbsent(a, find(a)); parent.putIfAbsent(b, find(b))
+      }
+      val nodes = parent.keySet().toArray(Array.empty[java.lang.Long])
+      val out = nodes.map(n => (n.longValue(), find(n.longValue()))).toSeq
+      canon.unpersist()
+      import spark.implicits._
+      out.toDF("id", "cluster_id")
+    } else {
+      // ---- distributed pointer-jumping label propagation ----
+      // localCheckpoint (not persist) on every per-round frame: persist
+      // caches DATA but keeps the logical plan, and each round references
+      // the previous round's frame ~5 times (propagate join, jump join ×2,
+      // union, old-label join) — nested plans grow 5^rounds and Catalyst
+      // re-analysis becomes the bottleneck long before the data does
+      // (observed: minutes of driver CPU inside plan-tree traversal by
+      // round 9 of a 300-node chain). Checkpointing truncates the plan to
+      // the materialized partitions, so every round analyzes a constant-
+      // size tree. On a real cluster the executor-local blocks are the
+      // standard iterative-graph tradeoff (GraphX/GraphFrames do the same);
+      // a lost executor aborts-and-retries the operator, it never corrupts.
+      val undirected = canon
+        .union(canon.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      // seed label = min(id, min neighbor): the first propagation round for free
+      var labels = undirected.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("nbr"))
+        .select(col("id"), least(col("id"), col("nbr")).as("label"))
+        .localCheckpoint()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIters) {
+        val prop = undirected.join(labels, undirected("dst") === labels("id"))
+          .select(undirected("src").as("id"), col("label"))
+        val l2 = labels.select(col("id").as("jid"), col("label").as("jlabel"))
+        val jumped = labels.join(l2, col("label") === col("jid"))
+          .select(col("id"), col("jlabel").as("label"))
+        val merged = labels.select(col("id"), col("label"))
+          .union(prop).union(jumped)
+          .groupBy(col("id")).agg(min(col("label")).as("label"))
+        // the convergence flag is FUSED into the round's frame (carry the
+        // old label through the join, compare once) — the eager checkpoint
+        // is the round's one job; the max(__changed) probe below reads the
+        // already-materialized blocks
+        val next = merged
+          .join(labels.select(col("id"), col("label").as("__old")), "id")
+          .select(col("id"), col("label"), (col("label") =!= col("__old")).as("__changed"))
+          .localCheckpoint()
+        val probe = next.agg(max(col("__changed"))).first()
+        converged = probe.isNullAt(0) || !probe.getBoolean(0)
+        labels = next.drop("__changed")
+        i += 1
+      }
+      canon.unpersist()
+      require(converged,
+        s"duplicateClusters did not converge in $maxIters pointer-jumping rounds — " +
+          "component diameter exceeds 2^maxIters; raise maxIters rather than " +
+          "accept silently split clusters")
+      labels.select(col("id"), col("label").as("cluster_id"))
     }
-    undirected.unpersist()
-    labels.select(col("id"), col("label").as("cluster_id"))
   }
 
   /** Embedding-cosine near-dup pairs, LSH-bucketed: vectors sharing a

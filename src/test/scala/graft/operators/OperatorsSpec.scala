@@ -202,6 +202,29 @@ class DedupSpec extends SparkSpec {
     assert(r == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
   }
 
+  test("duplicateClusters distributed path matches union-find path") {
+    // unionFindMaxEdges = 0 forces the pointer-jumping path; reversed and
+    // duplicate pairs must not change the clustering
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (1L, 2L), (4L, 3L))
+      .toDF("id_a", "id_b")
+    val dist = Dedup.duplicateClusters(pairs, unionFindMaxEdges = 0L).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val uf = Dedup.duplicateClusters(pairs).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(dist == uf)
+    assert(dist == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("duplicateClusters: 300-node chain converges in O(log d) rounds") {
+    // a 300-edge chain has diameter 300 — linear label propagation needs 300
+    // rounds; pointer jumping must close it well inside maxIters = 25
+    val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val r = Dedup.duplicateClusters(pairs, maxIters = 25, unionFindMaxEdges = 0L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.length == 300)
+    assert(r.forall(_._2 == 1L))
+  }
+
   test("portable simHash finds near-dups within hamming budget") {
     val base = (1 to 80).map(i => s"tok$i").mkString(" ")
     val nearDup = base + " extra"
