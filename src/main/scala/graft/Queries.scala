@@ -577,6 +577,54 @@ object Queries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // dbt-analog model-DAG runner: staging → intermediate → mart, executed
+    // through ModelRunner.run (topo order, mart materialized as a written
+    // parquet table and read BACK from disk — the result must survive the
+    // materialization round-trip, not just the in-memory plan).
+    "q51_model_dag" -> ((s, dir) => {
+      Lake.registerAll(s, dir)
+      val mart = java.nio.file.Files.createTempDirectory("graft-mart")
+        .toString + "/mart_nation_rev"
+      val runner = new graft.flows.ModelRunner(Seq(
+        graft.flows.Model("stg_fin_orders",
+          "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
+          tests = Seq(graft.flows.ModelTest("positive_price",
+            "SELECT * FROM stg_fin_orders WHERE o_totalprice <= 0"))),
+        graft.flows.Model("int_cust_rev",
+          "SELECT c.c_nationkey, o.o_totalprice FROM stg_fin_orders o " +
+            "JOIN customer c ON c.c_custkey = o.o_custkey"),
+        graft.flows.Model("mart_nation_rev",
+          "SELECT n.n_name AS nation, count(*) AS n_orders, " +
+            "round(CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue " +
+            "FROM int_cust_rev i JOIN nation n ON n.n_nationkey = i.c_nationkey " +
+            "GROUP BY n.n_name",
+          materialization = graft.flows.Materialization.Table(mart))))
+      runner.build(s, select = "+mart_nation_rev")
+      s.sql("SELECT nation, n_orders, revenue FROM mart_nation_rev ORDER BY nation")
+    }),
+
+    // F11 HTML block parse: deterministic HTML fabricated from (doc_id,
+    // text), then table-flagging → block split → tag strip → entity/NBSP
+    // cleanup → whitespace squeeze → irrelevant-block filter, all as
+    // codegen'd column expressions. The '...'-only and blank-only
+    // paragraphs exercise the irrelevant/empty filters.
+    "q52_html_blocks" -> ((s, dir) => {
+      import graft.functions.HtmlFunctions
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><body> <h1>Doc&nbsp;"), col("doc_id").cast("string"),
+        lit("</h1><table><tr><td>a</td><td>b</td></tr></table>" +
+          "<p align=\"center\">SECTION "), col("doc_id").cast("string"),
+        lit("</p>\n<p> "), substring(col("text"), 1, 60),
+        lit("  &amp; tail </p><br><div>fim</div><p>...</p><p> \r\n </p></body></html>"))
+      docs.select(col("doc_id"), HtmlFunctions.htmlBlocks(html).as("blocks"))
+        .select(col("doc_id"),
+          size(col("blocks")).cast("bigint").as("n_blocks"),
+          element_at(col("blocks"), 1).as("first_block"),
+          array_join(col("blocks"), "\n").as("full_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Custom whole-operator path: top-2 lineitems per order by price via the
     // engine's TopKPerKeyPlan/Strategy/Exec (bounded per-partition heaps →
     // survivors-only shuffle; no full sort, no window). Total order via the
@@ -800,6 +848,60 @@ object Queries {
     "q34_simhash_pairs" -> q34Oracle,
 
     "q50_dup_clusters" -> q50Oracle,
+
+    // q52 replays the HTML pipeline in DuckDB: same fabricated markup, same
+    // regex chain (RE2 'g' flag = Java replace-all). The fabricated HTML has
+    // no literal NBSP chars (only the &nbsp; entity → plain space), so the
+    // NBSP class in Spark's cleanText is identity and the oracle skips it.
+    "q52_html_blocks" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><body> <h1>Doc&nbsp;' || CAST(doc_id AS VARCHAR)
+        |    || '</h1><table><tr><td>a</td><td>b</td></tr></table>'
+        |    || '<p align="center">SECTION ' || CAST(doc_id AS VARCHAR)
+        |    || '</p>' || chr(10) || '<p> ' || substr(text, 1, 60)
+        |    || '  &amp; tail </p><br><div>fim</div><p>...</p><p> '
+        |    || chr(13) || chr(10) || ' </p></body></html>' AS html
+        |  FROM documents
+        |), marked AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(html, '(?is)<table.*?</table>', '<p>[tabela]</p>', 'g'),
+        |      '(?i)<(?:/?(?:p|div|h[1-6]|li|tr)(?:\s[^>]*)?|br\s*/?)>', chr(1), 'g') AS m
+        |  FROM h
+        |), cleaned AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(m, '<[^>]*>', '', 'g'),
+        |      '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        |      '\n', ' ', 'g'), '\r', '', 'g') AS t
+        |  FROM marked
+        |), blocks AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      list_transform(string_split(t, chr(1)),
+        |        b -> trim(regexp_replace(b, '\s{2,}', ' ', 'g'))),
+        |      b -> len(b) > 0 AND NOT regexp_matches(b, '^[.\s]+$')) AS bl
+        |  FROM cleaned
+        |)
+        |SELECT doc_id, CAST(len(bl) AS BIGINT) AS n_blocks, bl[1] AS first_block,
+        |  array_to_string(bl, chr(10)) AS full_text
+        |FROM blocks ORDER BY doc_id""".stripMargin,
+
+    // q51 replays the model DAG as flattened CTEs — same staging filter,
+    // same joins, same decimal-backed revenue sum.
+    "q51_model_dag" ->
+      """WITH stg_fin_orders AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        |), int_cust_rev AS (
+        |  SELECT c.c_nationkey, o.o_totalprice FROM stg_fin_orders o
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |)
+        |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        |FROM int_cust_rev i JOIN nation n ON n.n_nationkey = i.c_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY nation""".stripMargin,
 
     "q47_pii_redact" ->
       """WITH f AS (
