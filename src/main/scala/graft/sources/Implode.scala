@@ -79,6 +79,32 @@ object Implode {
   }
 
   // fixed format tables (spec constants)
+  /** ASCII-mode literal code lengths, compact (count−1)<<4 | length form —
+    * a fixed constant of the DCL format, published in the public-domain
+    * `blast` reference decoder (blast.c, Mark Adler, zlib/contrib). The
+    * nibble expansion must cover exactly 256 byte values (checked by the
+    * Huffman constructor).
+    */
+  private val litLen = Array(
+    11, 124, 8, 7, 28, 7, 188, 13, 76, 4, 10, 8, 12, 10, 12, 10, 8, 23, 8,
+    9, 7, 6, 7, 8, 7, 6, 55, 8, 23, 24, 12, 11, 7, 9, 11, 12, 6, 7, 22, 5,
+    7, 24, 6, 11, 9, 6, 7, 22, 7, 11, 38, 7, 9, 8, 25, 11, 8, 11, 9, 12,
+    8, 12, 5, 38, 5, 38, 5, 11, 7, 5, 6, 21, 6, 10, 53, 8, 7, 24, 10, 27,
+    44, 253, 253, 253, 252, 252, 252, 13, 12, 45, 12, 45, 12, 61, 12, 45,
+    44, 173)
+  private val litCode = new Huffman(litLen, 256)
+  /** Expanded per-symbol literal code lengths — exposed for the spec's
+    * test-side encoder (canonical codes derive from these).
+    */
+  private[graft] def literalLengths: Array[Int] = {
+    val out = new Array[Int](256)
+    var s = 0
+    litLen.foreach { r =>
+      var left = (r >> 4) + 1
+      while (left > 0) { out(s) = r & 15; s += 1; left -= 1 }
+    }
+    out
+  }
   private val lenCode = new Huffman(Array(2, 35, 36, 53, 38, 23), 16)
   private val distCode = new Huffman(Array(2, 20, 53, 230, 247, 151, 248), 64)
   private val lenBase = Array(3, 2, 4, 5, 6, 7, 8, 9, 10, 12, 16, 24, 40, 72, 136, 264)
@@ -94,13 +120,6 @@ object Implode {
     val br = new BitReader(data, offset, if (end < 0) data.length else end)
     val lit = br.bits(8)
     require(lit <= 1, s"implode: bad literal-mode byte $lit")
-    // ASCII-mode (coded literals) needs PKWare's 256-entry literal
-    // code-length table — an empirical constant of the proprietary-origin
-    // spec that cannot be derived; binary-mode streams (what the DCL
-    // emits for non-text payloads) decode fully.
-    if (lit == 1) throw new UnsupportedOperationException(
-      "implode: ASCII-mode (Huffman-coded literal) stream — only binary-mode " +
-        "DCL streams are supported (literal code-length table unavailable)")
     val dict = br.bits(8)
     require(dict >= 4 && dict <= 6, s"implode: bad dictionary byte $dict")
     var buf = new Array[Byte](math.max(sizeHint, 64)) // window = whole output
@@ -124,7 +143,9 @@ object Implode {
         }
       } else {
         ensure(1)
-        buf(n) = br.bits(8).toByte
+        // binary mode: raw 8 bits; ASCII mode: Huffman-coded literal under
+        // the fixed 256-symbol table (text-heavy payloads get short codes)
+        buf(n) = (if (lit == 1) litCode.decode(br) else br.bits(8)).toByte
         n += 1
       }
     }

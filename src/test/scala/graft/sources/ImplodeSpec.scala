@@ -50,6 +50,15 @@ object TestImplodeEncoder {
 
   private val lenCodes = codes(Array(2, 35, 36, 53, 38, 23), 16)
   private val distCodes = codes(Array(2, 20, 53, 230, 247, 151, 248), 64)
+  // ASCII-mode literal table (public-domain blast.c constant), expanded by
+  // THIS encoder's own canonical construction — independent of the decoder's
+  private val litCodes = codes(Array(
+    11, 124, 8, 7, 28, 7, 188, 13, 76, 4, 10, 8, 12, 10, 12, 10, 8, 23, 8,
+    9, 7, 6, 7, 8, 7, 6, 55, 8, 23, 24, 12, 11, 7, 9, 11, 12, 6, 7, 22, 5,
+    7, 24, 6, 11, 9, 6, 7, 22, 7, 11, 38, 7, 9, 8, 25, 11, 8, 11, 9, 12,
+    8, 12, 5, 38, 5, 38, 5, 11, 7, 5, 6, 21, 6, 10, 53, 8, 7, 24, 10, 27,
+    44, 253, 253, 253, 252, 252, 252, 13, 12, 45, 12, 45, 12, 61, 12, 45,
+    44, 173), 256)
   private val lenBase = Array(3, 2, 4, 5, 6, 7, 8, 9, 10, 12, 16, 24, 40, 72, 136, 264)
   private val lenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8)
 
@@ -70,7 +79,8 @@ object TestImplodeEncoder {
     items.foreach {
       case Lit(b) =>
         w.put(0, 1)
-        w.put(b & 0xFF, 8)
+        if (lit == 1) putCode(w, litCodes(b & 0xFF))
+        else w.put(b & 0xFF, 8)
       case Match(len, dist) =>
         w.put(1, 1)
         val sym = lenBase.zipWithIndex
@@ -122,12 +132,43 @@ class ImplodeSpec extends AnyFunSuite {
     assert(Implode.decompress(enc).toSeq == data.toSeq)
   }
 
-  test("all byte values round-trip uncoded; ASCII-mode is rejected loudly") {
+  test("all byte values round-trip uncoded") {
     val data = (0 until 256).map(_.toByte).toArray
     val enc = encode(data.map(Lit(_)).toSeq, lit = 0, dict = 5)
     assert(Implode.decompress(enc).toSeq == data.toSeq)
-    val coded = encode(Seq(Lit('x')), lit = 1, dict = 5)
-    intercept[UnsupportedOperationException](Implode.decompress(coded))
+  }
+
+  test("ASCII-mode: all 256 Huffman-coded literal values round-trip") {
+    val data = (0 until 256).map(_.toByte).toArray
+    val enc = encode(data.map(Lit(_)).toSeq, lit = 1, dict = 5)
+    assert(Implode.decompress(enc).toSeq == data.toSeq)
+    // text compresses tighter under coded literals than raw 8-bit ones —
+    // the point of ASCII mode (common letters get ≤7-bit codes)
+    val text = ("select nome, idade from pacientes where cnes is not null " * 8)
+      .getBytes("UTF-8")
+    val coded = encode(text.map(Lit(_)).toSeq, lit = 1, dict = 4)
+    val raw = encode(text.map(Lit(_)).toSeq, lit = 0, dict = 4)
+    assert(Implode.decompress(coded).toSeq == text.toSeq)
+    assert(coded.length < raw.length)
+  }
+
+  test("ASCII-mode: greedy-compressed mixed stream with matches round-trips") {
+    val rnd = new Random(11)
+    val rep = Array.fill(300)((rnd.nextInt(26) + 'a').toByte)
+    val mixed = rep ++ "cid10 a00 colera; cid10 a01 febre tifoide".getBytes ++ rep
+    for (dict <- 4 to 6) {
+      val enc = compress(mixed, 1, dict)
+      assert(Implode.decompress(enc).toSeq == mixed.toSeq, s"ascii dict=$dict")
+    }
+  }
+
+  test("decoder and encoder literal tables agree (expansion covers 256 symbols)") {
+    val lens = Implode.literalLengths
+    assert(lens.length == 256)
+    // Kraft equality: the published table is a COMPLETE prefix code —
+    // a transcription error in either table would break this sum
+    val kraft = lens.map(l => BigDecimal(1) / BigDecimal(2).pow(l)).sum
+    assert(kraft == BigDecimal(1))
   }
 
   test("length/distance pairs incl. overlapping copy and len-2 special case") {
