@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{ArrayMd5H60, ArrayXxHash64, CosineSimilarity,
-  CpfIsValid, MinHashFromHashes, SimHashFromHashes}
+  CpfIsValid, KmvDistinct, MinHashFromHashes, SimHashFromHashes}
 
 /** Engine SQL surface: registers the custom Catalyst expressions so plain
   * `spark.sql` users get them by name — enable with
@@ -53,7 +53,11 @@ object GraftExtensions {
     reg("minhash", classOf[MinHashFromHashes], 2)(c =>
       MinHashFromHashes(c(0), litInt(c(1), "minhash k"))),
     reg("simhash", classOf[SimHashFromHashes], 2)(c =>
-      SimHashFromHashes(c(0), litInt(c(1), "simhash bits"))))
+      SimHashFromHashes(c(0), litInt(c(1), "simhash bits"))),
+    // aggregate: the analyzer wraps a bare AggregateFunction in
+    // AggregateExpression(Complete) on resolution
+    reg("kmv_distinct", classOf[KmvDistinct], 2)(c =>
+      KmvDistinct(c(0), litInt(c(1), "kmv_distinct k"))))
 
   /** Register on a session that already exists (extensions configs only
     * apply at construction time).
