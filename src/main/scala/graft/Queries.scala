@@ -638,6 +638,65 @@ object Queries {
         // price column makes the output order total (oracle-compare is
         // positional)
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    }),
+
+    // KMV distinct-count sketch (custom TypedImperativeAggregate): bounded
+    // O(k) state per group regardless of input size — shuffle is
+    // O(groups × k), not O(distinct values) like exact COUNT DISTINCT.
+    // The portable md5-derived hash makes the ESTIMATE itself replayable
+    // bit-for-bit in DuckDB; exact count alongside for reference.
+    "q53_kmv_distinct" -> ((s, dir) => {
+      import graft.functions.SketchFunctions
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          SketchFunctions.kmvDistinct(col("l_partkey"), 128).as("est_partkeys"),
+          countDistinct(col("l_partkey")).as("n_exact"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Keyword extraction: TF-IDF over the portable alpha tokenizer, top-3
+    // terms per document. Ranking compares the ROUNDED score (6 dp) with a
+    // lexicographic tiebreak so both engines order identically; ln is IEEE
+    // double in both. One shuffle for tf, one broadcast-sized df dim, one
+    // single-row corpus count — no driver-side action.
+    "q54_tfidf_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(docFreq, "token").crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token").asc)
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"), col("token"))
+    }),
+
+    // SCD2 history: collapse each user's event-type observations into
+    // validity intervals (one row per consecutive run of identical state).
+    // Single shuffle — every window shares the user_id partitioning.
+    "q55_scd2" -> ((s, dir) => {
+      Relational.scd2(t(s, dir, "events"),
+        keys = Seq("user_id"), ts = col("ts"),
+        order = Seq(col("ts"), col("event_id")),
+        tracked = Seq("event_type"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
+    // Single-pass profiler: per-column nulls / KMV distinct estimate /
+    // min/max in ONE scan + one single-row agg (no per-column jobs).
+    "q56_profile" -> ((s, dir) => {
+      graft.operators.Profile.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"), 256)
+        .orderBy(col("col_name"))
     })
   )
 
@@ -902,6 +961,102 @@ object Queries {
         |FROM int_cust_rev i JOIN nation n ON n.n_nationkey = i.c_nationkey
         |GROUP BY n.n_name
         |ORDER BY nation""".stripMargin,
+
+    // q53 replays the KMV estimate exactly: distinct portable hashes per
+    // group, k-th smallest via window rank, floor((k-1)·2^60 / h_k). All
+    // doubles involved are identically rounded in both engines.
+    "q53_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag, l_linestatus,
+        |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT l_returnflag, l_linestatus, h,
+        |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS cnt
+        |  FROM h
+        |), e AS (
+        |  SELECT l_returnflag, l_linestatus, max(cnt) AS cnt,
+        |    max(CASE WHEN rn = 128 THEN h END) AS hk
+        |  FROM r GROUP BY 1, 2
+        |), x AS (
+        |  SELECT l_returnflag, l_linestatus, count(DISTINCT l_partkey) AS n_exact
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT e.l_returnflag, e.l_linestatus,
+        |  CASE WHEN e.cnt < 128 THEN e.cnt
+        |    ELSE CAST(floor(127.0 * 1152921504606846976.0 / e.hk) AS BIGINT) END AS est_partkeys,
+        |  x.n_exact
+        |FROM e JOIN x USING (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // q54 replays TF-IDF: same tokenizer regex, same ln-based score rounded
+    // to 6 dp, same (score DESC, token) ranking.
+    "q54_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, token, tf, df, score FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, token""".stripMargin,
+
+    // q55 replays SCD2: same null-safe change detection, same running-sum
+    // version ordinal, same forward-min valid_to, same per-run count.
+    "q55_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN (event_type IS DISTINCT FROM lag(event_type) OVER w)
+        |           OR row_number() OVER w = 1
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), r AS (
+        |  SELECT *,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS version,
+        |    min(CASE WHEN chg = 1 THEN ts END) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS valid_to
+        |  FROM o
+        |), c AS (
+        |  SELECT *, count(*) OVER (PARTITION BY user_id, version) AS n_obs
+        |  FROM r
+        |)
+        |SELECT user_id, event_type, CAST(version AS BIGINT) AS version,
+        |  ts AS valid_from, valid_to, n_obs
+        |FROM c WHERE chg = 1
+        |ORDER BY user_id, version""".stripMargin,
+
+    // q56 replays the profile per column (the single-pass constraint is a
+    // Spark-side property; the oracle may scan per column). KMV replay:
+    // distinct portable hashes ascending, LIMIT k, then count/max.
+    "q56_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  (SELECT count(*) FROM orders) AS n_rows,
+           |  (SELECT count(*) - count($c) FROM orders) AS n_nulls,
+           |  (SELECT CASE WHEN count(*) < 256 THEN count(*)
+           |     ELSE CAST(floor(255.0 * 1152921504606846976.0 / max(h)) AS BIGINT) END
+           |   FROM (SELECT DISTINCT CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           |         FROM orders WHERE $c IS NOT NULL
+           |         ORDER BY h LIMIT 256)) AS est_distinct,
+           |  (SELECT min(CAST($c AS VARCHAR)) FROM orders) AS min_value,
+           |  (SELECT max(CAST($c AS VARCHAR)) FROM orders) AS max_value""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
 
     "q47_pii_redact" ->
       """WITH f AS (

@@ -186,6 +186,45 @@ object Relational {
       w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** SCD type-2 history builder: collapse per-key state observations (daily
+    * full snapshots, event streams) into validity intervals — one output row
+    * per consecutive run of identical tracked state, with `valid_from`,
+    * `valid_to` (null = current version), a per-key `version` ordinal, and
+    * the run's observation count `n_obs`. The warehouse pattern behind the
+    * reference's daily-snapshot tables (e.g. the `_snapshot`-suffixed lake
+    * copies written by the datalake flows): day N's full extract usually
+    * repeats day N-1's state, and history queries want intervals, not a row
+    * per day.
+    *
+    * ONE shuffle: every window partitions by `keys` alone — change
+    * detection (null-safe `<=>` against `lag`), the running-sum run
+    * ordinal, the forward-looking `valid_to` (min of future change
+    * timestamps), and the per-run count (partitioning by keys+run is
+    * satisfied by the keys hash partitioning, so no second exchange) all
+    * share the same sorted pass. `order` must be a total order within key
+    * (append a unique tiebreaker).
+    */
+  def scd2(df: DataFrame, keys: Seq[String], ts: Column,
+      order: Seq[Column], tracked: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val future = w.rowsBetween(1, Window.unboundedFollowing)
+    val changed = tracked.map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val base = df
+      .withColumn("__chg",
+        when(changed || row_number().over(w) === 1, 1L).otherwise(0L))
+      .withColumn("version", sum(col("__chg")).over(run))
+      .withColumn("valid_to",
+        min(when(col("__chg") === 1L, ts)).over(future))
+      .withColumn("n_obs",
+        count(lit(1)).over(Window.partitionBy(
+          (keys.map(col) :+ col("version")): _*)))
+    base.filter(col("__chg") === 1L)
+      .select((keys.map(col) ++ tracked.map(col)) ++ Seq(
+        col("version"), ts.as("valid_from"), col("valid_to"), col("n_obs")): _*)
+  }
+
   /** Deterministic (hash-based) sampling: keep a row iff its key's portable
     * 60-bit md5 bucket mod 100 falls under `percent` — which may be a
     * per-row expression, giving STRATIFIED rates (e.g. downsample one
