@@ -697,6 +697,16 @@ object Queries {
       graft.operators.Profile.profile(t(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"), 256)
         .orderBy(col("col_name"))
+    }),
+
+    // Exact grouped percentiles via order statistics — the "disc"
+    // definition SELECTS an input value (no interpolation), so doubles
+    // pass through bit-identical and the rank math is the same IEEE
+    // ceil(p*n) in both engines.
+    "q57_percentiles" -> ((s, dir) => {
+      Relational.exactPercentiles(t(s, dir, "events"),
+        Seq("event_type"), col("value"), Seq(0.5, 0.95, 0.99))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1057,6 +1067,25 @@ object Queries {
            |  (SELECT min(CAST($c AS VARCHAR)) FROM orders) AS min_value,
            |  (SELECT max(CAST($c AS VARCHAR)) FROM orders) AS max_value""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    // q57 replays the order-statistic percentiles: same rank window, same
+    // IEEE ceil(p*n) rank selection, doubles selected not computed.
+    "q57_percentiles" ->
+      """WITH f AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM f
+        |)
+        |SELECT event_type,
+        |  max(CASE WHEN rn = ceil(n * CAST(0.5 AS DOUBLE)) THEN value END) AS p50,
+        |  max(CASE WHEN rn = ceil(n * CAST(0.95 AS DOUBLE)) THEN value END) AS p95,
+        |  max(CASE WHEN rn = ceil(n * CAST(0.99 AS DOUBLE)) THEN value END) AS p99,
+        |  max(n) AS n_values
+        |FROM r GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q47_pii_redact" ->
       """WITH f AS (

@@ -225,6 +225,37 @@ object Relational {
         col("version"), ts.as("valid_from"), col("valid_to"), col("n_obs")): _*)
   }
 
+  /** Exact grouped order-statistic percentiles: for each key, the value at
+    * ascending rank `ceil(p * n)` (1-indexed) per requested percentile —
+    * the discontinuous ("disc") definition, which SELECTS an input value
+    * instead of interpolating, so doubles pass through bit-identical and
+    * any engine replays the result (interpolating definitions differ
+    * engine-to-engine; rank arithmetic here is the same IEEE
+    * `ceil(p * n)` everywhere). Ties in `value` are safe: the value AT a
+    * fixed rank is deterministic regardless of tie order.
+    *
+    * One shuffle; the rank window and the count window share the key
+    * partitioning, and the final per-key agg collapses in the same
+    * exchange. Exact percentiles require the per-key sort by definition —
+    * at scales where that sort hurts, reach for `approx_percentile`
+    * (t-digest, no sort) and accept engine-specific results.
+    */
+  def exactPercentiles(df: DataFrame, keys: Seq[String], value: Column,
+      percentiles: Seq[Double]): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p > 0 && p <= 1),
+      s"percentiles must be in (0, 1], got $percentiles")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(value)
+    val ranked = df.filter(value.isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(keys.map(col): _*)))
+    val pcols = percentiles.map { p =>
+      max(when(col("__rn") === ceil(col("__n") * p), value))
+        .as(s"p${math.round(p * 100)}")
+    } :+ max(col("__n")).as("n_values")
+    ranked.groupBy(keys.map(col): _*).agg(pcols.head, pcols.tail: _*)
+  }
+
   /** Deterministic (hash-based) sampling: keep a row iff its key's portable
     * 60-bit md5 bucket mod 100 falls under `percent` — which may be a
     * per-row expression, giving STRATIFIED rates (e.g. downsample one

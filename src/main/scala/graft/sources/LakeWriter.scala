@@ -79,4 +79,40 @@ object LakeWriter {
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+
+  /** Range-clustered layout: globally range-partition on `sortCols` and
+    * sort within each output file, so every file covers a DISJOINT range of
+    * the sort key. Parquet then stores tight min/max stats per file and
+    * row group, and any reader filtering on the key skips whole files —
+    * the data-skipping layout that turns a 100 TB scan-with-predicate into
+    * reading a handful of files (what table formats call clustering /
+    * Z-order collapses to this for a single key). `numFiles` controls
+    * target file count; range boundaries come from Spark's reservoir
+    * sampling, which balances file sizes under skew.
+    */
+  def writeRangeLayout(df: DataFrame, path: String, sortCols: Seq[Column],
+      numFiles: Int, mode: String = "overwrite"): Unit =
+    df.repartitionByRange(numFiles, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode(mode).parquet(path)
+
+  /** Small-files compaction: rewrite a parquet directory into files sized
+    * close to `targetBytes`. File count is derived from the ACTUAL input
+    * bytes (filesystem listing, no data pass); the rewrite itself is one
+    * scan + one coalesce-free round-robin repartition. Writes to `outPath`
+    * — swapping the directory in is the caller's (atomic-rename) move, so
+    * a failed compaction never corrupts the live table.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
 }
