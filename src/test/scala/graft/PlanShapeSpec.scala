@@ -81,4 +81,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TopKPerKeyFinal"), plan)
     assert(!plan.contains("WindowExec"), plan)
   }
+
+  test("q53 KMV sketch aggregates with a map-side partial phase") {
+    val plan = planOf(q("q53_kmv_distinct"))
+    // the typed imperative aggregate must run as ObjectHashAggregate with
+    // partial merge — the bounded-buffer/partial-combine contract that
+    // keeps shuffle at O(groups × k) at scale
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_kmv_distinct"), plan)
+  }
+
+  test("q56 profiler runs as one scan (no per-column unions)") {
+    val plan = planOf(q("q56_profile"))
+    assert(!plan.contains("Union"), plan)
+    // formatted explain prints each node twice (tree + detail section):
+    // exactly one scan node = exactly two textual occurrences
+    assert("Scan parquet".r.findAllIn(plan).size == 2, plan)
+  }
 }
