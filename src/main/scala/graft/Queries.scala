@@ -707,6 +707,29 @@ object Queries {
       Relational.exactPercentiles(t(s, dir, "events"),
         Seq("event_type"), col("value"), Seq(0.5, 0.95, 0.99))
         .orderBy(col("event_type"))
+    }),
+
+    // Document → training-sample chunking: 64-token windows, 16-token
+    // overlap, short tail kept. One row per (doc, chunk).
+    "q58_token_chunks" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.chunkByTokens(col("text"), 64, 16)).as("c"))
+        .select(col("doc_id"), col("c.start").as("start"),
+          col("c.n_tokens").as("n_tokens"), col("c.chunk").as("chunk"))
+        .orderBy(col("doc_id"), col("start"))
+    }),
+
+    // Sequence packing: per-language shards, docs in doc_id order packed
+    // into 2048-token context bins by exclusive running count (offset
+    // packing — pure integer math, replayable anywhere).
+    "q59_seq_packing" -> ((s, dir) => {
+      Relational.packSequences(t(s, dir, "documents"),
+        shardKeys = Seq("lang"), order = Seq(col("doc_id")),
+        tokens = TextFunctions.tokenCount(col("text")), capacity = 2048L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("bin_id"), col("offset_in_bin"))
+        .orderBy(col("lang"), col("doc_id"))
     })
   )
 
@@ -1067,6 +1090,40 @@ object Queries {
            |  (SELECT min(CAST($c AS VARCHAR)) FROM orders) AS min_value,
            |  (SELECT max(CAST($c AS VARCHAR)) FROM orders) AS max_value""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    // q58 replays the chunker: same whitespace tokens, same 1-indexed
+    // start grid (step = 64 - 16 = 48), same slice-and-join.
+    "q58_token_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, greatest(len(toks), 1), 48)) AS s1
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(s1 - 1 AS BIGINT) AS start,
+        |  CAST(least(64, len(toks) - s1 + 1) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[s1 : s1 + 63], ' ') AS chunk
+        |FROM s ORDER BY doc_id, start""".stripMargin,
+
+    // q59 replays offset packing: exclusive running sum per lang shard in
+    // doc_id order, integer division for the bin.
+    "q59_seq_packing" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM c
+        |)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(cum // 2048 AS BIGINT) AS bin_id,
+        |  CAST(cum - (cum // 2048) * 2048 AS BIGINT) AS offset_in_bin
+        |FROM r ORDER BY lang, doc_id""".stripMargin,
 
     // q57 replays the order-statistic percentiles: same rank window, same
     // IEEE ceil(p*n) rank selection, doubles selected not computed.

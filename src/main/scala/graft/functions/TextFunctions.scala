@@ -59,6 +59,30 @@ object TextFunctions {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
       .cast("bigint")
 
+  /** Fixed-size overlapping token windows — the document→training-sample
+    * chunking step: each chunk is `chunkTokens` whitespace tokens, starting
+    * every `chunkTokens - overlap` tokens, with the final (possibly short)
+    * tail kept. Returns `array<struct<start, n_tokens, chunk>>` where
+    * `start` is the 0-based token offset.
+    *
+    * HOF-based (`transform` over a `sequence` of starts): chunking emits
+    * whole new strings per element, so per-element interpreted eval is
+    * dwarfed by the string building itself — unlike the hash kernels this
+    * is not a bit-parity hot path (and the output IS replayable: slicing
+    * and joining tokens is deterministic in any engine).
+    */
+  def chunkByTokens(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunkTokens=$chunkTokens overlap=$overlap")
+    val step = chunkTokens - overlap
+    val toks = tokens(text)
+    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(step))
+    transform(starts, s => struct(
+      s.cast("long").as("start"),
+      least(lit(chunkTokens), size(toks) - s).cast("long").as("n_tokens"),
+      array_join(slice(toks, s + 1, lit(chunkTokens)), " ").as("chunk")))
+  }
+
   /** Punctuation-to-character ratio (0 for empty text). */
   def punctRatio(text: Column): Column = {
     val punct = size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))

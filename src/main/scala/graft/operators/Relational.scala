@@ -225,6 +225,32 @@ object Relational {
         col("version"), ts.as("valid_from"), col("valid_to"), col("n_obs")): _*)
   }
 
+  /** Sequence packing: assign each document to a fixed-capacity context
+    * bin (training-batch window) by exclusive running token count within
+    * its shard — `bin_id = tokens_before DIV capacity`, `offset_in_bin =
+    * tokens_before - bin_id * capacity`. The offset-packing definition: a
+    * bin may overrun by less than one document (standard constant-slack
+    * packing — an exact greedy reset is a sequential scan by definition),
+    * and everything is integer arithmetic, so any engine replays bin
+    * assignments exactly.
+    *
+    * `shardKeys` bounds the running sum's sort to a shard (e.g. language,
+    * source, hash bucket) — packing 100 TB globally would serialize into
+    * one partition; per-shard packing is one shuffle and each shard sorts
+    * independently. `order` must totally order docs within the shard.
+    */
+  def packSequences(df: DataFrame, shardKeys: Seq[String],
+      order: Seq[Column], tokens: Column, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(shardKeys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"__cum DIV ${capacity}L"))
+      .withColumn("offset_in_bin", col("__cum") - col("bin_id") * capacity)
+      .drop("__cum")
+  }
+
   /** Exact grouped order-statistic percentiles: for each key, the value at
     * ascending rank `ceil(p * n)` (1-indexed) per requested percentile —
     * the discontinuous ("disc") definition, which SELECTS an input value

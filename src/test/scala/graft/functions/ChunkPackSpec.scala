@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.Relational
+
+class ChunkPackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkByTokens: overlapping windows with short tail kept") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "text")
+    val chunks = df.select(explode(TextFunctions.chunkByTokens(col("text"), 4, 1)).as("c"))
+      .select(col("c.start"), col("c.n_tokens"), col("c.chunk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // step = 3: starts 0,3,6,9
+    assert(chunks.toSeq == Seq(
+      (0L, 4L, "t1 t2 t3 t4"),
+      (3L, 4L, "t4 t5 t6 t7"),
+      (6L, 4L, "t7 t8 t9 t10"),
+      (9L, 1L, "t10")))
+  }
+
+  test("chunkByTokens: empty text yields one empty chunk") {
+    val df = Seq((1L, "")).toDF("id", "text")
+    val c = df.select(explode(TextFunctions.chunkByTokens(col("text"), 4, 0)).as("c"))
+      .select(col("c.n_tokens"), col("c.chunk")).collect()
+    assert(c.length == 1 && c(0).getLong(0) == 0L && c(0).getString(1) == "")
+  }
+
+  test("packSequences: offset packing with integer bins, per shard") {
+    val df = Seq(
+      ("en", 1L, 600L), ("en", 2L, 600L), ("en", 3L, 600L), ("en", 4L, 600L),
+      ("pt", 5L, 2500L), ("pt", 6L, 100L)
+    ).toDF("lang", "doc_id", "n")
+    val out = Relational.packSequences(df, Seq("lang"), Seq(col("doc_id")),
+      col("n"), capacity = 1000L)
+      .select("doc_id", "bin_id", "offset_in_bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // en cums: 0,600,1200,1800 → bins 0,0,1,1; pt cums: 0,2500 → bins 0,2
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L), (2L, 0L, 600L), (3L, 1L, 200L), (4L, 1L, 800L),
+      (5L, 0L, 0L), (6L, 2L, 500L)))
+  }
+}
