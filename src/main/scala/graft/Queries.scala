@@ -730,6 +730,24 @@ object Queries {
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("bin_id"), col("offset_in_bin"))
         .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // Deterministic split assignment: md5-bucket → train/val/test, same
+    // key → same split across tables/runs/engines. Pure column expr.
+    "q60_split_assign" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          Relational.splitAssign(col("doc_id"), 90, 5).as("split"))
+        .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
+    // Deterministic fixed-N sample: smallest-hash keys via
+    // TakeOrderedAndProject (bounded heaps, no global sort).
+    "q61_eval_sample" -> ((s, dir) => {
+      Relational.deterministicSample(t(s, dir, "documents"), col("doc_id"), 200)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1124,6 +1142,28 @@ object Queries {
         |  CAST(cum // 2048 AS BIGINT) AS bin_id,
         |  CAST(cum - (cum // 2048) * 2048 AS BIGINT) AS offset_in_bin
         |FROM r ORDER BY lang, doc_id""".stripMargin,
+
+    // q60/q61 replay the portable md5 bucket / smallest-hash ordering.
+    "q60_split_assign" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM b GROUP BY 1, 2
+        |ORDER BY lang, split""".stripMargin,
+
+    "q61_eval_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents ORDER BY h, doc_id LIMIT 200)
+        |ORDER BY doc_id""".stripMargin,
 
     // q57 replays the order-statistic percentiles: same rank window, same
     // IEEE ceil(p*n) rank selection, doubles selected not computed.

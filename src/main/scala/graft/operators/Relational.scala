@@ -282,6 +282,36 @@ object Relational {
     ranked.groupBy(keys.map(col): _*).agg(pcols.head, pcols.tail: _*)
   }
 
+  /** Deterministic train/val/test assignment: the key's portable md5
+    * bucket (0–99) mapped to a split label by cumulative percentage.
+    * Pure column expression — no shuffle, no state, pushes into scans —
+    * and the same key lands in the same split in every table, run, and
+    * engine, which is what keeps a held-out set actually held out across
+    * a 100 TB corpus rebuild.
+    */
+  def splitAssign(key: Column, trainPct: Int, valPct: Int): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need train > 0, val >= 0, train + val < 100; got $trainPct/$valPct")
+    val bucket = pmod(
+      conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(100L))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Deterministic fixed-size sample: the n keys with the smallest
+    * portable md5 hashes (tie-broken by key). Compiles to
+    * TakeOrderedAndProject — per-partition bounded heaps, only n survivors
+    * shuffle to the driver-side merge — so picking a 10k-doc eval set from
+    * 100 TB never materializes a global sort. Same n keys every run and in
+    * every engine.
+    */
+  def deterministicSample(df: DataFrame, key: Column, n: Int): DataFrame = {
+    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    df.withColumn("__h", h).orderBy(col("__h"), key).limit(n).drop("__h")
+  }
+
   /** Deterministic (hash-based) sampling: keep a row iff its key's portable
     * 60-bit md5 bucket mod 100 falls under `percent` — which may be a
     * per-row expression, giving STRATIFIED rates (e.g. downsample one

@@ -42,4 +42,27 @@ class ChunkPackSpec extends SparkSpec {
       (1L, 0L, 0L), (2L, 0L, 600L), (3L, 1L, 200L), (4L, 1L, 800L),
       (5L, 0L, 0L), (6L, 2L, 500L)))
   }
+
+  test("splitAssign: stable, weights respected, same key same split everywhere") {
+    val df = (1 to 2000).toDF("k")
+      .select(col("k"), Relational.splitAssign(col("k"), 90, 5).as("split"))
+    val counts = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 1600 && counts("val") < 200 && counts("test") < 200)
+    // co-assignment: the same key in a second "table" gets the same split
+    val other = (1 to 2000).toDF("k")
+      .select(col("k"), Relational.splitAssign(col("k"), 90, 5).as("split2"))
+    assert(df.join(other, "k").filter(col("split") =!= col("split2")).count() == 0)
+  }
+
+  test("deterministicSample compiles to TakeOrderedAndProject and is stable") {
+    val df = (1 to 5000).toDF("k")
+    val s1 = Relational.deterministicSample(df, col("k"), 50)
+    assert(s1.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      s1.queryExecution.executedPlan.toString)
+    val a = s1.collect().map(_.getInt(0)).sorted.toSeq
+    val b = Relational.deterministicSample(df.repartition(13), col("k"), 50)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(a == b && a.size == 50)
+  }
 }
