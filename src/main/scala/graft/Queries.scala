@@ -658,8 +658,10 @@ object Queries {
     // Keyword extraction: TF-IDF over the portable alpha tokenizer, top-3
     // terms per document. Ranking compares the ROUNDED score (6 dp) with a
     // lexicographic tiebreak so both engines order identically; ln is IEEE
-    // double in both. One shuffle for tf, one broadcast-sized df dim, one
-    // single-row corpus count — no driver-side action.
+    // double in both. Document frequency is a WINDOW COUNT over the token
+    // partitioning (tf is one row per (doc, token), so rows-per-token = df)
+    // — no separate df aggregation, no join back; plus one broadcast
+    // single-row corpus count. No driver-side action.
     "q54_tfidf_keywords" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
@@ -667,9 +669,10 @@ object Queries {
         .select(col("doc_id"),
           explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("token"))
         .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(docFreq, "token").crossJoin(broadcast(nDocs))
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+        .crossJoin(broadcast(nDocs))
         .withColumn("score",
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       val w = Window.partitionBy(col("doc_id"))
