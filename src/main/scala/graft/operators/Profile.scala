@@ -7,8 +7,10 @@ import graft.functions.SketchFunctions
 
 /** Single-pass data profiling: per-column row count, null count, distinct
   * estimate, and min/max — the engine half of the reference's post-load
-  * validation checks (row-count reconciliation, null-rate assertions,
-  * schema adequacy), generalized to one scan.
+  * validation/monitoring sweeps (reference:
+  * pipelines/reports/alerta_atualizacao_tabelas/tasks.py:14-38 freshness
+  * metadata checks; pipelines/reports/checks_bucket_files/tasks.py:16-29
+  * per-source presence counts), generalized to one scan.
   *
   * ONE pass over the data no matter how many columns: every statistic is a
   * map-side-combinable aggregate in a single `agg` (the distinct estimate

@@ -191,10 +191,11 @@ object Relational {
     * per consecutive run of identical tracked state, with `valid_from`,
     * `valid_to` (null = current version), a per-key `version` ordinal, and
     * the run's observation count `n_obs`. The warehouse pattern behind the
-    * reference's daily-snapshot tables (e.g. the `_snapshot`-suffixed lake
-    * copies written by the datalake flows): day N's full extract usually
-    * repeats day N-1's state, and history queries want intervals, not a row
-    * per day.
+    * reference's snapshot-stamped lake tables (reference:
+    * pipelines/datalake/utils/data_transformations.py:146-199 adds
+    * `snapshot_date` metadata to every full extract): day N's full extract
+    * usually repeats day N-1's state, and history queries want intervals,
+    * not a row per day.
     *
     * ONE shuffle: every window partitions by `keys` alone — change
     * detection (null-safe `<=>` against `lag`), the running-sum run
