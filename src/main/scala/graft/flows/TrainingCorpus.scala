@@ -1,0 +1,72 @@
+package graft.flows
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Relational}
+
+/** End-to-end training-corpus build: the full document → training-sample
+  * path, composed entirely from the engine's operators so each stage keeps
+  * its scale contract (bucketed candidate generation, bounded-state
+  * clustering, one-exchange packing, pushdown-safe filters):
+  *
+  *  1. quality gate       — `TextFunctions.qualityScore` threshold
+  *  2. exact dedup        — content-fingerprint keep-lowest-id
+  *  3. near-dup dedup     — MinHash+LSH pairs → connected components →
+  *                          keep each cluster's canonical (minimum-id) doc
+  *  4. PII redaction      — chained codegen'd regex
+  *  5. chunking           — fixed-size overlapping token windows
+  *  6. sequence packing   — per-language context bins
+  *  7. split assignment   — md5-bucket train/val/test, keyed by DOCUMENT
+  *                          so every chunk of a doc stays in one split
+  *                          (chunk-level splits leak near-identical text
+  *                          across train and eval)
+  *
+  * Returns one row per chunk: (doc_id, lang, start, n_tokens, chunk,
+  * bin_id, offset_in_bin, split).
+  */
+object TrainingCorpus {
+
+  def build(
+      docs: DataFrame,
+      minQuality: Double = 0.3,
+      jaccardThreshold: Double = 0.8,
+      chunkTokens: Int = 512,
+      overlap: Int = 64,
+      binCapacity: Long = 2048L,
+      trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+
+    val quality = docs
+      .filter(TextFunctions.qualityScore(col("text")) >= minQuality)
+
+    val exact = Dedup.exactDedup(quality, "doc_id", "text")
+
+    // near-dup: candidate pairs above the threshold → transitive clusters →
+    // survivors are docs that are their own cluster minimum (docs absent
+    // from the pair graph are singletons and survive by default)
+    val pairs = Dedup.minHashCandidatePairs(exact, "doc_id", "text")
+      .filter(col("jaccard") >= jaccardThreshold)
+    val clusters = Dedup.duplicateClusters(pairs)
+    val canonical = exact
+      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .drop("cluster_id")
+
+    val redacted = canonical
+      .withColumn("clean_text", TextFunctions.redactPii(col("text")))
+
+    val chunks = redacted
+      .select(col("doc_id"), col("lang"),
+        explode(TextFunctions.chunkByTokens(col("clean_text"),
+          chunkTokens, overlap)).as("c"))
+      .select(col("doc_id"), col("lang"), col("c.start").as("start"),
+        col("c.n_tokens").as("n_tokens"), col("c.chunk").as("chunk"))
+
+    Relational.packSequences(chunks, Seq("lang"),
+        Seq(col("doc_id"), col("start")), col("n_tokens"), binCapacity)
+      .withColumn("split",
+        Relational.splitAssign(col("doc_id"), trainPct, valPct))
+  }
+}
