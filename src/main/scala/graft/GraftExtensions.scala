@@ -57,7 +57,9 @@ object GraftExtensions {
     // aggregate: the analyzer wraps a bare AggregateFunction in
     // AggregateExpression(Complete) on resolution
     reg("kmv_distinct", classOf[KmvDistinct], 2)(c =>
-      KmvDistinct(c(0), litInt(c(1), "kmv_distinct k"))))
+      KmvDistinct(c(0), litInt(c(1), "kmv_distinct k"))),
+    reg("heavy_hitters", classOf[graft.functions.HeavyHitters], 2)(c =>
+      graft.functions.HeavyHitters(c(0), litInt(c(1), "heavy_hitters k"))))
 
   /** Register on a session that already exists (extensions configs only
     * apply at construction time).

@@ -56,6 +56,38 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("heavy hitters: superset guarantee and error bound hold") {
+    // zipf-ish: item i appears (500 / i) times, i = 1..100 → n ≈ 2594
+    val rows = (1 to 100).flatMap(i => Seq.fill(500 / i)(s"item$i"))
+    val n = rows.size
+    val k = 40
+    val df = rows.toDF("v").repartition(7)
+    val hh = df.agg(SketchFunctions.heavyHitters(col("v"), k).as("hh"))
+      .selectExpr("explode(hh) AS e").select("e.item", "e.est_count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val threshold = n / (k + 1)
+    val trueCounts = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // every item above n/(k+1) must be reported
+    trueCounts.filter(_._2 > threshold).foreach { case (item, c) =>
+      assert(hh.contains(item), s"missing heavy hitter $item (count $c, threshold $threshold)")
+    }
+    // estimates never overcount and undercount by at most n/(k+1) per merge level;
+    // with one repartition there are two levels — allow 2× the single-level bound
+    hh.foreach { case (item, est) =>
+      val truth = trueCounts(item)
+      assert(est <= truth, s"$item overcounted: $est > $truth")
+      assert(truth - est <= 2L * threshold, s"$item undercounted beyond bound: $est vs $truth")
+    }
+  }
+
+  test("heavy hitters: fewer distinct values than k is exact") {
+    val df = (1 to 300).map(i => s"v${i % 5}").toDF("v").repartition(3)
+    val hh = df.agg(SketchFunctions.heavyHitters(col("v"), 16).as("hh"))
+      .selectExpr("explode(hh) AS e").select("e.item", "e.est_count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == (0 to 4).map(i => s"v$i" -> 60L).toMap)
+  }
+
   test("SQL registration: kmv_distinct usable from spark.sql") {
     graft.GraftExtensions.register(spark)
     (1 to 1000).toDF("v").createOrReplaceTempView("kmv_in")
