@@ -751,6 +751,32 @@ object Queries {
       Relational.deterministicSample(t(s, dir, "documents"), col("doc_id"), 200)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Two-pass heavy hitters: MG sketch (bounded state, O(k) shuffle) →
+    // candidate superset → exact recount of candidates only → strict
+    // threshold filter. The MG superset guarantee makes the FINAL answer
+    // exactly the set of tokens with count > n/(k+1), independent of the
+    // sketch's order-dependent internals — so the query is oracle-exact
+    // even though the sketch isn't, and the oracle doubles as a standing
+    // check on the guarantee itself.
+    "q62_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.SketchFunctions
+      val k = 200
+      val toks = t(s, dir, "documents")
+        .select(explode(expr(
+          "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("token"))
+      val cands = toks
+        .agg(SketchFunctions.heavyHitters(col("token"), k).as("hh"))
+        .selectExpr("explode(hh) AS e").select(col("e.item").as("token"))
+      val n = toks.agg(count(lit(1)).as("n"))
+      toks.join(broadcast(cands), "token")
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .filter(col("cnt").cast("double") >
+          col("n").cast("double") / lit(k + 1).cast("double"))
+        .select(col("token"), col("cnt"))
+        .orderBy(col("token"))
     })
   )
 
@@ -1167,6 +1193,22 @@ object Queries {
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         |  FROM documents ORDER BY h, doc_id LIMIT 200)
         |ORDER BY doc_id""".stripMargin,
+
+    // q62's oracle is the EXACT heavy-hitter set — the sketch pass only
+    // prunes, and its superset guarantee means pruning loses nothing above
+    // the threshold.
+    "q62_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents
+        |), n AS (
+        |  SELECT count(*) AS n FROM toks
+        |), c AS (
+        |  SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+        |)
+        |SELECT token, cnt FROM c CROSS JOIN n
+        |WHERE CAST(cnt AS DOUBLE) > CAST(n AS DOUBLE) / CAST(201 AS DOUBLE)
+        |ORDER BY token""".stripMargin,
 
     // q57 replays the order-statistic percentiles: same rank window, same
     // IEEE ceil(p*n) rank selection, doubles selected not computed.
