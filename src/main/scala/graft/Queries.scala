@@ -655,13 +655,19 @@ object Queries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // Keyword extraction: TF-IDF over the portable alpha tokenizer, top-3
-    // terms per document. Ranking compares the ROUNDED score (6 dp) with a
-    // lexicographic tiebreak so both engines order identically; ln is IEEE
-    // double in both. Document frequency is a WINDOW COUNT over the token
-    // partitioning (tf is one row per (doc, token), so rows-per-token = df)
-    // — no separate df aggregation, no join back; plus one broadcast
-    // single-row corpus count. No driver-side action.
+    // Keyword extraction: tf × odds-idf over the portable alpha tokenizer,
+    // top-3 terms per document. The idf surrogate is BM25's idf ARGUMENT
+    // with the ln omitted — (n_docs - df + 0.5) / (df + 0.5), same
+    // monotone rare-term weighting — because ln is NOT correctly rounded
+    // under IEEE 754 (a 1-ulp libm difference between JVM and DuckDB could
+    // flip a rounded score), while integer arithmetic and one double
+    // division ARE exactly specified, so the score is bit-identical in any
+    // engine. score = tf·(2(n_docs-df)+1) / (2df+1): exact integer
+    // numerator (< 2^53), one correctly-rounded division. Document
+    // frequency is a WINDOW COUNT over the token partitioning (tf is one
+    // row per (doc, token), so rows-per-token = df) — no separate df
+    // aggregation, no join back; plus one broadcast single-row corpus
+    // count. No driver-side action.
     "q54_tfidf_keywords" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
@@ -674,7 +680,8 @@ object Queries {
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
         .crossJoin(broadcast(nDocs))
         .withColumn("score",
-          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+          (col("tf") * (lit(2L) * (col("n_docs") - col("df")) + lit(1L))).cast("double")
+            / (lit(2L) * col("df") + lit(1L)).cast("double"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("token").asc)
       scored.withColumn("__rn", row_number().over(w))
@@ -1070,8 +1077,10 @@ object Queries {
         |FROM e JOIN x USING (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
-    // q54 replays TF-IDF: same tokenizer regex, same ln-based score rounded
-    // to 6 dp, same (score DESC, token) ranking.
+    // q54 replays tf × odds-idf: same tokenizer regex, same rational score
+    // (exact integer numerator, one correctly-rounded IEEE division — no
+    // libm ln, so the doubles match bit-for-bit), same (score DESC, token)
+    // ranking.
     "q54_tfidf_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
@@ -1084,7 +1093,8 @@ object Queries {
         |  SELECT count(*) AS n_docs FROM documents
         |), scored AS (
         |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
-        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+        |    CAST(tf.tf * (2 * (n.n_docs - df.df) + 1) AS DOUBLE)
+        |      / CAST(2 * df.df + 1 AS DOUBLE) AS score
         |  FROM tf JOIN df USING (token) CROSS JOIN n
         |), ranked AS (
         |  SELECT *, row_number() OVER
@@ -1139,14 +1149,17 @@ object Queries {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
 
     // q58 replays the chunker: same whitespace tokens, same 1-indexed
-    // start grid (step = 64 - 16 = 48), same slice-and-join.
+    // start grid (step = 64 - 16 = 48, truncated at the first start whose
+    // window reaches end-of-doc), same slice-and-join.
     "q58_token_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
         |  FROM documents
         |), s AS (
         |  SELECT doc_id, toks,
-        |    unnest(generate_series(1, greatest(len(toks), 1), 48)) AS s1
+        |    unnest(generate_series(1,
+        |      greatest(CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) * 48, 0) + 1,
+        |      48)) AS s1
         |  FROM t
         |)
         |SELECT doc_id, CAST(s1 - 1 AS BIGINT) AS start,

@@ -62,10 +62,14 @@ object TrainingCorpus {
         explode(TextFunctions.chunkByTokens(col("clean_text"),
           chunkTokens, overlap)).as("c"))
       .select(col("doc_id"), col("lang"), col("c.start").as("start"),
-        col("c.n_tokens").as("n_tokens"), col("c.chunk").as("chunk"))
+        col("c.n_tokens").as("chunk_tokens"), col("c.chunk").as("chunk"))
 
+    // packSequences owns the `n_tokens` output name; feed it the chunk's
+    // token count under a scratch name and drop it afterwards.
     Relational.packSequences(chunks, Seq("lang"),
-        Seq(col("doc_id"), col("start")), col("n_tokens"), binCapacity)
+        Seq(col("doc_id"), col("start")), col("chunk_tokens"), binCapacity)
+      .select(col("doc_id"), col("lang"), col("start"), col("n_tokens"),
+        col("chunk"), col("bin_id"), col("offset_in_bin"))
       .withColumn("split",
         Relational.splitAssign(col("doc_id"), trainPct, valPct))
   }

@@ -220,7 +220,15 @@ case class HeavyHitters(
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.size)
     val it = buf.entrySet().iterator()
-    while (it.hasNext) { val e = it.next(); out.writeUTF(e.getKey); out.writeLong(e.getValue) }
+    // Length-prefixed bytes, not writeUTF: items come from stringified arbitrary
+    // columns, and writeUTF throws past 65535 encoded bytes.
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(e.getValue)
+    }
     out.flush()
     bytes.toByteArray
   }
@@ -230,7 +238,13 @@ case class HeavyHitters(
     val n = in.readInt()
     val buf = new java.util.HashMap[String, Long](n * 2)
     var i = 0
-    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val kb = new Array[Byte](len)
+      in.readFully(kb)
+      buf.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     buf
   }
 

@@ -61,9 +61,11 @@ object TextFunctions {
 
   /** Fixed-size overlapping token windows — the document→training-sample
     * chunking step: each chunk is `chunkTokens` whitespace tokens, starting
-    * every `chunkTokens - overlap` tokens, with the final (possibly short)
-    * tail kept. Returns `array<struct<start, n_tokens, chunk>>` where
-    * `start` is the 0-based token offset.
+    * every `chunkTokens - overlap` tokens. The grid stops at the first start
+    * whose window reaches end-of-doc, so a short tail is kept only when it
+    * contains tokens no earlier window covers (never a pure sub-window of
+    * the previous chunk). Returns `array<struct<start, n_tokens, chunk>>`
+    * where `start` is the 0-based token offset.
     *
     * HOF-based (`transform` over a `sequence` of starts): chunking emits
     * whole new strings per element, so per-element interpreted eval is
@@ -76,7 +78,11 @@ object TextFunctions {
       s"need 0 <= overlap < chunkTokens, got chunkTokens=$chunkTokens overlap=$overlap")
     val step = chunkTokens - overlap
     val toks = tokens(text)
-    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(step))
+    // Stop the grid at the first start whose window reaches end-of-doc:
+    // a later start would emit a tail already contained in that window.
+    val lastStart = greatest(lit(0),
+      (ceil((size(toks) - lit(chunkTokens)).cast("double") / lit(step)) * step).cast("int"))
+    val starts = sequence(lit(0), lastStart, lit(step))
     transform(starts, s => struct(
       s.cast("long").as("start"),
       least(lit(chunkTokens), size(toks) - s).cast("long").as("n_tokens"),

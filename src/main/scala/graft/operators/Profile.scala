@@ -29,20 +29,29 @@ object Profile {
 
   def profile(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
+    // Internal aliases are index-based, never derived from user column names,
+    // so a name containing quotes/backticks can't break or inject into the
+    // plan; names only ever appear as a `lit` value and inside `col(c)`.
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"__cnt_$c"),
-        SketchFunctions.kmvDistinct(col(c), k).as(s"__dst_$c"),
-        min(col(c).cast("string")).as(s"__min_$c"),
-        max(col(c).cast("string")).as(s"__max_$c"))
+        count(col(c)).as(s"__cnt_$i"),
+        SketchFunctions.kmvDistinct(col(c), k).as(s"__dst_$i"),
+        min(col(c).cast("string")).as(s"__min_$i"),
+        max(col(c).cast("string")).as(s"__max_$i"))
     } :+ count(lit(1)).as("__total")
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map { c =>
-      s"'$c', __total - `__cnt_$c`, `__dst_$c`, `__min_$c`, `__max_$c`"
-    }.mkString(", ")
-    row.selectExpr(
-      "__total AS n_rows",
-      s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, est_distinct, min_value, max_value)")
-      .select("col_name", "n_rows", "n_nulls", "est_distinct", "min_value", "max_value")
+    // Typed unpivot: array-of-structs + explode (generator over ONE row).
+    val entries = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("col_name"),
+        (col("__total") - col(s"__cnt_$i")).as("n_nulls"),
+        col(s"__dst_$i").as("est_distinct"),
+        col(s"__min_$i").as("min_value"),
+        col(s"__max_$i").as("max_value"))
+    }: _*)
+    row.select(col("__total").as("n_rows"), explode(entries).as("e"))
+      .select(col("e.col_name").as("col_name"), col("n_rows"),
+        col("e.n_nulls").as("n_nulls"), col("e.est_distinct").as("est_distinct"),
+        col("e.min_value").as("min_value"), col("e.max_value").as("max_value"))
   }
 }

@@ -173,8 +173,19 @@ object Relational {
     * same session semantics, replayable by any engine with window
     * functions.
     */
+  /** Reject inputs that already carry a column this operator is about to
+    * write — silent `withColumn` overwrite corrupts user data; fail loud.
+    */
+  private def requireFreshColumns(df: DataFrame, reserved: Seq[String], op: String): Unit = {
+    val clash = df.columns.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
+    require(clash.isEmpty,
+      s"$op writes output column(s) ${reserved.mkString(", ")} but the input " +
+        s"already contains ${clash.mkString(", ")}; rename or drop them first")
+  }
+
   def sessionize(df: DataFrame, keys: Seq[String], ts: Column,
       order: Seq[Column], gapSeconds: Long): DataFrame = {
+    requireFreshColumns(df, Seq("session_id"), "sessionize")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     // integer microseconds (not seconds-as-double): gap comparison is
     // integer-exact, so any engine replays boundaries identically
@@ -207,6 +218,8 @@ object Relational {
     */
   def scd2(df: DataFrame, keys: Seq[String], ts: Column,
       order: Seq[Column], tracked: Seq[String]): DataFrame = {
+    requireFreshColumns(df,
+      Seq("version", "valid_from", "valid_to", "n_obs", "__chg"), "scd2")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val future = w.rowsBetween(1, Window.unboundedFollowing)
@@ -243,6 +256,8 @@ object Relational {
   def packSequences(df: DataFrame, shardKeys: Seq[String],
       order: Seq[Column], tokens: Column, capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
+    requireFreshColumns(df,
+      Seq("n_tokens", "bin_id", "offset_in_bin", "__cum"), "packSequences")
     val w = Window.partitionBy(shardKeys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("n_tokens", tokens.cast("long"))

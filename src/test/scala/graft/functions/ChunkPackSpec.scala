@@ -7,18 +7,32 @@ import graft.operators.Relational
 class ChunkPackSpec extends SparkSpec {
   import spark.implicits._
 
-  test("chunkByTokens: overlapping windows with short tail kept") {
+  test("chunkByTokens: overlapping windows, contained tail suppressed") {
     val text = (1 to 10).map(i => s"t$i").mkString(" ")
     val df = Seq((1L, text)).toDF("id", "text")
     val chunks = df.select(explode(TextFunctions.chunkByTokens(col("text"), 4, 1)).as("c"))
       .select(col("c.start"), col("c.n_tokens"), col("c.chunk"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-    // step = 3: starts 0,3,6,9
+    // step = 3: the window at 6 already reaches end-of-doc, so no start at 9
+    // (its 1-token tail "t10" is a pure sub-window of the chunk at 6).
+    assert(chunks.toSeq == Seq(
+      (0L, 4L, "t1 t2 t3 t4"),
+      (3L, 4L, "t4 t5 t6 t7"),
+      (6L, 4L, "t7 t8 t9 t10")))
+  }
+
+  test("chunkByTokens: short tail kept when it covers new tokens") {
+    val text = (1 to 11).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "text")
+    val chunks = df.select(explode(TextFunctions.chunkByTokens(col("text"), 4, 1)).as("c"))
+      .select(col("c.start"), col("c.n_tokens"), col("c.chunk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // t11 is covered by no window before start 9, so the tail survives.
     assert(chunks.toSeq == Seq(
       (0L, 4L, "t1 t2 t3 t4"),
       (3L, 4L, "t4 t5 t6 t7"),
       (6L, 4L, "t7 t8 t9 t10"),
-      (9L, 1L, "t10")))
+      (9L, 2L, "t10 t11")))
   }
 
   test("chunkByTokens: empty text yields one empty chunk") {
