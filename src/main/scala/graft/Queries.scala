@@ -784,6 +784,73 @@ object Queries {
           col("n").cast("double") / lit(k + 1).cast("double"))
         .select(col("token"), col("cnt"))
         .orderBy(col("token"))
+    }),
+
+    // Skew-salted join, oracle-backed end-to-end: the salt is an internal
+    // mechanism (left rows salted by row hash, right side replicated
+    // saltFactor ways, equi-join on keys + salt), so the RESULT is exactly
+    // the plain equi-join — which is precisely what the DuckDB oracle
+    // computes. Row identity of the salted plan vs the plain join IS the
+    // correctness contract for the skew strategy.
+    "q63_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"))
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      Relational.saltedJoin(li, p, Seq("l_partkey"), saltFactor = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sumDec(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Bucketed co-located join, oracle-backed end-to-end: both sides are
+    // written with writeBucketed (same bucket count, same key), then
+    // joined — Spark's bucketed-scan join plans NO exchange on either side
+    // (pinned by ScaleStrategySpec); the oracle replays the same join from
+    // the raw parquet, proving the bucketed layout changes the plan, not
+    // the answer.
+    "q64_bucketed_join" -> ((s, dir) => {
+      import graft.sources.LakeWriter
+      LakeWriter.dropManagedTable(s, "graft_q64_orders")
+      LakeWriter.dropManagedTable(s, "graft_q64_customer")
+      LakeWriter.writeBucketed(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+        "graft_q64_orders", Seq("o_custkey"), numBuckets = 8)
+      LakeWriter.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "graft_q64_customer", Seq("c_custkey"), numBuckets = 8)
+      val o = s.table("graft_q64_orders")
+      val c = s.table("graft_q64_customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumDec(col("o_totalprice")).as("tot_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Partition-pruned lake read — the reference's single most common read
+    // pattern (a report filtering one month of a Hive-partitioned lake
+    // table): land orders under ano/mes/data_particao dirs, read back with
+    // a filter on the partition columns. The filter resolves at PLANNING
+    // time against the directory listing (PartitionFilters, pinned by
+    // PlanShapeSpec) — at 100 TB the scan touches one month's files and
+    // nothing else. Oracle replays the same month from the raw table.
+    "q65_partition_pruned" -> ((s, dir) => {
+      import graft.sources.LakeWriter
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q65_lake"
+      LakeWriter.overwriteAll(
+        LakeWriter.withDatePartitions(
+          t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")),
+          col("o_orderdate")),
+        path)
+      s.read.parquet(path)
+        .filter(col("ano_particao") === 1995 && col("mes_particao") === 3)
+        .groupBy(col("data_particao").cast("string").as("data_particao"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumDec(col("o_totalprice")).as("tot_price"))
+        .orderBy(col("data_particao"))
     })
   )
 
@@ -1222,6 +1289,32 @@ object Queries {
         |SELECT token, cnt FROM c CROSS JOIN n
         |WHERE CAST(cnt AS DOUBLE) > CAST(n AS DOUBLE) / CAST(201 AS DOUBLE)
         |ORDER BY token""".stripMargin,
+
+    // q63/q64: the skew-salt and bucketed layouts are plan-level
+    // strategies that must NOT change results — both oracles are the plain
+    // equi-join the strategies re-express.
+    "q63_salted_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q64_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS tot_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // q65 replays the pruned month from the raw table: the partition
+    // stamps are pure functions of o_orderdate, so filtering on them
+    // equals filtering the source month.
+    "q65_partition_pruned" ->
+      """SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS data_particao,
+        |  count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS tot_price
+        |FROM orders
+        |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q57 replays the order-statistic percentiles: same rank window, same
     // IEEE ceil(p*n) rank selection, doubles selected not computed.

@@ -80,6 +80,20 @@ object LakeWriter {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Idempotent drop of a managed catalog table INCLUDING a stale warehouse
+    * directory left behind by a previous session — `saveAsTable` refuses to
+    * write over a location the current catalog doesn't own
+    * (LOCATION_ALREADY_EXISTS), so re-runs across sessions need both the
+    * catalog entry and the directory gone.
+    */
+  def dropManagedTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Range-clustered layout: globally range-partition on `sortCols` and
     * sort within each output file, so every file covers a DISJOINT range of
     * the sort key. Parquet then stores tight min/max stats per file and

@@ -98,4 +98,14 @@ class PlanShapeSpec extends SparkSpec {
     // exactly one scan node = exactly two textual occurrences
     assert("Scan parquet".r.findAllIn(plan).size == 2, plan)
   }
+
+  test("q65 month filter resolves as PartitionFilters (directory pruning)") {
+    val plan = planOf(q("q65_partition_pruned"))
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters:")).mkString
+    // the ano/mes predicates must prune at PLANNING time against the
+    // directory listing — not run as data filters over a full scan
+    assert(pf.contains("ano_particao") && pf.contains("mes_particao"), plan)
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters:")).mkString
+    assert(!pushed.contains("ano_particao"), plan)
+  }
 }

@@ -283,6 +283,33 @@ class SimilaritySpec extends SparkSpec {
       k = 1, numPlanes = 4)
     assert(r.collect().head.getLong(0) == 1L)
   }
+
+  test("annTopK ensureK=false composes lazily: no jobs at call time") {
+    // A corpus whose vectors EXPLODE on evaluation: if annTopK ran any
+    // Spark job at call time, building the result would throw. The lazy
+    // path must return a plan untouched; forcing that plan then does throw,
+    // proving the bomb was live and the call genuinely executed nothing.
+    val bomb = udf { (x: Float) =>
+      throw new RuntimeException("evaluated at call time"); x
+    }
+    val rigged = corpus.withColumn("vec",
+      transform(col("vec"), e => bomb(e)))
+    val lazyDf = Similarity.annTopK(rigged, "id", "vec", Seq(1.0f, 0f, 0f),
+      k = 1, numPlanes = 4, ensureK = false) // must not run jobs
+    val ex = intercept[Exception](lazyDf.collect())
+    assert(ex.getMessage != null || ex.getCause != null)
+  }
+
+  test("annTopK eager path materializes at most k local rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val r = Similarity.annTopK(corpus, "id", "vec", Seq(1.0f, 0f, 0f),
+      k = 2, numPlanes = 4, ensureK = true)
+    // the escalation result is a bounded LOCAL relation (≤ k rows already
+    // collected), not a live plan over the corpus
+    assert(r.queryExecution.logical.isInstanceOf[LocalRelation] ||
+      r.queryExecution.logical.collectLeaves().forall(_.isInstanceOf[LocalRelation]))
+    assert(r.count() <= 2)
+  }
 }
 
 class JsonNormalizeSpec extends SparkSpec {
