@@ -835,22 +835,26 @@ object Queries {
     // a filter on the partition columns. The filter resolves at PLANNING
     // time against the directory listing (PartitionFilters, pinned by
     // PlanShapeSpec) — at 100 TB the scan touches one month's files and
-    // nothing else. Oracle replays the same month from the raw table.
+    // nothing else. MONTH-grain stamps: this corpus spans ~7 years, and
+    // day-grain would mean ~2,400 directories of KB-sized files — the
+    // small-files anti-pattern the partition grain must be sized against
+    // (day-grain is right when a day is GBs, not rows). Oracle replays the
+    // same month from the raw table.
     "q65_partition_pruned" -> ((s, dir) => {
       import graft.sources.LakeWriter
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_q65_lake"
       LakeWriter.overwriteAll(
-        LakeWriter.withDatePartitions(
+        LakeWriter.withMonthPartitions(
           t(s, dir, "orders")
             .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")),
           col("o_orderdate")),
         path)
       s.read.parquet(path)
         .filter(col("ano_particao") === 1995 && col("mes_particao") === 3)
-        .groupBy(col("data_particao").cast("string").as("data_particao"))
+        .groupBy(to_date(col("o_orderdate")).cast("string").as("order_date"))
         .agg(count(lit(1)).as("n_orders"),
           sumDec(col("o_totalprice")).as("tot_price"))
-        .orderBy(col("data_particao"))
+        .orderBy(col("order_date"))
     })
   )
 
@@ -1309,7 +1313,7 @@ object Queries {
     // stamps are pure functions of o_orderdate, so filtering on them
     // equals filtering the source month.
     "q65_partition_pruned" ->
-      """SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS data_particao,
+      """SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
         |  count(*) AS n_orders,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS tot_price
         |FROM orders
