@@ -855,6 +855,71 @@ object Queries {
         .agg(count(lit(1)).as("n_orders"),
           sumDec(col("o_totalprice")).as("tot_price"))
         .orderBy(col("order_date"))
+    }),
+
+    // Bloom-pruned join: filter the fact side through a bloom filter built
+    // over a selective dim side BEFORE the join shuffles. False positives
+    // are dropped by the real join, so the result is exactly the plain
+    // join (= the oracle); only the never-matching bulk is shed early —
+    // at 100 TB that's most of the scan never reaching the exchange.
+    "q66_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice"))
+      val sup = t(s, dir, "supplier").filter(col("s_nationkey") === 3)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      Relational.bloomPrunedJoin(li, sup, Seq("l_suppkey"),
+          expectedItems = 10000L)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sumDec(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // Stratified fixed-N sample: 10 docs per source by smallest portable
+    // md5 hash — TopKPerKey bounded heaps, survivors-only shuffle, no
+    // per-group sort. Deterministic across runs/engines.
+    "q67_group_sample" -> ((s, dir) => {
+      Relational.sampleFixedNPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("source"), col("doc_id"), 10)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // CDC apply / MERGE: roll the events changelog (event_type = new
+    // status; 'error' = tombstone) into the customer snapshot — latest
+    // change per key wins, deletes drop the row, untouched keys keep
+    // their base row.
+    "q68_cdc_apply" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("status"))
+      val changes = t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("status"),
+          col("ts"), col("event_id"))
+      Relational.applyCdc(base, changes, Seq("user_id"),
+          order = Seq(col("ts"), col("event_id")),
+          op = when(col("status") === "error", "delete").otherwise("upsert"),
+          payload = Seq("status"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Gopher-style repetition signal: fraction of word 2-/3-grams that
+    // repeat within the document. Pure per-row array math (slice+zip, no
+    // explode, no shuffle); integer counts + one IEEE division replay
+    // bit-for-bit in any engine.
+    "q69_dup_ngrams" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.dupNgramRatio(col("text"), 2).as("dup_2gram_ratio"),
+          TextFunctions.dupNgramRatio(col("text"), 3).as("dup_3gram_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fixed-width histogram over event values: one map-side-combinable
+    // aggregation, O(bins) shuffle; bucket math is sub/div/floor — all
+    // correctly rounded, so engines agree on every bin.
+    "q70_histogram" -> ((s, dir) => {
+      Relational.histogram(t(s, dir, "events"), col("value"), 0.0, 500.0, 25)
+        .orderBy(col("bin"))
     })
   )
 
@@ -1318,6 +1383,77 @@ object Queries {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS tot_price
         |FROM orders
         |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q66: the bloom is pruning-only, so the oracle is the plain join.
+    "q66_bloom_join" ->
+      """SELECT l_suppkey, count(*) AS n_items,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q67 replays the per-group sample: same portable md5 rank, same
+    // (hash, key) tiebreak.
+    "q67_group_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |             doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, source FROM r WHERE rn <= 10
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // q68 replays the MERGE: latest change per key by (ts, event_id),
+    // 'error' = delete, full outer vs the base snapshot.
+    "q68_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type AS status,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |), latest AS (
+        |  SELECT user_id, status, op FROM ch WHERE rn = 1
+        |), base AS (
+        |  SELECT c_custkey AS user_id, c_mktsegment AS status FROM customer
+        |)
+        |SELECT coalesce(b.user_id, l.user_id) AS user_id,
+        |  CASE WHEN l.op IS NOT NULL THEN l.status ELSE b.status END AS status
+        |FROM base b FULL JOIN latest l ON b.user_id = l.user_id
+        |WHERE l.op IS NULL OR l.op <> 'delete'
+        |ORDER BY user_id""".stripMargin,
+
+    // q69 replays the n-gram repetition ratios: same whitespace tokens,
+    // same sliding windows, integer counts + one exact IEEE division.
+    "q69_dup_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]) AS g2,
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN len(g2) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+        |    ELSE 0.0 END AS dup_2gram_ratio,
+        |  CASE WHEN len(g3) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+        |    ELSE 0.0 END AS dup_3gram_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // q70 replays the bucket math: sub/div/floor/clamp, all correctly
+    // rounded under IEEE 754.
+    "q70_histogram" ->
+      """SELECT CAST(least(greatest(floor((value - 0.0) / ((500.0 - 0.0) / 25)), 0), 24) AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM events WHERE value IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q57 replays the order-statistic percentiles: same rank window, same

@@ -131,6 +131,38 @@ object TextFunctions {
     round(lenOk + swOk + punctOk, 1)
   }
 
+  /** Word n-grams of a document as strings ("a b", "b c", ... for n=2),
+    * DUPLICATES AND ORDER KEPT — the multiset the repetition signal needs
+    * (contrast [[wordShingles]], which deduplicates for MinHash). Sliding
+    * windows over the whitespace tokens via slice+zip — no explode, no
+    * shuffle; the array lives and dies inside the row's projection.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 2, s"n-grams need n >= 2, got $n (n=1 is tokens())")
+    val toks = tokens(text)
+    val m = greatest(size(toks) - lit(n - 1), lit(0)) // n-gram count (>= 0)
+    val base = slice(toks, lit(1), m)
+    (1 until n).foldLeft(base) { (acc, i) =>
+      zip_with(acc, slice(toks, lit(i + 1), m),
+        (a, b) => concat(a, lit(" "), b))
+    }
+  }
+
+  /** Fraction of word n-grams that are repeats of an earlier n-gram in the
+    * same document — the Gopher-class repetition signal (boilerplate,
+    * keyword stuffing, decode loops score high; clean prose scores near 0).
+    * `1 - distinct/total`; 0 for documents with fewer than n tokens. Counts
+    * are integers and the one division is IEEE-exact, so any engine replays
+    * the ratio bit-for-bit.
+    */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val grams = wordNgrams(text, n)
+    val total = size(grams)
+    when(total > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "with"),
     "es" -> Seq("el", "la", "de", "que", "y"),

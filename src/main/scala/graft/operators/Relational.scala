@@ -344,4 +344,104 @@ object Relational {
     df.filter(pmod(
       conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
       lit(100L)) < percent)
+
+  /** Deterministic fixed-N sample PER GROUP (stratified eval sets, per-source
+    * quotas): the n keys with the smallest portable md5 hashes within each
+    * group. Runs through [[graft.plans.TopKPerKey]] — per-partition bounded
+    * heaps and a survivors-only shuffle (≤ n rows per group leave the map
+    * side), never a global or per-group full sort. Same rows every run and
+    * in every engine (`row_number() OVER (PARTITION BY g ORDER BY md5h60,
+    * key) <= n` replays it).
+    */
+  def sampleFixedNPerGroup(df: DataFrame, groups: Seq[String], key: Column,
+      n: Int): DataFrame = {
+    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.plans.TopKPerKey(df.withColumn("__h", h),
+      groups.map(col), Seq(col("__h").asc, key.asc), n).drop("__h")
+  }
+
+  /** Bloom-filter join pruning — the 100 TB semi-join strategy: build a
+    * bloom filter over the SMALL side's join keys (distributed
+    * `BloomFilterAggregate`, mergeable bounded-bit buffers), embed it as a
+    * literal, and pre-filter the BIG side before the real join. False
+    * positives pass the filter and are then dropped by the join itself, so
+    * the result is EXACTLY the plain join — the bloom only sheds the
+    * (usually dominant) never-matching rows before they pay the shuffle.
+    * Spark's own runtime filtering (`InjectRuntimeFilter`) does this
+    * opportunistically under AQE thresholds; this operator is the explicit,
+    * always-on form for when the pipeline KNOWS the big side is mostly
+    * non-matching (e.g. filtering a crawl against an allowlist).
+    *
+    * EAGER: the bloom bits are aggregated at call time (one job over the
+    * small side, O(numBits) driver memory — bounded by `fpp`/`expectedItems`,
+    * NOT by small-side row count).
+    */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      expectedItems: Long = 1000000L, fpp: Double = 0.03,
+      joinType: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    require(keys.nonEmpty, "bloomPrunedJoin needs join keys")
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    def keyHash(df: DataFrame): Column = xxhash64(keys.map(df(_)): _*)
+    val bloom = small.agg(Bridge.column(new BloomFilterAggregate(
+      Bridge.catalystExpression(keyHash(small)),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+      .as("bf")).head().getAs[Array[Byte]](0)
+    // an all-null/empty small side yields no filter — the join answers
+    if (bloom == null) return big.join(small, keys, joinType)
+    val pruned = big.filter(Bridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      Bridge.catalystExpression(keyHash(big)))))
+    pruned.join(small, keys, joinType)
+  }
+
+  /** Fixed-width histogram: clamp-bucketed counts over `[lo, hi)` in one
+    * map-side-combinable aggregation (shuffle = O(bins)). The bucket math
+    * is one subtraction, one division, and a floor — all correctly rounded
+    * under IEEE 754 — so every engine assigns identical bins. Empty
+    * buckets are absent (no spine join); out-of-range values clamp to the
+    * edge buckets.
+    */
+  def histogram(df: DataFrame, value: Column, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val bucket = least(greatest(floor((value - lit(lo)) / lit(width)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    df.filter(value.isNotNull)
+      .groupBy(bucket.as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** CDC apply (MERGE): roll a changelog into a base snapshot. `changes`
+    * carries the same payload columns as `base` plus an op marker
+    * (`"upsert"` or `"delete"`) and ordering columns; for each key the
+    * LATEST change wins — an upsert replaces the base row (or inserts),
+    * a delete removes it — and keys with no changes keep their base row.
+    * The lake-side half of the reference's reverse-ETL upsert
+    * (reference: pipelines/tools/api_vitai/flows.py batched upserts), done
+    * as a set operation instead of row RPCs.
+    *
+    * Latest-change selection runs through [[graft.plans.TopKPerKey]]
+    * (k=1 per key, survivors-only shuffle — the changelog never sorts);
+    * the merge is ONE full-outer join on the keys.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      order: Seq[Column], op: Column, payload: Seq[String]): DataFrame = {
+    requireFreshColumns(base, Seq("__op"), "applyCdc")
+    val latest = graft.plans.TopKPerKey(
+      changes.withColumn("__op", op),
+      keys.map(col), order.map(_.desc), 1)
+      .select(keys.map(col) ++ payload.map(c => col(c).as(s"__new_$c"))
+        :+ col("__op"): _*)
+    base.join(latest, keys, "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "delete")
+      .select(keys.map(col) ++ payload.map(c =>
+        when(col("__op").isNotNull, col(s"__new_$c")).otherwise(col(c)).as(c)): _*)
+  }
 }

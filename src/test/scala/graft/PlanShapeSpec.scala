@@ -99,6 +99,11 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).size == 2, plan)
   }
 
+  test("q66 bloom pre-filter survives to the physical plan before the join") {
+    val plan = planOf(q("q66_bloom_join"))
+    assert(plan.contains("might_contain"), plan)
+  }
+
   test("q65 month filter resolves as PartitionFilters (directory pruning)") {
     val plan = planOf(q("q65_partition_pruned"))
     val pf = plan.linesIterator.filter(_.contains("PartitionFilters:")).mkString

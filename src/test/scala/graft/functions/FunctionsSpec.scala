@@ -85,6 +85,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 2))
   }
 
+  test("dupNgramRatio counts repeated windows; short text scores 0") {
+    val df = Seq("a b a b a", "x y", "z").toDF("t")
+      .select(TextFunctions.dupNgramRatio(col("t"), 2).as("r2"),
+        TextFunctions.dupNgramRatio(col("t"), 3).as("r3"))
+    val r = df.collect().map(x => (x.getDouble(0), x.getDouble(1))).toSeq
+    // "a b a b a": 2-grams [ab, ba, ab, ba] → 2 distinct of 4 → 0.5
+    //              3-grams [aba, bab, aba] → 2 distinct of 3 → 1 - 2/3
+    assert(r(0) == ((0.5, 1.0 - 2.0 / 3.0)))
+    // "x y": one 2-gram (no repeats) → 0; no 3-grams → 0
+    assert(r(1) == ((0.0, 0.0)))
+    assert(r(2) == ((0.0, 0.0)))
+  }
+
   test("fingerprint is normalization-invariant") {
     val df = Seq("Hello,   World!", "hello world").toDF("t")
       .select(TextFunctions.fingerprint(col("t")).as("fp"))

@@ -394,4 +394,64 @@ class ScaleStrategySpec extends graft.SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $tb")
     }
   }
+
+  test("bloomPrunedJoin equals the plain join and plans a bloom pre-filter") {
+    val big = (1 to 1000).map(i => (i, s"v$i")).toDF("k", "v")
+    val small = Seq((3, "X"), (500, "Y"), (2000, "Z")).toDF("k", "w")
+    val plain = big.join(small, Seq("k")).select("k", "v", "w")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val pruned = Relational.bloomPrunedJoin(big, small, Seq("k"),
+      expectedItems = 100L)
+    val got = pruned.select("k", "v", "w")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got == plain)
+    // the big side must pass through a might_contain filter BEFORE the join
+    // (analyzed plan: over a LocalRelation the optimizer constant-folds the
+    // whole filter away; over a real scan it survives — PlanShapeSpec pins
+    // that on q66's parquet input)
+    val plan = pruned.queryExecution.analyzed.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
+  test("applyCdc: latest change wins, deletes drop, untouched keys survive") {
+    val base = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "payload")
+    val changes = Seq(
+      (1, "a2", 1L, "upsert"),  // stale update, superseded below
+      (1, "a3", 2L, "upsert"),  // latest for key 1
+      (2, "x", 5L, "delete"),   // tombstone for key 2
+      (4, "d", 1L, "upsert")    // insert of a new key
+    ).toDF("k", "payload", "seq", "op")
+    val out = Relational.applyCdc(base, changes, Seq("k"),
+      order = Seq(col("seq")), op = col("op"), payload = Seq("payload"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(out == Seq((1, "a3"), (3, "c"), (4, "d")))
+  }
+
+  test("applyCdc: an upsert can null a payload column (not coalesced away)") {
+    val base = Seq((1, "a")).toDF("k", "payload")
+    val changes = Seq((1, null.asInstanceOf[String], 1L, "upsert"))
+      .toDF("k", "payload", "seq", "op")
+    val out = Relational.applyCdc(base, changes, Seq("k"),
+      Seq(col("seq")), col("op"), Seq("payload")).collect()
+    assert(out.length == 1 && out.head.isNullAt(1))
+  }
+
+  test("sampleFixedNPerGroup: n per group, deterministic across runs") {
+    val df = (1 to 300).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
+    val a = Relational.sampleFixedNPerGroup(df, Seq("g"), col("id"), 7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(a.groupBy(_._1).forall(_._2.size == 7))
+    val b = Relational.sampleFixedNPerGroup(df, Seq("g"), col("id"), 7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("histogram clamps out-of-range values to the edge bins") {
+    val df = Seq(-5.0, 0.0, 9.9, 10.0, 55.0, 99.9, 100.0, 250.0)
+      .toDF("v")
+    val bins = Relational.histogram(df, col("v"), 0.0, 100.0, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // -5 clamps into bin 0; 100 and 250 clamp into bin 9
+    assert(bins(0L) == 3 && bins(1L) == 1 && bins(5L) == 1 && bins(9L) == 3)
+  }
 }
