@@ -920,6 +920,72 @@ object Queries {
     "q70_histogram" -> ((s, dir) => {
       Relational.histogram(t(s, dir, "events"), col("value"), 0.0, 500.0, 25)
         .orderBy(col("bin"))
+    }),
+
+    // Training-batch assembly: pack documents into 2048-token bins (q59's
+    // offset packing), then materialize each bin's text — docs in doc_id
+    // order via array_sort over collected (doc_id, text) structs, since
+    // collect_list order is partition-dependent. The chunk→pack→assemble
+    // tail of the corpus pipeline.
+    "q71_bin_assembly" -> ((s, dir) => {
+      val packed = Relational.packSequences(t(s, dir, "documents"),
+        shardKeys = Seq("lang"), order = Seq(col("doc_id")),
+        tokens = TextFunctions.tokenCount(col("text")), capacity = 2048L)
+      packed.groupBy(col("lang"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          concat_ws("\n",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              e => e("text"))).as("bin_text"))
+        .orderBy(col("lang"), col("bin_id"))
+    }),
+
+    // PIVOT: per-user event-type counts as columns (explicit value list =
+    // one pass, no distinct-values pre-scan; missing combos coalesced to 0
+    // to match SQL conditional counts).
+    "q72_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +:
+          types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+        .orderBy(col("user_id"))
+    }),
+
+    // Z-score standardization per group — feature scaling for training
+    // data. Moments from exact decimal sums (order-independent), then
+    // mean/var/std/z via correctly-rounded double ops only (÷, ×, −,
+    // sqrt), so every engine reproduces each z bit-for-bit.
+    "q73_zscore" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+      val dec = col("value").cast("decimal(18,2)")
+      val n = count(lit(1)).over(w).cast("double")
+      val mean = (sum(dec).over(w).cast("double")) / n
+      val sumsq = sum(dec * dec).over(w).cast("double")
+      val std = sqrt(sumsq / n - mean * mean)
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          ((col("value") - mean) / std).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Lag features per key — time-series deltas and a 3-row moving
+    // average. The moving sum is decimal-backed (sliding-window float
+    // sums re-associate differently per engine; decimal is exact), the
+    // delta is one correctly-rounded subtraction.
+    "q74_lag_features" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      val dec = col("value").cast("decimal(18,2)")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+          (sum(dec).over(w3).cast("double") / count(lit(1)).over(w3)).as("mov3"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1455,6 +1521,62 @@ object Queries {
         |  count(*) AS n
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q71 replays pack → assemble: q59's exclusive running sum for the
+    // bin, then an ORDER BY string_agg per bin.
+    "q71_bin_assembly" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang, text, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM c
+        |)
+        |SELECT lang, CAST(cum // 2048 AS BIGINT) AS bin_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  string_agg(text, chr(10) ORDER BY doc_id) AS bin_text
+        |FROM r GROUP BY 1, 2 ORDER BY lang, bin_id""".stripMargin,
+
+    // q72 replays the pivot as conditional counts.
+    "q72_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q73 replays the z-score with the same op order: exact decimal
+    // moments, then ÷ × − sqrt — all correctly rounded, bit-identical.
+    "q73_zscore" ->
+      """WITH m AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY event_type) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY event_type) AS DOUBLE) AS sq
+        |  FROM events
+        |)
+        |SELECT event_id, event_type, value,
+        |  (value - s / n) / sqrt(sq / n - (s / n) * (s / n)) AS z
+        |FROM m ORDER BY event_id""".stripMargin,
+
+    // q74 replays the lag features: decimal moving sum (exact under any
+    // association), correctly-rounded delta and division.
+    "q74_lag_features" ->
+      """SELECT event_id, user_id, value,
+        |  value - lag(value, 1) OVER w AS delta,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |      OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     // q57 replays the order-statistic percentiles: same rank window, same
     // IEEE ceil(p*n) rank selection, doubles selected not computed.

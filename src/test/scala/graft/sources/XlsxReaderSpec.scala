@@ -104,4 +104,35 @@ class XlsxReaderSpec extends SparkSpec {
       (Some("João"), None),
       (None, Some("7"))))
   }
+
+  test("writer round-trip: write(df) then read back, nulls and escapes intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("xlsxw").toString
+    val df = Seq(
+      ("a & <b>", Some(1), Some("x\"y")),
+      ("linha2", None, None),
+      ("acentuação çãé", Some(3), Some("ok"))
+    ).toDF("nome", "valor", "obs")
+    XlsxWriter.write(df, s"$dir/out.xlsx", sheetName = "Relatório")
+    val back = XlsxReader.read(spark, s"$dir/out.xlsx", sheet = Some("Relatório"))
+    assert(back.columns.toSeq == Seq("nome", "valor", "obs"))
+    val rows = back.collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2)))).toSet
+    assert(rows == Set(
+      ("a & <b>", Some("1"), Some("x\"y")),
+      ("linha2", None, None),
+      ("acentuação çãé", Some("3"), Some("ok"))))
+  }
+
+  test("writer colLetters and maxRows guard") {
+    assert(XlsxWriter.colLetters(0) == "A")
+    assert(XlsxWriter.colLetters(25) == "Z")
+    assert(XlsxWriter.colLetters(26) == "AA")
+    assert(XlsxWriter.colLetters(51) == "AZ")
+    import spark.implicits._
+    val big = (1 to 20).toDF("n")
+    val dir = Files.createTempDirectory("xlsxg").toString
+    intercept[IllegalArgumentException](
+      XlsxWriter.write(big, s"$dir/big.xlsx", maxRows = 10))
+  }
 }
