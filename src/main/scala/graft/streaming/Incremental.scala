@@ -139,4 +139,42 @@ object Incremental {
         graft.sources.LakeWriter.overwritePartitions(
           graft.sources.LakeWriter.withDatePartitions(batch, dateCol), path)
       }
+
+  /** Streaming CDC merge: fold a changelog STREAM into a parquet snapshot
+    * — each micro-batch runs [[graft.operators.Relational.applyCdc]]
+    * (latest-change-wins upsert/delete) against the current snapshot and
+    * atomically swaps in the result (write-aside + rename, so a failed
+    * batch never corrupts the readable snapshot). The continuous form of
+    * q68's batch MERGE; with AvailableNow + checkpointing this IS the
+    * reference's scheduled-upsert pattern minus the scheduler.
+    *
+    * Within one micro-batch, cross-batch ordering is the stream's problem
+    * (late changes older than an already-applied key lose) — exactly the
+    * semantics of sequential batch merges.
+    */
+  def cdcToSnapshot(
+      changes: DataFrame, keys: Seq[String], order: Seq[Column], op: Column,
+      payload: Seq[String], snapshotPath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(snapshotPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val snap = new org.apache.hadoop.fs.Path(snapshotPath)
+        val base =
+          if (fs.exists(snap)) spark.read.parquet(snapshotPath)
+          else batch.select(keys.map(col) ++ payload.map(col): _*).limit(0)
+        val merged = graft.operators.Relational.applyCdc(
+          base, batch, keys, order, op, payload)
+        val staging = new org.apache.hadoop.fs.Path(
+          snapshotPath + s"__staging_$batchId")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(snap, true)
+        if (!fs.rename(staging, snap))
+          throw new java.io.IOException(
+            s"atomic swap failed: $staging -> $snap")
+      }
 }

@@ -69,6 +69,34 @@ class IncrementalSpec extends SparkSpec {
     assert(back.select("data_particao").distinct().count() == 2)
   }
 
+  test("cdcToSnapshot: streaming changelog folds into the parquet snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-cdc").toString
+    val snap = s"$dir/snapshot"
+    val input = MemoryStream[(Int, String, Long, String)]
+    val df = input.toDF().toDF("k", "payload", "seq", "op")
+
+    // batch 1: two inserts
+    input.addData((1, "a", 1L, "upsert"), (2, "b", 1L, "upsert"))
+    val q1 = Incremental.cdcToSnapshot(df, Seq("k"), Seq(col("seq")),
+      col("op"), Seq("payload"), snap, s"$dir/ckpt").start()
+    q1.awaitTermination(60000)
+    assert(spark.read.parquet(snap).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq ==
+      Seq((1, "a"), (2, "b")))
+
+    // batch 2 (same checkpoint → resumes): update 1, delete 2, insert 3
+    input.addData((1, "a2", 2L, "upsert"), (2, "x", 2L, "delete"),
+      (3, "c", 1L, "upsert"))
+    val q2 = Incremental.cdcToSnapshot(df, Seq("k"), Seq(col("seq")),
+      col("op"), Seq("payload"), snap, s"$dir/ckpt").start()
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(snap).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq ==
+      Seq((1, "a2"), (3, "c")))
+  }
+
   test("sessionize: inactivity gap closes sessions via event-time timeout state") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
