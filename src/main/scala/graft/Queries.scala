@@ -986,6 +986,34 @@ object Queries {
           (col("value") - lag(col("value"), 1).over(w)).as("delta"),
           (sum(dec).over(w3).cast("double") / count(lit(1)).over(w3)).as("mov3"))
         .orderBy(col("event_id"))
+    }),
+
+    // Test-set decontamination: drop every training doc that shares ANY
+    // word 5-gram with the (deterministic) eval sample — the benchmark-
+    // leakage guard every pretraining pipeline needs. Grams shuffle as
+    // xxhash64 longs, eval side dedupes then broadcasts, verdict is one
+    // anti join — O(grams) shuffle, never pairwise.
+    "q75_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = Relational.deterministicSample(docs, col("doc_id"), 20)
+      Dedup.decontaminate(docs, evalSet, "doc_id", "text", 5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Winsorization: clip values to the exact per-group [p5, p95] — the
+    // outlier-capping step before scaling/training. Thresholds come from
+    // exactPercentiles (order statistics SELECT input doubles, bit-exact
+    // cross-engine); the tiny threshold table broadcasts.
+    "q76_winsorize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pct = Relational.exactPercentiles(ev, Seq("event_type"),
+        col("value"), Seq(0.05, 0.95))
+      ev.join(broadcast(pct.select(col("event_type"), col("p5"), col("p95"))),
+          "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          least(greatest(col("value"), col("p5")), col("p95")).as("clipped"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1576,6 +1604,54 @@ object Queries {
         |    / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    // q75 replays decontamination on RAW grams (the engine joins on
+    // xxhash64 of the gram — same verdict absent a 2^-64 collision, which
+    // this compare would catch).
+    "q75_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |  FROM documents
+        |), ev AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |      doc_id) AS rn
+        |    FROM documents) WHERE rn <= 20
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |         toks[i+3] || ' ' || toks[i+4]))) AS gram
+        |  FROM t
+        |), evg AS (
+        |  SELECT DISTINCT gram FROM g JOIN ev USING (doc_id)
+        |), cont AS (
+        |  SELECT DISTINCT g.doc_id FROM g JOIN evg USING (gram)
+        |)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q76 replays winsorization: q57's order-statistic thresholds, then a
+    // pure least/greatest clip of pass-through doubles.
+    "q76_winsorize" ->
+      """WITH f AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM f
+        |), pct AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = ceil(n * CAST(0.05 AS DOUBLE)) THEN value END) AS p5,
+        |    max(CASE WHEN rn = ceil(n * CAST(0.95 AS DOUBLE)) THEN value END) AS p95
+        |  FROM r GROUP BY event_type
+        |)
+        |SELECT event_id, e.event_type, value,
+        |  least(greatest(value, p5), p95) AS clipped
+        |FROM events e JOIN pct USING (event_type)
         |ORDER BY event_id""".stripMargin,
 
     // q57 replays the order-statistic percentiles: same rank window, same

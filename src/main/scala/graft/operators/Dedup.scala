@@ -473,4 +473,27 @@ object Dedup {
         size(array_union(sa, sb)).cast("double"))
       .otherwise(lit(0.0))
   }
+
+  /** Test-set decontamination: drop every corpus document sharing ANY word
+    * n-gram with the eval set — the standard guard against benchmark
+    * leakage into training data. Grams travel as xxhash64 longs (8-byte
+    * shuffle rows, not strings; a 2^-64-per-pair collision dropping one
+    * extra doc is the accepted trade at corpus scale), the eval side
+    * dedupes before the join (it's the small side — Catalyst broadcasts
+    * it), and the verdict applies as one anti join. Shuffle is
+    * O(corpus grams + eval grams), never pairwise.
+    */
+  def decontaminate(corpus: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    import graft.functions.TextFunctions
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(array_distinct(
+        TextFunctions.wordNgrams(col(textCol), n))).as("__gram"))
+      .select(col(idCol), xxhash64(col("__gram")).as("__gh"))
+    val evalGrams = grams(eval).select(col("__gh")).distinct()
+    val contaminated = grams(corpus)
+      .join(evalGrams, "__gh")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

@@ -123,6 +123,19 @@ class DedupSpec extends SparkSpec {
     assert(r == Seq((1, "new"), (2, "only")))
   }
 
+  test("decontaminate drops docs sharing any n-gram with the eval set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words entirely here now"),   // clean
+      (3L, "we saw the quick brown fox yesterday evening"),   // shares 3-gram
+      (4L, "short text")                                      // too short, clean
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a quick brown fox appeared")).toDF("doc_id", "text")
+    val clean = Dedup.decontaminate(corpus, eval, "doc_id", "text", 3)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(clean == Seq(2L, 4L))
+  }
+
   test("exactDedup keeps the lowest id per normalized content") {
     val df = Seq((3L, "Hello,  World"), (1L, "hello world"), (2L, "unrelated"))
       .toDF("id", "text")
