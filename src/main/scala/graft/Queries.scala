@@ -1014,6 +1014,60 @@ object Queries {
         .select(col("event_id"), col("event_type"), col("value"),
           least(greatest(col("value"), col("p5")), col("p95")).as("clipped"))
         .orderBy(col("event_id"))
+    }),
+
+    // Session funnel: per-user conversion (a view followed by a purchase
+    // inside one session). TWO logical groupings, ONE exchange — the
+    // session window partitions by user_id, and both downstream groupBys
+    // cluster on user_id-prefixed keys, so Spark reuses the partitioning.
+    "q77_funnel" -> ((s, dir) => {
+      val sess = Relational.sessionize(t(s, dir, "events"), Seq("user_id"),
+        col("ts"), Seq(col("ts"), col("event_id")), gapSeconds = 1800L)
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          count(col("first_view")).as("n_view_sessions"),
+          sum(when(col("first_purchase").isNotNull && col("first_view").isNotNull
+            && col("first_view") <= col("first_purchase"), 1L).otherwise(0L))
+            .as("n_converted"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Retention cohorts: users bucketed by first-activity DAY (the corpus
+    // spans one month), activity counted per (cohort day, day offset).
+    // Integer epoch-day arithmetic — replayable anywhere.
+    "q78_retention" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+      val withCohort = ev.withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
+      withCohort
+        .select(col("user_id"), col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .distinct()
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // Grouped mode: most frequent event_type per user, deterministic
+    // lexicographic tiebreak. count → rank, both sharing the user_id
+    // exchange.
+    "q79_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("cnt").desc, col("event_type").asc)
+      counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type").as("top_type"), col("cnt"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -1653,6 +1707,61 @@ object Queries {
         |  least(greatest(value, p5), p95) AS clipped
         |FROM events e JOIN pct USING (event_type)
         |ORDER BY event_id""".stripMargin,
+
+    // q77 replays the funnel over q49's session replay.
+    "q77_funnel" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts, event_type,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g
+        |), per_session AS (
+        |  SELECT user_id, session_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM s GROUP BY user_id, session_id
+        |)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  count(first_view) AS n_view_sessions,
+        |  CAST(sum(CASE WHEN first_purchase IS NOT NULL AND first_view IS NOT NULL
+        |    AND first_view <= first_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q78 replays the cohorts with the same integer epoch-day index.
+    "q78_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM e
+        |), d AS (
+        |  SELECT DISTINCT user_id, cohort_day, day - cohort_day AS day_offset FROM c
+        |)
+        |SELECT cohort_day, day_offset, count(DISTINCT user_id) AS n_users
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q79 replays the grouped mode with the same (count DESC, type)
+    // tiebreak.
+    "q79_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY cnt DESC, event_type) AS rn
+        |  FROM c
+        |)
+        |SELECT user_id, event_type AS top_type, cnt FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
 
     // q57 replays the order-statistic percentiles: same rank window, same
     // IEEE ceil(p*n) rank selection, doubles selected not computed.
