@@ -1055,11 +1055,16 @@ object Queries {
     }),
 
     // Grouped mode: most frequent event_type per user, deterministic
-    // lexicographic tiebreak. count → rank, both sharing the user_id
-    // exchange.
+    // lexicographic tiebreak. ONE exchange: partitioning by user_id up
+    // front satisfies BOTH the (user_id, event_type) groupBy (subset
+    // rule: every group lives in one partition) and the ranking window's
+    // user_id clustering — grouping first would partition on (user, type),
+    // which does NOT colocate a user for the window, forcing a second
+    // shuffle of the counts.
     "q79_mode" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val counts = t(s, dir, "events")
+        .repartition(col("user_id"))
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy(col("user_id"))

@@ -104,6 +104,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("might_contain"), plan)
   }
 
+  // formatted explain prints each Exchange's partitioning on an
+  // "Arguments:" detail line — count those, not the tree header
+  private def hashExchanges(plan: String): Int =
+    plan.linesIterator.count(l =>
+      l.contains("Arguments: hashpartitioning"))
+
+  test("q77 funnel: session window and both groupBys share ONE data exchange") {
+    val plan = planOf(q("q77_funnel"))
+    // 1 hashpartitioning(user_id) feeds the session window AND both
+    // aggregations (subset rule); the only other exchange is the final
+    // presentation sort's rangepartitioning
+    val n = hashExchanges(plan)
+    assert(n == 1, s"expected 1 hash exchange, got $n\n$plan")
+  }
+
+  test("q79 mode: count and rank share the user_id exchange") {
+    val plan = planOf(q("q79_mode"))
+    val n = hashExchanges(plan)
+    assert(n == 1, s"expected 1 hash exchange, got $n\n$plan")
+  }
+
   test("q65 month filter resolves as PartitionFilters (directory pruning)") {
     val plan = planOf(q("q65_partition_pruned"))
     val pf = plan.linesIterator.filter(_.contains("PartitionFilters:")).mkString
