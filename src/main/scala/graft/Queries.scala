@@ -1073,6 +1073,27 @@ object Queries {
         .filter(col("__rn") === 1)
         .select(col("user_id"), col("event_type").as("top_type"), col("cnt"))
         .orderBy(col("user_id"))
+    }),
+
+    // Versioned-lake read: orders committed as v1 (even keys) + an
+    // APPEND v2 (odd keys — a pure metadata union, no rewrite), then read
+    // through the manifest protocol. The agg over the resolved snapshot
+    // must equal the raw table — the read-path correctness of the commit
+    // protocol, oracle-proven.
+    "q80_versioned_read" -> ((s, dir) => {
+      import graft.sources.VersionedLake
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_q80_vlake"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      VersionedLake.commit(orders.filter(col("o_orderkey") % 2 === 0), tbl)
+      VersionedLake.commit(orders.filter(col("o_orderkey") % 2 === 1), tbl,
+        mode = "append")
+      VersionedLake.read(s, tbl)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("tot"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -1767,6 +1788,12 @@ object Queries {
         |)
         |SELECT user_id, event_type AS top_type, cnt FROM r WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+
+    // q80: the versioned read must equal the raw table.
+    "q80_versioned_read" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS tot
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q57 replays the order-statistic percentiles: same rank window, same
     // IEEE ceil(p*n) rank selection, doubles selected not computed.

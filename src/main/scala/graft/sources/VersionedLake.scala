@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-based versioned lake table — the minimal lakehouse commit
+  * protocol (what table formats reduce to for a single unpartitioned
+  * table): every commit writes NEW data files under `_data/` and then
+  * atomically renames a manifest listing exactly the files visible in that
+  * version. Readers resolve a manifest (latest or pinned) and read only its
+  * files, so:
+  *
+  *  - writers never mutate visible data (a failed commit leaves orphaned
+  *    data files, never a corrupt table);
+  *  - concurrent readers see a consistent snapshot;
+  *  - old versions remain readable (time travel / instant rollback) until
+  *    vacuumed.
+  *
+  * This re-expresses the reference's staged-delete-then-reload upload mode
+  * (reference: pipelines/utils/tasks.py:812-933) as an O(1) metadata swap
+  * instead of a destructive window where the table is half-loaded.
+  *
+  * Manifest format: `_manifests/v{N}.json` = `{"version":N,"files":[...]}`
+  * (relative paths). Commit = write `v{N}.json.tmp`, then rename — rename
+  * is the atomicity primitive on HDFS-like stores; on object stores a real
+  * deployment swaps in a conditional-PUT (documented limitation).
+  */
+object VersionedLake {
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(table: String) = new Path(table, "_manifests")
+
+  /** Versions present, ascending (empty for a fresh path). */
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val f = fs(spark, table)
+    val dir = manifestDir(table)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).map(_.getPath.getName).toSeq
+      .collect { case n if n.matches("v\\d+\\.json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted
+  }
+
+  /** Commit `df` as the next version. `mode` is `"overwrite"` (the new
+    * version is exactly `df`) or `"append"` (the new version = previous
+    * files + `df`'s files — no data rewrite, pure metadata union).
+    * Returns the committed version number.
+    */
+  def commit(df: DataFrame, table: String, mode: String = "overwrite"): Long = {
+    require(mode == "overwrite" || mode == "append", s"unknown mode $mode")
+    val spark = df.sparkSession
+    val f = fs(spark, table)
+    val prev = versions(spark, table)
+    val next = prev.lastOption.getOrElse(0L) + 1L
+    // new files land under a per-version directory: never collides with
+    // visible data, orphaned cleanly if the manifest rename fails
+    val dataDir = new Path(table, s"_data/v$next")
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val newFiles = f.listStatus(dataDir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"_data/v$next/${s.getPath.getName}").toSeq.sorted
+    val carried = if (mode == "append" && prev.nonEmpty)
+      readManifest(spark, table, prev.last) else Seq.empty
+    val files = carried ++ newFiles
+    val json = files.map(p => "\"" + p + "\"").mkString(
+      s"""{"version":$next,"files":[""", ",", "]}")
+    val dir = manifestDir(table)
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s"v$next.json.tmp")
+    val out = f.create(tmp, false)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, new Path(dir, s"v$next.json")))
+      throw new java.io.IOException(s"commit v$next lost the rename race")
+    next
+  }
+
+  private def readManifest(spark: SparkSession, table: String,
+      version: Long): Seq[String] = {
+    val f = fs(spark, table)
+    val p = new Path(manifestDir(table), s"v$version.json")
+    val in = f.open(p)
+    val json = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    // the manifest is machine-written with a fixed shape; a tiny extractor
+    // beats a JSON-library dependency
+    val m = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalStateException(s"malformed manifest $p"))
+    m.group(1).split(",").toSeq.filter(_.nonEmpty)
+      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  }
+
+  /** Read a version (default: latest). Missing table/version throws. */
+  def read(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions at $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs at $table")
+    val files = readManifest(spark, table, v)
+    require(files.nonEmpty, s"version $v of $table lists no files")
+    spark.read.parquet(files.map(rel => new Path(table, rel).toString): _*)
+  }
+
+  /** Delete data files referenced by NO manifest ≥ `keepFrom` and all
+    * older manifests — the vacuum step that bounds storage. Returns the
+    * number of deleted data files.
+    */
+  def vacuum(spark: SparkSession, table: String, keepFrom: Long): Int = {
+    val f = fs(spark, table)
+    val vs = versions(spark, table)
+    val keep = vs.filter(_ >= keepFrom)
+    require(keep.nonEmpty, s"vacuum would delete every version of $table")
+    val live = keep.flatMap(readManifest(spark, table, _)).toSet
+    val dataRoot = new Path(table, "_data")
+    // path-string relativization (URI.relativize silently fails across
+    // scheme-qualified vs raw paths and would mark every file dead)
+    val tablePrefix = f.makeQualified(new Path(table)).toUri.getPath
+    var deleted = 0
+    if (f.exists(dataRoot)) {
+      val it = f.listFiles(dataRoot, true)
+      val victims = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile) {
+          val rel = s.getPath.toUri.getPath
+            .stripPrefix(tablePrefix).stripPrefix("/")
+          if (!live.contains(rel)) victims += s.getPath
+        }
+      }
+      victims.result().foreach { p => if (f.delete(p, false)) deleted += 1 }
+    }
+    vs.filterNot(keep.contains).foreach { v =>
+      f.delete(new Path(manifestDir(table), s"v$v.json"), false)
+    }
+    deleted
+  }
+}
