@@ -1094,6 +1094,24 @@ object Queries {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("tot"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Incremental near-dup dedup: the 80% "historical" slice is indexed
+    // once (stored (id, hs) + (id, band, bucket) tables in production);
+    // the 20% "new batch" is shingled and joined against index ∪ itself —
+    // O(batch) work, independent of corpus size. Same bands ⇒ result ≡
+    // the full run's pairs restricted to pairs touching the new batch,
+    // which is exactly what the oracle computes.
+    "q81_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
+      val newDocs = docs.filter(col("doc_id") % 5 === 0)
+      val (oldHashed, oldBanded) =
+        Dedup.minHashIndexPortable(oldDocs, "doc_id", "text")
+      Dedup.minHashIncrementalPairsPortable(
+          oldHashed, oldBanded, newDocs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -1176,6 +1194,16 @@ object Queries {
   private def q33Oracle: String =
     s"""WITH $minHashPairsCtes
        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q81's oracle: the full pair set restricted to pairs touching the
+    * "new batch" (doc_id % 5 = 0) — incremental indexing with identical
+    * bands must reproduce exactly this subset.
+    */
+  private def q81Oracle: String =
+    s"""WITH $minHashPairsCtes
+       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs
+       |WHERE id_a % 5 = 0 OR id_b % 5 = 0
        |ORDER BY id_a, id_b""".stripMargin
 
   /** q50's oracle: duplicate clustering = connected components over the
@@ -1300,6 +1328,7 @@ object Queries {
     "q38_lsh_ann" -> q38Oracle,
 
     "q33_minhash_pairs" -> q33Oracle,
+    "q81_incremental_dedup" -> q81Oracle,
 
     "q34_simhash_pairs" -> q34Oracle,
 

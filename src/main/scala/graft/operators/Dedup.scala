@@ -258,9 +258,16 @@ object Dedup {
     * aggregates: map-side combinable, no HOF lambdas. Only the per-shingle
     * md5 separates this from the xxhash64 fast path's cost.
     */
-  def minHashCandidatePairsPortable(
-      df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+  /** The portable pipeline's PERSISTABLE index pieces for a corpus slice:
+    * hashed shingle sets `(id, hs)` and banded LSH rows `(id, band,
+    * bucket)` — the two tables a production pipeline stores append-only so
+    * the historical corpus is shingled exactly once (see
+    * [[minHashIncrementalPairsPortable]]). Both frames come back persisted;
+    * callers writing them out should unpersist after.
+    */
+  def minHashIndexPortable(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val coeffs = minHashCoeffs(numHashes)
@@ -295,18 +302,58 @@ object Dedup {
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
       }: _*)).as(Seq("band", "bucket")))
       .persist()
-    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    (hashed, banded)
+  }
+
+  /** Exact Jaccard over hashed shingle sets for canonical candidate pairs. */
+  private def jaccardOverHashed(candidates: DataFrame,
+      hashed: DataFrame): DataFrame =
     candidates
       .join(hashed.select(col("id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
       .join(hashed.select(col("id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+
+  def minHashCandidatePairsPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val (hashed, banded) = minHashIndexPortable(df, idCol, textCol,
+      shingleN, numHashes, bands)
+    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    jaccardOverHashed(candidates, hashed)
+  }
+
+  /** INCREMENTAL near-dup candidates: only pairs touching the NEW batch.
+    * The production shape of dedup at corpus scale — the historical corpus
+    * is never re-shingled; its `(id, hs)` and `(id, band, bucket)` index
+    * tables (built once by [[minHashIndexPortable]], stored append-only)
+    * are joined against the new batch's bands, so each batch costs
+    * O(new docs) hashing + O(matching buckets) join, independent of
+    * corpus size. Same bands ⇒ the result is EXACTLY the full run's pairs
+    * restricted to (new × all) — which is what the q81 oracle checks.
+    */
+  def minHashIncrementalPairsPortable(
+      oldHashed: DataFrame, oldBanded: DataFrame,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val (newHashed, newBanded) = minHashIndexPortable(newDocs, idCol, textCol,
+      shingleN, numHashes, bands)
+    val allBanded = oldBanded.unionByName(newBanded)
+    val candidates = newBanded
+      .select(col("band"), col("bucket"), col("id").as("id_n"))
+      .join(allBanded.select(col("band"), col("bucket"), col("id").as("id_o")),
+        Seq("band", "bucket"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .distinct()
+    jaccardOverHashed(candidates, oldHashed.unionByName(newHashed))
   }
 
   /** Connected components over a near-dup pair graph — the step that turns
