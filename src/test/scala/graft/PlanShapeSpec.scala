@@ -125,6 +125,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(n == 1, s"expected 1 hash exchange, got $n\n$plan")
   }
 
+  test("no query in the suite plans a CartesianProduct") {
+    // suite-wide guard: an accidental unkeyed join anywhere in the 81
+    // queries would scale quadratically. Plans are inspected WITHOUT
+    // executing (q64/q65/q80 have write side effects; skipping count()
+    // leaves AQE unfinalized, which is fine for join-node inspection).
+    Queries.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
   test("q65 month filter resolves as PartitionFilters (directory pruning)") {
     val plan = planOf(q("q65_partition_pruned"))
     val pf = plan.linesIterator.filter(_.contains("PartitionFilters:")).mkString
