@@ -1112,6 +1112,28 @@ object Queries {
           oldHashed, oldBanded, newDocs, "doc_id", "text")
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Corpus data card: per-language doc/token counts, mean quality, and
+    // exact-duplicate incidence in one rollup — the summary table a
+    // training-data release ships with. Quality is 1-dp by construction,
+    // so its decimal sum is exact; dup counts come from one fp aggregation
+    // joined back (fp shuffle, then lang rollup).
+    "q82_data_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+      val dupCounts = docs.groupBy(col("fp")).agg(count(lit(1)).as("n_fp"))
+      docs.join(dupCounts, "fp")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(sum(col("quality").cast("decimal(18,1)")).cast("double")
+            / count(lit(1)), 6).as("mean_quality"),
+          sum(when(col("n_fp") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -1329,6 +1351,41 @@ object Queries {
 
     "q33_minhash_pairs" -> q33Oracle,
     "q81_incremental_dedup" -> q81Oracle,
+
+    // q82 replays the data card: q31's quality replay + q13's fingerprint
+    // replay + q59's token count, rolled up per language.
+    "q82_data_card" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    regexp_extract_all(lower(text), '\\S+') AS ltoks,
+        |    regexp_extract_all(text, '\\S+') AS toks,
+        |    CAST(len(regexp_extract_all(trim(text), '\\S+')) AS BIGINT) AS n_tokens,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang, n_tokens, fp, len(toks) AS nt,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS p_ratio,
+        |    CASE WHEN len(ltoks) > 0
+        |      THEN CAST(len(list_filter(ltoks, x -> x IN $stopwordsSql)) AS DOUBLE) / CAST(len(ltoks) AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS sw_ratio
+        |  FROM t
+        |), q AS (
+        |  SELECT doc_id, lang, n_tokens, fp,
+        |    round((CASE WHEN nt BETWEEN 5 AND 100000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+        |        + (CASE WHEN sw_ratio >= 0.05 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+        |        + (CASE WHEN p_ratio <= 0.2 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 1) AS quality
+        |  FROM r
+        |), d AS (
+        |  SELECT fp, count(*) AS n_fp FROM q GROUP BY 1
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(CAST(quality AS DECIMAL(18,1))) AS DOUBLE) / count(*), 6) AS mean_quality,
+        |  CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+        |FROM q JOIN d USING (fp)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q34_simhash_pairs" -> q34Oracle,
 
