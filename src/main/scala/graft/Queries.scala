@@ -1134,6 +1134,25 @@ object Queries {
             / count(lit(1)), 6).as("mean_quality"),
           sum(when(col("n_fp") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
         .orderBy(col("lang"))
+    }),
+
+    // Length-quartile batch shaping: NTILE over a TOTAL order (tokens,
+    // doc_id) per language — equal-size buckets with the remainder rule,
+    // identical in any engine given the total order. The batching-by-
+    // length step that keeps padding waste down in training.
+    "q83_length_quartiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_tokens"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("lang"), col("quartile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy(col("lang"), col("quartile"))
     })
   )
 
@@ -1386,6 +1405,22 @@ object Queries {
         |  CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
         |FROM q JOIN d USING (fp)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q83 replays the quartiles: same total order, same NTILE remainder
+    // rule (both engines put the remainder in the earliest buckets).
+    "q83_length_quartiles" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    ntile(4) OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS quartile
+        |  FROM t
+        |)
+        |SELECT lang, quartile, count(*) AS n_docs,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM n GROUP BY 1, 2 ORDER BY lang, quartile""".stripMargin,
 
     "q34_simhash_pairs" -> q34Oracle,
 
