@@ -1153,6 +1153,38 @@ object Queries {
           min(col("n_tokens")).as("min_tokens"),
           max(col("n_tokens")).as("max_tokens"))
         .orderBy(col("lang"), col("quartile"))
+    }),
+
+    // Native set ops: customers with an open order MINUS customers with a
+    // high-value order, and the INTERSECT of both — Spark's except/
+    // intersect compile to left-anti/left-semi over distinct inputs, same
+    // as the SQL set semantics DuckDB applies.
+    "q84_set_ops" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val open = orders.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      val high = orders.filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey"))
+      val only = open.except(high).withColumn("set_kind", lit("open_only"))
+      val both = open.intersect(high).withColumn("set_kind", lit("open_and_high"))
+      only.unionByName(both)
+        .orderBy(col("set_kind"), col("o_custkey"))
+    }),
+
+    // UNPIVOT (melt): q72's wide per-user counts folded back to long form —
+    // the reshape that takes a spreadsheet-shaped source into a lake table.
+    "q85_unpivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +:
+          types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+      wide.unpivot(Array(col("user_id")),
+          types.map(col).toArray, "event_type", "n")
+        .filter(col("n") > 0)
+        .orderBy(col("user_id"), col("event_type"))
     })
   )
 
@@ -1421,6 +1453,27 @@ object Queries {
         |SELECT lang, quartile, count(*) AS n_docs,
         |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
         |FROM n GROUP BY 1, 2 ORDER BY lang, quartile""".stripMargin,
+
+    "q84_set_ops" ->
+      """WITH open_c AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |), high_c AS (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        |)
+        |SELECT * FROM (
+        |  SELECT o_custkey, 'open_only' AS set_kind
+        |  FROM (SELECT o_custkey FROM open_c EXCEPT SELECT o_custkey FROM high_c)
+        |  UNION ALL
+        |  SELECT o_custkey, 'open_and_high' AS set_kind
+        |  FROM (SELECT o_custkey FROM open_c INTERSECT SELECT o_custkey FROM high_c)
+        |) ORDER BY set_kind, o_custkey""".stripMargin,
+
+    // q85: pivot then melt back; zero-count combos are dropped on both
+    // sides, so the long forms agree.
+    "q85_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q34_simhash_pairs" -> q34Oracle,
 
