@@ -1185,6 +1185,38 @@ object Queries {
           types.map(col).toArray, "event_type", "n")
         .filter(col("n") > 0)
         .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // GROUPING SETS in its general form (an arbitrary set list, not the
+    // rollup/cube prefixes q05/q42 cover), through the SQL surface over
+    // registered lake views — S14's read path. grouping_id disambiguates
+    // the all-NULL rows.
+    "q86_grouping_sets" -> ((s, dir) => {
+      Lake.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+      """)
+    }),
+
+    // Rank-based normalization: percent_rank and cume_dist per group —
+    // both are exact rationals computed with one correctly-rounded
+    // division from integer ranks, so engines agree bit-for-bit.
+    "q87_rank_normalize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1474,6 +1506,26 @@ object Queries {
       """SELECT user_id, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q86_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
+
+    // q87: percent_rank = (rank-1)/(n-1) and cume_dist = peers/n — the
+    // same definition in both engines, one exact division each.
+    "q87_rank_normalize" ->
+      """SELECT event_id, event_type, value,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q34_simhash_pairs" -> q34Oracle,
 
