@@ -60,4 +60,47 @@ object Ingest {
   def reconcile(path: String, expected: Long, spark: org.apache.spark.sql.SparkSession,
       tolerance: Double = 0.05): Unit =
     Relational.reconcileCount(spark.read.parquet(path).count(), expected, tolerance)
+
+  /** Cursor/scroll pagination harness — the engine half of the reference's
+    * Elasticsearch scroll loop (reference:
+    * pipelines/datalake/extract_load/sisreg_api/tasks.py scroll-and-drain
+    * with count reconciliation): repeatedly call `fetch` with the previous
+    * page's continuation cursor until the source returns none, with
+    * per-page retries and a loud cap on runaway cursors. The transport is
+    * the caller's lambda (HTTP client, Mongo cursor, ES scroll id — all
+    * out-of-engine); THIS side owns the loop's correctness: termination,
+    * retry, page accounting.
+    *
+    * Returns (all rows, page count). Driver-side by design — each page is
+    * bounded (the remote enforces page size) and the result lands via
+    * `landJsonPayload`/`conformForLanding` which ARE distributed.
+    */
+  def scrollAll[A](fetch: Option[String] => (Seq[A], Option[String]),
+      maxPages: Int = 100000, maxRetries: Int = 3): (Seq[A], Int) = {
+    val out = Seq.newBuilder[A]
+    var cursor: Option[String] = None
+    var pages = 0
+    var done = false
+    while (!done) {
+      require(pages < maxPages,
+        s"scroll exceeded $maxPages pages — runaway cursor or wrong maxPages")
+      var attempt = 0
+      var page: (Seq[A], Option[String]) = null
+      while (page == null) {
+        try page = fetch(cursor)
+        catch {
+          case e: Exception if attempt < maxRetries =>
+            attempt += 1 // transient page failure: retry the SAME cursor
+          case e: Exception =>
+            throw new java.io.IOException(
+              s"page $pages failed after $maxRetries retries", e)
+        }
+      }
+      out ++= page._1
+      pages += 1
+      cursor = page._2
+      done = cursor.isEmpty
+    }
+    (out.result(), pages)
+  }
 }

@@ -84,6 +84,28 @@ class IngestSpec extends SparkSpec {
     assert(!Ingest.landByLoadDate(src.filter(lit(false)), stamp, dir + "2"))
   }
 
+  test("scrollAll drains pages, retries a flaky page on the SAME cursor, caps runaways") {
+    // 3 pages of a fake scroll API; page "p2" fails once before succeeding
+    val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def fetch(cursor: Option[String]): (Seq[Int], Option[String]) = cursor match {
+      case None       => (Seq(1, 2), Some("p2"))
+      case Some("p2") =>
+        if (!failedOnce.getAndSet(true)) throw new RuntimeException("transient")
+        (Seq(3), Some("p3"))
+      case Some("p3") => (Seq(4, 5), None)
+      case other      => fail(s"unexpected cursor $other")
+    }
+    val (rows, pages) = Ingest.scrollAll(fetch _)
+    assert(rows == Seq(1, 2, 3, 4, 5) && pages == 3)
+    // permanent failure surfaces with the page context
+    val boom = intercept[java.io.IOException](
+      Ingest.scrollAll[Int](_ => throw new RuntimeException("down"), maxRetries = 2))
+    assert(boom.getMessage.contains("after 2 retries"))
+    // runaway cursor (never-None) hits the page cap loudly
+    intercept[IllegalArgumentException](
+      Ingest.scrollAll[Int](_ => (Seq(1), Some("again")), maxPages = 10))
+  }
+
   test("landJsonPayload packs payload to a JSON column beside metadata") {
     val dir = java.nio.file.Files.createTempDirectory("ingestj").toString + "/t"
     val src = Seq((10, "x"), (20, "y")).toDF("valor", "tipo")
