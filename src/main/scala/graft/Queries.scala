@@ -1217,6 +1217,24 @@ object Queries {
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cume"))
         .orderBy(col("event_id"))
+    }),
+
+    // Date-spine gap filling: a generated calendar left-joined against
+    // sparse daily counts so quiet days report 0 instead of vanishing —
+    // the reporting pattern behind every continuous time series. The
+    // spine generates from the data's own bounds (one tiny agg, broadcast).
+    "q88_date_spine" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = ev
+        .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      spine.join(daily, Seq("day"), "left_outer")
+        .select(col("day").cast("string").as("day"),
+          coalesce(col("n"), lit(0L)).as("n_purchases"))
+        .orderBy(col("day"))
     })
   )
 
@@ -1526,6 +1544,20 @@ object Queries {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    "q88_date_spine" ->
+      """WITH b AS (
+        |  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events
+        |), spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b
+        |), d AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT CAST(s.day AS VARCHAR) AS day,
+        |  CAST(coalesce(d.n, 0) AS BIGINT) AS n_purchases
+        |FROM spine s LEFT JOIN d USING (day) ORDER BY day""".stripMargin,
 
     "q34_simhash_pairs" -> q34Oracle,
 
