@@ -355,6 +355,7 @@ object Relational {
     */
   def sampleFixedNPerGroup(df: DataFrame, groups: Seq[String], key: Column,
       n: Int): DataFrame = {
+    requireFreshColumns(df, Seq("__h"), "sampleFixedNPerGroup")
     val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
     graft.plans.TopKPerKey(df.withColumn("__h", h),
       groups.map(col), Seq(col("__h").asc, key.asc), n).drop("__h")
@@ -413,7 +414,10 @@ object Relational {
     val width = (hi - lo) / bins
     val bucket = least(greatest(floor((value - lit(lo)) / lit(width)), lit(0.0)),
       lit((bins - 1).toDouble)).cast("long")
-    df.filter(value.isNotNull)
+    // NaN is dropped, not clamped: Spark orders NaN above +Inf while other
+    // engines differ, so letting NaN through would give engine-dependent
+    // edge-bin counts
+    df.filter(value.isNotNull && !isnan(value.cast("double")))
       .groupBy(bucket.as("bin"))
       .agg(count(lit(1)).as("n"))
   }
@@ -434,6 +438,7 @@ object Relational {
   def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
       order: Seq[Column], op: Column, payload: Seq[String]): DataFrame = {
     requireFreshColumns(base, Seq("__op"), "applyCdc")
+    requireFreshColumns(changes, Seq("__op"), "applyCdc (changes side)")
     val latest = graft.plans.TopKPerKey(
       changes.withColumn("__op", op),
       keys.map(col), order.map(_.desc), 1)

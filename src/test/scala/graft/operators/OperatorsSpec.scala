@@ -467,4 +467,33 @@ class ScaleStrategySpec extends graft.SparkSpec {
     // -5 clamps into bin 0; 100 and 250 clamp into bin 9
     assert(bins(0L) == 3 && bins(1L) == 1 && bins(5L) == 1 && bins(9L) == 3)
   }
+
+  test("histogram invariant: bin counts sum to non-null non-NaN rows") {
+    val df = Seq(Some(1.0), Some(50.0), None, Some(Double.NaN), Some(200.0))
+      .toDF("v")
+    val total = Relational.histogram(df, col("v"), 0.0, 100.0, 4)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(total == 3) // null and NaN dropped, 200 clamped but counted
+  }
+
+  test("packSequences invariant: token totals and row count conserved") {
+    val df = (1 to 500).map(i => (s"s${i % 7}", i.toLong, (i % 90 + 1).toLong))
+      .toDF("shard", "id", "toks")
+    val out = Relational.packSequences(df, Seq("shard"), Seq(col("id")),
+      col("toks"), capacity = 256L)
+    assert(out.count() == 500)
+    val inSum = df.agg(sum("toks")).collect().head.getLong(0)
+    val outSum = out.agg(sum("n_tokens")).collect().head.getLong(0)
+    assert(inSum == outSum)
+    // offsets always inside the bin
+    assert(out.filter(col("offset_in_bin") < 0 ||
+      col("offset_in_bin") >= 256).count() == 0)
+  }
+
+  test("splitAssign invariant: every row gets exactly one of the 3 labels") {
+    val df = (1 to 1000).toDF("k")
+      .select(Relational.splitAssign(col("k"), 80, 10).as("split"))
+    assert(df.filter(!col("split").isin("train", "val", "test")).count() == 0)
+    assert(df.count() == 1000)
+  }
 }
