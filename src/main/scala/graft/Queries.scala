@@ -1235,6 +1235,49 @@ object Queries {
         .select(col("day").cast("string").as("day"),
           coalesce(col("n"), lit(0L)).as("n_purchases"))
         .orderBy(col("day"))
+    }),
+
+    // Cluster retention policy — near-dup pairs → connected components →
+    // ONE survivor per cluster by (quality DESC, doc_id): the step that
+    // turns dedup PAIRS into keep/drop DECISIONS. Survivor selection runs
+    // through TopKPerKey (k=1, bounded heaps), so even a pathological
+    // mega-cluster never sorts.
+    "q89_cluster_retention" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup
+        .minHashCandidatePairsPortable(docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+      val clusters = Dedup.duplicateClusters(pairs)
+      val withCluster = docs
+        .join(clusters, docs("doc_id") === clusters("id"), "left_outer")
+        .select(docs("doc_id"), col("lang"),
+          coalesce(col("cluster_id"), docs("doc_id")).as("cluster_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+      graft.plans.TopKPerKey(withCluster, Seq(col("cluster_id")),
+          Seq(col("quality").desc, col("doc_id").asc), 1)
+        .select(col("cluster_id"), col("doc_id"), col("quality"))
+        .orderBy(col("cluster_id"))
+    }),
+
+    // Compaction data-identity: land events deliberately fragmented
+    // (16 small files), compact to size-targeted files, and prove the
+    // rewritten table aggregates identically to the raw source.
+    "q90_compaction" -> ((s, dir) => {
+      import graft.sources.LakeWriter
+      import org.apache.hadoop.fs.Path
+      val tmp = System.getProperty("java.io.tmpdir")
+      val inPath = s"$tmp/graft_q90_in"
+      val outPath = s"$tmp/graft_q90_out"
+      val fs = new Path(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(inPath), true)
+      fs.delete(new Path(outPath), true)
+      t(s, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+        .repartition(16).write.parquet(inPath)
+      LakeWriter.compact(s, inPath, outPath, targetBytes = 64L * 1024 * 1024)
+      s.read.parquet(outPath)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1328,6 +1371,48 @@ object Queries {
        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs
        |WHERE id_a % 5 = 0 OR id_b % 5 = 0
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** q89's oracle: q50's connected-components replay + q31's quality
+    * replay, then one survivor per cluster by (quality DESC, doc_id).
+    */
+  private def q89Oracle: String =
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       |fpairs AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+       |edges2 AS (
+       |  SELECT id_a AS src, id_b AS dst FROM fpairs
+       |  UNION SELECT id_b, id_a FROM fpairs
+       |), nodes AS (SELECT DISTINCT src AS nid FROM edges2),
+       |reach(nid, label) AS (
+       |  SELECT nid, nid FROM nodes
+       |  UNION
+       |  SELECT e.src, r.label FROM reach r JOIN edges2 e ON e.dst = r.nid
+       |), comp AS (SELECT nid, min(label) AS cluster_id FROM reach GROUP BY nid),
+       |cl AS (
+       |  SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON c.nid = d.doc_id
+       |), qt AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all(lower(text), '\\S+') AS ltoks,
+       |    regexp_extract_all(text, '\\S+') AS toks2, text
+       |  FROM documents
+       |), qual AS (
+       |  SELECT doc_id,
+       |    round((CASE WHEN len(toks2) BETWEEN 5 AND 100000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+       |      + (CASE WHEN (CASE WHEN len(ltoks) > 0
+       |            THEN CAST(len(list_filter(ltoks, x -> x IN $stopwordsSql)) AS DOUBLE) / CAST(len(ltoks) AS DOUBLE)
+       |            ELSE CAST(0.0 AS DOUBLE) END) >= 0.05 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+       |      + (CASE WHEN (CASE WHEN length(text) > 0
+       |            THEN CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+       |            ELSE CAST(0.0 AS DOUBLE) END) <= 0.2 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 1) AS quality
+       |  FROM qt
+       |), ranked AS (
+       |  SELECT cl.cluster_id, cl.doc_id, qual.quality,
+       |    row_number() OVER (PARTITION BY cl.cluster_id
+       |      ORDER BY qual.quality DESC, cl.doc_id) AS rn
+       |  FROM cl JOIN qual USING (doc_id)
+       |)
+       |SELECT cluster_id, doc_id, quality FROM ranked WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
 
   /** q50's oracle: duplicate clustering = connected components over the
     * thresholded pair graph, replayed with a recursive CTE (min-label
@@ -1452,6 +1537,13 @@ object Queries {
 
     "q33_minhash_pairs" -> q33Oracle,
     "q81_incremental_dedup" -> q81Oracle,
+    "q89_cluster_retention" -> q89Oracle,
+
+    // q90: the compacted table must aggregate identically to the source.
+    "q90_compaction" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q82 replays the data card: q31's quality replay + q13's fingerprint
     // replay + q59's token count, rolled up per language.
