@@ -1278,6 +1278,26 @@ object Queries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
         .orderBy(col("event_type"))
+    }),
+
+    // Content-defined chunking: shared CDC blocks across documents —
+    // boundaries move with the content (rolling-window hash mask), so
+    // partially-overlapping docs share block hashes even when the overlap
+    // sits at different offsets, the case fixed chunks and whole-doc
+    // hashes both miss. One explode + one hash aggregate; block hashes are
+    // 8-byte shuffle rows.
+    "q91_cdc_blocks" -> ((s, dir) => {
+      val blocks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.cdcBlocks(col("text"), w = 4, maskBits = 4)).as("b"))
+        .select(col("doc_id"), col("b.block_hash").as("block_hash"),
+          col("b.n_tokens").as("n_tokens"))
+      blocks.groupBy(col("block_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          max(col("n_tokens")).as("n_tokens"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("block_hash"))
     })
   )
 
@@ -1544,6 +1564,47 @@ object Queries {
       """SELECT event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q91 replays content-defined chunking: same 4-token windows, same
+    // md5h60 mask rule (1-based i ↔ Spark's 0-based i: cut = i+3 ↔ i+4),
+    // same block slices and hashes.
+    "q91_cdc_blocks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    list_transform(range(1, greatest(len(toks) - 2, 1)),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS grams
+        |  FROM t
+        |), c AS (
+        |  SELECT doc_id, toks, n,
+        |    list_filter(list_transform(range(1, len(grams) + 1),
+        |      i -> CASE WHEN CAST(('0x' || substr(md5(grams[i]), 1, 15)) AS BIGINT) % 16 = 0
+        |           THEN i + 3 ELSE -1 END),
+        |      x -> x >= 0 AND x < n) AS cuts
+        |  FROM g
+        |), b AS (
+        |  SELECT doc_id, toks,
+        |    list_prepend(0, cuts) AS starts,
+        |    list_append(cuts, n) AS ends
+        |  FROM c
+        |), e AS (
+        |  SELECT doc_id, toks, unnest(list_filter(
+        |    list_transform(range(1, len(starts) + 1),
+        |      j -> struct_pack(s := starts[j], e := ends[j])),
+        |    st -> st.e > st.s)) AS blk
+        |  FROM b
+        |), blocks AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(array_to_string(toks[blk.s + 1 : blk.e], ' ')), 1, 15)) AS BIGINT) AS block_hash,
+        |    CAST(blk.e - blk.s AS BIGINT) AS n_tokens
+        |  FROM e
+        |)
+        |SELECT block_hash, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_occurrences, max(n_tokens) AS n_tokens
+        |FROM blocks GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY block_hash""".stripMargin,
 
     // q82 replays the data card: q31's quality replay + q13's fingerprint
     // replay + q59's token count, rolled up per language.

@@ -89,6 +89,45 @@ object TextFunctions {
       array_join(slice(toks, s + 1, lit(chunkTokens)), " ").as("chunk")))
   }
 
+  /** Content-defined chunking: split the token stream at positions where
+    * the rolling window's portable hash has `maskBits` low zero bits —
+    * boundaries move WITH the content, so inserting one sentence shifts
+    * block frames instead of invalidating every downstream block (the
+    * property fixed-size chunking lacks, and the reason CDC is the
+    * shift-resistant block-dedup primitive). Expected block length ≈
+    * 2^maskBits tokens.
+    *
+    * Returns `array<struct<start, n_tokens, block_hash>>` where
+    * `block_hash` is the portable md5-60bit hash of the block's joined
+    * tokens — group blocks by hash across the corpus to find shared
+    * passages between partially-overlapping documents. Window hashes are
+    * the same `md5h60` primitive as the MinHash pipeline, so any engine
+    * replays boundaries and hashes bit-for-bit.
+    */
+  def cdcBlocks(text: Column, w: Int, maskBits: Int): Column = {
+    require(w >= 1 && maskBits >= 1 && maskBits < 32,
+      s"need w >= 1 and 1 <= maskBits < 32, got w=$w maskBits=$maskBits")
+    val mask = (1L << maskBits) - 1
+    def h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val toks = tokens(text)
+    val n = size(toks)
+    val grams = wordNgrams(text, math.max(w, 2)) // w>=2 windows (w=1 → tokens)
+    val windows = if (w == 1) toks else grams
+    // cut BEFORE token i+w when window i (0-based) hash has maskBits low zeros
+    val cuts = filter(
+      transform(windows, (g, i) =>
+        when(h60(g).bitwiseAND(lit(mask)) === 0, i + lit(w)).otherwise(lit(-1))),
+      x => x >= 0 && x < n) // a cut at n would only create an empty tail
+    val starts = concat(array(lit(0)), cuts)
+    val ends = concat(cuts, array(n))
+    val blocks = zip_with(starts, ends, (s, e) => struct(
+      s.cast("long").as("start"),
+      (e - s).cast("long").as("n_tokens"),
+      h60(array_join(slice(toks, s + 1, e - s), " ")).as("block_hash")))
+    filter(blocks, b => b("n_tokens") > 0)
+  }
+
   /** Punctuation-to-character ratio (0 for empty text). */
   def punctRatio(text: Column): Column = {
     val punct = size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))

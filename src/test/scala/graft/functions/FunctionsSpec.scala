@@ -98,6 +98,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(2) == ((0.0, 0.0)))
   }
 
+  test("cdcBlocks: blocks partition the tokens; boundaries are shift-resistant") {
+    // deterministic pseudo-words so some window hashes hit the mask
+    val words = (1 to 400).map(i => s"w${(i * 2654435761L % 9973)}")
+    val textA = words.mkString(" ")
+    val textB = "inserted prefix tokens " + textA // shift by 3 tokens
+    val df = Seq((1L, textA), (2L, textB)).toDF("id", "text")
+      .select(col("id"), TextFunctions.cdcBlocks(col("text"), 4, 3).as("blocks"))
+    val rows = df.collect().map(r =>
+      r.getSeq[org.apache.spark.sql.Row](1).map(b =>
+        (b.getLong(0), b.getLong(1), b.getLong(2)))).toSeq
+    val (a, b) = (rows(0), rows(1))
+    // partition property: contiguous, covers every token exactly once
+    assert(a.map(_._2).sum == 400)
+    assert(a.scanLeft(0L)((acc, blk) => acc + blk._2).init == a.map(_._1))
+    // shift resistance: after the inserted prefix, boundaries resync and
+    // most of A's block hashes reappear in B
+    val shared = a.map(_._3).toSet.intersect(b.map(_._3).toSet)
+    assert(shared.size >= a.size / 2, s"only ${shared.size} of ${a.size} blocks survived the shift")
+  }
+
   test("fingerprint is normalization-invariant") {
     val df = Seq("Hello,   World!", "hello world").toDF("t")
       .select(TextFunctions.fingerprint(col("t")).as("fp"))
