@@ -1288,8 +1288,12 @@ object Queries {
     // 8-byte shuffle rows.
     "q91_cdc_blocks" -> ((s, dir) => {
       val blocks = t(s, dir, "documents")
+        // projection boundary: bind the token array BEFORE the CDC
+        // lambdas — HOFs re-evaluate referenced subtrees per element, and
+        // an inline tokens(text) would re-run the regex split per block
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          explode(TextFunctions.cdcBlocks(col("text"), w = 4, maskBits = 4)).as("b"))
+          explode(TextFunctions.cdcBlocksFromTokens(col("toks"), w = 4, maskBits = 4)).as("b"))
         .select(col("doc_id"), col("b.block_hash").as("block_hash"),
           col("b.n_tokens").as("n_tokens"))
       blocks.groupBy(col("block_hash"))

@@ -104,16 +104,25 @@ object TextFunctions {
     * the same `md5h60` primitive as the MinHash pipeline, so any engine
     * replays boundaries and hashes bit-for-bit.
     */
-  def cdcBlocks(text: Column, w: Int, maskBits: Int): Column = {
+  def cdcBlocks(text: Column, w: Int, maskBits: Int): Column =
+    cdcBlocksFromTokens(tokens(text), w, maskBits)
+
+  /** CDC over an ALREADY-MATERIALIZED token array column. Hot paths must
+    * project the token array first and call this — the block lambdas
+    * reference the token array per element, and HOFs re-evaluate
+    * referenced subtrees once PER ELEMENT, so an inline `tokens(text)`
+    * re-runs the regex split for every block (same projection-boundary
+    * rule as [[shinglesFromTokens]]).
+    */
+  def cdcBlocksFromTokens(toks: Column, w: Int, maskBits: Int): Column = {
     require(w >= 1 && maskBits >= 1 && maskBits < 32,
       s"need w >= 1 and 1 <= maskBits < 32, got w=$w maskBits=$maskBits")
     val mask = (1L << maskBits) - 1
     def h60(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    val toks = tokens(text)
     val n = size(toks)
-    val grams = wordNgrams(text, math.max(w, 2)) // w>=2 windows (w=1 → tokens)
-    val windows = if (w == 1) toks else grams
+    val windows =
+      if (w == 1) toks else wordNgramsFromTokens(toks, w)
     // cut BEFORE token i+w when window i (0-based) hash has maskBits low zeros
     val cuts = filter(
       transform(windows, (g, i) =>
@@ -176,9 +185,16 @@ object TextFunctions {
     * windows over the whitespace tokens via slice+zip — no explode, no
     * shuffle; the array lives and dies inside the row's projection.
     */
-  def wordNgrams(text: Column, n: Int): Column = {
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsFromTokens(tokens(text), n)
+
+  /** N-grams from an already-materialized token array (see
+    * [[cdcBlocksFromTokens]] for the projection-boundary rationale; here
+    * `toks` only appears as slice ARGUMENTS — evaluated once — so inline
+    * use is safe, but hot paths should still bind it).
+    */
+  def wordNgramsFromTokens(toks: Column, n: Int): Column = {
     require(n >= 2, s"n-grams need n >= 2, got $n (n=1 is tokens())")
-    val toks = tokens(text)
     val m = greatest(size(toks) - lit(n - 1), lit(0)) // n-gram count (>= 0)
     val base = slice(toks, lit(1), m)
     (1 until n).foldLeft(base) { (acc, i) =>
