@@ -1302,6 +1302,29 @@ object Queries {
           max(col("n_tokens")).as("n_tokens"))
         .filter(col("n_docs") > 1)
         .orderBy(col("block_hash"))
+    }),
+
+    // LOCF forward-fill imputation, engine-portably: the running COUNT of
+    // non-null observations partitions each key's timeline into groups
+    // holding exactly one observation (its first row), so a per-group MAX
+    // carries it forward — no IGNORE NULLS extension needed, identical in
+    // any engine with window counts. Nulls are fabricated deterministically
+    // (event_id % 7 = 0) since the corpus has none; leading nulls before
+    // the first observation stay null, as LOCF defines.
+    "q92_locf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val runW = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+      ev.withColumn("__grp", count(col("v")).over(runW))
+        .withColumn("v_filled",
+          max(col("v")).over(Window.partitionBy(col("user_id"), col("__grp"))))
+        .select(col("event_id"), col("user_id"), col("v"), col("v_filled"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1609,6 +1632,23 @@ object Queries {
         |  count(*) AS n_occurrences, max(n_tokens) AS n_tokens
         |FROM blocks GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
         |ORDER BY block_hash""".stripMargin,
+
+    // q92 replays LOCF with the same count-partition trick — the filled
+    // doubles are SELECTED inputs, bit-exact.
+    "q92_locf" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events
+        |), g AS (
+        |  SELECT event_id, user_id, v,
+        |    count(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM e
+        |)
+        |SELECT event_id, user_id, v,
+        |  max(v) OVER (PARTITION BY user_id, grp) AS v_filled
+        |FROM g ORDER BY event_id""".stripMargin,
 
     // q82 replays the data card: q31's quality replay + q13's fingerprint
     // replay + q59's token count, rolled up per language.
