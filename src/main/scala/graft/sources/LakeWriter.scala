@@ -110,6 +110,33 @@ object LakeWriter {
       .sortWithinPartitions(sortCols: _*)
       .write.mode(mode).parquet(path)
 
+  /** Z-value of two non-negative integer columns: interleave the low
+    * `bits` of each (a's bit i → position 2i, b's → 2i+1). Points close in
+    * BOTH dimensions get close z-values, so range-partitioning on the
+    * z-value clusters files in both dimensions at once — multi-dimensional
+    * data skipping, where a single-key range layout only skips on its one
+    * key. Pure codegen'd bitwise ops.
+    */
+  def zValue2(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order layout: range-partition + sort on [[zValue2]] of two key
+    * columns, so every output file covers a compact rectangle in the 2-D
+    * key space and parquet min/max stats prune on EITHER dimension.
+    * Callers pre-normalize keys to non-negative ints (bucket ids, day
+    * numbers, quantile ranks — `LayoutSpec` shows the pattern).
+    */
+  def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
+      numFiles: Int, bits: Int = 16, mode: String = "overwrite"): Unit =
+    // the z-value is an EXPRESSION sort key: repartitionByRange/sort
+    // evaluate it in flight, nothing extra lands in the files
+    writeRangeLayout(df, path, Seq(zValue2(a, b, bits)), numFiles, mode)
+
   /** Small-files compaction: rewrite a parquet directory into files sized
     * close to `targetBytes`. File count is derived from the ACTUAL input
     * bytes (filesystem listing, no data pass); the rewrite itself is one

@@ -32,6 +32,38 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 10000)
   }
 
+  test("zValue2 interleaves bits; writeZOrdered clusters BOTH dimensions") {
+    // zValue2 spot checks: (a=1,b=0) → 1; (a=0,b=1) → 2; (a=3,b=3) → 15
+    val z = Seq((1L, 0L), (0L, 1L), (3L, 3L)).toDF("a", "b")
+      .select(LakeWriter.zValue2(col("a"), col("b"), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(z == Seq(1L, 2L, 15L))
+
+    val dir = Files.createTempDirectory("graft-z").toString + "/t"
+    // a uniform 64×64 grid of points, shuffled
+    val df = (0 until 4096).map(i => (i * 2654435761L % 4096, s"r$i"))
+      .toDF("h", "payload")
+      .select((col("h") % 64).cast("long").as("x"),
+        (col("h") / 64).cast("long").as("y"), col("payload"))
+    LakeWriter.writeZOrdered(df, dir, col("x"), col("y"), numFiles = 16, bits = 6)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length > 4, "expected several files")
+    // per-file span of EACH dimension must be far below the global span
+    // (64) — a single-key range layout would cluster one dim and leave the
+    // other's span at ~full width in every file
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("x"), max("x"), min("y"), max("y")).first()
+      (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2))
+    }
+    val avgX = spans.map(_._1).sum.toDouble / spans.length
+    val avgY = spans.map(_._2).sum.toDouble / spans.length
+    assert(avgX < 40 && avgY < 40,
+      s"z-order should bound both dims: avg x-span $avgX, y-span $avgY")
+    assert(spark.read.parquet(dir).count() == 4096)
+  }
+
   test("compact rewrites to the byte-derived file count") {
     val in = Files.createTempDirectory("graft-compact").toString + "/in"
     val out = in.stripSuffix("/in") + "/out"
