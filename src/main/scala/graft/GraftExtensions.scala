@@ -59,7 +59,17 @@ object GraftExtensions {
     reg("kmv_distinct", classOf[KmvDistinct], 2)(c =>
       KmvDistinct(c(0), litInt(c(1), "kmv_distinct k"))),
     reg("heavy_hitters", classOf[graft.functions.HeavyHitters], 2)(c =>
-      graft.functions.HeavyHitters(c(0), litInt(c(1), "heavy_hitters k"))))
+      graft.functions.HeavyHitters(c(0), litInt(c(1), "heavy_hitters k"))),
+    // the portable 60-bit md5 hash (the cross-engine primitive every
+    // portable pipeline shares) as a COMPOSED expression tree — built-in
+    // nodes only, so it codegens and folds like any built-in. SQL models
+    // run through ModelRunner can use it for splits/sampling/bucketing.
+    reg("md5h60", classOf[org.apache.spark.sql.catalyst.expressions.Conv], 1) { c =>
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.types.{LongType, StringType}
+      Cast(Conv(Substring(Md5(Cast(c.head, org.apache.spark.sql.types.BinaryType)),
+        Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+    })
 
   /** Register on a session that already exists (extensions configs only
     * apply at construction time).

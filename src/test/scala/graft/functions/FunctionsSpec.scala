@@ -219,4 +219,15 @@ class ExtensionsSpec extends graft.SparkSpec {
     assert(r.getSeq[Long](2).head == java.lang.Long.parseLong("0cc175b9c0f1b6a", 16))
     assert(r.getSeq[Long](4).size == 4)
   }
+
+  test("md5h60 SQL function matches the Column-API portable hash") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val viaSql = spark.sql("SELECT md5h60('abc') AS h").collect().head.getLong(0)
+    val viaCol = Seq("abc").toDF("s")
+      .select(graft.functions.SketchFunctions.md5h60(org.apache.spark.sql.functions.col("s")))
+      .collect().head.getLong(0)
+    assert(viaSql == viaCol)
+    assert(viaSql == java.lang.Long.parseLong("900150983cd24fb", 16)) // md5('abc') prefix
+  }
 }
