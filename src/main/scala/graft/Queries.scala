@@ -1106,10 +1106,18 @@ object Queries {
       val docs = t(s, dir, "documents")
       val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
       val newDocs = docs.filter(col("doc_id") % 5 === 0)
+      // the historical index is read by several consumers (banded feeds the
+      // candidate join, hashed feeds BOTH sides of the Jaccard join), so it
+      // stays cached through the call — and since the incremental result
+      // comes back materialized, the caller-owned cache is released
+      // immediately after (in production the index is a stored table and
+      // none of this caching exists — see q93/q89)
       val (oldHashed, oldBanded) =
         Dedup.minHashIndexPortable(oldDocs, "doc_id", "text")
-      Dedup.minHashIncrementalPairsPortable(
-          oldHashed, oldBanded, newDocs, "doc_id", "text")
+      val pairs = Dedup.minHashIncrementalPairsPortable(
+        oldHashed, oldBanded, newDocs, "doc_id", "text")
+      oldHashed.unpersist(false); oldBanded.unpersist(false)
+      pairs
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1244,15 +1252,26 @@ object Queries {
     // mega-cluster never sorts.
     "q89_cluster_retention" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup
-        .minHashCandidatePairsPortable(docs, "doc_id", "text")
-        .filter(col("jaccard") >= 0.5)
+      // production shape: read the STORED index's scored pair table (built
+      // once per corpus at ingest — DedupIndex.ensure builds on first
+      // touch) instead of re-shingling the corpus. Same deterministic
+      // pipeline, so the pairs are identical to the in-memory q50 path's;
+      // the expensive text + candidate-join stages are paid once per
+      // corpus, not once per query — retention is ONE slim scan + clusters.
+      val index =
+        graft.flows.DedupIndex.ensure(s, dir, "documents", "doc_id", "text")
+      val pairs = index.pairs.filter(col("jaccard") >= 0.5)
       val clusters = Dedup.duplicateClusters(pairs)
-      val withCluster = docs
-        .join(clusters, docs("doc_id") === clusters("id"), "left_outer")
-        .select(docs("doc_id"), col("lang"),
-          coalesce(col("cluster_id"), docs("doc_id")).as("cluster_id"),
-          TextFunctions.qualityScore(col("text")).as("quality"))
+      // quality is projected ON THE SCAN (codegen + CSE next to the parquet
+      // reader) and the join carries the computed double — evaluating the
+      // token-array expression above the join measured ~5× slower
+      val docsQ = docs.select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val withCluster = docsQ
+        .join(clusters, docsQ("doc_id") === clusters("id"), "left_outer")
+        .select(docsQ("doc_id"), col("lang"),
+          coalesce(col("cluster_id"), docsQ("doc_id")).as("cluster_id"),
+          col("quality"))
       graft.plans.TopKPerKey(withCluster, Seq(col("cluster_id")),
           Seq(col("quality").desc, col("doc_id").asc), 1)
         .select(col("cluster_id"), col("doc_id"), col("quality"))
@@ -1325,6 +1344,24 @@ object Queries {
           max(col("v")).over(Window.partitionBy(col("user_id"), col("__grp"))))
         .select(col("event_id"), col("user_id"), col("v"), col("v_filled"))
         .orderBy(col("event_id"))
+    }),
+
+    // Stored-index lifecycle, write side: force-build the MinHash signature
+    // index into its own lake location (staging write + atomic rename,
+    // banded derived from the STORED hashed table — one shingle pass), then
+    // produce the near-dup pair list purely from the stored tables. Result
+    // must be identical to the in-memory pipeline (q33's oracle replays
+    // the full pipeline from raw text).
+    "q93_stored_index_pairs" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_q93_index"
+      val docs = t(s, dir, "documents")
+      graft.flows.DedupIndex.build(s, docs, "doc_id", "text",
+        corpusPath = s"$dir/documents.parquet", root = root)
+      val index = graft.flows.DedupIndex.ensure(
+        s, dir, "documents", "doc_id", "text", root = root)
+      index.pairs
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -1585,6 +1622,9 @@ object Queries {
     "q33_minhash_pairs" -> q33Oracle,
     "q81_incremental_dedup" -> q81Oracle,
     "q89_cluster_retention" -> q89Oracle,
+    // q93 lands the signature index as stored tables and derives the pairs
+    // from them — the pair list must equal the full in-memory pipeline's.
+    "q93_stored_index_pairs" -> q33Oracle,
 
     // q90: the compacted table must aggregate identically to the source.
     "q90_compaction" ->

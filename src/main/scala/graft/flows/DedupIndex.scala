@@ -1,0 +1,103 @@
+package graft.flows
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Dedup
+
+/** Stored MinHash signature index — the PRODUCTION shape of near-dup
+  * dedup at corpus scale: the `(id, hs)` hashed-shingle table and the
+  * `(id, band, bucket)` LSH table are written to the lake ONCE per corpus
+  * (at ingest time), and every downstream consumer — pair listing,
+  * duplicate clustering, cluster retention, incremental batch dedup —
+  * READS the stored tables instead of re-running the normalize → tokenize
+  * → shingle → md5 pipeline, by far the most expensive stage. The hashed
+  * table is written first and the banded table is derived FROM the stored
+  * hashed table ([[Dedup.bandedFromHashed]]), so the corpus text is
+  * shingled exactly once ever.
+  *
+  * Layout: `<root>/<key>/hashed` + `<root>/<key>/banded` parquet dirs with
+  * a `_COMPLETE` marker written LAST — a crash mid-build leaves no marker
+  * and the next call rebuilds from scratch (writes go to a fresh staging
+  * dir that is atomically renamed into place, so a half-written index is
+  * never visible under the final key). The key hashes the corpus location
+  * and every parameter that shapes the index, plus a format version.
+  */
+object DedupIndex {
+
+  /** Bump when the on-disk layout or pipeline constants change — stale
+    * indexes from an older build then miss and rebuild instead of being
+    * read with wrong semantics.
+    */
+  private val FormatVersion = 2
+
+  private def defaultRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_minhash_index"
+
+  private def key(corpusPath: String, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): String = {
+    val spec = s"v$FormatVersion|$corpusPath|$idCol|$textCol|$shingleN|$numHashes|$bands"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(spec.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Build the index for `docs` under `dir` (staging write + atomic
+    * rename), replacing any prior index at the same key. Returns the final
+    * index directory.
+    */
+  def build(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, corpusPath: String, root: String = defaultRoot,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): String = {
+    val k = key(corpusPath, idCol, textCol, shingleN, numHashes, bands)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val finalDir = new Path(s"$root/$k")
+    val staging = new Path(s"$root/.staging-$k")
+    fs.delete(staging, true)
+    // hashed first, from the corpus text; banded SECOND, from the stored
+    // hashed parquet — one shingle pass total, and the banded job reads
+    // slim (id, hs) rows instead of re-tokenizing documents
+    val (hashed, _) = Dedup.minHashIndexPortable(docs, idCol, textCol,
+      shingleN, numHashes, bands, cache = false)
+    hashed.write.parquet(s"$staging/hashed")
+    val storedHashed = spark.read.parquet(s"$staging/hashed")
+    Dedup.bandedFromHashed(storedHashed, numHashes, bands)
+      .write.parquet(s"$staging/banded")
+    // THIRD: the scored candidate-pair table, derived from the two stored
+    // tables. Jaccard is threshold-free, so one stored pair table serves
+    // every downstream policy (cluster at 0.5, audit at 0.8, ...) with a
+    // single slim scan — the candidate join never re-runs per query.
+    val storedBanded = spark.read.parquet(s"$staging/banded")
+    Dedup.minHashPairsFromIndex(storedHashed, storedBanded)
+      .write.parquet(s"$staging/pairs")
+    fs.create(new Path(staging, "_COMPLETE"), true).close()
+    fs.delete(finalDir, true)
+    require(fs.rename(staging, finalDir),
+      s"DedupIndex: rename $staging -> $finalDir failed")
+    finalDir.toString
+  }
+
+  /** Readers over one stored index: the per-doc hashed shingle sets, the
+    * LSH band rows, and the corpus-level scored candidate pairs.
+    */
+  final case class Index(hashed: DataFrame, banded: DataFrame, pairs: DataFrame)
+
+  /** Read-or-build: return readers over the stored index for the corpus at
+    * `<sfDir>/<table>.parquet`, building it first if absent or incomplete.
+    * Subsequent calls (and subsequent SESSIONS — the index outlives the JVM
+    * like any lake table) skip straight to the parquet reads.
+    */
+  def ensure(spark: SparkSession, sfDir: String, table: String,
+      idCol: String, textCol: String, root: String = defaultRoot,
+      shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): Index = synchronized {
+    val corpusPath = s"$sfDir/$table.parquet"
+    val k = key(corpusPath, idCol, textCol, shingleN, numHashes, bands)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$root/$k/_COMPLETE")
+    if (!fs.exists(marker))
+      build(spark, graft.sources.Lake.table(spark, sfDir, table), idCol,
+        textCol, corpusPath, root, shingleN, numHashes, bands)
+    Index(spark.read.parquet(s"$root/$k/hashed"),
+      spark.read.parquet(s"$root/$k/banded"),
+      spark.read.parquet(s"$root/$k/pairs"))
+  }
+}

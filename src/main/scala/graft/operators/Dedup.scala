@@ -21,6 +21,23 @@ object Dedup {
   private def md5h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** One-shot cache lifecycle: materialize `result` (localCheckpoint — one
+    * eager job, the same work the caller's first action would have run; the
+    * persisted index frames serve every internal plan reuse within it),
+    * then unpersist the frames this operator created. Near-dup RESULTS are
+    * tiny (surviving pairs), so holding them as materialized blocks is
+    * cheap; the INDEX frames (per-doc hash arrays) are the ones that must
+    * not outlive the call — across a long session leaked index caches
+    * accumulate until block eviction makes every later query re-run its
+    * whole shingle pipeline (observed: a 1.4 s clustering query ballooning
+    * to 4.4 s by the time a 92-query bench session reached it).
+    */
+  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint()
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Latest record per key — the reference's `sort_values` +
     * `drop_duplicates(keep="last")` (reference:
     * pipelines/datalake/migrate/bq_to_subpav/utils.py:298-313,337-352).
@@ -93,8 +110,8 @@ object Dedup {
     // no exchange reuse). Longs are ~4× slimmer than the shingle strings —
     // this is also the artifact a 100 TB pipeline would WRITE as a
     // signature table instead of caching (the persist is for the ad-hoc,
-    // single-query path; the ContextCleaner unpersists it when the returned
-    // plan is dropped).
+    // single-query path and is released deterministically by
+    // materializeAndRelease once the pair list is materialized).
     // PROJECTION FENCE (do not inline): shingles must be bound to a real
     // column BEFORE the transform — ArrayTransform re-evaluates its argument
     // subtree per element when inlined, turning this into O(shingles²)
@@ -127,12 +144,13 @@ object Dedup {
     // exact Jaccard only for surviving candidates, over the hashed shingle
     // sets (set-identical to string shingles modulo xxhash64 collisions —
     // the same approximation MinHash itself rests on)
-    candidates
+    val result = candidates
       .join(hashed.select(col("id").as("id_a"), col("h").as("sh_a")), Seq("id_a"))
       .join(hashed.select(col("id").as("id_b"), col("h").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+    materializeAndRelease(result, hashed, banded)
   }
 
   /** SimHash-64 per document via explode + hash aggregate. Semantically
@@ -220,7 +238,7 @@ object Dedup {
       col("id").as("id_a"), col("sim").as("sim_a"))
     val b = chunked.select(col("chunk"), col("key"),
       col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("chunk", "key"))
+    val result = a.join(b, Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         TextFunctions.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
@@ -229,6 +247,7 @@ object Dedup {
       // chunk collision
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    materializeAndRelease(result, withSim)
   }
 
   /** Mersenne prime modulus for the portable MinHash's universal-hash
@@ -262,15 +281,16 @@ object Dedup {
     * hashed shingle sets `(id, hs)` and banded LSH rows `(id, band,
     * bucket)` — the two tables a production pipeline stores append-only so
     * the historical corpus is shingled exactly once (see
-    * [[minHashIncrementalPairsPortable]]). Both frames come back persisted;
-    * callers writing them out should unpersist after.
+    * [[minHashIncrementalPairsPortable]]). With `cache = true` (default)
+    * both frames come back persisted and the CALLER owns their lifecycle —
+    * unpersist after the downstream plan is materialized (the one-shot
+    * wrappers in this object do exactly that via materializeAndRelease).
     */
   def minHashIndexPortable(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16,
-      bands: Int = 4): (DataFrame, DataFrame) = {
+      bands: Int = 4, cache: Boolean = true): (DataFrame, DataFrame) = {
+    def cached(f: DataFrame): DataFrame = if (cache) f.persist() else f
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val coeffs = minHashCoeffs(numHashes)
     val toked = df.select(col(idCol).as("id"),
       TextFunctions.tokens(TextFunctions.normalized(col(textCol))).as("toks"))
       .filter(size(col("toks")) >= shingleN)
@@ -280,10 +300,26 @@ object Dedup {
     // strings (same rationale as the fast path's `hashed`). Jaccard over
     // hashed sets ≡ Jaccard over strings modulo md5 collisions — the same
     // approximation MinHash itself rests on, and the oracle replays it.
-    val hashed = toked.select(col("id"),
+    val hashed = cached(toked.select(col("id"),
       graft.functions.VectorFunctions.stringArrayMd5H60(
-        TextFunctions.shinglesFromTokens(col("toks"), shingleN)).as("hs"))
-      .persist()
+        TextFunctions.shinglesFromTokens(col("toks"), shingleN)).as("hs")))
+    // persisted for the same reason as the fast path: the candidate
+    // self-join reads `banded` twice, and signatures must compute once
+    val banded = cached(bandedFromHashed(hashed, numHashes, bands))
+    (hashed, banded)
+  }
+
+  /** `(id, band, bucket)` LSH rows derived from a `(id, hs)` hashed-shingle
+    * table — the second half of [[minHashIndexPortable]], split out so a
+    * stored-index pipeline can build the banded table FROM the already-
+    * written hashed table instead of re-shingling the corpus
+    * ([[graft.flows.DedupIndex]] does exactly that).
+    */
+  def bandedFromHashed(hashed: DataFrame, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val coeffs = minHashCoeffs(numHashes)
     // one row per (doc, shingle hash); k remixes as codegen'd integer exprs
     // inside a single hash aggregate (explode+agg — the same shape as the
     // fast path, no interpreted lambdas)
@@ -294,15 +330,26 @@ object Dedup {
     val sig = exploded.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-    // persisted for the same reason as the fast path: the candidate
-    // self-join reads `banded` twice, and signatures must compute once
-    val banded = sig.select(col("id"),
+    sig.select(col("id"),
       posexplode(array((0 until bands).map { b =>
         md5h60(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
       }: _*)).as(Seq("band", "bucket")))
-      .persist()
-    (hashed, banded)
+  }
+
+  /** Candidate pairs + exact Jaccard over an already-built `(id, hs)` /
+    * `(id, band, bucket)` index — the read side of the stored-index flow
+    * and the shared tail of every portable wrapper. Lazy: callers own the
+    * index frames' lifecycle (cache, lake table, or plain plan).
+    */
+  def minHashPairsFromIndex(hashed: DataFrame, banded: DataFrame): DataFrame = {
+    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    jaccardOverHashed(candidates, hashed)
   }
 
   /** Exact Jaccard over hashed shingle sets for canonical candidate pairs. */
@@ -320,13 +367,20 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val (hashed, banded) = minHashIndexPortable(df, idCol, textCol,
       shingleN, numHashes, bands)
-    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    jaccardOverHashed(candidates, hashed)
+    materializeAndRelease(minHashPairsFromIndex(hashed, banded), hashed, banded)
+  }
+
+  /** The lazy (uncached, unmaterialized) plan of
+    * [[minHashCandidatePairsPortable]] — for plan-shape inspection; the
+    * public wrapper eagerly materializes and releases its caches, so its
+    * returned plan is an opaque scan of the result blocks.
+    */
+  private[graft] def minHashCandidatePairsPortablePlan(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val (hashed, banded) = minHashIndexPortable(df, idCol, textCol,
+      shingleN, numHashes, bands, cache = false)
+    minHashPairsFromIndex(hashed, banded)
   }
 
   /** INCREMENTAL near-dup candidates: only pairs touching the NEW batch.
@@ -353,7 +407,11 @@ object Dedup {
       .select(least(col("id_n"), col("id_o")).as("id_a"),
         greatest(col("id_n"), col("id_o")).as("id_b"))
       .distinct()
-    jaccardOverHashed(candidates, oldHashed.unionByName(newHashed))
+    // release only the NEW batch's index — the old index is caller-owned
+    // (a stored table or a cache the caller reuses across batches)
+    materializeAndRelease(
+      jaccardOverHashed(candidates, oldHashed.unionByName(newHashed)),
+      newHashed, newBanded)
   }
 
   /** Connected components over a near-dup pair graph — the step that turns
@@ -412,7 +470,13 @@ object Dedup {
         while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
         r
       }
-      val it = canon.toLocalIterator()
+      // collect, not toLocalIterator: toLocalIterator schedules ONE JOB PER
+      // PARTITION — over a 32-way distinct output that is 32 sequential
+      // ~40 ms scheduler round-trips for a KB-sized edge list (observed:
+      // 2.1 s of a 1.9 s clustering query). One collect job is bounded by
+      // the same `unionFindMaxEdges` cap that bounds the union-find map
+      // itself, so driver memory is no worse than the algorithm already is.
+      val it = canon.collect().iterator
       while (it.hasNext) {
         val row = it.next()
         val (a, b) = (row.getLong(0), row.getLong(1))
@@ -500,6 +564,22 @@ object Dedup {
     val bucketed = Similarity.withLshBucket(df, vecCol, numPlanes, dim, seed)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket"))
       .persist()
+    materializeAndRelease(cosinePairsFromBucketed(bucketed, threshold), bucketed)
+  }
+
+  /** Lazy plan of [[cosineNearDupPairs]] (no cache, no materialization) —
+    * for plan-shape inspection.
+    */
+  private[graft] def cosineNearDupPairsPlan(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, threshold: Double, numPlanes: Int = 6,
+      seed: Long = 42L): DataFrame =
+    cosinePairsFromBucketed(
+      Similarity.withLshBucket(df, vecCol, numPlanes, dim, seed)
+        .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket")),
+      threshold)
+
+  private def cosinePairsFromBucketed(bucketed: DataFrame,
+      threshold: Double): DataFrame = {
     val a = bucketed.select(col("lsh_bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(col("lsh_bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("lsh_bucket"))

@@ -56,7 +56,11 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q33 LSH band join carries slim rows (no shingle arrays through it)") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
-    val df = q("q33_minhash_pairs")
+    // the public wrapper materializes eagerly and releases its caches, so
+    // its returned plan is an opaque block scan — pin the LAZY plan builder
+    // (the exact plan the wrapper executes)
+    val df = graft.operators.Dedup.minHashCandidatePairsPortablePlan(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
     // the band/bucket self-join inputs must be (id, band, bucket) only — a
     // shingle array here would make the shuffle width scale with doc size
     val bandJoins = df.queryExecution.optimizedPlan.collect {
@@ -69,7 +73,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q46 cosine dedup joins on the bucket key (no cartesian product)") {
-    val plan = planOf(q("q46_cosine_dedup"))
+    // lazy plan builder for the same reason as the q33 pin above
+    val plan = planOf(graft.operators.Dedup.cosineNearDupPairsPlan(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      "vec_id", "embedding", dim = 64, threshold = 0.30))
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("lsh_bucket"), plan)
