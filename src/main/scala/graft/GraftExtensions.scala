@@ -67,7 +67,14 @@ object GraftExtensions {
     reg("md5h60", classOf[org.apache.spark.sql.catalyst.expressions.Conv], 1) { c =>
       import org.apache.spark.sql.catalyst.expressions._
       import org.apache.spark.sql.types.{LongType, StringType}
-      Cast(Conv(Substring(Md5(Cast(c.head, org.apache.spark.sql.types.BinaryType)),
+      // STRINGIFY first (Cast to StringType), then to bytes: every Column-
+      // API user of the portable hash and the DuckDB oracles hash the
+      // decimal string form (md5(CAST(x AS VARCHAR))), so md5h60(42L) must
+      // hash "42", not the 8 raw little-endian bytes — a direct
+      // BINARY cast of a non-string arg would silently disagree (or fail
+      // analysis), breaking the advertised splits/sampling/bucketing use
+      Cast(Conv(Substring(Md5(Cast(Cast(c.head, StringType),
+        org.apache.spark.sql.types.BinaryType)),
         Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
     })
 

@@ -385,6 +385,17 @@ object Relational {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.types.BinaryType
     require(keys.nonEmpty, "bloomPrunedJoin needs join keys")
+    // pre-filtering the BIG side is only result-preserving for join types
+    // that do not preserve non-matching big-side rows: under left_outer /
+    // full_outer / left_anti the plain join KEEPS (or returns) exactly the
+    // rows the bloom sheds, so the pruned result would diverge — left_anti
+    // catastrophically (it would drop nearly the entire correct answer)
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "cross", "leftsemi", "semi", "rightouter", "right")
+        .contains(jt),
+      s"bloomPrunedJoin: joinType '$joinType' preserves non-matching " +
+        "big-side rows; bloom pre-filtering would change the result. " +
+        "Use inner/left_semi/right_outer/cross, or a plain join.")
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
     def keyHash(df: DataFrame): Column = xxhash64(keys.map(df(_)): _*)

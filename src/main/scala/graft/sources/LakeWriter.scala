@@ -87,9 +87,23 @@ object LakeWriter {
     * catalog entry and the directory gone.
     */
   def dropManagedTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    // the hand-built warehouse location below is only correct for a bare
+    // default-database name: `db.tbl` lives at <warehouse>/db.db/tbl (the
+    // naive join would delete an unrelated path) and a backtick would break
+    // out of the quoted identifier in the DROP
+    require(!table.contains('.') && !table.contains('`'),
+      s"dropManagedTable handles bare default-database names only, got '$table'")
+    // prefer the catalog's own idea of the location when the table exists —
+    // robust to a warehouse.dir that changed between sessions
+    val catalogLoc: Option[org.apache.hadoop.fs.Path] =
+      if (spark.catalog.tableExists(table))
+        Some(new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+          .location))
+      else None
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val p = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val p = catalogLoc.getOrElse(new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
   }

@@ -143,10 +143,21 @@ object Incremental {
   /** Streaming CDC merge: fold a changelog STREAM into a parquet snapshot
     * — each micro-batch runs [[graft.operators.Relational.applyCdc]]
     * (latest-change-wins upsert/delete) against the current snapshot and
-    * atomically swaps in the result (write-aside + rename, so a failed
-    * batch never corrupts the readable snapshot). The continuous form of
-    * q68's batch MERGE; with AvailableNow + checkpointing this IS the
+    * atomically swaps in the result (write-aside + backup-rename, so a
+    * failed batch never corrupts the readable snapshot, and a crash
+    * mid-swap recovers on the next batch). The continuous form of q68's
+    * batch MERGE; with AvailableNow + checkpointing this IS the
     * reference's scheduled-upsert pattern minus the scheduler.
+    *
+    * Crash-safety of the swap: the live snapshot is renamed ASIDE (to
+    * `__backup`), never deleted, until the staging→snap rename has
+    * succeeded. The only windows a crash can hit leave either (a) snap
+    * intact (before the aside-rename), (b) no snap but a backup (between
+    * the two renames — the next batch restores the backup before merging),
+    * or (c) snap = the new merge plus a stale backup (after the swap — the
+    * backup is deleted before the next swap). In no window does a replayed
+    * checkpoint batch see an EMPTY base: that would silently drop every
+    * previously merged key not present in the replayed batch.
     *
     * Within one micro-batch, cross-batch ordering is the stream's problem
     * (late changes older than an already-applied key lose) — exactly the
@@ -164,6 +175,13 @@ object Incremental {
         val fs = new org.apache.hadoop.fs.Path(snapshotPath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val snap = new org.apache.hadoop.fs.Path(snapshotPath)
+        val backup = new org.apache.hadoop.fs.Path(snapshotPath + "__backup")
+        // recovery: a prior batch crashed between `snap → backup` and
+        // `staging → snap`. The backup IS the last durable snapshot —
+        // restore it; merging against an empty base here would lose data.
+        if (!fs.exists(snap) && fs.exists(backup) && !fs.rename(backup, snap))
+          throw new java.io.IOException(
+            s"snapshot recovery failed: $backup -> $snap")
         val base =
           if (fs.exists(snap)) spark.read.parquet(snapshotPath)
           else batch.select(keys.map(col) ++ payload.map(col): _*).limit(0)
@@ -171,10 +189,22 @@ object Incremental {
           base, batch, keys, order, op, payload)
         val staging = new org.apache.hadoop.fs.Path(
           snapshotPath + s"__staging_$batchId")
+        // materializes the merge fully BEFORE any rename touches the live
+        // snapshot — `base` reads lazily from `snap`, so the write must
+        // finish while `snap` still exists
         merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(snap, true)
-        if (!fs.rename(staging, snap))
+        fs.delete(backup, true) // stale backup from a completed prior swap
+        if (fs.exists(snap) && !fs.rename(snap, backup))
+          throw new java.io.IOException(
+            s"snapshot aside-rename failed: $snap -> $backup")
+        if (!fs.rename(staging, snap)) {
+          // put the old snapshot back so the path stays readable; the
+          // checkpoint will replay this batch against the restored base
+          if (fs.exists(backup)) fs.rename(backup, snap)
           throw new java.io.IOException(
             s"atomic swap failed: $staging -> $snap")
+        }
+        fs.delete(backup, true)
+        ()
       }
 }

@@ -230,4 +230,19 @@ class ExtensionsSpec extends graft.SparkSpec {
     assert(viaSql == viaCol)
     assert(viaSql == java.lang.Long.parseLong("900150983cd24fb", 16)) // md5('abc') prefix
   }
+
+  test("md5h60 SQL function stringifies non-string args like every Column-API user") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    // a BIGINT id — the advertised splits/sampling/bucketing use case —
+    // must hash the decimal string "42", exactly what
+    // SketchFunctions.md5h60(col.cast("string")) and the DuckDB oracles'
+    // md5(CAST(x AS VARCHAR)) produce
+    val viaSql = spark.sql("SELECT md5h60(42L) AS h").collect().head.getLong(0)
+    val viaCol = Seq(42L).toDF("x")
+      .select(graft.functions.SketchFunctions.md5h60(
+        org.apache.spark.sql.functions.col("x").cast("string")))
+      .collect().head.getLong(0)
+    assert(viaSql == viaCol)
+  }
 }

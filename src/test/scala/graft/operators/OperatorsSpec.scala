@@ -426,6 +426,25 @@ class ScaleStrategySpec extends graft.SparkSpec {
     assert(plan.contains("might_contain"), plan)
   }
 
+  test("bloomPrunedJoin rejects join types that preserve non-matching big-side rows") {
+    val big = (1 to 100).map(i => (i, s"v$i")).toDF("k", "v")
+    val small = Seq((3, "X")).toDF("k", "w")
+    // left_anti is the catastrophic case: bloom pre-filtering the big side
+    // would drop nearly the entire correct result
+    for (jt <- Seq("left_outer", "full_outer", "left_anti"))
+      assertThrows[IllegalArgumentException] {
+        Relational.bloomPrunedJoin(big, small, Seq("k"), joinType = jt)
+      }
+    // right_outer preserves only SMALL-side rows — safe, and must agree
+    // with the plain join
+    val plain = big.join(small, Seq("k"), "right_outer")
+      .collect().map(_.toSeq).toSet
+    val viaBloom = Relational.bloomPrunedJoin(big, small, Seq("k"),
+        expectedItems = 100L, joinType = "right_outer")
+      .collect().map(_.toSeq).toSet
+    assert(viaBloom == plain)
+  }
+
   test("applyCdc: latest change wins, deletes drop, untouched keys survive") {
     val base = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "payload")
     val changes = Seq(

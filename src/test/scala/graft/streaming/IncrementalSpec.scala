@@ -97,6 +97,39 @@ class IncrementalSpec extends SparkSpec {
       Seq((1, "a2"), (3, "c")))
   }
 
+  test("cdcToSnapshot: crash between swap renames recovers from backup, not empty base") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-cdc-crash").toString
+    val snapStr = s"$dir/snapshot"
+    val input = MemoryStream[(Int, String, Long, String)]
+    val df = input.toDF().toDF("k", "payload", "seq", "op")
+
+    input.addData((1, "a", 1L, "upsert"), (2, "b", 1L, "upsert"))
+    val q1 = Incremental.cdcToSnapshot(df, Seq("k"), Seq(col("seq")),
+      col("op"), Seq("payload"), snapStr, s"$dir/ckpt").start()
+    q1.awaitTermination(60000)
+
+    // simulate the worst crash window: the snapshot was renamed aside to
+    // __backup but the staging→snap rename never happened — on disk there
+    // is NO readable snapshot, only the backup
+    val snap = new org.apache.hadoop.fs.Path(snapStr)
+    val backup = new org.apache.hadoop.fs.Path(snapStr + "__backup")
+    val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(snap, backup) && !fs.exists(snap))
+
+    // next batch must restore the backup and merge against it — the
+    // pre-fix behavior merged against an EMPTY base, silently losing k=1,2
+    input.addData((3, "c", 1L, "upsert"))
+    val q2 = Incremental.cdcToSnapshot(df, Seq("k"), Seq(col("seq")),
+      col("op"), Seq("payload"), snapStr, s"$dir/ckpt").start()
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(snapStr).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+    assert(!fs.exists(backup), "completed swap must clear the backup")
+  }
+
   test("sessionize: inactivity gap closes sessions via event-time timeout state") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
