@@ -49,7 +49,7 @@ object JdbcReader {
       // `base` already carries an alias and cannot be re-aliased)
       val bounds = spark.read.format("jdbc")
         .option("url", scan.url)
-        .option("dbtable", s"(SELECT MIN($pc) lo, MAX($pc) hi FROM ${scan.table}$where) b")
+        .option("dbtable", s"(SELECT MIN($pc) lo, MAX($pc) hi FROM ${scan.table}$where) AS b")
         .options(scan.properties)
         .load().collect().head
       if (!bounds.isNullAt(0)) {

@@ -31,6 +31,48 @@ object JdbcUpsertWriter {
       s"ON DUPLICATE KEY UPDATE $updateClause"
   }
 
+  /** ANSI MERGE upsert — the portable dialect (Derby, H2 in ANSI mode,
+    * Postgres 15+, SQL Server). One parameterized VALUES row as the source;
+    * every parameter is CAST to its column's SQL type because strict
+    * engines (Derby) reject parameter markers whose type can't be inferred
+    * inside VALUES. Parameter order matches `cols` — identical binding to
+    * [[upsertSql]], so [[write]] drives both dialects with the same loop.
+    */
+  def ansiMergeSql(table: String, cols: Seq[String], keyCols: Seq[String],
+      sqlTypes: Seq[String]): String = {
+    require(cols.nonEmpty, "no columns")
+    require(cols.size == sqlTypes.size, "one SQL type per column")
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains), "keys ⊆ cols")
+    val src = sqlTypes.map(t => s"CAST(? AS $t)").mkString(", ")
+    val vcols = cols.mkString(", ")
+    val on = keyCols.map(k => s"t.$k = v.$k").mkString(" AND ")
+    val sets = cols.filterNot(keyCols.contains)
+      .map(c => s"$c = v.$c").mkString(", ")
+    val matched = if (sets.isEmpty) "" else s" WHEN MATCHED THEN UPDATE SET $sets"
+    s"MERGE INTO $table t USING (VALUES ($src)) AS v($vcols) ON $on" +
+      matched +
+      s" WHEN NOT MATCHED THEN INSERT ($vcols) VALUES (${cols.map(c => s"v.$c").mkString(", ")})"
+  }
+
+  /** Spark type → ANSI SQL type for the MERGE source row's CASTs. */
+  def sqlTypeFor(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType => "INT"
+      case LongType => "BIGINT"
+      case ShortType => "SMALLINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case TimestampType => "TIMESTAMP"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case StringType => "VARCHAR(32672)" // Derby's VARCHAR ceiling
+      case other => throw new IllegalArgumentException(
+        s"no ANSI SQL mapping for Spark type $other")
+    }
+  }
+
   /** Retry classifier mirroring the reference's error classes: deadlocks,
     * lock-wait timeouts, and connection failures retry; constraint and
     * syntax errors fail fast.
@@ -61,12 +103,45 @@ object JdbcUpsertWriter {
   /** Upsert every row of `df` into `table`. `connect` runs on executors —
     * it must construct its own connection (DriverManager/pool), never
     * capture one from the driver.
+    *
+    * Dialects:
+    *  - `"mysql"` — one `INSERT … ON DUPLICATE KEY UPDATE` statement per
+    *    row batch (the reference's wire shape).
+    *  - `"ansi"` — one ANSI `MERGE` with a parameterized VALUES source.
+    *    H2 / Postgres 15+ / SQL Server accept it; Derby does NOT (its MERGE
+    *    source must be a base table or table function).
+    *  - `"update-insert"` — two statements per flush: batched UPDATE, then
+    *    INSERT for exactly the rows whose update count was 0. Runs on ANY
+    *    JDBC engine (proven live against embedded Derby in the test suite).
+    *    Same row-visit count as MERGE server-side; one extra round-trip per
+    *    flush. Correct under a single writer per key set (the reference's
+    *    scheduled-flow model); a concurrent writer racing the INSERT
+    *    surfaces as a non-retryable duplicate-key error — loud, not lost.
     */
   def write(df: DataFrame, table: String, keyCols: Seq[String],
       connect: () => Connection, batchSize: Int = 1000,
-      maxRetries: Int = 3, backoffMs: Long = 1000): Unit = {
+      maxRetries: Int = 3, backoffMs: Long = 1000,
+      dialect: String = "mysql"): Unit = {
     val cols = df.columns.toSeq
-    val sql = upsertSql(table, cols, keyCols)
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains), "keys ⊆ cols")
+    dialect match {
+      case "mysql" | "ansi" =>
+        val sql =
+          if (dialect == "mysql") upsertSql(table, cols, keyCols)
+          else ansiMergeSql(table, cols, keyCols,
+            df.schema.fields.map(f => sqlTypeFor(f.dataType)).toSeq)
+        writeSingleStatement(df, cols, sql, connect, batchSize, maxRetries, backoffMs)
+      case "update-insert" =>
+        writeUpdateInsert(df, table, cols, keyCols, connect, batchSize,
+          maxRetries, backoffMs)
+      case other => throw new IllegalArgumentException(
+        s"unknown upsert dialect '$other' (mysql | ansi | update-insert)")
+    }
+  }
+
+  private def writeSingleStatement(df: DataFrame, cols: Seq[String], sql: String,
+      connect: () => Connection, batchSize: Int,
+      maxRetries: Int, backoffMs: Long): Unit =
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
         val conn = connect()
@@ -80,12 +155,69 @@ object JdbcUpsertWriter {
           val buffer = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
           def flush(): Unit = if (buffer.nonEmpty) {
             withRetries(maxRetries, backoffMs) {
+              conn.rollback() // discard partial work of a failed prior attempt
               st.clearBatch()
               buffer.foreach { vals =>
                 vals.zipWithIndex.foreach { case (v, i) => st.setObject(i + 1, v) }
                 st.addBatch()
               }
               st.executeBatch()
+              conn.commit()
+            }
+            buffer.clear()
+          }
+          rows.foreach { r =>
+            buffer += cols.indices.map(r.get)
+            if (buffer.size >= batchSize) flush()
+          }
+          flush()
+        } finally conn.close()
+      }
+    }
+
+  private def writeUpdateInsert(df: DataFrame, table: String, cols: Seq[String],
+      keyCols: Seq[String], connect: () => Connection, batchSize: Int,
+      maxRetries: Int, backoffMs: Long): Unit = {
+    val nonKey = cols.filterNot(keyCols.contains)
+    require(nonKey.nonEmpty,
+      "update-insert needs at least one non-key column (an all-key table " +
+        "has nothing to update — use INSERT with duplicate-key tolerance)")
+    val updateSql = s"UPDATE $table SET " +
+      nonKey.map(c => s"$c = ?").mkString(", ") +
+      " WHERE " + keyCols.map(c => s"$c = ?").mkString(" AND ")
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val nonKeyIdx = nonKey.map(cols.indexOf)
+    val keyIdx = keyCols.map(cols.indexOf)
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val conn = connect()
+        try {
+          conn.setAutoCommit(false)
+          val upd = conn.prepareStatement(updateSql)
+          val ins = conn.prepareStatement(insertSql)
+          val buffer = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+          def flush(): Unit = if (buffer.nonEmpty) {
+            // the whole update→probe-counts→insert→commit sequence is ONE
+            // retry unit: replaying it after a deadlock is upsert-idempotent
+            // (rows inserted before the rollback re-resolve as updates)
+            withRetries(maxRetries, backoffMs) {
+              conn.rollback() // discard partial work of a failed prior attempt
+              upd.clearBatch(); ins.clearBatch()
+              buffer.foreach { vals =>
+                (nonKeyIdx ++ keyIdx).zipWithIndex.foreach { case (src, i) =>
+                  upd.setObject(i + 1, vals(src)) }
+                upd.addBatch()
+              }
+              // per-row update counts decide which rows INSERT — this is
+              // why the two-statement shape needs no engine-specific SQL
+              val counts = upd.executeBatch()
+              buffer.indices.filter(counts(_) == 0).foreach { bi =>
+                buffer(bi).zipWithIndex.foreach { case (v, i) =>
+                  ins.setObject(i + 1, v) }
+                ins.addBatch()
+              }
+              ins.executeBatch()
               conn.commit()
             }
             buffer.clear()

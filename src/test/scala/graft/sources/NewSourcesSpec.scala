@@ -123,6 +123,15 @@ class JdbcUpsertWriterSpec extends AnyFunSuite {
     val sql = JdbcUpsertWriter.upsertSql("t", Seq("id"), Seq("id"))
     assert(sql.endsWith("ON DUPLICATE KEY UPDATE `id` = `id`"))
   }
+  test("ansiMergeSql emits typed-VALUES MERGE with update and insert branches") {
+    val sql = JdbcUpsertWriter.ansiMergeSql("t", Seq("id", "a"), Seq("id"),
+      Seq("INT", "VARCHAR(32672)"))
+    assert(sql ==
+      "MERGE INTO t t USING (VALUES (CAST(? AS INT), CAST(? AS VARCHAR(32672)))) " +
+        "AS v(id, a) ON t.id = v.id" +
+        " WHEN MATCHED THEN UPDATE SET a = v.a" +
+        " WHEN NOT MATCHED THEN INSERT (id, a) VALUES (v.id, v.a)")
+  }
   test("retry classifier: deadlock retries, constraint violation fails fast") {
     import java.sql.SQLException
     assert(JdbcUpsertWriter.isRetryable(new SQLException("Deadlock found", "40001", 1213)))
