@@ -1362,6 +1362,37 @@ object Queries {
       index.pairs
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Schema evolution across lake commits: v1 lands orders WITHOUT the
+    // status column; an append-mode v2 adds rows that carry it. The merged
+    // read resolves the union schema with nulls for pre-drift files
+    // (unionByName-with-missing-columns semantics at the scan), so the
+    // status count only sees post-drift rows — the reference's permissive
+    // drift tolerance (bq_to_subpav/utils.py:182-201) as one metadata-only
+    // lake operation. The oracle replays the drift arithmetically: the
+    // status column is non-null only where v2 wrote it (odd order keys).
+    "q94_schema_evolution" -> ((s, dir) => {
+      import graft.sources.VersionedLake
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_q94_vlake"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val orders = t(s, dir, "orders")
+      VersionedLake.commit(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+        tbl)
+      VersionedLake.commit(
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            col("o_orderstatus")),
+        tbl, mode = "append")
+      VersionedLake.read(s, tbl)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderstatus")).as("n_status"),
+          sumDec(col("o_totalprice")).as("tot"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -1625,6 +1656,14 @@ object Queries {
     // q93 lands the signature index as stored tables and derives the pairs
     // from them — the pair list must equal the full in-memory pipeline's.
     "q93_stored_index_pairs" -> q33Oracle,
+
+    // q94: drift simulated arithmetically — the status column exists only
+    // for rows the post-drift commit wrote (odd keys).
+    "q94_schema_evolution" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END) AS n_status,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS tot
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q90: the compacted table must aggregate identically to the source.
     "q90_compaction" ->

@@ -92,16 +92,29 @@ object VersionedLake {
       .map(_.trim.stripPrefix("\"").stripSuffix("\""))
   }
 
-  /** Read a version (default: latest). Missing table/version throws. */
+  /** Read a version (default: latest). Missing table/version throws.
+    *
+    * Schema DRIFT across commits is tolerated permissively (`mergeSchema`,
+    * on by default): an append-mode commit may add columns, and a merged
+    * read returns the union schema with nulls for files written before the
+    * column existed — `unionByName(allowMissingColumns)` semantics at the
+    * scan, matching the reference's drift tolerance
+    * (bq_to_subpav/utils.py:182-201). At 100 TB drift across thousands of
+    * daily commits is guaranteed, so the permissive read is the default;
+    * the cost is one footer read per distinct file at planning time. A
+    * pinned time-travel read of an old version still returns exactly that
+    * version's schema (its manifest lists only its own files).
+    */
   def read(spark: SparkSession, table: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None, mergeSchema: Boolean = true): DataFrame = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions at $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs at $table")
     val files = readManifest(spark, table, v)
     require(files.nonEmpty, s"version $v of $table lists no files")
-    spark.read.parquet(files.map(rel => new Path(table, rel).toString): _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(rel => new Path(table, rel).toString): _*)
   }
 
   /** Delete data files referenced by NO manifest ≥ `keepFrom` and all

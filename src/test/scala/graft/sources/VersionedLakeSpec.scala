@@ -28,6 +28,26 @@ class VersionedLakeSpec extends SparkSpec {
       .map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("schema evolution: append commit adds a column, reads merge permissively") {
+    val tbl = Files.createTempDirectory("vlake-evolve").toString
+    VersionedLake.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), tbl)
+    // v2 appends files carrying an EXTRA column — drift, not a rewrite
+    VersionedLake.commit(Seq((3, "c", 30.0)).toDF("k", "v", "score"), tbl,
+      mode = "append")
+    val latest = VersionedLake.read(spark, tbl)
+    assert(latest.columns.sorted.toSeq == Seq("k", "score", "v"))
+    val rows = latest.select("k", "v", "score").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1).toSeq
+    // rows written before the column existed come back null, not an error
+    assert(rows == Seq((1, "a", None), (2, "b", None), (3, "c", Some(30.0))))
+    // pinned time travel to v1 returns exactly v1's schema — the new
+    // column does not leak backwards
+    val v1 = VersionedLake.read(spark, tbl, Some(1L))
+    assert(v1.columns.sorted.toSeq == Seq("k", "v"))
+    assert(v1.count() == 2)
+  }
+
   test("vacuum drops unreferenced files and old manifests, keeps live versions") {
     val tbl = Files.createTempDirectory("vlake3").toString
     VersionedLake.commit(Seq(1).toDF("x"), tbl)
