@@ -1,7 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Geodesy for the reference's coordinate pipeline: point reprojection from
   * SIRGAS 2000 / UTM zone 23S (EPSG:31983 — Rio de Janeiro) to geographic
@@ -11,10 +14,13 @@ import org.apache.spark.sql.functions.udf
   * centimeter level, so the transform is the inverse Transverse Mercator
   * (Krüger series) — pure math, no native proj dependency.
   *
-  * Implemented as a deterministic Scala UDF over (easting, northing):
-  * per-row trig is the genuine scalar-UDF case (no Catalyst builtin), and
-  * the function is registered deterministic so it can still be pushed
-  * around by the optimizer.
+  * Implemented as codegen'd Catalyst expressions ([[Utm23SToGeo]], the
+  * Cpf/VectorKernels pattern) rather than Scala UDFs: the generated code
+  * calls a static double→double method, so the per-row trig stays inside
+  * whole-stage codegen with primitive doubles — no boxing, no closure
+  * dispatch, no codegen fence splitting the surrounding projection. On a
+  * geo-heavy 100 TB scan that is the difference between fused
+  * scan→reproject→filter and three interpreted stages.
   */
 object Geo {
 
@@ -82,14 +88,54 @@ object Geo {
     (easting, northing)
   }
 
-  /** EPSG:31983 (UTM 23S, central meridian 45°W) → EPSG:4326 lat/lon. */
-  private val lat31983 = udf((e: Double, n: Double) =>
-    utmToLatLon(e, n, -45.0, southern = true)._1)
-  private val lon31983 = udf((e: Double, n: Double) =>
-    utmToLatLon(e, n, -45.0, southern = true)._2)
+  /** Static primitive entry points for generated code (EPSG:31983: UTM 23S,
+    * central meridian 45°W, southern hemisphere). A standalone Scala object
+    * emits static forwarders, so codegen calls these exactly like a Java
+    * static — primitive in, primitive out.
+    */
+  def utmLat23S(easting: Double, northing: Double): Double =
+    utmToLatLon(easting, northing, -45.0, southern = true)._1
+  def utmLon23S(easting: Double, northing: Double): Double =
+    utmToLatLon(easting, northing, -45.0, southern = true)._2
 
+  /** EPSG:31983 → EPSG:4326 latitude, codegen'd. The wrapper casts to
+    * double here (AbstractDataType/ImplicitCastInputTypes is private[sql],
+    * so the expression itself declares no coercion).
+    */
   def latFromUtm23S(easting: Column, northing: Column): Column =
-    lat31983(easting, northing)
+    Bridge.column(Utm23SToGeo(Bridge.expression(easting.cast("double")),
+      Bridge.expression(northing.cast("double")), lat = true))
+
+  /** EPSG:31983 → EPSG:4326 longitude, codegen'd. */
   def lonFromUtm23S(easting: Column, northing: Column): Column =
-    lon31983(easting, northing)
+    Bridge.column(Utm23SToGeo(Bridge.expression(easting.cast("double")),
+      Bridge.expression(northing.cast("double")), lat = false))
+}
+
+/** `(easting, northing) → lat|lon` degrees for EPSG:31983→4326 — null-safe,
+  * codegen'd via a static-method call so the Krüger-series trig fuses into
+  * the surrounding whole-stage-generated code.
+  */
+case class Utm23SToGeo(left: Expression, right: Expression, lat: Boolean)
+    extends BinaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == DoubleType && right.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (double, double), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(e: Any, n: Any): Any =
+    if (lat) Geo.utmLat23S(e.asInstanceOf[Double], n.asInstanceOf[Double])
+    else Geo.utmLon23S(e.asInstanceOf[Double], n.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (lat) "utmLat23S" else "utmLon23S"
+    defineCodeGen(ctx, ev, (e, n) => s"graft.functions.Geo.$fn($e, $n)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Utm23SToGeo =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = if (lat) "utm23s_lat" else "utm23s_lon"
 }

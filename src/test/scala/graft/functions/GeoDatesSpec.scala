@@ -27,6 +27,39 @@ class GeoColumnSpec extends SparkSpec {
     assert(r.getDouble(0) > -23.2 && r.getDouble(0) < -22.6)
     assert(r.getDouble(1) > -43.8 && r.getDouble(1) < -42.9)
   }
+
+  test("codegen, interpreted eval, and direct Scala agree bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.DoubleType
+    val points = Seq((683000.0, 7465000.0), (660123.45, 7450987.65),
+      (700000.0, 7480000.0))
+    // codegen path (whole-stage generated Java calling the static method)
+    val viaCodegen = points.toDF("e", "n")
+      .select(Geo.latFromUtm23S(col("e"), col("n")),
+        Geo.lonFromUtm23S(col("e"), col("n")))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    // interpreted path (Expression.eval) and the plain Scala function
+    val viaEval = points.map { case (e, n) =>
+      (Utm23SToGeo(Literal(e), Literal(n), lat = true)
+        .eval(InternalRow.empty).asInstanceOf[Double],
+        Utm23SToGeo(Literal(e), Literal(n), lat = false)
+          .eval(InternalRow.empty).asInstanceOf[Double])
+    }
+    val direct = points.map { case (e, n) =>
+      Geo.utmToLatLon(e, n, -45.0, southern = true) }
+    // bit-parity, not epsilon: all three run the identical double sequence
+    assert(viaCodegen == direct && viaEval == direct)
+    // null-safe: a null operand yields null, not an exception
+    val withNull = Seq((Some(683000.0), None: Option[Double])).toDF("e", "n")
+      .select(Geo.latFromUtm23S(col("e"), col("n"))).collect().head
+    assert(withNull.isNullAt(0))
+    // integer inputs implicit-cast to double (ImplicitCastInputTypes)
+    val fromInts = Seq((683000, 7465000)).toDF("e", "n")
+      .select(Geo.latFromUtm23S(col("e"), col("n"))).collect().head.getDouble(0)
+    assert(fromInts == direct.head._1)
+  }
 }
 
 class DatesSpec extends SparkSpec {
