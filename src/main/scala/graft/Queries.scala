@@ -1393,6 +1393,29 @@ object Queries {
           count(col("o_orderstatus")).as("n_status"),
           sumDec(col("o_totalprice")).as("tot"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Salted join over DELIBERATELY skewed data (q63's l_partkey is
+    // uniform; here ~90% of lineitem lands on one synthetic key — the
+    // shape where a plain hash join puts the whole fact table in one
+    // task). saltFactor 16 spreads the hot key over 16 tasks; the result
+    // is row-identical to the plain join, which is exactly what the
+    // oracle replays. ScaleStrategySpec pins the partition-balance
+    // mechanism and the AQE skew-join alternative.
+    "q95_skew_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(
+          when(col("l_orderkey") % 100 < 90, 0L)
+            .otherwise(col("l_orderkey") % 100).as("skew_key"),
+          col("l_extendedprice"))
+      val dim = s.range(100)
+        .select(col("id").as("skew_key"), (col("id") % 5).as("grp"))
+      graft.operators.Relational.saltedJoin(li, dim, Seq("skew_key"),
+          saltFactor = 16)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_items"),
+          sumDec(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("grp"))
     })
   )
 
@@ -1664,6 +1687,18 @@ object Queries {
         |  count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END) AS n_status,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS tot
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q95: salting is invisible in the result — the oracle is the plain
+    // skewed join.
+    "q95_skew_salted_join" ->
+      """SELECT grp, count(*) AS n_items,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+        |FROM (SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+        |             ELSE l_orderkey % 100 END AS skew_key, l_extendedprice
+        |      FROM lineitem) l
+        |JOIN (SELECT range AS skew_key, range % 5 AS grp FROM range(100)) r
+        |  USING (skew_key)
+        |GROUP BY grp ORDER BY grp""".stripMargin,
 
     // q90: the compacted table must aggregate identically to the source.
     "q90_compaction" ->

@@ -408,6 +408,85 @@ class ScaleStrategySpec extends graft.SparkSpec {
     }
   }
 
+  private def withConfs[T](confs: (String, String)*)(body: => T): T = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("skewed join: salting spreads the hot key across partitions") {
+    import org.apache.spark.sql.functions.{pmod, xxhash64}
+    // 90% of rows on one key — the shape where a plain hash-partitioned
+    // join puts ~all work in one task
+    val left = spark.range(50000).select(
+      when(col("id") % 10 < 9, 0L).otherwise(col("id") % 10).as("k"),
+      (col("id") * 31 % 997).as("v"))
+    val right = spark.range(10).select(col("id").as("k"), (col("id") % 3).as("g"))
+
+    // mechanism: the largest UNSPLITTABLE work unit. A hash join's unit is
+    // the key group (45k rows on the hot key — one task no matter how many
+    // partitions); salting shrinks the unit to (key, salt) groups of
+    // ~45k/16. (Physical partition sizes additionally depend on how groups
+    // bin-pack into partitions — that part is AQE's job, not salting's.)
+    val saltExpr = pmod(xxhash64(col("k"), col("v")), lit(16))
+    val maxPlainUnit = left.groupBy(col("k")).count()
+      .agg(max("count")).collect().head.getLong(0)
+    val maxSaltedUnit = left.withColumn("__s", saltExpr)
+      .groupBy(col("k"), col("__s")).count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(maxPlainUnit >= 45000L, s"fixture must be skewed, got $maxPlainUnit")
+    assert(maxSaltedUnit <= maxPlainUnit / 8,
+      s"salting must shrink the hot key's work unit, got $maxSaltedUnit")
+
+    // operator: result identical to the plain join, exchange keyed by salt
+    val plain = left.join(right, Seq("k")).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val viaSalt = Relational.saltedJoin(left, right, Seq("k"), saltFactor = 16)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(viaSalt == plain)
+    val planStr = Relational.saltedJoin(left, right, Seq("k"), saltFactor = 16)
+      .queryExecution.optimizedPlan.toString
+    assert(planStr.contains("__salt"), planStr)
+  }
+
+  test("skewed join: AQE splits the skewed partition (skew=true in final plan)") {
+    import org.apache.spark.sql.functions.xxhash64
+    // incompressible payload so shuffle-partition BYTES reflect the row
+    // skew (sequential longs lz4 away to almost nothing)
+    val left = spark.range(200000).select(
+      when(col("id") % 10 < 9, 0L).otherwise(col("id") % 10).as("k"),
+      xxhash64(col("id")).as("v"))
+    val right = spark.range(10).select(col("id").as("k"), (col("id") % 3).as("g"))
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // the aggregate CONSUMES v, so column pruning can't strip the
+      // incompressible payload out of the join shuffle
+      val j = left.join(right, Seq("k")).groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("v").cast("double")).as("sv"))
+      val rows = j.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // correctness unaffected by the runtime re-plan
+      assert(rows.map(_._2).sum == 200000L)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") ||
+        finalPlan.toLowerCase.contains("skewed"),
+        s"AQE must have split the skewed partition:\n$finalPlan")
+    }
+  }
+
   test("bloomPrunedJoin equals the plain join and plans a bloom pre-filter") {
     val big = (1 to 1000).map(i => (i, s"v$i")).toDF("k", "v")
     val small = Seq((3, "X"), (500, "Y"), (2000, "Z")).toDF("k", "w")
