@@ -187,10 +187,15 @@ object Relational {
       order: Seq[Column], gapSeconds: Long): DataFrame = {
     requireFreshColumns(df, Seq("session_id"), "sessionize")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    // tolerate TIMESTAMP_NTZ inputs (parquet written by engines that don't
+    // stamp a zone — unix_micros rejects NTZ outright): the cast reads the
+    // wall-clock in the session zone, which this engine pins to UTC, and
+    // gaps are DIFFERENCES so any fixed zone interpretation cancels out
+    val tsz = ts.cast(org.apache.spark.sql.types.TimestampType)
     // integer microseconds (not seconds-as-double): gap comparison is
     // integer-exact, so any engine replays boundaries identically
     val gapBreak = when(
-      unix_micros(ts) - unix_micros(lag(ts, 1).over(w)) > gapSeconds * 1000000L, 1L)
+      unix_micros(tsz) - unix_micros(lag(tsz, 1).over(w)) > gapSeconds * 1000000L, 1L)
       .otherwise(lit(0L))
     // running sum of gap-breaks = 0-based session ordinal within the key
     df.withColumn("session_id", sum(gapBreak).over(

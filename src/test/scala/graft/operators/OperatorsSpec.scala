@@ -160,6 +160,24 @@ class DedupSpec extends SparkSpec {
     assert(r == Seq(("u1", 1L, 0L), ("u1", 2L, 0L), ("u1", 3L, 1L), ("u2", 4L, 0L)))
   }
 
+  test("sessionize tolerates TIMESTAMP_NTZ event-time columns") {
+    // parquet written by engines that don't stamp a zone (DuckDB, pandas)
+    // surfaces as TIMESTAMP_NTZ, which unix_micros rejects outright — the
+    // operator must cast, not crash, and gaps are zone-invariant
+    val df = Seq(
+      ("u1", 1L, "2024-01-01 10:00:00"),
+      ("u1", 2L, "2024-01-01 11:00:00")
+    ).toDF("user", "id", "t")
+      .withColumn("ts", col("t").cast("timestamp_ntz"))
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val r = Relational.sessionize(df, Seq("user"), col("ts"),
+        Seq(col("ts"), col("id")), gapSeconds = 1800L)
+      .select("id", "session_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(r == Seq((1L, 0L), (2L, 1L)))
+  }
+
   test("hashSample is deterministic, stratified, and repartition-stable") {
     val df = (1L to 2000L).map(i => (i, if (i % 4 == 0) "keep" else "thin"))
       .toDF("k", "stratum")
