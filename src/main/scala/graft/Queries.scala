@@ -1416,6 +1416,32 @@ object Queries {
         .agg(count(lit(1)).as("n_items"),
           sumDec(col("l_extendedprice")).as("sum_price"))
         .orderBy(col("grp"))
+    }),
+
+    // Cross-document boilerplate: ratio of 6-token windows recurring in
+    // ≥3 distinct documents (site templates, license blobs) — the ACROSS-
+    // corpus complement of q69's within-doc repetition. Windows travel as
+    // md5h60 longs, so the oracle replays doc frequencies and tallies
+    // exactly.
+    "q96_boilerplate" -> ((s, dir) => {
+      Dedup.crossDocBoilerplate(t(s, dir, "documents"), "doc_id", "text",
+          n = 6, minDocs = 3)
+        .select(col("doc_id"), col("n_windows"), col("n_boiler"),
+          round(col("boiler_ratio"), 6).as("boiler_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Mixture rebalance: down-sample three sources to a 50/30/20 mix —
+    // the domain-weights step of corpus assembly. Rates derive from per-
+    // source counts via one fixed expression shape and rows are picked by
+    // portable md5 ppm-bucket, so the oracle recomputes the rates AND
+    // replays the exact row picks.
+    "q97_mixture_rebalance" -> ((s, dir) => {
+      Relational.rebalanceMixture(t(s, dir, "documents"), "source",
+          col("doc_id"),
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1687,6 +1713,54 @@ object Queries {
         |  count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END) AS n_status,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS tot
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q96: replay 6-token windows as md5h60 longs, doc-frequency filter at
+    // ≥3 distinct docs, per-doc tally. Same tokenization as q69.
+    "q96_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks) - 4),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |           toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]) AS grams
+        |  FROM t
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gh
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+        |), b AS (
+        |  SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd FROM h GROUP BY gh)
+        |  WHERE nd >= 3
+        |), c AS (
+        |  SELECT doc_id, count(*) AS n_boiler FROM h
+        |  WHERE gh IN (SELECT gh FROM b) GROUP BY doc_id
+        |)
+        |SELECT g.doc_id, len(grams) AS n_windows,
+        |  COALESCE(n_boiler, 0) AS n_boiler,
+        |  round(CASE WHEN len(grams) > 0
+        |    THEN CAST(COALESCE(n_boiler, 0) AS DOUBLE) / len(grams)
+        |    ELSE 0.0 END, 6) AS boiler_ratio
+        |FROM g LEFT JOIN c USING (doc_id) ORDER BY g.doc_id""".stripMargin,
+
+    // q97: recompute the ppm rates from counts + target literals with the
+    // identical expression shape, then replay the md5 ppm-bucket picks.
+    "q97_mixture_rebalance" ->
+      """WITH tgt(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+        |cnt AS (
+        |  SELECT source, count(*) AS n FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+        |), tt AS (
+        |  SELECT min(n / w) AS t FROM cnt JOIN tgt USING (source)
+        |), rate AS (
+        |  SELECT source, CAST(floor(1000000.0 * w * t / n) AS BIGINT) AS ppm
+        |  FROM cnt JOIN tgt USING (source) CROSS JOIN tt
+        |)
+        |SELECT doc_id, source FROM documents JOIN rate USING (source)
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |  % 1000000 < ppm
+        |ORDER BY doc_id""".stripMargin,
 
     // q95: salting is invisible in the result — the oracle is the plain
     // skewed join.

@@ -601,6 +601,47 @@ object Dedup {
       .otherwise(lit(0.0))
   }
 
+  /** CROSS-document boilerplate detection: per-document ratio of n-token
+    * windows whose content recurs in ≥ `minDocs` DISTINCT documents —
+    * headers, footers, navigation chrome, license blobs. Complements
+    * [[graft.functions.TextFunctions.dupNgramRatio]] (within-doc
+    * repetition): a crawl's per-site template scores ~0 within-doc but
+    * ~1 here. Returns (id, n_windows, n_boiler, boiler_ratio).
+    *
+    * Scale shape: windows travel as 8-byte md5h60 longs (portable — the
+    * oracle replays them); the doc-frequency aggregate is a map-side-
+    * combinable distinct-count over (gram, doc) pairs; the per-doc tally is
+    * one semi join + hash agg. Shuffle is O(corpus windows), never
+    * pairwise, and no shuffle row carries text.
+    */
+  def crossDocBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "boilerplate means shared by at least 2 docs")
+    val toked = df.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    // bind the gram array before explode/size so the zip_with chain runs
+    // once per doc (projection fence — see minHashCandidatePairs)
+    val based = toked.select(col("id"),
+      TextFunctions.wordNgramsFromTokens(col("toks"), n).as("grams"))
+    val gh = based.select(col("id"), explode(col("grams")).as("g"))
+      .select(col("id"), md5h60(col("g")).as("gh"))
+    val boiler = gh.select(col("gh"), col("id")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gh"))
+    val tally = gh.join(boiler, Seq("gh"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_boiler"))
+    based.select(col("id"), size(col("grams")).as("n_windows"))
+      .join(tally, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        col("n_windows").cast("long").as("n_windows"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(col("n_windows") > 0,
+          coalesce(col("n_boiler"), lit(0L)).cast("double") /
+            col("n_windows").cast("double"))
+          .otherwise(lit(0.0)).as("boiler_ratio"))
+  }
+
   /** Test-set decontamination: drop every corpus document sharing ANY word
     * n-gram with the eval set — the standard guard against benchmark
     * leakage into training data. Grams travel as xxhash64 longs (8-byte

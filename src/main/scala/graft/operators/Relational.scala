@@ -350,6 +350,45 @@ object Relational {
       conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
       lit(100L)) < percent)
 
+  /** Rebalance a corpus to TARGET source-mixture proportions (the training-
+    * data "domain weights" step: e.g. 50% web, 30% code, 20% books) by
+    * deterministic per-source down-sampling. `targets` must sum to 1; the
+    * output is the LARGEST corpus achieving those proportions exactly-in-
+    * expectation without upsampling: T = min over sources of n_s/w_s, and
+    * source s keeps floor(1e6·w_s·T/n_s) parts-per-million of its rows by
+    * portable md5 bucket — same rows every run and in every engine
+    * (the q97 DuckDB oracle replays rates AND row picks bit-for-bit).
+    * Sources outside `targets` are dropped.
+    *
+    * One tiny count aggregate (one row per source, collected — bounded by
+    * source cardinality, never row count) sizes the rates; the sample
+    * itself is a stateless codegen'd filter on the scan: no shuffle at all.
+    */
+  def rebalanceMixture(df: DataFrame, sourceCol: String, key: Column,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "rebalanceMixture needs at least one target")
+    require(targets.values.forall(_ > 0), "target weights must be positive")
+    require(math.abs(targets.values.sum - 1.0) < 1e-9,
+      s"target weights must sum to 1, got ${targets.values.sum}")
+    val counts = df.filter(col(sourceCol).isInCollection(targets.keys.toSeq))
+      .groupBy(col(sourceCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.keys.foreach(s => require(counts.getOrElse(s, 0L) > 0L,
+      s"rebalanceMixture: no rows for target source '$s'"))
+    // largest feasible total without upsampling; rate arithmetic uses ONE
+    // fixed expression shape (((1e6*w)*t)/n, floored) so any engine
+    // replaying it gets identical ppm thresholds
+    val t = targets.map { case (s, w) => counts(s) / w }.min
+    val ppm = targets.map { case (s, w) =>
+      s -> math.floor(1000000.0 * w * t / counts(s)).toLong }
+    val rate = ppm.foldLeft(lit(-1L)) { case (acc, (s, p)) =>
+      when(col(sourceCol) === s, lit(p)).otherwise(acc) }
+    df.filter(col(sourceCol).isInCollection(targets.keys.toSeq))
+      .filter(pmod(
+        conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+        lit(1000000L)) < rate)
+  }
+
   /** Deterministic fixed-N sample PER GROUP (stratified eval sets, per-source
     * quotas): the n keys with the smallest portable md5 hashes within each
     * group. Runs through [[graft.plans.TopKPerKey]] — per-partition bounded

@@ -136,6 +136,29 @@ class DedupSpec extends SparkSpec {
     assert(clean == Seq(2L, 4L))
   }
 
+  test("crossDocBoilerplate flags windows shared across docs, not within-doc repeats") {
+    val template = "copyright acme corp all rights reserved"  // 6 tokens
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta $template"),
+      (2L, s"one two three four five six seven $template"),
+      (3L, s"red orange yellow green blue indigo violet $template"),
+      // within-doc repetition but NOTHING shared with other docs
+      (4L, "spam spam spam spam spam spam spam spam spam spam spam"),
+      (5L, "tiny")                                             // < 6 tokens
+    ).toDF("doc_id", "text")
+    val r = Dedup.crossDocBoilerplate(corpus, "doc_id", "text", n = 6, minDocs = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3))).sortBy(_._1).toSeq
+    val byId = r.map(x => x._1 -> x).toMap
+    // docs 1-3: 13 tokens → 8 windows; exactly 1 (the template) recurs in 3 docs
+    assert(Seq(1L, 2L, 3L).forall(id => byId(id)._2 == 8L && byId(id)._3 == 1L))
+    // doc 4: all windows identical WITHIN the doc, but only 1 distinct doc
+    // carries them → not boilerplate
+    assert(byId(4L)._3 == 0L)
+    // doc 5: no windows, ratio 0, present in output (left join, not dropped)
+    assert(byId(5L) == ((5L, 0L, 0L, 0.0)))
+  }
+
   test("exactDedup keeps the lowest id per normalized content") {
     val df = Seq((3L, "Hello,  World"), (1L, "hello world"), (2L, "unrelated"))
       .toDF("id", "text")
@@ -176,6 +199,35 @@ class DedupSpec extends SparkSpec {
       .select("id", "session_id").collect()
       .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
     assert(r == Seq((1L, 0L), (2L, 1L)))
+  }
+
+  test("rebalanceMixture hits target proportions without upsampling") {
+    // 1000/600/200 rows; targets 50/30/20 → bottleneck is c (200/0.2 = 1000
+    // feasible total), so keep 500/300/200 in expectation and c keeps ALL
+    val df = ((1L to 1000L).map(i => (i, "a")) ++
+      (2001L to 2600L).map(i => (i, "b")) ++
+      (3001L to 3200L).map(i => (i, "c")) ++
+      (4001L to 4100L).map(i => (i, "dropme"))).toDF("k", "src")
+    val targets = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    val out = Relational.rebalanceMixture(df, "src", col("k"), targets)
+    val bysrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bysrc.contains("dropme"))
+    assert(bysrc("c") == 200L)                     // bottleneck keeps 100%
+    assert(bysrc("a") > 400 && bysrc("a") < 600)   // ~500 by md5 bucket
+    assert(bysrc("b") > 230 && bysrc("b") < 370)   // ~300
+    // deterministic: same rows on replay and under repartitioning
+    val again = Relational.rebalanceMixture(df.repartition(7), "src",
+      col("k"), targets).collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == out.collect().map(_.getLong(0)).sorted.toSeq)
+    // guards: weights must sum to 1; unknown source must fail loud
+    assertThrows[IllegalArgumentException] {
+      Relational.rebalanceMixture(df, "src", col("k"), Map("a" -> 0.5))
+    }
+    assertThrows[IllegalArgumentException] {
+      Relational.rebalanceMixture(df, "src", col("k"),
+        Map("a" -> 0.5, "nosuch" -> 0.5))
+    }
   }
 
   test("hashSample is deterministic, stratified, and repartition-stable") {
