@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Cpf, SchemaConform, TextFunctions}
-import graft.operators.{Dedup, MultiModal, Relational, Similarity}
+import graft.operators.{Corpus, Dedup, MultiModal, Relational, Similarity}
 import graft.sources.{FixedWidthReader, Lake}
 
 /** The engine's query inventory: one named query per SURVEY §2 operator
@@ -1442,6 +1442,30 @@ object Queries {
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary coverage: per-document OOV rate against the corpus top-16
+    // vocabulary (count desc, token asc — a total order, so the cut is
+    // engine-independent). The vocab is bounded by construction and embeds
+    // as a literal; the per-doc count is a codegen'd array filter on the
+    // scan — the only shuffle is the vocabulary aggregate itself.
+    "q98_vocab_oov" -> ((s, dir) => {
+      Corpus.vocabOov(t(s, dir, "documents"), "doc_id", "text", vocabSize = 16)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("oov_rate"), 6).as("oov_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source quality gate: drop the bottom 30% of each source by the
+    // q31 quality score (cume_dist over a (score, id) total order — the
+    // survivor set is deterministic and the oracle replays it). A global
+    // cut would let a high-quality source's floor displace a low-quality
+    // source's best; the per-group window is the corpus-assembly shape.
+    "q99_quality_gate" -> ((s, dir) => {
+      Corpus.qualityGate(t(s, dir, "documents"), "doc_id", "source",
+          TextFunctions.qualityScore(col("text")), dropFrac = 0.3)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1761,6 +1785,53 @@ object Queries {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |  % 1000000 < ppm
         |ORDER BY doc_id""".stripMargin,
+
+    // q98: replay the top-16 vocabulary cut (count desc, token asc — total
+    // order) and the per-doc OOV tally, duplicates counted.
+    "q98_vocab_oov" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS token FROM t
+        |), v AS (
+        |  SELECT token FROM (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+        |  ORDER BY cnt DESC, token ASC LIMIT 16
+        |), o AS (
+        |  SELECT doc_id, count(*) AS n_oov FROM tok
+        |  WHERE token NOT IN (SELECT token FROM v) GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  COALESCE(n_oov, 0) AS n_oov,
+        |  round(CASE WHEN len(toks) > 0
+        |    THEN CAST(COALESCE(n_oov, 0) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS oov_rate
+        |FROM t LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q99: recompute the q31 quality score, then replay the per-source
+    // cume_dist cut over the same (score, doc_id) total order.
+    "q99_quality_gate" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_extract_all(lower(text), '\\S+') AS ltoks,
+        |    regexp_extract_all(text, '\\S+') AS toks
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    round((CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+        |      + (CASE WHEN (CASE WHEN len(ltoks) > 0
+        |            THEN CAST(len(list_filter(ltoks, x -> x IN $stopwordsSql)) AS DOUBLE) / CAST(len(ltoks) AS DOUBLE)
+        |            ELSE CAST(0.0 AS DOUBLE) END) >= 0.05 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+        |      + (CASE WHEN (CASE WHEN length(text) > 0
+        |            THEN CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |            ELSE CAST(0.0 AS DOUBLE) END) <= 0.2 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 1) AS quality
+        |  FROM t
+        |), w AS (
+        |  SELECT doc_id, source,
+        |    cume_dist() OVER (PARTITION BY source ORDER BY quality, doc_id) AS cd
+        |  FROM r
+        |)
+        |SELECT doc_id, source FROM w WHERE cd > 0.3 ORDER BY doc_id""".stripMargin,
 
     // q95: salting is invisible in the result — the oracle is the plain
     // skewed join.

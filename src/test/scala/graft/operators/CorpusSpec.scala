@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vocabulary ranks by (count desc, token asc) and cuts at size") {
+    val df = Seq("b b b a a c", "a c c", "d").toDF("text")
+    val v = Corpus.vocabulary(df, "text", 3).as[(String, Long)].collect().toSeq
+    // counts: a=3 b=3 c=3 d=1; tie broken alphabetically
+    assert(v == Seq(("a", 3L), ("b", 3L), ("c", 3L)))
+  }
+
+  test("vocabOov counts duplicate OOV tokens and handles empty text") {
+    val df = Seq((1L, "a a b zzz zzz"), (2L, ""), (3L, "a b")).toDF("id", "text")
+    val got = Corpus.vocabOov(df, "id", "text", 2)
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    // vocab = {a, b}; doc 1 has 2 OOV occurrences of zzz out of 5 tokens
+    assert(got == Seq((1L, 5L, 2L, 0.4), (2L, 0L, 0L, 0.0), (3L, 2L, 0L, 0.0)))
+  }
+
+  test("qualityGate drops the bottom fraction per group, not globally") {
+    // grp x scores 1..10, grp y scores 101..110: a global 30% cut would
+    // remove all of x's low end; the per-group gate removes 3 from EACH.
+    val rows = (1 to 10).map(i => ("x", i.toLong, i.toDouble)) ++
+      (1 to 10).map(i => ("y", i.toLong + 100, i.toDouble + 100))
+    val df = rows.toDF("src", "id", "score")
+    val kept = Corpus.qualityGate(df, "id", "src", col("score"), 0.3)
+      .orderBy("id").as[(String, Long, Double)].collect().toSeq
+    assert(kept.map(_._2) == ((4L to 10L) ++ (104L to 110L)).toSeq)
+    assert(!kept.map(_._1).contains("__cd"))
+  }
+
+  test("qualityGate keeps a single-row group and ties break by id") {
+    val df = Seq(("solo", 1L, 5.0), ("t", 2L, 1.0), ("t", 3L, 1.0),
+      ("t", 4L, 1.0)).toDF("src", "id", "score")
+    val kept = Corpus.qualityGate(df, "id", "src", col("score"), 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    // solo: cume_dist 1 > 0.5 keeps it; ties in t ordered by id → ids 3,4 survive
+    assert(kept == Seq(1L, 3L, 4L))
+  }
+}
