@@ -1466,6 +1466,29 @@ object Queries {
           TextFunctions.qualityScore(col("text")), dropFrac = 0.3)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic quantized k-means over the embeddings: floor-quantized
+    // vectors (exact power-of-two multiply), integer distances, lowest-id
+    // init, floor(sum/count) centroid updates — every step engine-portable,
+    // so the oracle replays all three iterations and the final assignment
+    // hash-matches. See Cluster.scala for the scale shape (broadcast
+    // centroids, one k-row aggregate per iteration).
+    "q100_kmeans" -> ((s, dir) => {
+      graft.operators.Cluster.kmeansQuantized(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 4, iters = 3)
+        .select(col("vec_id"), col("cid"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // SemDeDup: within-cluster semantic near-dup removal (cosine ≥ 0.45 to
+    // a lower-id cluster-mate → dropped). The pairwise work is an equi-join
+    // on the cluster id — Σ|cluster|² candidates, never corpus².
+    "q101_semdedup" -> ((s, dir) => {
+      graft.operators.Cluster.semDeDup(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 4, iters = 3, tau = 0.45)
+        .select(col("vec_id"), col("cid"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1487,6 +1510,51 @@ object Queries {
     planes.zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n")
+  }
+
+  /** q100/q101's oracle prefix: the deterministic quantized k-means of
+    * [[graft.operators.Cluster.kmeansQuantized]] as a generated CTE chain —
+    * `e` (floor-quantized vectors), `c0` (lowest-k-ids init), then per
+    * iteration `aN` (nearest-centroid assignment, ties to the lowest cid)
+    * and `cN` (floor(sum/count) centroid update, empty cluster keeps the
+    * previous centroid). Every intermediate is exact integer math (sums
+    * < 2^53), so DuckDB replays the Spark run bit-for-bit.
+    */
+  private def kmeansCtesSql(k: Int, iters: Int, dims: Int, scale: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS q
+         |  FROM embeddings
+         |),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q
+         |  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT $k)
+         |)""".stripMargin)
+    for (it <- 1 to iters) {
+      sb.append(
+        s""",
+           |a$it AS (
+           |  SELECT vec_id, q, cid FROM (
+           |    SELECT e.vec_id, e.q, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_sum(list_transform(range(1, ${dims + 1}), i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))) ASC,
+           |        c.cid ASC) AS rn
+           |    FROM e CROSS JOIN c${it - 1} c) WHERE rn = 1
+           |)""".stripMargin)
+      if (it < iters) {
+        sb.append(
+          s""",
+             |c$it AS (
+             |  SELECT p.cid, COALESCE(n.q, p.q) AS q FROM c${it - 1} p LEFT JOIN (
+             |    SELECT cid, list(s ORDER BY d) AS q FROM (
+             |      SELECT cid, d, CAST(floor(CAST(sum(q[d]) AS DOUBLE) / count(*)) AS BIGINT) AS s
+             |      FROM a$it CROSS JOIN range(1, ${dims + 1}) t(d)
+             |      GROUP BY cid, d) GROUP BY cid) n USING (cid)
+             |)""".stripMargin)
+      }
+    }
+    "WITH " + sb.toString
   }
 
   /** q33's oracle: replays the PORTABLE MinHash+LSH pipeline —
@@ -1832,6 +1900,32 @@ object Queries {
         |  FROM r
         |)
         |SELECT doc_id, source FROM w WHERE cd > 0.3 ORDER BY doc_id""".stripMargin,
+
+    // q100: replay the full deterministic k-means — floor-quantization,
+    // integer distances, lowest-cid tie-break, floor(sum/count) updates,
+    // empty-cluster carry-over — iteration by iteration (CTE chain built by
+    // kmeansCtesSql, mirroring Cluster.kmeansQuantized step for step).
+    "q100_kmeans" -> (kmeansCtesSql(k = 4, iters = 3, dims = 64, scale = 1 << 20) +
+      "\nSELECT vec_id, cid FROM a3 ORDER BY vec_id"),
+
+    // q101: the same k-means chain, then per-row norms and the within-
+    // cluster (lower-id, cosine ≥ τ) drop rule.
+    "q101_semdedup" -> (kmeansCtesSql(k = 4, iters = 3, dims = 64, scale = 1 << 20) +
+      """,
+        |nn AS (
+        |  SELECT vec_id, cid, q,
+        |    sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS DOUBLE)) AS nrm
+        |  FROM a3
+        |),
+        |drp AS (
+        |  SELECT DISTINCT b.vec_id AS id_b
+        |  FROM nn a JOIN nn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0
+        |    AND CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
+        |        / (a.nrm * b.nrm) >= 0.45
+        |)
+        |SELECT vec_id, cid FROM a3 WHERE vec_id NOT IN (SELECT id_b FROM drp)
+        |ORDER BY vec_id""".stripMargin),
 
     // q95: salting is invisible in the result — the oracle is the plain
     // skewed join.

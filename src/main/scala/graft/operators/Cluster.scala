@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Semantic clustering over an embedding column (`array<float>`):
+  * deterministic quantized k-means and SemDeDup-style within-cluster
+  * semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-efficient
+  * learning at web-scale through semantic deduplication" — cluster first,
+  * then compare pairs ONLY inside a cluster, so the pairwise cost is
+  * bounded by cluster size instead of corpus²).
+  *
+  * Determinism (the property that lets an external engine replay the run
+  * bit-for-bit, and two cluster runs agree):
+  *  - vectors quantize to `floor(x * 2^20)` longs — a power-of-two multiply
+  *    is EXACT in IEEE-754 (no rounding step, unlike `round(x*scale)` whose
+  *    half-way ties depend on the engine's rounding mode), so the quantized
+  *    grid is engine-independent;
+  *  - squared-L2 distances are exact integer sums (≤ dims·(2·2^20)² ≈ 2^46,
+  *    inside both long and double-53 exactness);
+  *  - assignment ties break by lowest centroid id (struct-min);
+  *  - centroid update is `floor(sum/count)` evaluated in double — sums stay
+  *    < 2^53 so the division inputs are exact, and both engines floor the
+  *    same IEEE quotient; summation order is irrelevant (integer adds);
+  *  - init = the k lowest-id vectors (a total order, not a seeded sample).
+  *
+  * Scale shape: per iteration one scan + one map-side-combinable aggregate
+  * of k·(dims+1) cells; centroids travel as broadcast literals (k·dims
+  * longs). This is the classic broadcast-k-means shape (Spark MLlib's
+  * KMeans does the same collect-update loop); driver state is k·dims longs
+  * per iteration, corpus-size-independent.
+  */
+object Cluster {
+
+  /** Quantization scale: 2^20 (exact power-of-two multiply, see above). */
+  val QuantScale: Int = 1 << 20
+
+  /** `floor(x * scale)` per element as `array<bigint>` — the tie-free
+    * engine-portable quantizer (contrast [[graft.functions.VectorFunctions.quantize]],
+    * which rounds and is kept for callers that match a round-based oracle).
+    */
+  def quantizeFloor(a: Column, scale: Int = QuantScale): Column =
+    transform(a, x => floor(x.cast("double") * scale).cast("long"))
+
+  private def sqDist(q: Column, cent: Array[Long]): Column = {
+    val lits = array(cent.map(lit(_)).toSeq: _*)
+    aggregate(zip_with(q, lits, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Nearest-centroid id for a quantized vector against literal centroids;
+    * ties break to the lowest cid via lexicographic struct-min.
+    */
+  private def assignExpr(q: Column, centroids: Array[Array[Long]]): Column =
+    if (centroids.length == 1) lit(0L)
+    else least(centroids.zipWithIndex.map { case (c, j) =>
+      struct(sqDist(q, c).as("d"), lit(j.toLong).as("cid"))
+    }.toSeq: _*).getField("cid")
+
+  /** One-shot cache lifecycle (same contract as Dedup.materializeAndRelease):
+    * materialize the bounded result eagerly, then release the fat
+    * intermediate so a long bench session never accumulates index caches.
+    */
+  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint()
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Deterministic k-means over `embCol`: returns (idCol, q, cid) where
+    * `q` is the quantized vector (kept so downstream within-cluster math —
+    * [[semDeDup]] — reuses it without re-reading floats). `iters`
+    * assignment/update rounds after the lowest-k-ids init; a cluster that
+    * goes empty keeps its previous centroid. The result comes back
+    * MATERIALIZED (localCheckpoint — one row per vector, dims longs wide)
+    * and the quantization cache is released before returning.
+    */
+  def kmeansQuantized(df: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int, scale: Int = QuantScale): DataFrame = {
+    require(k > 0 && iters > 0, s"k and iters must be positive, got $k/$iters")
+    // persisted: every iteration scans it (assign + update agg), and the
+    // final assignment reads it once more
+    val quant = df.select(col(idCol), quantizeFloor(col(embCol), scale).as("q"))
+      .persist()
+    val dims = quant.select(size(col("q"))).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ =>
+        quant.unpersist(blocking = false)
+        throw new IllegalArgumentException("empty corpus")
+    }
+    // init: the k lowest-id vectors (deterministic total order)
+    var centroids: Array[Array[Long]] = quant.orderBy(col(idCol).asc)
+      .limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(centroids.length == k,
+      s"need at least $k vectors, got ${centroids.length}")
+    for (it <- 1 until iters) {
+      // one k-row aggregate: count + per-dimension long sums (map-side
+      // combinable; k·(dims+1) cells reach the driver)
+      val aggs = count(lit(1)).as("n") +:
+        (0 until dims).map(d => sum(col("q").getItem(d)).as(s"s$d"))
+      val byCid = quant.withColumn("cid", assignExpr(col("q"), centroids))
+        .groupBy(col("cid"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(1)
+          r.getLong(0) -> Array.tabulate(dims)(d =>
+            math.floor(r.getLong(d + 2).toDouble / n).toLong)
+        }.toMap
+      // empty cluster → keep previous centroid
+      centroids = Array.tabulate(k)(j => byCid.getOrElse(j.toLong, centroids(j)))
+    }
+    materializeAndRelease(
+      quant.withColumn("cid", assignExpr(col("q"), centroids)), quant)
+  }
+
+  /** SemDeDup: k-means, then inside each cluster drop every vector that has
+    * a LOWER-id cluster-mate with cosine ≥ `tau` (keep-lowest-id survivor
+    * rule — deterministic, order-free). Returns surviving (idCol, cid).
+    *
+    * The pairwise join is an equi-join on cid — never a cartesian across
+    * clusters — so the candidate count is Σ|cluster|², the quantity k is
+    * chosen to bound (SemDeDup runs web-scale corpora with k ≈ N/1000).
+    * Norms are computed once per row, not per pair.
+    */
+  def semDeDup(df: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int, tau: Double, scale: Int = QuantScale): DataFrame = {
+    // already materialized, so the three reads below (two join sides + the
+    // survivor base) re-serve its blocks instead of re-running k-means
+    val assigned = kmeansQuantized(df, idCol, embCol, k, iters, scale)
+    // norm once per row, not per pair
+    val withNorm = assigned.withColumn("nrm",
+      sqrt(aggregate(col("q"), lit(0L), (acc, v) => acc + v * v).cast("double")))
+    val a = withNorm.select(col(idCol).as("id_a"), col("q").as("qa"),
+      col("nrm").as("na"), col("cid"))
+    val b = withNorm.select(col(idCol).as("id_b"), col("q").as("qb"),
+      col("nrm").as("nb"), col("cid"))
+    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v).cast("double")
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("na") > 0 && col("nb") > 0 &&
+        dot / (col("na") * col("nb")) >= tau)
+      .select(col("id_b")).distinct()
+    assigned.select(col(idCol), col("cid"))
+      .join(dropped, col(idCol) === col("id_b"), "left_anti")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("quantizeFloor floors exactly (power-of-two multiply, negatives included)") {
+    val df = Seq(Seq(0.5f, -0.5f, 0.0f, 1.25f)).toDF("v")
+      .select(Cluster.quantizeFloor(col("v"), 4).as("q"))
+    assert(df.as[Seq[Long]].head() == Seq(2L, -2L, 0L, 5L))
+    // -0.3f * 4 = -1.2000000476837158 in double → floor -2 (not truncate -1)
+    val neg = Seq(Seq(-0.3f)).toDF("v")
+      .select(Cluster.quantizeFloor(col("v"), 4).as("q"))
+    assert(neg.as[Seq[Long]].head() == Seq(-2L))
+  }
+
+  test("kmeansQuantized separates two obvious clusters and converges") {
+    val df = emb(
+      0L -> Seq(0.0f, 0.0f), 1L -> Seq(10.0f, 10.0f),
+      2L -> Seq(0.1f, 0.1f), 3L -> Seq(9.9f, 10.1f), 4L -> Seq(0.2f, 0.0f))
+    val got = Cluster.kmeansQuantized(df, "vec_id", "embedding", k = 2, iters = 3)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(got(0L) == 0 && got(2L) == 0 && got(4L) == 0)
+    assert(got(1L) == 1 && got(3L) == 1)
+  }
+
+  test("assignment ties break to the lowest centroid id") {
+    // point (1,0) is exactly equidistant from init centroids (0,0) and (2,0)
+    val df = emb(0L -> Seq(0.0f, 0.0f), 1L -> Seq(2.0f, 0.0f), 2L -> Seq(1.0f, 0.0f))
+    val got = Cluster.kmeansQuantized(df, "vec_id", "embedding", k = 2, iters = 1)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(got(2L) == 0)
+  }
+
+  test("an emptied cluster keeps its previous centroid (no crash, all rows assigned)") {
+    // ids 0 and 1 share a location → init centroids 0 and 1 coincide; every
+    // point ties to cid 0, cluster 1 goes empty on the first update. Cluster
+    // 1 then KEEPS the stale (1,1) centroid, and once cluster 0's centroid
+    // moves to the 3-point mean, the two (1,1) points are closer to the
+    // stale centroid and flip back to cid 1 — deterministic, and exactly
+    // what the oracle's COALESCE carry-over replays.
+    val df = emb(0L -> Seq(1.0f, 1.0f), 1L -> Seq(1.0f, 1.0f), 2L -> Seq(1.1f, 0.9f))
+    val got = Cluster.kmeansQuantized(df, "vec_id", "embedding", k = 2, iters = 3)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 0L))
+  }
+
+  test("semDeDup drops the higher id of a within-cluster near-dup pair only") {
+    val df = emb(
+      0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.0f, 1.0f),
+      2L -> Seq(1.0f, 0.001f),  // near-dup of 0, same cluster → dropped
+      3L -> Seq(0.001f, 1.0f))  // near-dup of 1, same cluster → dropped
+    val kept = Cluster.semDeDup(df, "vec_id", "embedding",
+        k = 2, iters = 2, tau = 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 1L))
+  }
+
+  test("semDeDup keeps dissimilar cluster-mates") {
+    // same cluster, cosine ~0.707 < 0.9 → both survive
+    val df = emb(0L -> Seq(1.0f, 0.0f), 1L -> Seq(1.0f, 1.0f))
+    val kept = Cluster.semDeDup(df, "vec_id", "embedding",
+        k = 1, iters = 1, tau = 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 1L))
+  }
+}
