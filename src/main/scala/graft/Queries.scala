@@ -1489,6 +1489,39 @@ object Queries {
           "vec_id", "embedding", k = 4, iters = 3, tau = 0.45)
         .select(col("vec_id"), col("cid"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Semantic outlier pruning (SSL-prototypes): drop the 20% of each
+    // k-means cluster farthest from its centroid. The distance is the
+    // exact integer from the assignment step, so the per-cluster
+    // cume_dist cut replays byte-for-byte.
+    "q102_semantic_prune" -> ((s, dir) => {
+      graft.operators.Cluster.semanticPrune(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 4, iters = 3, dropFrac = 0.2)
+        .orderBy(col("vec_id"))
+    }),
+
+    // Leakage-safe split: the split key is the near-dup CLUSTER id, so a
+    // document and its near-duplicates always land in the same split —
+    // the per-doc q60 split would leak train text into eval through dups.
+    "q103_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashCandidatePairsPortable(docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+      Corpus.leakageSafeSplit(docs, "doc_id",
+          Dedup.duplicateClusters(pairs), trainPct = 90, valPct = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-source duplication matrix: near-dup pair counts per unordered
+    // source pair — the data-card cell that exposes mirrored scrapes
+    // before mixture weights double-count them.
+    "q104_dup_source_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashCandidatePairsPortable(docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+      Corpus.dupSourceMatrix(pairs, docs, "doc_id", "source")
+        .orderBy(col("src_lo"), col("src_hi"))
     })
   )
 
@@ -1926,6 +1959,60 @@ object Queries {
         |)
         |SELECT vec_id, cid FROM a3 WHERE vec_id NOT IN (SELECT id_b FROM drp)
         |ORDER BY vec_id""".stripMargin),
+
+    // q102: the k-means chain, then exact integer distance to the FINAL
+    // centroid (c2) and the per-cluster cume_dist cut over the
+    // (−dist, vec_id) total order — identical machinery to q99's gate.
+    "q102_semantic_prune" -> (kmeansCtesSql(k = 4, iters = 3, dims = 64, scale = 1 << 20) +
+      """,
+        |dd AS (
+        |  SELECT a.vec_id, a.cid,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> (a.q[i] - c.q[i]) * (a.q[i] - c.q[i]))) AS BIGINT) AS dist
+        |  FROM a3 a JOIN c2 c USING (cid)
+        |),
+        |w AS (
+        |  SELECT vec_id, cid, dist,
+        |    cume_dist() OVER (PARTITION BY cid ORDER BY -dist ASC, vec_id ASC) AS cd
+        |  FROM dd
+        |)
+        |SELECT vec_id, cid, dist FROM w WHERE cd > 0.2 ORDER BY vec_id""".stripMargin),
+
+    // q103: q50's connected-components replay, then the md5-bucket split
+    // keyed on cluster_id (q60's CASE, cluster-id input).
+    "q103_leakage_safe_split" ->
+      s"""WITH RECURSIVE $minHashPairsCtes,
+         |fpairs AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+         |edges2 AS (
+         |  SELECT id_a AS src, id_b AS dst FROM fpairs
+         |  UNION SELECT id_b, id_a FROM fpairs
+         |), nodes AS (SELECT DISTINCT src AS nid FROM edges2),
+         |reach(nid, label) AS (
+         |  SELECT nid, nid FROM nodes
+         |  UNION
+         |  SELECT e.src, r.label FROM reach r JOIN edges2 e ON e.dst = r.nid
+         |), comp AS (SELECT nid, min(label) AS cluster_id FROM reach GROUP BY nid),
+         |cl AS (
+         |  SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON c.nid = d.doc_id
+         |)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |        CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+         |      FROM cl)
+         |ORDER BY doc_id""".stripMargin,
+
+    // q104: the portable pair pipeline, thresholded, joined to sources on
+    // both ends, normalized to an unordered pair, counted.
+    "q104_dup_source_matrix" ->
+      s"""WITH $minHashPairsCtes,
+         |fp AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5)
+         |SELECT least(da.source, db.source) AS src_lo,
+         |  greatest(da.source, db.source) AS src_hi, count(*) AS n_pairs
+         |FROM fp
+         |JOIN documents da ON da.doc_id = fp.id_a
+         |JOIN documents db ON db.doc_id = fp.id_b
+         |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
 
     // q95: salting is invisible in the result — the oracle is the plain
     // skewed join.

@@ -48,14 +48,19 @@ object Cluster {
       lit(0L), (acc, v) => acc + v)
   }
 
-  /** Nearest-centroid id for a quantized vector against literal centroids;
-    * ties break to the lowest cid via lexicographic struct-min.
+  /** Nearest centroid for a quantized vector against literal centroids as a
+    * struct(d, cid); ties break to the lowest cid via lexicographic
+    * struct-min. `d` is the exact integer squared distance.
     */
-  private def assignExpr(q: Column, centroids: Array[Array[Long]]): Column =
-    if (centroids.length == 1) lit(0L)
+  private def assignStruct(q: Column, centroids: Array[Array[Long]]): Column =
+    if (centroids.length == 1)
+      struct(sqDist(q, centroids(0)).as("d"), lit(0L).as("cid"))
     else least(centroids.zipWithIndex.map { case (c, j) =>
       struct(sqDist(q, c).as("d"), lit(j.toLong).as("cid"))
-    }.toSeq: _*).getField("cid")
+    }.toSeq: _*)
+
+  private def assignExpr(q: Column, centroids: Array[Array[Long]]): Column =
+    assignStruct(q, centroids).getField("cid")
 
   /** One-shot cache lifecycle (same contract as Dedup.materializeAndRelease):
     * materialize the bounded result eagerly, then release the fat
@@ -67,9 +72,11 @@ object Cluster {
     out
   }
 
-  /** Deterministic k-means over `embCol`: returns (idCol, q, cid) where
-    * `q` is the quantized vector (kept so downstream within-cluster math —
-    * [[semDeDup]] — reuses it without re-reading floats). `iters`
+  /** Deterministic k-means over `embCol`: returns (idCol, q, cid, dist)
+    * where `q` is the quantized vector (kept so downstream within-cluster
+    * math — [[semDeDup]], [[semanticPrune]] — reuses it without re-reading
+    * floats) and `dist` the exact integer squared distance to the assigned
+    * centroid (the outlier signal). `iters`
     * assignment/update rounds after the lowest-k-ids init; a cluster that
     * goes empty keeps its previous centroid. The result comes back
     * MATERIALIZED (localCheckpoint — one row per vector, dims longs wide)
@@ -112,7 +119,11 @@ object Cluster {
       centroids = Array.tabulate(k)(j => byCid.getOrElse(j.toLong, centroids(j)))
     }
     materializeAndRelease(
-      quant.withColumn("cid", assignExpr(col("q"), centroids)), quant)
+      quant.withColumn("__a", assignStruct(col("q"), centroids))
+        .select(col(idCol), col("q"),
+          col("__a").getField("cid").as("cid"),
+          col("__a").getField("d").as("dist")),
+      quant)
   }
 
   /** SemDeDup: k-means, then inside each cluster drop every vector that has
@@ -145,5 +156,20 @@ object Cluster {
       .select(col("id_b")).distinct()
     assigned.select(col(idCol), col("cid"))
       .join(dropped, col(idCol) === col("id_b"), "left_anti")
+  }
+
+  /** Semantic outlier pruning (the SSL-prototypes companion to SemDeDup:
+    * Sorscher et al. 2022 keep EASY examples by pruning far-from-prototype
+    * points): k-means, then drop the `dropFrac` of each cluster FARTHEST
+    * from its centroid. Delegates the per-cluster cut to
+    * [[Corpus.qualityGate]] with score = −dist — the identical
+    * cume_dist-over-total-order machinery, so the survivor set is
+    * deterministic. Returns surviving (idCol, cid, dist).
+    */
+  def semanticPrune(df: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int, dropFrac: Double, scale: Int = QuantScale): DataFrame = {
+    val assigned = kmeansQuantized(df, idCol, embCol, k, iters, scale)
+    Corpus.qualityGate(assigned, idCol, "cid", -col("dist"), dropFrac)
+      .select(col(idCol), col("cid"), col("dist"))
   }
 }

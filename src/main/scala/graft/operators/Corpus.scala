@@ -70,4 +70,43 @@ object Corpus {
       .filter(col("__cd") > dropFrac)
       .drop("__cd")
   }
+
+  /** Leakage-safe train/val/test split: the split key is the document's
+    * near-dup CLUSTER id, not the document id, so every member of a dup
+    * cluster lands in the same split — a per-doc split leaks train text
+    * into the eval set through its near-duplicates (the contamination
+    * [[Dedup.decontaminate]] exists to remove). `clusters` is
+    * (id, cluster_id) from [[Dedup.duplicateClusters]]; unclustered docs
+    * (no near-dups) key by their own id. Same md5-bucket assignment as
+    * [[Relational.splitAssign]] — stateless, engine-portable, stable
+    * across corpus rebuilds.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+      trainPct: Int, valPct: Int): DataFrame = {
+    val withCluster = docs.select(col(idCol))
+      .join(clusters, docs(idCol) === clusters("id"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    withCluster.withColumn("split",
+      Relational.splitAssign(col("cluster_id"), trainPct, valPct))
+  }
+
+  /** Cross-source duplication matrix: near-dup pair counts per unordered
+    * source pair — the data-card view that tells you WHICH sources overlap
+    * (a high src_a×src_b cell means one scrape mirrors the other, and the
+    * mixture weights double-count it). `pairs` is (id_a, id_b) from any
+    * near-dup detector; `meta` maps id → groupCol. Two broadcast-sized
+    * joins against the pair list (pairs ≪ corpus), one hash aggregate.
+    */
+  def dupSourceMatrix(pairs: DataFrame, meta: DataFrame, idCol: String,
+      groupCol: String): DataFrame = {
+    val ga = meta.select(col(idCol).as("__ia"), col(groupCol).as("__ga"))
+    val gb = meta.select(col(idCol).as("__ib"), col(groupCol).as("__gb"))
+    pairs.join(ga, col("id_a") === col("__ia"))
+      .join(gb, col("id_b") === col("__ib"))
+      .select(least(col("__ga"), col("__gb")).as("src_lo"),
+        greatest(col("__ga"), col("__gb")).as("src_hi"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -61,6 +61,17 @@ class ClusterSpec extends SparkSpec {
     assert(kept == Seq(0L, 1L))
   }
 
+  test("semanticPrune drops the farthest fraction per cluster") {
+    // one cluster around (0,0) with an outlier at (0.5,0.5); k=1, drop 25%
+    // of 4 points → exactly the single farthest point goes
+    val df = emb(0L -> Seq(0.0f, 0.0f), 1L -> Seq(0.1f, 0.0f),
+      2L -> Seq(0.0f, 0.1f), 3L -> Seq(0.5f, 0.5f))
+    val kept = Cluster.semanticPrune(df, "vec_id", "embedding",
+        k = 1, iters = 1, dropFrac = 0.25)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 1L, 2L))
+  }
+
   test("semDeDup keeps dissimilar cluster-mates") {
     // same cluster, cosine ~0.707 < 0.9 → both survive
     val df = emb(0L -> Seq(1.0f, 0.0f), 1L -> Seq(1.0f, 1.0f))

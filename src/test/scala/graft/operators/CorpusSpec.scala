@@ -33,6 +33,29 @@ class CorpusSpec extends SparkSpec {
     assert(!kept.map(_._1).contains("__cd"))
   }
 
+  test("leakageSafeSplit sends a whole dup cluster to one split; singletons key by own id") {
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster_id")
+    val got = Corpus.leakageSafeSplit(docs, "doc_id", clusters, 90, 5)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = rows.map(r => r._1 -> r._3).toMap
+    // all three cluster members share one split label
+    assert(Set(byId(1L), byId(2L), byId(3L)).size == 1)
+    // the singleton keys by its own id
+    assert(rows.find(_._1 == 9L).get._2 == 9L)
+  }
+
+  test("dupSourceMatrix normalizes pair order and counts per source pair") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val meta = Seq((1L, "web"), (2L, "books"), (3L, "books"), (4L, "web"),
+      (5L, "web"), (6L, "web")).toDF("doc_id", "source")
+    val got = Corpus.dupSourceMatrix(pairs, meta, "doc_id", "source")
+      .orderBy("src_lo", "src_hi")
+      .as[(String, String, Long)].collect().toSeq
+    // (web,books) and (books,web) collapse into one unordered cell
+    assert(got == Seq(("books", "web", 2L), ("web", "web", 1L)))
+  }
+
   test("qualityGate keeps a single-row group and ties break by id") {
     val df = Seq(("solo", 1L, 5.0), ("t", 2L, 1.0), ("t", 3L, 1.0),
       ("t", 4L, 1.0)).toDF("src", "id", "score")
