@@ -1522,6 +1522,22 @@ object Queries {
         .filter(col("jaccard") >= 0.5)
       Corpus.dupSourceMatrix(pairs, docs, "doc_id", "source")
         .orderBy(col("src_lo"), col("src_hi"))
+    }),
+
+    // Fit-once / assign-many: centroids land in the lake as a k-row table,
+    // then the corpus is assigned with ONE stateless map-only scan (no
+    // iterations, no shuffle) — the production shape for clustering a
+    // 100 TB corpus or an incremental batch against a frozen model. The
+    // stored roundtrip must be invisible: the oracle is q100's.
+    "q105_kmeans_assign_stored" -> ((s, dir) => {
+      import graft.operators.Cluster
+      val root = System.getProperty("java.io.tmpdir") + "/graft_q105_centroids"
+      val emb = t(s, dir, "embeddings")
+      Cluster.fitCentroids(emb, "vec_id", "embedding", k = 4, iters = 3)
+        .write.mode("overwrite").parquet(root)
+      Cluster.assignStored(emb, "vec_id", "embedding", s.read.parquet(root))
+        .select(col("vec_id"), col("cid"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1939,6 +1955,11 @@ object Queries {
     // empty-cluster carry-over — iteration by iteration (CTE chain built by
     // kmeansCtesSql, mirroring Cluster.kmeansQuantized step for step).
     "q100_kmeans" -> (kmeansCtesSql(k = 4, iters = 3, dims = 64, scale = 1 << 20) +
+      "\nSELECT vec_id, cid FROM a3 ORDER BY vec_id"),
+
+    // q105: fit/assign through the stored model must equal the in-memory
+    // run — same oracle as q100.
+    "q105_kmeans_assign_stored" -> (kmeansCtesSql(k = 4, iters = 3, dims = 64, scale = 1 << 20) +
       "\nSELECT vec_id, cid FROM a3 ORDER BY vec_id"),
 
     // q101: the same k-means chain, then per-row norms and the within-

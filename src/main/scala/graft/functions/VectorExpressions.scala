@@ -180,6 +180,69 @@ object VectorKernels {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+
+  /** Cosine over two QUANTIZED (long) vectors in one fused loop: exact
+    * integer dot/norms (all < 2^53), then the same
+    * `dot / (sqrt(na) · sqrt(nb))` double formula as the HOF composition in
+    * the SemDeDup pair filter — bit-identical results. Null element or
+    * length mismatch → null (the HOF aggregate-over-zip_with result);
+    * zero norm → 0.0.
+    */
+  def cosineLong(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val la = a.numElements(); val lb = b.numElements()
+    if (la != lb) return null
+    var i = 0
+    while (i < la) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
+    var d = 0L; var na = 0L; var nb = 0L
+    i = 0
+    while (i < la) {
+      val x = a.getLong(i); val y = b.getLong(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val nn = math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)
+    java.lang.Double.valueOf(if (nn > 0) d.toDouble / nn else 0.0)
+  }
+
+  /** Exact integer squared L2 distance from a quantized vector to a literal
+    * centroid — the k-means assignment inner loop. Null element or length
+    * mismatch → null (parity with `aggregate(zip_with((x−y)²))`).
+    */
+  def sqDistLong(v: ArrayData, cent: Array[Long]): java.lang.Long = {
+    val n = cent.length
+    if (v.numElements() != n) return null
+    var i = 0
+    while (i < n) { if (v.isNullAt(i)) return null; i += 1 }
+    var s = 0L
+    i = 0
+    while (i < n) {
+      val dx = v.getLong(i) - cent(i)
+      s += dx * dx
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  /** `floor(x · scale)` per element — the tie-free portable quantizer as
+    * one primitive loop (the `transform` HOF it replaces is interpreted).
+    * Null elements stay null.
+    */
+  def quantizeFloorLong(v: ArrayData, scale: Int, vF: Boolean): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val x = if (vF) v.getFloat(i).toDouble else v.getDouble(i)
+        out(i) = math.floor(x * scale).toLong
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `cosine_sim(a, b)` — exact cosine over two numeric arrays (float or
@@ -345,4 +408,87 @@ case class ArrayXxHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ArrayXxHash64 =
     copy(child = newChild)
   override def prettyName: String = "array_xxhash64"
+}
+
+/** `cosine_q(a, b)` — cosine over two quantized long vectors, fused
+  * dot+norms loop. Null array, null element, or length mismatch → null.
+  */
+case class CosineLongQuantized(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGen = left.genCode(ctx)
+    val bGen = right.genCode(ctx)
+    val boxed = ctx.freshName("cosQ")
+    ev.copy(code = code"""
+      ${aGen.code}
+      ${bGen.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${aGen.isNull} && !${bGen.isNull}) {
+        java.lang.Double $boxed = graft.functions.VectorKernels.cosineLong(
+          ${aGen.value}, ${bGen.value});
+        if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.doubleValue(); }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineLongQuantized = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_q"
+}
+
+/** `sq_dist_lit(v)` — exact integer squared L2 distance to a plan-time
+  * literal centroid (k-means assignment inner loop: k of these per row,
+  * each a tight primitive loop over the shared quantized array).
+  */
+case class SqDistToLit(child: Expression, cent: Seq[Long]) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  @transient private lazy val flat: Array[Long] = cent.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.sqDistLong(v.asInstanceOf[ArrayData], flat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vGen = child.genCode(ctx)
+    val centRef = ctx.addReferenceObj("cent", flat, "long[]")
+    val boxed = ctx.freshName("sqd")
+    ev.copy(code = code"""
+      ${vGen.code}
+      boolean ${ev.isNull} = true;
+      long ${ev.value} = 0L;
+      if (!${vGen.isNull}) {
+        java.lang.Long $boxed = graft.functions.VectorKernels.sqDistLong(
+          ${vGen.value}, $centRef);
+        if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqDistToLit =
+    copy(child = newChild)
+  override def prettyName: String = "sq_dist_lit"
+}
+
+/** `quantize_floor(v, scale)` — floor(x·scale) per element as array<bigint>,
+  * one primitive loop.
+  */
+case class QuantizeFloorLong(child: Expression, scale: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  private lazy val vf = VectorKernels.isFloatArray(child)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.quantizeFloorLong(v.asInstanceOf[ArrayData], scale, vf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.quantizeFloorLong($c, $scale, $vf)")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeFloorLong =
+    copy(child = newChild)
+  override def prettyName: String = "quantize_floor"
 }

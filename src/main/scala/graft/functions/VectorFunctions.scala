@@ -56,6 +56,31 @@ object VectorFunctions {
     when(nn > 0, d / nn).otherwise(lit(0.0))
   }
 
+  /** Cosine over two ALREADY-QUANTIZED long vectors — fused codegen'd
+    * dot+norms loop ([[CosineLongQuantized]]); numerics identical to the
+    * HOF `dotQ/sqrt·sqrt` composition. The SemDeDup pair-filter kernel.
+    */
+  def cosineOfQuantized(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(CosineLongQuantized(Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** Exact integer squared L2 distance to a literal centroid
+    * ([[SqDistToLit]], codegen'd) — the k-means assignment inner loop.
+    */
+  def sqDistToLit(v: Column, cent: Seq[Long]): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(SqDistToLit(Bridge.expression(v), cent))
+  }
+
+  /** floor(x·scale) per element as array<bigint> ([[QuantizeFloorLong]],
+    * codegen'd) — the tie-free engine-portable quantizer.
+    */
+  def quantizeFloor(a: Column, scale: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(QuantizeFloorLong(Bridge.expression(a), scale))
+  }
+
   /** Sign bit of the dot product against a fixed hyperplane given as a
     * literal Seq — one bit of a random-hyperplane LSH signature.
     */

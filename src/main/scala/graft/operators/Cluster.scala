@@ -38,15 +38,14 @@ object Cluster {
   /** `floor(x * scale)` per element as `array<bigint>` — the tie-free
     * engine-portable quantizer (contrast [[graft.functions.VectorFunctions.quantize]],
     * which rounds and is kept for callers that match a round-based oracle).
+    * Codegen'd ([[graft.functions.QuantizeFloorLong]]) — identical values
+    * to `transform(a, x => floor(x.cast("double") * scale).cast("long"))`.
     */
   def quantizeFloor(a: Column, scale: Int = QuantScale): Column =
-    transform(a, x => floor(x.cast("double") * scale).cast("long"))
+    graft.functions.VectorFunctions.quantizeFloor(a, scale)
 
-  private def sqDist(q: Column, cent: Array[Long]): Column = {
-    val lits = array(cent.map(lit(_)).toSeq: _*)
-    aggregate(zip_with(q, lits, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
-  }
+  private def sqDist(q: Column, cent: Array[Long]): Column =
+    graft.functions.VectorFunctions.sqDistToLit(q, cent.toSeq)
 
   /** Nearest centroid for a quantized vector against literal centroids as a
     * struct(d, cid); ties break to the lowest cid via lexicographic
@@ -82,18 +81,15 @@ object Cluster {
     * MATERIALIZED (localCheckpoint — one row per vector, dims longs wide)
     * and the quantization cache is released before returning.
     */
-  def kmeansQuantized(df: DataFrame, idCol: String, embCol: String,
-      k: Int, iters: Int, scale: Int = QuantScale): DataFrame = {
-    require(k > 0 && iters > 0, s"k and iters must be positive, got $k/$iters")
-    // persisted: every iteration scans it (assign + update agg), and the
-    // final assignment reads it once more
-    val quant = df.select(col(idCol), quantizeFloor(col(embCol), scale).as("q"))
-      .persist()
+  /** The iteration loop on an already-quantized, persisted frame: lowest-k
+    * init, `iters − 1` floor(sum/count) updates. Returns the FINAL
+    * centroids (the model — k·dims longs of driver state).
+    */
+  private def fitOnQuantized(quant: DataFrame, idCol: String,
+      k: Int, iters: Int): Array[Array[Long]] = {
     val dims = quant.select(size(col("q"))).limit(1).collect() match {
       case Array(r) => r.getInt(0)
-      case _ =>
-        quant.unpersist(blocking = false)
-        throw new IllegalArgumentException("empty corpus")
+      case _ => throw new IllegalArgumentException("empty corpus")
     }
     // init: the k lowest-id vectors (deterministic total order)
     var centroids: Array[Array[Long]] = quant.orderBy(col(idCol).asc)
@@ -118,12 +114,68 @@ object Cluster {
       // empty cluster → keep previous centroid
       centroids = Array.tabulate(k)(j => byCid.getOrElse(j.toLong, centroids(j)))
     }
+    centroids
+  }
+
+  def kmeansQuantized(df: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int, scale: Int = QuantScale): DataFrame = {
+    require(k > 0 && iters > 0, s"k and iters must be positive, got $k/$iters")
+    // persisted: every iteration scans it (assign + update agg), and the
+    // final assignment reads it once more
+    val quant = df.select(col(idCol), quantizeFloor(col(embCol), scale).as("q"))
+      .persist()
+    val centroids =
+      try fitOnQuantized(quant, idCol, k, iters)
+      catch { case e: Throwable => quant.unpersist(blocking = false); throw e }
     materializeAndRelease(
       quant.withColumn("__a", assignStruct(col("q"), centroids))
         .select(col(idCol), col("q"),
           col("__a").getField("cid").as("cid"),
           col("__a").getField("d").as("dist")),
       quant)
+  }
+
+  /** Fit-only: the k-means model as a (cid, q) frame — k rows, ready to
+    * land in the lake. The fit/assign split is the production shape: at
+    * 100 TB you fit on a (deterministic) sample, persist the centroids, and
+    * every downstream job — including incremental batches that arrive
+    * later — assigns with [[assignStored]]'s map-only scan instead of
+    * re-running iterations over the full corpus.
+    */
+  def fitCentroids(df: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int, scale: Int = QuantScale): DataFrame = {
+    require(k > 0 && iters > 0, s"k and iters must be positive, got $k/$iters")
+    val quant = df.select(col(idCol), quantizeFloor(col(embCol), scale).as("q"))
+      .persist()
+    try {
+      val centroids = fitOnQuantized(quant, idCol, k, iters)
+      val spark = df.sparkSession
+      import spark.implicits._
+      centroids.zipWithIndex
+        .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq
+        .toDF("cid", "q")
+    } finally quant.unpersist(blocking = false)
+  }
+
+  /** Assign-only against a stored centroid table (`(cid, q)` as written by
+    * [[fitCentroids]]): the model collects to k·dims literals (a bounded
+    * model read, same shape as a broadcast) and the assignment is ONE
+    * stateless map-only scan — no iterations, no shuffle. Returns
+    * (idCol, cid, dist).
+    */
+  def assignStored(df: DataFrame, idCol: String, embCol: String,
+      centroidsDf: DataFrame, scale: Int = QuantScale): DataFrame = {
+    val rows = centroidsDf.select(col("cid"), col("q")).collect()
+      .sortBy(_.getLong(0))
+    require(rows.nonEmpty, "empty centroid table")
+    require(rows.zipWithIndex.forall { case (r, j) => r.getLong(0) == j },
+      "centroid cids must be contiguous 0..k-1 (assignStruct indexes by position)")
+    val centroids = rows.map(_.getSeq[Long](1).toArray)
+    df.select(col(idCol), quantizeFloor(col(embCol), scale).as("q"))
+      .withColumn("__a", assignStruct(col("q"), centroids))
+      .select(col(idCol),
+        col("__a").getField("cid").as("cid"),
+        col("__a").getField("d").as("dist"))
   }
 
   /** SemDeDup: k-means, then inside each cluster drop every vector that has
@@ -140,19 +192,15 @@ object Cluster {
     // already materialized, so the three reads below (two join sides + the
     // survivor base) re-serve its blocks instead of re-running k-means
     val assigned = kmeansQuantized(df, idCol, embCol, k, iters, scale)
-    // norm once per row, not per pair
-    val withNorm = assigned.withColumn("nrm",
-      sqrt(aggregate(col("q"), lit(0L), (acc, v) => acc + v * v).cast("double")))
-    val a = withNorm.select(col(idCol).as("id_a"), col("q").as("qa"),
-      col("nrm").as("na"), col("cid"))
-    val b = withNorm.select(col(idCol).as("id_b"), col("q").as("qb"),
-      col("nrm").as("nb"), col("cid"))
-    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-      lit(0L), (acc, v) => acc + v).cast("double")
+    val a = assigned.select(col(idCol).as("id_a"), col("q").as("qa"), col("cid"))
+    val b = assigned.select(col(idCol).as("id_b"), col("q").as("qb"), col("cid"))
+    // fused codegen'd dot+norms per pair (CosineLongQuantized) — the HOF
+    // form here was the whole suite's hottest loop (~Σ|cluster|² pairs ×
+    // dims interpreted evals); numerics identical, zero-norm → 0.0 < tau
     val dropped = a.join(b, Seq("cid"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("na") > 0 && col("nb") > 0 &&
-        dot / (col("na") * col("nb")) >= tau)
+      .filter(graft.functions.VectorFunctions.cosineOfQuantized(
+        col("qa"), col("qb")) >= tau)
       .select(col("id_b")).distinct()
     assigned.select(col(idCol), col("cid"))
       .join(dropped, col(idCol) === col("id_b"), "left_anti")

@@ -49,6 +49,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q101 SemDeDup pairwise work is a hash equi-join on the cluster id") {
+    // the id_a < id_b and cosine predicates must ride a cid equi-join —
+    // a nested-loop here would be corpus² at scale
+    val plan = planOf(q("q101_semdedup"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q105 stored-model assignment is one map-only scan (no shuffle, no join)") {
+    val df = q("q105_kmeans_assign_stored")
+    // drop the final orderBy the driver compare needs; the assignment
+    // itself must plan without any exchange
+    val assignOnly = graft.operators.Cluster.assignStored(
+      graft.sources.Lake.table(spark, sfDir, "embeddings"),
+      "vec_id", "embedding",
+      spark.read.parquet(System.getProperty("java.io.tmpdir") + "/graft_q105_centroids"))
+    val plan = planOf(assignOnly)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    df.count() // keep the full query exercised too
+  }
+
   test("q03 aggregation has a map-side partial phase") {
     val plan = planOf(q("q03_agg_q1"))
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)

@@ -41,6 +41,52 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r(1).getDouble(0) == 0.0)
   }
 
+  test("cosineOfQuantized matches the HOF dotQ/sqrt·sqrt composition bit-for-bit") {
+    def hofCosQ(qa: org.apache.spark.sql.Column, qb: org.apache.spark.sql.Column) = {
+      val d = aggregate(zip_with(qa, qb, (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).cast("double")
+      val na = sqrt(aggregate(qa, lit(0L), (acc, v) => acc + v * v).cast("double"))
+      val nb = sqrt(aggregate(qb, lit(0L), (acc, v) => acc + v * v).cast("double"))
+      when(na * nb > 0, d / (na * nb)).otherwise(lit(0.0))
+    }
+    val df = Seq(
+      (Seq(104857L, -209715L, 367001L), Seq(52428L, 104857L, -157286L)),
+      (Seq(0L, 0L, 0L), Seq(1L, 2L, 3L)),
+      (Seq(7L, 11L, 13L), Seq(7L, 11L, 13L))
+    ).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.cosineOfQuantized(col("a"), col("b")).as("fast"),
+      hofCosQ(col("a"), col("b")).as("hof")).collect()
+    r.foreach(row => assert(
+      java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(row.getDouble(1))))
+  }
+
+  test("sqDistToLit matches the HOF zip_with composition; mismatch → null") {
+    val cent = Seq(100L, -50L, 25L)
+    def hofSq(q: org.apache.spark.sql.Column) =
+      aggregate(zip_with(q, array(cent.map(lit(_)): _*),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    val df = Seq(Seq(90L, -60L, 30L), Seq(-1000L, 2000L, 0L)).toDF("q")
+    val r = df.select(
+      VectorFunctions.sqDistToLit(col("q"), cent).as("fast"),
+      hofSq(col("q")).as("hof")).collect()
+    r.foreach(row => assert(row.getLong(0) == row.getLong(1)))
+    val bad = Seq(Seq(1L, 2L)).toDF("q")
+      .select(VectorFunctions.sqDistToLit(col("q"), cent)).collect()
+    assert(bad(0).isNullAt(0))
+  }
+
+  test("quantizeFloor kernel matches the transform HOF (floats and negatives)") {
+    def hofQ(a: org.apache.spark.sql.Column, scale: Int) =
+      transform(a, x => floor(x.cast("double") * scale).cast("long"))
+    val df = Seq(Seq(0.5f, -0.5f, -0.3f, 1.25f, 0.0f)).toDF("v")
+    val r = df.select(
+      VectorFunctions.quantizeFloor(col("v"), 1 << 20).as("fast"),
+      hofQ(col("v"), 1 << 20).as("hof")).collect()
+    assert(r(0).getSeq[Long](0) == r(0).getSeq[Long](1))
+  }
+
   test("lshSignature matches the per-bit HOF composition") {
     val planes = VectorFunctions.seededPlanes(12, 8, 42L)
     def hofSig(v: org.apache.spark.sql.Column) =

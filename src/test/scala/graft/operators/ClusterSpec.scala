@@ -72,6 +72,27 @@ class ClusterSpec extends SparkSpec {
     assert(kept == Seq(0L, 1L, 2L))
   }
 
+  test("fitCentroids + assignStored reproduces kmeansQuantized exactly") {
+    val df = emb(
+      0L -> Seq(0.0f, 0.0f), 1L -> Seq(10.0f, 10.0f),
+      2L -> Seq(0.1f, 0.1f), 3L -> Seq(9.9f, 10.1f), 4L -> Seq(0.2f, 0.0f))
+    val direct = Cluster.kmeansQuantized(df, "vec_id", "embedding", k = 2, iters = 3)
+      .select("vec_id", "cid", "dist").as[(Long, Long, Long)].collect().toSet
+    val model = Cluster.fitCentroids(df, "vec_id", "embedding", k = 2, iters = 3)
+    assert(model.count() == 2)
+    val stored = Cluster.assignStored(df, "vec_id", "embedding", model)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored == direct)
+  }
+
+  test("assignStored rejects non-contiguous centroid ids") {
+    val df = emb(0L -> Seq(1.0f, 1.0f))
+    val badModel = Seq((0L, Seq(1L, 1L)), (2L, Seq(5L, 5L))).toDF("cid", "q")
+    intercept[IllegalArgumentException] {
+      Cluster.assignStored(df, "vec_id", "embedding", badModel)
+    }
+  }
+
   test("semDeDup keeps dissimilar cluster-mates") {
     // same cluster, cosine ~0.707 < 0.9 → both survive
     val df = emb(0L -> Seq(1.0f, 0.0f), 1L -> Seq(1.0f, 1.0f))
