@@ -1538,6 +1538,16 @@ object Queries {
       Cluster.assignStored(emb, "vec_id", "embedding", s.read.parquet(root))
         .select(col("vec_id"), col("cid"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Combined semantic curation: ONE k-means feeding both the SemDeDup
+    // within-cluster drop and the outlier gate over the survivors — the
+    // single-pass form TrainingCorpus uses (stage 3b). Equals q101's drop
+    // then q102's gate restricted to the remaining members.
+    "q106_semantic_curate" -> ((s, dir) => {
+      graft.operators.Cluster.semanticCurate(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 4, iters = 3, tau = 0.45, dropFrac = 0.2)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1990,6 +2000,38 @@ object Queries {
         |  SELECT a.vec_id, a.cid,
         |    CAST(list_sum(list_transform(range(1, 65), i -> (a.q[i] - c.q[i]) * (a.q[i] - c.q[i]))) AS BIGINT) AS dist
         |  FROM a3 a JOIN c2 c USING (cid)
+        |),
+        |w AS (
+        |  SELECT vec_id, cid, dist,
+        |    cume_dist() OVER (PARTITION BY cid ORDER BY -dist ASC, vec_id ASC) AS cd
+        |  FROM dd
+        |)
+        |SELECT vec_id, cid, dist FROM w WHERE cd > 0.2 ORDER BY vec_id""".stripMargin),
+
+    // q106: q101's within-cluster drop, then q102's distance gate computed
+    // over the SURVIVORS only.
+    "q106_semantic_curate" -> (kmeansCtesSql(k = 4, iters = 3, dims = 64, scale = 1 << 20) +
+      """,
+        |nn AS (
+        |  SELECT vec_id, cid, q,
+        |    sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS DOUBLE)) AS nrm
+        |  FROM a3
+        |),
+        |drp AS (
+        |  SELECT DISTINCT b.vec_id AS id_b
+        |  FROM nn a JOIN nn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0
+        |    AND CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
+        |        / (a.nrm * b.nrm) >= 0.45
+        |),
+        |sv AS (
+        |  SELECT vec_id, cid, q FROM a3
+        |  WHERE vec_id NOT IN (SELECT id_b FROM drp)
+        |),
+        |dd AS (
+        |  SELECT s.vec_id, s.cid,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> (s.q[i] - c.q[i]) * (s.q[i] - c.q[i]))) AS BIGINT) AS dist
+        |  FROM sv s JOIN c2 c USING (cid)
         |),
         |w AS (
         |  SELECT vec_id, cid, dist,

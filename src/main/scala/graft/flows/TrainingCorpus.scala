@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Relational}
+import graft.operators.{Cluster, Dedup, Relational}
 
 /** End-to-end training-corpus build: the full document → training-sample
   * path, composed entirely from the engine's operators so each stage keeps
@@ -15,6 +15,12 @@ import graft.operators.{Dedup, Relational}
   *  2. exact dedup        — content-fingerprint keep-lowest-id
   *  3. near-dup dedup     — MinHash+LSH pairs → connected components →
   *                          keep each cluster's canonical (minimum-id) doc
+  *  3b. semantic curation — OPTIONAL (when an embeddings frame is given):
+  *                          one deterministic k-means shared by SemDeDup's
+  *                          within-cluster near-dup drop and the
+  *                          SSL-prototypes outlier gate — catches
+  *                          paraphrase-level duplicates the lexical
+  *                          MinHash stage can't see
   *  4. PII redaction      — chained codegen'd regex
   *  5. chunking           — fixed-size overlapping token windows
   *  6. sequence packing   — per-language context bins
@@ -36,7 +42,13 @@ object TrainingCorpus {
       overlap: Int = 64,
       binCapacity: Long = 2048L,
       trainPct: Int = 90,
-      valPct: Int = 5): DataFrame = {
+      valPct: Int = 5,
+      // (doc_id, embedding): semantic stage runs only when present
+      embeddings: Option[DataFrame] = None,
+      semClusters: Int = 16,
+      semIters: Int = 3,
+      semTau: Double = 0.9,
+      semPruneFrac: Double = 0.0): DataFrame = {
 
     val quality = docs
       .filter(TextFunctions.qualityScore(col("text")) >= minQuality)
@@ -54,7 +66,28 @@ object TrainingCorpus {
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .drop("cluster_id")
 
-    val redacted = canonical
+    // semantic curation over the lexical survivors only (embeddings of
+    // already-dropped docs must not influence clustering)
+    val curated = embeddings match {
+      case Some(emb) =>
+        val embKept = emb.join(canonical.select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        // k-means init needs k vectors; a small (or empty) embedded subset
+        // clamps k rather than failing the whole build
+        val k = math.min(semClusters.toLong, embKept.count()).toInt
+        val survivors =
+          if (k == 0) embKept.select(col("doc_id"), lit(0L).as("cid"))
+          else Cluster.semanticCurate(embKept, "doc_id", "embedding",
+            k, semIters, semTau, semPruneFrac)
+        // drop only docs the semantic stage JUDGED and rejected — a doc
+        // with no embedding row passes through (absence of evidence)
+        val rejected = embKept.select(col("doc_id"))
+          .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        canonical.join(rejected, Seq("doc_id"), "left_anti")
+      case None => canonical
+    }
+
+    val redacted = curated
       .withColumn("clean_text", TextFunctions.redactPii(col("text")))
 
     val chunks = redacted

@@ -188,7 +188,20 @@ object Cluster {
     * Norms are computed once per row, not per pair.
     */
   def semDeDup(df: DataFrame, idCol: String, embCol: String,
-      k: Int, iters: Int, tau: Double, scale: Int = QuantScale): DataFrame = {
+      k: Int, iters: Int, tau: Double, scale: Int = QuantScale): DataFrame =
+    semanticCurate(df, idCol, embCol, k, iters, tau, dropFrac = 0.0, scale)
+      .select(col(idCol), col("cid"))
+
+  /** The combined semantic curation pass — ONE k-means, then SemDeDup's
+    * within-cluster near-dup drop, then the SSL-prototypes outlier gate
+    * over the SURVIVORS (cume_dist per cluster on the exact integer
+    * distance). Running the stages through one shared assignment halves
+    * the corpus scans versus chaining [[semDeDup]] + [[semanticPrune]].
+    * Returns surviving (idCol, cid, dist).
+    */
+  def semanticCurate(df: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int, tau: Double, dropFrac: Double,
+      scale: Int = QuantScale): DataFrame = {
     // already materialized, so the three reads below (two join sides + the
     // survivor base) re-serve its blocks instead of re-running k-means
     val assigned = kmeansQuantized(df, idCol, embCol, k, iters, scale)
@@ -202,8 +215,12 @@ object Cluster {
       .filter(graft.functions.VectorFunctions.cosineOfQuantized(
         col("qa"), col("qb")) >= tau)
       .select(col("id_b")).distinct()
-    assigned.select(col(idCol), col("cid"))
+    val deduped = assigned.select(col(idCol), col("cid"), col("dist"))
       .join(dropped, col(idCol) === col("id_b"), "left_anti")
+    if (dropFrac > 0)
+      Corpus.qualityGate(deduped, idCol, "cid", -col("dist"), dropFrac)
+        .select(col(idCol), col("cid"), col("dist"))
+    else deduped
   }
 
   /** Semantic outlier pruning (the SSL-prototypes companion to SemDeDup:

@@ -33,4 +33,42 @@ class TrainingCorpusSpec extends SparkSpec {
     assert(splits("train") > splits("val") && splits("train") > splits("test"))
     corpus.unpersist()
   }
+
+  test("semantic stage drops embedding near-dups; docs without embeddings pass through") {
+    import spark.implicits._
+    // three docs pass the lexical stages (distinct text); docs 1 and 2
+    // carry near-identical embeddings → the semantic stage drops doc 2;
+    // doc 3 has NO embedding row and must survive untouched
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river", "en"),
+      (2L, "a completely different sentence with its own novel words here", "en"),
+      (3L, "yet another unrelated document about trains and the weather", "en"))
+      .toDF("doc_id", "text", "lang")
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.001f, 0.0f, 0.0f)))
+      .toDF("doc_id", "embedding")
+
+    val corpus = TrainingCorpus.build(docs,
+      minQuality = 0.0, jaccardThreshold = 0.8,
+      chunkTokens = 64, overlap = 8, binCapacity = 256L,
+      embeddings = Some(emb), semClusters = 1, semIters = 2, semTau = 0.9)
+    val kept = corpus.select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+
+    // asking for more clusters than embedded docs clamps k instead of
+    // failing; with every point its own centroid nothing can drop
+    val clamped = TrainingCorpus.build(docs,
+      minQuality = 0.0, jaccardThreshold = 0.8,
+      chunkTokens = 64, overlap = 8, binCapacity = 256L,
+      embeddings = Some(emb), semClusters = 16, semIters = 2, semTau = 0.9)
+    assert(clamped.select("doc_id").distinct().count() == 3)
+
+    // without embeddings the same build keeps all three
+    val plain = TrainingCorpus.build(docs,
+      minQuality = 0.0, jaccardThreshold = 0.8,
+      chunkTokens = 64, overlap = 8, binCapacity = 256L)
+    assert(plain.select("doc_id").distinct().count() == 3)
+  }
 }

@@ -93,6 +93,20 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("semanticCurate = dedup drop, then outlier gate over the survivors") {
+    // cluster of four around (1,0): id 1 duplicates id 0 (cos ≈ 1 → the
+    // dedup stage drops it), then the gate drops the farthest 34% of the
+    // THREE survivors (cume_dist 1/3, 2/3, 1 → exactly one drop) — the
+    // outlier id 3, farthest from the 4-point centroid — keeping 0 and 2
+    val df = emb(
+      0L -> Seq(1.0f, 0.0f), 1L -> Seq(1.0f, 0.001f),
+      2L -> Seq(0.95f, 0.31f), 3L -> Seq(0.8f, 0.35f))
+    val kept = Cluster.semanticCurate(df, "vec_id", "embedding",
+        k = 1, iters = 2, tau = 0.999, dropFrac = 0.34)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 2L))
+  }
+
   test("semDeDup keeps dissimilar cluster-mates") {
     // same cluster, cosine ~0.707 < 0.9 → both survive
     val df = emb(0L -> Seq(1.0f, 0.0f), 1L -> Seq(1.0f, 1.0f))
