@@ -1504,9 +1504,14 @@ object Queries {
     // Leakage-safe split: the split key is the near-dup CLUSTER id, so a
     // document and its near-duplicates always land in the same split —
     // the per-doc q60 split would leak train text into eval through dups.
+    // Pairs come from the STORED signature index (DedupIndex, built once
+    // per corpus — q93 proves pairs-from-index ≡ the full pipeline), the
+    // production shape: downstream policies read slim stored pair rows
+    // instead of re-shingling the corpus.
     "q103_leakage_safe_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minHashCandidatePairsPortable(docs, "doc_id", "text")
+      val pairs = graft.flows.DedupIndex
+        .ensure(s, dir, "documents", "doc_id", "text").pairs
         .filter(col("jaccard") >= 0.5)
       Corpus.leakageSafeSplit(docs, "doc_id",
           Dedup.duplicateClusters(pairs), trainPct = 90, valPct = 5)
@@ -1515,10 +1520,12 @@ object Queries {
 
     // Cross-source duplication matrix: near-dup pair counts per unordered
     // source pair — the data-card cell that exposes mirrored scrapes
-    // before mixture weights double-count them.
+    // before mixture weights double-count them. Same stored-index read as
+    // q103: one shingle pass per corpus, ever.
     "q104_dup_source_matrix" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minHashCandidatePairsPortable(docs, "doc_id", "text")
+      val pairs = graft.flows.DedupIndex
+        .ensure(s, dir, "documents", "doc_id", "text").pairs
         .filter(col("jaccard") >= 0.5)
       Corpus.dupSourceMatrix(pairs, docs, "doc_id", "source")
         .orderBy(col("src_lo"), col("src_hi"))
