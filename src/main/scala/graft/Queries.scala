@@ -1555,6 +1555,15 @@ object Queries {
       graft.operators.Cluster.semanticCurate(t(s, dir, "embeddings"),
           "vec_id", "embedding", k = 4, iters = 3, tau = 0.45, dropFrac = 0.2)
         .orderBy(col("vec_id"))
+    }),
+
+    // Boilerplate removal — the action to q96's report: drop every token
+    // covered by a ≥3-doc-recurring 6-token window, keep the rest. Window
+    // hashes and positions travel as longs/ints; the splice is row-local.
+    "q107_strip_boilerplate" -> ((s, dir) => {
+      Dedup.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text",
+          n = 6, minDocs = 3)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2046,6 +2055,45 @@ object Queries {
         |  FROM dd
         |)
         |SELECT vec_id, cid, dist FROM w WHERE cd > 0.2 ORDER BY vec_id""".stripMargin),
+
+    // q107: q96's window/doc-frequency machinery with positions carried
+    // through (struct-unnest), then the per-doc mask union and the indexed
+    // token filter — 1-based here, 0-based in Spark, each self-consistent.
+    "q107_strip_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, toks,
+        |    list_transform(range(1, len(toks) - 4),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |           toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]) AS grams
+        |  FROM t
+        |), h0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(grams) + 1),
+        |    i -> {'i': i, 'gh': CAST(('0x' || substr(md5(grams[i]), 1, 15)) AS BIGINT)})) AS u
+        |  FROM g
+        |), h AS (
+        |  SELECT doc_id, u.i AS i, u.gh AS gh FROM h0
+        |), b AS (
+        |  SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd FROM h GROUP BY gh)
+        |  WHERE nd >= 3
+        |), w AS (
+        |  SELECT doc_id, list(i ORDER BY i) AS ws FROM h
+        |  WHERE gh IN (SELECT gh FROM b) GROUP BY doc_id
+        |), m AS (
+        |  SELECT g.doc_id, g.toks,
+        |    list_distinct(flatten(list_transform(COALESCE(w.ws, []), i -> range(i, i + 6)))) AS masked
+        |  FROM g LEFT JOIN w USING (doc_id)
+        |), k AS (
+        |  SELECT doc_id, toks,
+        |    list_filter(toks, (x, p) -> NOT list_contains(masked, p)) AS kept
+        |  FROM m
+        |)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+        |  COALESCE(array_to_string(kept, ' '), '') AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // q103: q50's connected-components replay, then the md5-bucket split
     // keyed on cluster_id (q60's CASE, cluster-id input).

@@ -642,6 +642,47 @@ object Dedup {
           .otherwise(lit(0.0)).as("boiler_ratio"))
   }
 
+  /** Boilerplate REMOVAL — the action to [[crossDocBoilerplate]]'s report:
+    * drop every token covered by a cross-document-recurring n-token window
+    * (site chrome, license blobs), keep the rest of the text intact.
+    *
+    * Same corpus aggregate as detection (windows as md5h60 longs,
+    * doc-frequency filter); the removal itself is row-local — per doc the
+    * boilerplate window STARTS come back as one small sorted array, expand
+    * to a masked-position set, and one indexed `filter` keeps the uncovered
+    * tokens. The (id, pos) shuffle rows are 12 bytes; nothing token-sized
+    * shuffles. Returns (idCol, n_tokens, n_kept, clean_text).
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "boilerplate means shared by at least 2 docs")
+    val toked = df.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    // projection fence: bind grams once per doc (see minHashCandidatePairs)
+    val based = toked.select(col("id"), col("toks"),
+      TextFunctions.wordNgramsFromTokens(col("toks"), n).as("grams"))
+    // 0-based window start + window hash
+    val gh = based.select(col("id"), posexplode(col("grams")).as(Seq("pos", "g")))
+      .select(col("id"), col("pos"), md5h60(col("g")).as("gh"))
+    val boiler = gh.select(col("gh"), col("id")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gh"))
+    val starts = gh.join(boiler, Seq("gh"), "left_semi")
+      .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("ws"))
+    val masked = array_distinct(flatten(transform(
+      coalesce(col("ws"), array().cast("array<int>")),
+      w => sequence(w, w + n - 1))))
+    based.join(starts, Seq("id"), "left_outer")
+      .withColumn("__m", masked)
+      .withColumn("__kept",
+        filter(col("toks"), (t, p) => !array_contains(col("__m"), p)))
+      .select(col("id").as(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("clean_text"))
+  }
+
   /** Test-set decontamination: drop every corpus document sharing ANY word
     * n-gram with the eval set — the standard guard against benchmark
     * leakage into training data. Grams travel as xxhash64 longs (8-byte

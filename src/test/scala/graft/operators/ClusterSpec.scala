@@ -107,6 +107,28 @@ class ClusterSpec extends SparkSpec {
     assert(kept == Seq(0L, 2L))
   }
 
+  test("assignStored runs unchanged on a STREAM (stateless map-only plan)") {
+    // the fit/assign split's payoff: the assignment is a pure projection,
+    // so the same operator classifies a live embedding stream against the
+    // frozen stored model — no state store, no watermark needed
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batch = emb(0L -> Seq(0.0f, 0.0f), 1L -> Seq(10.0f, 10.0f))
+    val model = Cluster.fitCentroids(batch, "vec_id", "embedding", k = 2, iters = 1)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Cluster.assignStored(input.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", model)
+      .writeStream.format("memory").queryName("stream_assign")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, Seq(0.3f, 0.1f)), (11L, Seq(9.0f, 9.5f)))
+      q.processAllAvailable()
+      val got = spark.table("stream_assign")
+        .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+      assert(got == Map(10L -> 0L, 11L -> 1L))
+    } finally q.stop()
+  }
+
   test("semDeDup keeps dissimilar cluster-mates") {
     // same cluster, cosine ~0.707 < 0.9 → both survive
     val df = emb(0L -> Seq(1.0f, 0.0f), 1L -> Seq(1.0f, 1.0f))

@@ -159,6 +159,30 @@ class DedupSpec extends SparkSpec {
     assert(byId(5L) == ((5L, 0L, 0L, 0.0)))
   }
 
+  test("stripBoilerplate removes only the covered tokens, keeps the rest verbatim") {
+    val template = "copyright acme corp all rights reserved"  // 6 tokens
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta $template"),
+      (2L, s"one two three four five six seven $template"),
+      (3L, s"red orange yellow green blue indigo violet $template"),
+      (4L, "spam spam spam spam spam spam spam spam spam spam spam"),
+      (5L, "tiny")
+    ).toDF("doc_id", "text")
+    val r = Dedup.stripBoilerplate(corpus, "doc_id", "text", n = 6, minDocs = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getString(3))).sortBy(_._1).toSeq
+    val byId = r.map(x => x._1 -> x).toMap
+    // the exact template window recurs in docs 1-3 → its 6 tokens go; the
+    // unique prefixes (7 tokens) survive untouched
+    assert(byId(1L) == ((1L, 13L, 7L, "alpha beta gamma delta epsilon zeta eta")))
+    assert(byId(2L) == ((2L, 13L, 7L, "one two three four five six seven")))
+    assert(byId(3L) == ((3L, 13L, 7L, "red orange yellow green blue indigo violet")))
+    // within-doc repetition is NOT cross-doc boilerplate → untouched
+    assert(byId(4L)._3 == 11L)
+    // short doc: no windows, passes through whole
+    assert(byId(5L) == ((5L, 1L, 1L, "tiny")))
+  }
+
   test("exactDedup keeps the lowest id per normalized content") {
     val df = Seq((3L, "Hello,  World"), (1L, "hello world"), (2L, "unrelated"))
       .toDF("id", "text")
