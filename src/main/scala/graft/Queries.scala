@@ -1564,6 +1564,21 @@ object Queries {
       Dedup.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text",
           n = 6, minDocs = 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // Incremental SemDeDup: the model is fit on the historical corpus
+    // (vec_id % 5 <> 0), the arriving batch (vec_id % 5 = 0) is assigned
+    // by one map-only scan and compared only to co-clustered corpus
+    // members and lower-id co-clustered batch mates — per-batch cost is
+    // corpus-size-independent given stored assignments (the semantic
+    // analog of q81's incremental MinHash).
+    "q108_incremental_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Cluster.incrementalSemDeDup(
+          emb.filter(col("vec_id") % 5 =!= 0),
+          emb.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", k = 4, iters = 3, tau = 0.45)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1595,28 +1610,27 @@ object Queries {
     * previous centroid). Every intermediate is exact integer math (sums
     * < 2^53), so DuckDB replays the Spark run bit-for-bit.
     */
-  private def kmeansCtesSql(k: Int, iters: Int, dims: Int, scale: Int): String = {
+  private def kmeansCtesSql(k: Int, iters: Int, dims: Int, scale: Int,
+      fitWhere: String = ""): String = {
+    val fitSrc = if (fitWhere.isEmpty) "e" else "ef"
     val sb = new StringBuilder
     sb.append(
       s"""e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS q
          |  FROM embeddings
-         |),
+         |)""".stripMargin)
+    if (fitWhere.nonEmpty)
+      sb.append(s",\nef AS (SELECT * FROM e WHERE $fitWhere)")
+    sb.append(
+      s""",
          |c0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q
-         |  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT $k)
+         |  FROM (SELECT vec_id, q FROM $fitSrc ORDER BY vec_id LIMIT $k)
          |)""".stripMargin)
     for (it <- 1 to iters) {
       sb.append(
         s""",
-           |a$it AS (
-           |  SELECT vec_id, q, cid FROM (
-           |    SELECT e.vec_id, e.q, c.cid,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        list_sum(list_transform(range(1, ${dims + 1}), i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))) ASC,
-           |        c.cid ASC) AS rn
-           |    FROM e CROSS JOIN c${it - 1} c) WHERE rn = 1
-           |)""".stripMargin)
+           |a$it AS (${assignCteSql(fitSrc, s"c${it - 1}", dims)})""".stripMargin)
       if (it < iters) {
         sb.append(
           s""",
@@ -1631,6 +1645,20 @@ object Queries {
     }
     "WITH " + sb.toString
   }
+
+  /** One nearest-centroid assignment of `src` rows against centroid CTE
+    * `cents` — the argmin-with-lowest-cid-tie-break shape shared by the
+    * fit iterations and q108's final full-corpus assignment.
+    */
+  private def assignCteSql(src: String, cents: String, dims: Int): String =
+    s"""
+       |  SELECT vec_id, q, cid FROM (
+       |    SELECT s.vec_id, s.q, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, ${dims + 1}), i -> (s.q[i] - c.q[i]) * (s.q[i] - c.q[i]))) ASC,
+       |        c.cid ASC) AS rn
+       |    FROM $src s CROSS JOIN $cents c) WHERE rn = 1
+       |""".stripMargin
 
   /** q33's oracle: replays the PORTABLE MinHash+LSH pipeline —
     * normalize→tokenize→shingle→md5-derived 60-bit hashes→k min-remixes→
@@ -2055,6 +2083,34 @@ object Queries {
         |  FROM dd
         |)
         |SELECT vec_id, cid, dist FROM w WHERE cd > 0.2 ORDER BY vec_id""".stripMargin),
+
+    // q108: fit on the corpus subset (ef), assign EVERYTHING against the
+    // final centroids (af — the assignStored replay), then the
+    // corpus-or-lower-batch-id neighbor drop rule.
+    "q108_incremental_semdedup" -> (kmeansCtesSql(k = 4, iters = 3, dims = 64,
+        scale = 1 << 20, fitWhere = "vec_id % 5 <> 0") +
+      s""",
+         |af AS (${assignCteSql("e", "c2", 64)}),
+         |nn AS (
+         |  SELECT vec_id, cid, q,
+         |    sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS DOUBLE)) AS nrm
+         |  FROM af
+         |),
+         |ba AS (SELECT * FROM nn WHERE vec_id % 5 = 0),
+         |nb AS (
+         |  SELECT vec_id, cid, q, nrm, TRUE AS is_corpus FROM nn WHERE vec_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT vec_id, cid, q, nrm, FALSE AS is_corpus FROM ba
+         |),
+         |drp AS (
+         |  SELECT DISTINCT b.vec_id AS id_b
+         |  FROM nb a JOIN ba b ON a.cid = b.cid AND (a.is_corpus OR a.vec_id < b.vec_id)
+         |  WHERE a.nrm > 0 AND b.nrm > 0
+         |    AND CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
+         |        / (a.nrm * b.nrm) >= 0.45
+         |)
+         |SELECT vec_id, cid FROM ba WHERE vec_id NOT IN (SELECT id_b FROM drp)
+         |ORDER BY vec_id""".stripMargin),
 
     // q107: q96's window/doc-frequency machinery with positions carried
     // through (struct-unnest), then the per-doc mask union and the indexed

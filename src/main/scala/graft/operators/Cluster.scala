@@ -161,7 +161,9 @@ object Cluster {
     * [[fitCentroids]]): the model collects to k·dims literals (a bounded
     * model read, same shape as a broadcast) and the assignment is ONE
     * stateless map-only scan — no iterations, no shuffle. Returns
-    * (idCol, cid, dist).
+    * (idCol, q, cid, dist) — same shape as [[kmeansQuantized]], so every
+    * downstream consumer ([[semDeDup]]-style pair math, [[semanticPrune]]
+    * gates, [[incrementalSemDeDup]]) reads either interchangeably.
     */
   def assignStored(df: DataFrame, idCol: String, embCol: String,
       centroidsDf: DataFrame, scale: Int = QuantScale): DataFrame = {
@@ -173,7 +175,7 @@ object Cluster {
     val centroids = rows.map(_.getSeq[Long](1).toArray)
     df.select(col(idCol), quantizeFloor(col(embCol), scale).as("q"))
       .withColumn("__a", assignStruct(col("q"), centroids))
-      .select(col(idCol),
+      .select(col(idCol), col("q"),
         col("__a").getField("cid").as("cid"),
         col("__a").getField("d").as("dist"))
   }
@@ -221,6 +223,43 @@ object Cluster {
       Corpus.qualityGate(deduped, idCol, "cid", -col("dist"), dropFrac)
         .select(col(idCol), col("cid"), col("dist"))
     else deduped
+  }
+
+  /** Incremental SemDeDup — the production arrival path (the semantic
+    * analog of `Dedup.minHashIncrementalPairsPortable`): the cluster model
+    * is FIT ONCE on the historical corpus, and each arriving batch is
+    * (a) assigned by [[assignStored]]'s map-only scan and (b) compared
+    * ONLY against co-clustered corpus members and lower-id co-clustered
+    * batch mates. A batch doc with any such neighbor at cosine ≥ `tau` is
+    * dropped. Per-batch cost: one scan of the batch + a cluster-bounded
+    * equi-join — corpus-size-independent given stored corpus assignments
+    * (recomputed here from the model; at scale they are a lake table
+    * written once, exactly like the stored MinHash index).
+    * Returns surviving batch (idCol, cid).
+    */
+  def incrementalSemDeDup(corpus: DataFrame, batch: DataFrame,
+      idCol: String, embCol: String, k: Int, iters: Int, tau: Double,
+      scale: Int = QuantScale): DataFrame = {
+    val model = fitCentroids(corpus, idCol, embCol, k, iters, scale)
+    val corpusA = assignStored(corpus, idCol, embCol, model, scale)
+    val batchA = assignStored(batch, idCol, embCol, model, scale)
+    // neighbor side: every corpus member, plus batch members (the id_a <
+    // id_b filter below makes the batch-internal rule keep-lowest-id;
+    // corpus neighbors drop a batch doc regardless of id order)
+    val neighbors = corpusA
+      .select(col(idCol).as("id_a"), col("q").as("qa"), col("cid"),
+        lit(true).as("is_corpus"))
+      .unionByName(batchA.select(col(idCol).as("id_a"), col("q").as("qa"),
+        col("cid"), lit(false).as("is_corpus")))
+    val dropped = neighbors.join(
+        batchA.select(col(idCol).as("id_b"), col("q").as("qb"), col("cid")),
+        Seq("cid"))
+      .filter(col("is_corpus") || col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorFunctions.cosineOfQuantized(
+        col("qa"), col("qb")) >= tau)
+      .select(col("id_b")).distinct()
+    batchA.select(col(idCol), col("cid"))
+      .join(dropped, col(idCol) === col("id_b"), "left_anti")
   }
 
   /** Semantic outlier pruning (the SSL-prototypes companion to SemDeDup:

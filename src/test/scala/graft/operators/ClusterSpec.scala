@@ -81,7 +81,7 @@ class ClusterSpec extends SparkSpec {
     val model = Cluster.fitCentroids(df, "vec_id", "embedding", k = 2, iters = 3)
     assert(model.count() == 2)
     val stored = Cluster.assignStored(df, "vec_id", "embedding", model)
-      .as[(Long, Long, Long)].collect().toSet
+      .select("vec_id", "cid", "dist").as[(Long, Long, Long)].collect().toSet
     assert(stored == direct)
   }
 
@@ -127,6 +127,22 @@ class ClusterSpec extends SparkSpec {
         .select("vec_id", "cid").as[(Long, Long)].collect().toMap
       assert(got == Map(10L -> 0L, 11L -> 1L))
     } finally q.stop()
+  }
+
+  test("incrementalSemDeDup: batch docs drop vs corpus OR lower-id batch mates only") {
+    // corpus defines two clusters; batch brings: a near-dup of a corpus
+    // doc (dropped), two near-dups of each other (higher id dropped,
+    // lower survives — no corpus neighbor), and a genuinely new doc
+    val corpus = emb(0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.0f, 1.0f))
+    val batch = emb(
+      10L -> Seq(1.0f, 0.001f),   // ≈ corpus 0 → dropped
+      11L -> Seq(0.0f, -1.0f),    // new direction → survives
+      12L -> Seq(-1.0f, 0.004f),  // ≈ 13 but no corpus match → survives
+      13L -> Seq(-1.0f, 0.005f))  // ≈ 12, higher id → dropped
+    val kept = Cluster.incrementalSemDeDup(corpus, batch, "vec_id", "embedding",
+        k = 2, iters = 2, tau = 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L, 12L))
   }
 
   test("semDeDup keeps dissimilar cluster-mates") {
