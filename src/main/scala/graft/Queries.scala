@@ -1579,6 +1579,50 @@ object Queries {
           emb.filter(col("vec_id") % 5 === 0),
           "vec_id", "embedding", k = 4, iters = 3, tau = 0.45)
         .orderBy(col("vec_id"))
+    }),
+
+    // Token diversity: Simpson index 1 − Σc²/n² per doc — the
+    // repetitiveness signal entropy would give, but as a RATIONAL of exact
+    // integer sums (ln is only ulp-accurate and differs across libm
+    // implementations; the q54 odds-idf lesson). One explode + two
+    // map-side-combinable aggregates.
+    "q109_token_diversity" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      counts.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("c")).as("s2"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(when(col("n_tokens") > 0,
+            lit(1.0) - col("s2").cast("double") /
+              (col("n_tokens") * col("n_tokens")).cast("double"))
+            .otherwise(lit(0.0)), 6).as("simpson"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Soft dedup: instead of dropping near-duplicates, weight each doc by
+    // 1/|its dup cluster| so a family of n near-copies contributes one
+    // doc's worth of loss — the reweighting alternative when removal is
+    // too aggressive. Clusters from the stored signature index.
+    "q110_soft_dedup_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.flows.DedupIndex
+        .ensure(s, dir, "documents", "doc_id", "text").pairs
+        .filter(col("jaccard") >= 0.5)
+      val clusters = Dedup.duplicateClusters(pairs)
+      val withCluster = docs.select(col("doc_id"))
+        .join(clusters, docs("doc_id") === clusters("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val sizes = withCluster.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cl_n"))
+      withCluster.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          round(lit(1.0) / col("cl_n").cast("double"), 6).as("weight"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2111,6 +2155,42 @@ object Queries {
          |)
          |SELECT vec_id, cid FROM ba WHERE vec_id NOT IN (SELECT id_b FROM drp)
          |ORDER BY vec_id""".stripMargin),
+
+    // q109: same explode + exact-integer sums; docs with no tokens vanish
+    // from BOTH engines' group-bys identically.
+    "q109_token_diversity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+        |)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        |  round(CASE WHEN sum(c) > 0
+        |    THEN 1.0 - CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS simpson
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q110: q50's components replay + cluster sizes + 1/n weights.
+    "q110_soft_dedup_weights" ->
+      s"""WITH RECURSIVE $minHashPairsCtes,
+         |fpairs AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+         |edges2 AS (
+         |  SELECT id_a AS src, id_b AS dst FROM fpairs
+         |  UNION SELECT id_b, id_a FROM fpairs
+         |), nodes AS (SELECT DISTINCT src AS nid FROM edges2),
+         |reach(nid, label) AS (
+         |  SELECT nid, nid FROM nodes
+         |  UNION
+         |  SELECT e.src, r.label FROM reach r JOIN edges2 e ON e.dst = r.nid
+         |), comp AS (SELECT nid, min(label) AS cluster_id FROM reach GROUP BY nid),
+         |cl AS (
+         |  SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON c.nid = d.doc_id
+         |), sz AS (SELECT cluster_id, count(*) AS cl_n FROM cl GROUP BY cluster_id)
+         |SELECT doc_id, cluster_id, round(1.0 / CAST(cl_n AS DOUBLE), 6) AS weight
+         |FROM cl JOIN sz USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // q107: q96's window/doc-frequency machinery with positions carried
     // through (struct-unnest), then the per-doc mask union and the indexed
