@@ -87,6 +87,48 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r(0).getSeq[Long](0) == r(0).getSeq[Long](1))
   }
 
+  test("quantized kernels match HOFs on 300 seeded-random vectors (bit parity)") {
+    val rnd = new scala.util.Random(20260813L)
+    def vec(dim: Int): Seq[Long] =
+      Seq.fill(dim)((rnd.nextDouble() * 4194304 - 2097152).toLong) // ±2^21
+    val rows = Seq.fill(300)((vec(64), vec(64))) ++
+      Seq((Seq.fill(64)(0L), vec(64)),              // zero norm
+          (Seq.fill(64)(2097152L), Seq.fill(64)(-2097152L))) // extremes
+    val df = rows.toDF("a", "b")
+    def hofCosQ(qa: org.apache.spark.sql.Column, qb: org.apache.spark.sql.Column) = {
+      val d = aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v).cast("double")
+      val na = sqrt(aggregate(qa, lit(0L), (acc, v) => acc + v * v).cast("double"))
+      val nb = sqrt(aggregate(qb, lit(0L), (acc, v) => acc + v * v).cast("double"))
+      when(na * nb > 0, d / (na * nb)).otherwise(lit(0.0))
+    }
+    val bad = df.select(
+      VectorFunctions.cosineOfQuantized(col("a"), col("b")).as("fast"),
+      hofCosQ(col("a"), col("b")).as("hof"))
+      .filter(col("fast") =!= col("hof") ||
+        col("fast").isNull =!= col("hof").isNull)
+    assert(bad.count() == 0)
+
+    val cent = vec(64)
+    def hofSq(q: org.apache.spark.sql.Column) =
+      aggregate(zip_with(q, array(cent.map(lit(_)): _*),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    val badSq = df.select(
+      VectorFunctions.sqDistToLit(col("a"), cent).as("fast"),
+      hofSq(col("a")).as("hof"))
+      .filter(col("fast") =!= col("hof"))
+    assert(badSq.count() == 0)
+
+    val fdf = Seq.fill(300)(Seq.fill(16)(
+      (rnd.nextFloat() - 0.5f) * 4)).toDF("v")
+    def hofQ(a: org.apache.spark.sql.Column) =
+      transform(a, x => floor(x.cast("double") * 1048576).cast("long"))
+    val badQ = fdf.select(
+      VectorFunctions.quantizeFloor(col("v"), 1 << 20).as("fast"),
+      hofQ(col("v")).as("hof"))
+      .filter(col("fast") =!= col("hof"))
+    assert(badQ.count() == 0)
+  }
+
   test("lshSignature matches the per-bit HOF composition") {
     val planes = VectorFunctions.seededPlanes(12, 8, 42L)
     def hofSig(v: org.apache.spark.sql.Column) =
