@@ -71,16 +71,6 @@ object Cluster {
     out
   }
 
-  /** Deterministic k-means over `embCol`: returns (idCol, q, cid, dist)
-    * where `q` is the quantized vector (kept so downstream within-cluster
-    * math — [[semDeDup]], [[semanticPrune]] — reuses it without re-reading
-    * floats) and `dist` the exact integer squared distance to the assigned
-    * centroid (the outlier signal). `iters`
-    * assignment/update rounds after the lowest-k-ids init; a cluster that
-    * goes empty keeps its previous centroid. The result comes back
-    * MATERIALIZED (localCheckpoint — one row per vector, dims longs wide)
-    * and the quantization cache is released before returning.
-    */
   /** The iteration loop on an already-quantized, persisted frame: lowest-k
     * init, `iters − 1` floor(sum/count) updates. Returns the FINAL
     * centroids (the model — k·dims longs of driver state).
@@ -117,6 +107,16 @@ object Cluster {
     centroids
   }
 
+  /** Deterministic k-means over `embCol`: returns (idCol, q, cid, dist)
+    * where `q` is the quantized vector (kept so downstream within-cluster
+    * math — [[semDeDup]], [[semanticPrune]] — reuses it without re-reading
+    * floats) and `dist` the exact integer squared distance to the assigned
+    * centroid (the outlier signal). `iters` assignment/update rounds after
+    * the lowest-k-ids init; a cluster that goes empty keeps its previous
+    * centroid. The result comes back MATERIALIZED (localCheckpoint — one
+    * row per vector, dims longs wide) and the quantization cache is
+    * released before returning.
+    */
   def kmeansQuantized(df: DataFrame, idCol: String, embCol: String,
       k: Int, iters: Int, scale: Int = QuantScale): DataFrame = {
     require(k > 0 && iters > 0, s"k and iters must be positive, got $k/$iters")
