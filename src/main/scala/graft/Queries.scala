@@ -1984,16 +1984,22 @@ object Queries {
         |FROM g LEFT JOIN c USING (doc_id) ORDER BY g.doc_id""".stripMargin,
 
     // q97: recompute the ppm rates from counts + target literals with the
-    // identical expression shape, then replay the md5 ppm-bucket picks.
+    // identical expression shape AND numeric type — every step CAST to
+    // DOUBLE, because Spark computes t and ppm in binary double while
+    // DuckDB would otherwise use exact DECIMAL for the 0.5/0.3/0.2
+    // literals, and a boundary ppm (e.g. 999999.999… vs 1000000) would
+    // floor differently.
     "q97_mixture_rebalance" ->
       """WITH tgt(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
         |cnt AS (
         |  SELECT source, count(*) AS n FROM documents
         |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
         |), tt AS (
-        |  SELECT min(n / w) AS t FROM cnt JOIN tgt USING (source)
+        |  SELECT min(CAST(n AS DOUBLE) / CAST(w AS DOUBLE)) AS t
+        |  FROM cnt JOIN tgt USING (source)
         |), rate AS (
-        |  SELECT source, CAST(floor(1000000.0 * w * t / n) AS BIGINT) AS ppm
+        |  SELECT source,
+        |    CAST(floor(CAST(1000000 AS DOUBLE) * CAST(w AS DOUBLE) * t / CAST(n AS DOUBLE)) AS BIGINT) AS ppm
         |  FROM cnt JOIN tgt USING (source) CROSS JOIN tt
         |)
         |SELECT doc_id, source FROM documents JOIN rate USING (source)

@@ -28,14 +28,36 @@ object DedupIndex {
     * indexes from an older build then miss and rebuild instead of being
     * read with wrong semantics.
     */
-  private val FormatVersion = 2
+  private val FormatVersion = 3
 
   private def defaultRoot: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_minhash_index"
 
-  private def key(corpusPath: String, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int, bands: Int): String = {
-    val spec = s"v$FormatVersion|$corpusPath|$idCol|$textCol|$shingleN|$numHashes|$bands"
+  /** Content stamp of the corpus location (total bytes, max modification
+    * time, file count — one bounded recursive listing, the same metadata a
+    * lake commit carries): folded into the index key so a corpus REWRITTEN
+    * IN PLACE misses the old key and rebuilds, instead of silently serving
+    * pairs computed from the previous data.
+    */
+  private def corpusStamp(spark: SparkSession, corpusPath: String): String = {
+    val p = new Path(corpusPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val it = fs.listFiles(p, true)
+      var len = 0L; var mt = 0L; var n = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        len += st.getLen; mt = math.max(mt, st.getModificationTime); n += 1
+      }
+      s"$len|$mt|$n"
+    }
+  }
+
+  private def key(spark: SparkSession, corpusPath: String, idCol: String,
+      textCol: String, shingleN: Int, numHashes: Int, bands: Int): String = {
+    val spec = s"v$FormatVersion|$corpusPath|${corpusStamp(spark, corpusPath)}|" +
+      s"$idCol|$textCol|$shingleN|$numHashes|$bands"
     java.security.MessageDigest.getInstance("MD5")
       .digest(spec.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
@@ -47,7 +69,7 @@ object DedupIndex {
   def build(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, corpusPath: String, root: String = defaultRoot,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): String = {
-    val k = key(corpusPath, idCol, textCol, shingleN, numHashes, bands)
+    val k = key(spark, corpusPath, idCol, textCol, shingleN, numHashes, bands)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val finalDir = new Path(s"$root/$k")
     val staging = new Path(s"$root/.staging-$k")
@@ -90,7 +112,7 @@ object DedupIndex {
       shingleN: Int = 3, numHashes: Int = 16,
       bands: Int = 4): Index = synchronized {
     val corpusPath = s"$sfDir/$table.parquet"
-    val k = key(corpusPath, idCol, textCol, shingleN, numHashes, bands)
+    val k = key(spark, corpusPath, idCol, textCol, shingleN, numHashes, bands)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(s"$root/$k/_COMPLETE")
     if (!fs.exists(marker))

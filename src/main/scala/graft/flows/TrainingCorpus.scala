@@ -70,7 +70,12 @@ object TrainingCorpus {
     // already-dropped docs must not influence clustering)
     val curated = embeddings match {
       case Some(emb) =>
-        val embKept = emb.join(canonical.select(col("doc_id")),
+        // the lexical pipeline (quality filter → exact dedup → cluster
+        // join) is referenced four times below (clamp count, kmeans input,
+        // rejected anti-join, final filter) — materialize it ONCE; at lake
+        // scale this is the intermediate table the flow would land anyway
+        val canon = canonical.localCheckpoint()
+        val embKept = emb.join(canon.select(col("doc_id")),
           Seq("doc_id"), "left_semi")
         // k-means init needs k vectors; a small (or empty) embedded subset
         // clamps k rather than failing the whole build
@@ -83,7 +88,7 @@ object TrainingCorpus {
         // with no embedding row passes through (absence of evidence)
         val rejected = embKept.select(col("doc_id"))
           .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        canonical.join(rejected, Seq("doc_id"), "left_anti")
+        canon.join(rejected, Seq("doc_id"), "left_anti")
       case None => canonical
     }
 

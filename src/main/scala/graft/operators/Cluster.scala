@@ -61,15 +61,12 @@ object Cluster {
   private def assignExpr(q: Column, centroids: Array[Array[Long]]): Column =
     assignStruct(q, centroids).getField("cid")
 
-  /** One-shot cache lifecycle (same contract as Dedup.materializeAndRelease):
+  /** One-shot cache lifecycle — shared with [[Dedup.materializeAndRelease]]:
     * materialize the bounded result eagerly, then release the fat
     * intermediate so a long bench session never accumulates index caches.
     */
-  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint()
-    cached.foreach(_.unpersist(blocking = false))
-    out
-  }
+  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame =
+    Dedup.materializeAndRelease(result, cached: _*)
 
   /** The iteration loop on an already-quantized, persisted frame: lowest-k
     * init, `iters − 1` floor(sum/count) updates. Returns the FINAL

@@ -64,6 +64,7 @@ object Corpus {
       score: Column, dropFrac: Double): DataFrame = {
     require(dropFrac >= 0 && dropFrac < 1,
       s"dropFrac must be in [0,1), got $dropFrac")
+    Relational.requireFreshColumns(df, Seq("__cd"), "qualityGate")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(score.asc, col(idCol).asc)
     df.withColumn("__cd", cume_dist().over(w))

@@ -32,7 +32,7 @@ object Dedup {
     * whole shingle pipeline (observed: a 1.4 s clustering query ballooning
     * to 4.4 s by the time a 92-query bench session reached it).
     */
-  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
+  private[operators] def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
     val out = result.localCheckpoint()
     cached.foreach(_.unpersist(blocking = false))
     out

@@ -176,7 +176,7 @@ object Relational {
   /** Reject inputs that already carry a column this operator is about to
     * write — silent `withColumn` overwrite corrupts user data; fail loud.
     */
-  private def requireFreshColumns(df: DataFrame, reserved: Seq[String], op: String): Unit = {
+  private[operators] def requireFreshColumns(df: DataFrame, reserved: Seq[String], op: String): Unit = {
     val clash = df.columns.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
     require(clash.isEmpty,
       s"$op writes output column(s) ${reserved.mkString(", ")} but the input " +

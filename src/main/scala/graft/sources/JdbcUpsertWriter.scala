@@ -210,9 +210,23 @@ object JdbcUpsertWriter {
                 upd.addBatch()
               }
               // per-row update counts decide which rows INSERT — this is
-              // why the two-statement shape needs no engine-specific SQL
+              // why the two-statement shape needs no engine-specific SQL.
+              // Some drivers batch-return Statement.SUCCESS_NO_INFO (-2)
+              // instead of real counts (Oracle always; MySQL with
+              // rewriteBatchedStatements) — treating that as "updated"
+              // would silently drop every new row, so those rows re-run
+              // their UPDATE individually (executeUpdate always returns a
+              // real count; the duplicate update is value-idempotent).
               val counts = upd.executeBatch()
-              buffer.indices.filter(counts(_) == 0).foreach { bi =>
+              buffer.indices.filter { bi =>
+                val c = counts(bi)
+                if (c >= 0) c == 0
+                else {
+                  (nonKeyIdx ++ keyIdx).zipWithIndex.foreach { case (src, i) =>
+                    upd.setObject(i + 1, buffer(bi)(src)) }
+                  upd.executeUpdate() == 0
+                }
+              }.foreach { bi =>
                 buffer(bi).zipWithIndex.foreach { case (v, i) =>
                   ins.setObject(i + 1, v) }
                 ins.addBatch()

@@ -31,38 +31,46 @@ object ZipCsv {
     * (table name → extracted file path) in entry order. Entry paths are
     * FLATTENED to their base name (also forecloses zip-slip traversal —
     * an entry named `../../x.csv` lands as `x.csv` inside `destDir`).
+    * Table names are made UNIQUE here, collision-aware (`a`, `a_2`, …, and
+    * a clash with a naturally-occurring `a_2` keeps probing to `a_2_2`),
+    * and each entry extracts to `<table>.csv` — two entries in different
+    * zip directories with the same base name (layerA/points.csv,
+    * layerB/points.csv) land as distinct files instead of silently
+    * overwriting each other.
     */
   def extractCsvEntries(zipPath: String, destDir: String): Seq[(String, String)] = {
     val zf = new java.util.zip.ZipFile(zipPath)
     try {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(destDir))
+      val taken = scala.collection.mutable.Set.empty[String]
       zf.entries().asScala.toSeq
         .filter(e => !e.isDirectory && e.getName.toLowerCase.endsWith(".csv"))
         .map { e =>
           val base = new java.io.File(e.getName).getName
-          val out = new java.io.File(destDir, base)
+          val sanitized = sanitizeTableName(base.replaceAll("(?i)\\.csv$", ""))
+          var table = sanitized
+          var n = 1
+          while (!taken.add(table)) { n += 1; table = s"${sanitized}_$n" }
+          val out = new java.io.File(destDir, s"$table.csv")
           val in = zf.getInputStream(e)
           try java.nio.file.Files.copy(in, out.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           finally in.close()
-          sanitizeTableName(base) -> out.getAbsolutePath
+          table -> out.getAbsolutePath
         }
     } finally zf.close()
   }
 
   /** Read every CSV layer of an exported-GDB zip as a string-typed,
-    * column-conformed DataFrame (the reference's landing shape). Duplicate
-    * table names after sanitization get `_2`, `_3`, … suffixes — silent
+    * column-conformed DataFrame (the reference's landing shape). Table
+    * names come back already-unique from [[extractCsvEntries]] — silent
     * overwrites of a layer would be data loss.
     */
   def readAll(spark: SparkSession, zipPath: String,
       destDir: String): Seq[(String, DataFrame)] = {
-    val seen = scala.collection.mutable.Map.empty[String, Int]
     extractCsvEntries(zipPath, destDir).map { case (table, path) =>
-      val n = seen.updateWith(table)(c => Some(c.getOrElse(0) + 1)).get
-      val unique = if (n == 1) table else s"${table}_$n"
-      unique -> graft.functions.SchemaConform.conform(
+      table -> graft.functions.SchemaConform.conform(
         CsvReader.read(spark, path))
     }
   }

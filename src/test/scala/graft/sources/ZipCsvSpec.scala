@@ -57,6 +57,31 @@ class ZipCsvSpec extends SparkSpec {
     assert(tables.map(_._1).sorted == Seq("a_b", "a_b_2"))
   }
 
+  test("same base name in different zip directories extracts to distinct files") {
+    // layerA/points.csv and layerB/points.csv must NOT overwrite each other
+    // on disk after basename flattening
+    val zip = makeZip(
+      "layerA/points.csv" -> "x\nA\n",
+      "layerB/points.csv" -> "x\nB\n")
+    val dest = java.nio.file.Files.createTempDirectory("gdb-flatten").toString
+    val tables = ZipCsv.readAll(spark, zip, dest).toMap
+    assert(tables.keySet == Set("points", "points_2"))
+    import spark.implicits._
+    assert(tables("points").as[String].collect().toSeq == Seq("A"))
+    assert(tables("points_2").as[String].collect().toSeq == Seq("B"))
+  }
+
+  test("suffixing is collision-aware against a naturally-occurring _2 name") {
+    val zip = makeZip(
+      "d1/a.csv" -> "x\n1\n",
+      "d2/a.csv" -> "x\n2\n",
+      "a_2.csv" -> "x\n3\n")
+    val dest = java.nio.file.Files.createTempDirectory("gdb-nat2").toString
+    val names = ZipCsv.readAll(spark, zip, dest).map(_._1)
+    // second 'a' takes a_2; the real a_2 then probes to a_2_2 — all distinct
+    assert(names == Seq("a", "a_2", "a_2_2"))
+  }
+
   test("zip-slip entry names are flattened inside the dest dir") {
     val zip = makeZip("../../escape.csv" -> "x\n1\n")
     val dest = java.nio.file.Files.createTempDirectory("gdb-slip").toString
