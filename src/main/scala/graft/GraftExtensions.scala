@@ -58,6 +58,11 @@ object GraftExtensions {
     // AggregateExpression(Complete) on resolution
     reg("kmv_distinct", classOf[KmvDistinct], 2)(c =>
       KmvDistinct(c(0), litInt(c(1), "kmv_distinct k"))),
+    // the quantized-vector kernels (k-means / SemDeDup inner loops)
+    reg("cosine_q", classOf[graft.functions.CosineLongQuantized], 2)(c =>
+      graft.functions.CosineLongQuantized(c(0), c(1))),
+    reg("quantize_floor", classOf[graft.functions.QuantizeFloorLong], 2)(c =>
+      graft.functions.QuantizeFloorLong(c(0), litInt(c(1), "quantize_floor scale"))),
     reg("heavy_hitters", classOf[graft.functions.HeavyHitters], 2)(c =>
       graft.functions.HeavyHitters(c(0), litInt(c(1), "heavy_hitters k"))),
     // the portable 60-bit md5 hash (the cross-engine primitive every

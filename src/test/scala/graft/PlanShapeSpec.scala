@@ -58,6 +58,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q108 incremental SemDeDup pairs ride a hash equi-join on the cluster id") {
+    val plan = planOf(q("q108_incremental_semdedup"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q105 stored-model assignment is one map-only scan (no shuffle, no join)") {
     val df = q("q105_kmeans_assign_stored")
     // drop the final orderBy the driver compare needs; the assignment

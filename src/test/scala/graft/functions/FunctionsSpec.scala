@@ -220,6 +220,15 @@ class ExtensionsSpec extends graft.SparkSpec {
     assert(r.getSeq[Long](4).size == 4)
   }
 
+  test("quantized kernels are callable from plain SQL") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql("""
+      SELECT quantize_floor(array(CAST(0.5 AS FLOAT), CAST(-0.3 AS FLOAT)), 4) AS q,
+             cosine_q(array(3L, 4L), array(3L, 4L)) AS cq""").collect().head
+    assert(r.getSeq[Long](0) == Seq(2L, -2L))
+    assert(r.getDouble(1) == 1.0)
+  }
+
   test("md5h60 SQL function matches the Column-API portable hash") {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
