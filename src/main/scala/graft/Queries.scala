@@ -1096,28 +1096,21 @@ object Queries {
         .orderBy(col("o_orderpriority"))
     }),
 
-    // Incremental near-dup dedup: the 80% "historical" slice is indexed
-    // once (stored (id, hs) + (id, band, bucket) tables in production);
-    // the 20% "new batch" is shingled and joined against index ∪ itself —
-    // O(batch) work, independent of corpus size. Same bands ⇒ result ≡
-    // the full run's pairs restricted to pairs touching the new batch,
-    // which is exactly what the oracle computes.
+    // Incremental near-dup dedup, production shape: the 80% "historical"
+    // slice's (id, hs) + (id, band, bucket) tables are STORED lake tables
+    // (DedupIndex.ensure — built once per corpus, amortized across the
+    // session like q93/q103/q104); the 20% "new batch" is shingled and
+    // joined against stored-index ∪ itself — O(batch) work per arrival,
+    // independent of corpus size, and the corpus text is never re-shingled.
+    // Same bands ⇒ result ≡ the full run's pairs restricted to pairs
+    // touching the new batch, which is exactly what the oracle computes.
     "q81_incremental_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
-      val newDocs = docs.filter(col("doc_id") % 5 === 0)
-      // the historical index is read by several consumers (banded feeds the
-      // candidate join, hashed feeds BOTH sides of the Jaccard join), so it
-      // stays cached through the call — and since the incremental result
-      // comes back materialized, the caller-owned cache is released
-      // immediately after (in production the index is a stored table and
-      // none of this caching exists — see q93/q89)
-      val (oldHashed, oldBanded) =
-        Dedup.minHashIndexPortable(oldDocs, "doc_id", "text")
-      val pairs = Dedup.minHashIncrementalPairsPortable(
-        oldHashed, oldBanded, newDocs, "doc_id", "text")
-      oldHashed.unpersist(false); oldBanded.unpersist(false)
-      pairs
+      val newDocs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      val idx = graft.flows.DedupIndex.ensure(s, dir, "documents",
+        "doc_id", "text", subsetTag = "hist_mod5ne0",
+        subset = _.filter(col("doc_id") % 5 =!= 0))
+      Dedup.minHashIncrementalPairsPortable(
+          idx.hashed, idx.banded, newDocs, "doc_id", "text")
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1623,6 +1616,56 @@ object Queries {
         .select(col("doc_id"), col("cluster_id"),
           round(lit(1.0) / col("cl_n").cast("double"), 6).as("weight"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Incremental SemDeDup from STORED state — q108's production shape:
+    // the model (fitCentroids) and the historical-corpus assignments
+    // (assignStored) are lake tables written once; the per-batch plan is
+    // one map-only batch scan + one co-cluster join against the slim
+    // stored rows, with NO corpus-wide fit/quantize/assign (plan-pinned
+    // in PlanShapeSpec). Result ≡ q108, so the oracle is q108's. The
+    // store step runs once per corpus stamp (ensure-style marker), so
+    // the timed path is the per-batch arrival cost.
+    "q111_incremental_semdedup_stored" -> ((s, dir) => {
+      import graft.operators.Cluster
+      import org.apache.hadoop.fs.Path
+      val emb = t(s, dir, "embeddings")
+      // key the stored state on the corpus location AND content stamp
+      // (bytes|mtime|files — same idea as DedupIndex) so a corpus
+      // rewritten in place rebuilds instead of serving stale assignments
+      val fsSrc = new Path(s"$dir/embeddings.parquet")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stamp = {
+        val it = fsSrc.listFiles(new Path(s"$dir/embeddings.parquet"), true)
+        var len = 0L; var mt = 0L; var nf = 0L
+        while (it.hasNext) {
+          val st = it.next(); len += st.getLen
+          mt = math.max(mt, st.getModificationTime); nf += 1
+        }
+        s"$dir|$len|$mt|$nf"
+      }
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val root = System.getProperty("java.io.tmpdir") + s"/graft_q111_$key"
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(s"$root/_COMPLETE"))) {
+        val staging = new Path(s"$root.staging")
+        fs.delete(staging, true)
+        val hist = emb.filter(col("vec_id") % 5 =!= 0)
+        Cluster.fitCentroids(hist, "vec_id", "embedding", k = 4, iters = 3)
+          .write.parquet(s"$staging/centroids")
+        Cluster.assignStored(hist, "vec_id", "embedding",
+            s.read.parquet(s"$staging/centroids"))
+          .write.parquet(s"$staging/assignments")
+        fs.create(new Path(staging, "_COMPLETE"), true).close()
+        fs.delete(new Path(root), true)
+        require(fs.rename(staging, new Path(root)), s"rename $staging -> $root failed")
+      }
+      Cluster.incrementalSemDeDupStored(
+          s.read.parquet(s"$root/assignments"),
+          emb.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", s.read.parquet(s"$root/centroids"), tau = 0.45)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1689,6 +1732,38 @@ object Queries {
     }
     "WITH " + sb.toString
   }
+
+  /** q108/q111's shared oracle: fit on the corpus subset (ef), assign
+    * EVERYTHING against the final centroids (af — the assignStored
+    * replay), then the corpus-or-lower-batch-id neighbor drop rule. q111
+    * stores the model + historical assignments as lake tables and reads
+    * them back, which must be value-invisible — hence the same SQL.
+    */
+  private lazy val incrementalSemDedupOracle: String =
+    kmeansCtesSql(k = 4, iters = 3, dims = 64,
+      scale = 1 << 20, fitWhere = "vec_id % 5 <> 0") +
+      s""",
+         |af AS (${assignCteSql("e", "c2", 64)}),
+         |nn AS (
+         |  SELECT vec_id, cid, q,
+         |    sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS DOUBLE)) AS nrm
+         |  FROM af
+         |),
+         |ba AS (SELECT * FROM nn WHERE vec_id % 5 = 0),
+         |nb AS (
+         |  SELECT vec_id, cid, q, nrm, TRUE AS is_corpus FROM nn WHERE vec_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT vec_id, cid, q, nrm, FALSE AS is_corpus FROM ba
+         |),
+         |drp AS (
+         |  SELECT DISTINCT b.vec_id AS id_b
+         |  FROM nb a JOIN ba b ON a.cid = b.cid AND (a.is_corpus OR a.vec_id < b.vec_id)
+         |  WHERE a.nrm > 0 AND b.nrm > 0
+         |    AND CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
+         |        / (a.nrm * b.nrm) >= 0.45
+         |)
+         |SELECT vec_id, cid FROM ba WHERE vec_id NOT IN (SELECT id_b FROM drp)
+         |ORDER BY vec_id""".stripMargin
 
   /** One nearest-centroid assignment of `src` rows against centroid CTE
     * `cents` — the argmin-with-lowest-cid-tie-break shape shared by the
@@ -2137,30 +2212,11 @@ object Queries {
     // q108: fit on the corpus subset (ef), assign EVERYTHING against the
     // final centroids (af — the assignStored replay), then the
     // corpus-or-lower-batch-id neighbor drop rule.
-    "q108_incremental_semdedup" -> (kmeansCtesSql(k = 4, iters = 3, dims = 64,
-        scale = 1 << 20, fitWhere = "vec_id % 5 <> 0") +
-      s""",
-         |af AS (${assignCteSql("e", "c2", 64)}),
-         |nn AS (
-         |  SELECT vec_id, cid, q,
-         |    sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS DOUBLE)) AS nrm
-         |  FROM af
-         |),
-         |ba AS (SELECT * FROM nn WHERE vec_id % 5 = 0),
-         |nb AS (
-         |  SELECT vec_id, cid, q, nrm, TRUE AS is_corpus FROM nn WHERE vec_id % 5 <> 0
-         |  UNION ALL
-         |  SELECT vec_id, cid, q, nrm, FALSE AS is_corpus FROM ba
-         |),
-         |drp AS (
-         |  SELECT DISTINCT b.vec_id AS id_b
-         |  FROM nb a JOIN ba b ON a.cid = b.cid AND (a.is_corpus OR a.vec_id < b.vec_id)
-         |  WHERE a.nrm > 0 AND b.nrm > 0
-         |    AND CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
-         |        / (a.nrm * b.nrm) >= 0.45
-         |)
-         |SELECT vec_id, cid FROM ba WHERE vec_id NOT IN (SELECT id_b FROM drp)
-         |ORDER BY vec_id""".stripMargin),
+    "q108_incremental_semdedup" -> incrementalSemDedupOracle,
+
+    // q111: identical result contract to q108 — the stored-model /
+    // stored-assignments plumbing must be invisible to the oracle.
+    "q111_incremental_semdedup_stored" -> incrementalSemDedupOracle,
 
     // q109: same explode + exact-integer sums; docs with no tokens vanish
     // from BOTH engines' group-bys identically.

@@ -28,7 +28,7 @@ object DedupIndex {
     * indexes from an older build then miss and rebuild instead of being
     * read with wrong semantics.
     */
-  private val FormatVersion = 3
+  private val FormatVersion = 4
 
   private def defaultRoot: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_minhash_index"
@@ -55,9 +55,10 @@ object DedupIndex {
   }
 
   private def key(spark: SparkSession, corpusPath: String, idCol: String,
-      textCol: String, shingleN: Int, numHashes: Int, bands: Int): String = {
+      textCol: String, shingleN: Int, numHashes: Int, bands: Int,
+      subsetTag: String): String = {
     val spec = s"v$FormatVersion|$corpusPath|${corpusStamp(spark, corpusPath)}|" +
-      s"$idCol|$textCol|$shingleN|$numHashes|$bands"
+      s"$idCol|$textCol|$shingleN|$numHashes|$bands|$subsetTag"
     java.security.MessageDigest.getInstance("MD5")
       .digest(spec.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
@@ -68,8 +69,10 @@ object DedupIndex {
     */
   def build(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, corpusPath: String, root: String = defaultRoot,
-      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): String = {
-    val k = key(spark, corpusPath, idCol, textCol, shingleN, numHashes, bands)
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      subsetTag: String = ""): String = {
+    val k = key(spark, corpusPath, idCol, textCol, shingleN, numHashes, bands,
+      subsetTag)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val finalDir = new Path(s"$root/$k")
     val staging = new Path(s"$root/.staging-$k")
@@ -106,18 +109,33 @@ object DedupIndex {
     * `<sfDir>/<table>.parquet`, building it first if absent or incomplete.
     * Subsequent calls (and subsequent SESSIONS — the index outlives the JVM
     * like any lake table) skip straight to the parquet reads.
+    *
+    * `subset` restricts the indexed corpus to a deterministic slice (e.g.
+    * the historical 80% in an incremental-dedup flow); `subsetTag` names
+    * the slice and is folded into the index key so different slices of the
+    * same table store as distinct indexes. The two must be supplied
+    * together — the function can't hash a closure, so an untagged subset
+    * would silently collide with the full-table index (enforced).
     */
   def ensure(spark: SparkSession, sfDir: String, table: String,
       idCol: String, textCol: String, root: String = defaultRoot,
       shingleN: Int = 3, numHashes: Int = 16,
-      bands: Int = 4): Index = synchronized {
+      bands: Int = 4, subsetTag: String = "",
+      subset: DataFrame => DataFrame = null): Index = synchronized {
+    require((subset == null) == subsetTag.isEmpty,
+      "DedupIndex.ensure: subset and subsetTag must be supplied together " +
+        "(the tag is the only thing distinguishing the slice's index key)")
     val corpusPath = s"$sfDir/$table.parquet"
-    val k = key(spark, corpusPath, idCol, textCol, shingleN, numHashes, bands)
+    val k = key(spark, corpusPath, idCol, textCol, shingleN, numHashes, bands,
+      subsetTag)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(s"$root/$k/_COMPLETE")
-    if (!fs.exists(marker))
-      build(spark, graft.sources.Lake.table(spark, sfDir, table), idCol,
-        textCol, corpusPath, root, shingleN, numHashes, bands)
+    if (!fs.exists(marker)) {
+      val full = graft.sources.Lake.table(spark, sfDir, table)
+      val docs = if (subset == null) full else subset(full)
+      build(spark, docs, idCol, textCol, corpusPath, root, shingleN,
+        numHashes, bands, subsetTag)
+    }
     Index(spark.read.parquet(s"$root/$k/hashed"),
       spark.read.parquet(s"$root/$k/banded"),
       spark.read.parquet(s"$root/$k/pairs"))

@@ -107,14 +107,27 @@ object TextFunctions {
   def cdcBlocks(text: Column, w: Int, maskBits: Int): Column =
     cdcBlocksFromTokens(tokens(text), w, maskBits)
 
-  /** CDC over an ALREADY-MATERIALIZED token array column. Hot paths must
-    * project the token array first and call this — the block lambdas
-    * reference the token array per element, and HOFs re-evaluate
-    * referenced subtrees once PER ELEMENT, so an inline `tokens(text)`
-    * re-runs the regex split for every block (same projection-boundary
-    * rule as [[shinglesFromTokens]]).
+  /** CDC over an ALREADY-MATERIALIZED token array column. Codegen'd single
+    * pass per row ([[CdcBlocksFromTokens]]) — the rolling-window scan,
+    * boundary test, and per-block hash run as one fused primitive loop
+    * inside whole-stage codegen; values are bit-identical to the HOF
+    * composition ([[cdcBlocksFromTokensHof]], kept as the parity
+    * reference).
     */
   def cdcBlocksFromTokens(toks: Column, w: Int, maskBits: Int): Column = {
+    require(w >= 1 && maskBits >= 1 && maskBits < 32,
+      s"need w >= 1 and 1 <= maskBits < 32, got w=$w maskBits=$maskBits")
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(CdcBlocksFromTokens(Bridge.expression(toks), w, maskBits))
+  }
+
+  /** The interpreted HOF composition [[cdcBlocksFromTokens]]'s kernel
+    * replaces — retained ONLY as the bit-parity reference for the spec
+    * (TextExpressionsSpec runs both forms side by side). Not for hot
+    * paths: `transform`/`filter`/`zip_with` are CodegenFallback, and the
+    * lambdas re-evaluate the referenced token subtree once per element.
+    */
+  private[graft] def cdcBlocksFromTokensHof(toks: Column, w: Int, maskBits: Int): Column = {
     require(w >= 1 && maskBits >= 1 && maskBits < 32,
       s"need w >= 1 and 1 <= maskBits < 32, got w=$w maskBits=$maskBits")
     val mask = (1L << maskBits) - 1

@@ -181,6 +181,16 @@ object VectorKernels {
     case _ => false
   }
 
+  private[functions] def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  private[functions] def isFractionalArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   /** Cosine over two QUANTIZED (long) vectors in one fused loop: exact
     * integer dot/norms (all < 2^53), then the same
     * `dot / (sqrt(na) · sqrt(nb))` double formula as the HOF composition in
@@ -418,6 +428,18 @@ case class CosineLongQuantized(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  // Quantized-only: on a raw float/double embedding ArrayData.getLong would
+  // reinterpret the IEEE bits and return a garbage cosine; fail at analysis.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (VectorKernels.isLongArray(left) && VectorKernels.isLongArray(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<bigint> quantized vectors " +
+        s"(use quantize_floor first), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.cosineLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
@@ -451,6 +473,15 @@ case class SqDistToLit(child: Expression, cent: Seq[Long]) extends UnaryExpressi
   override def nullable: Boolean = true
   @transient private lazy val flat: Array[Long] = cent.toArray
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (VectorKernels.isLongArray(child))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<bigint> quantized vector " +
+        s"(use quantize_floor first), got ${child.dataType.simpleString}")
+  }
+
   override def nullSafeEval(v: Any): Any =
     VectorKernels.sqDistLong(v.asInstanceOf[ArrayData], flat)
 
@@ -480,6 +511,17 @@ case class SqDistToLit(child: Expression, cent: Seq[Long]) extends UnaryExpressi
 case class QuantizeFloorLong(child: Expression, scale: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   private lazy val vf = VectorKernels.isFloatArray(child)
+
+  // Fractional-only: on array<int>/array<bigint> ArrayData.getDouble would
+  // misread the element bytes; fail at analysis instead.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (VectorKernels.isFractionalArray(child))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float> or array<double>, " +
+        s"got ${child.dataType.simpleString}")
+  }
 
   override def nullSafeEval(v: Any): Any =
     VectorKernels.quantizeFloorLong(v.asInstanceOf[ArrayData], scale, vf)

@@ -58,8 +58,21 @@ object Cluster {
       struct(sqDist(q, c).as("d"), lit(j.toLong).as("cid"))
     }.toSeq: _*)
 
+  /** Extract a field of the assignment struct, raising on a null distance.
+    * A null `d` means a malformed vector (null embedding, null element, or
+    * length ≠ the centroid dims): struct-least would hand such a row an
+    * arbitrary cid and the centroid sums would silently skip it, skewing
+    * the model — fail loudly instead (both fields are guarded so a plan
+    * that prunes `dist` still trips the check through `cid`).
+    */
+  private def checkedField(a: Column, field: String): Column =
+    when(a.getField("d").isNull, raise_error(lit(
+      "Cluster: malformed embedding (null, null element, or length mismatch " +
+        "with the centroid dims)")))
+      .otherwise(a.getField(field))
+
   private def assignExpr(q: Column, centroids: Array[Array[Long]]): Column =
-    assignStruct(q, centroids).getField("cid")
+    checkedField(assignStruct(q, centroids), "cid")
 
   /** One-shot cache lifecycle — shared with [[Dedup.materializeAndRelease]]:
     * materialize the bounded result eagerly, then release the fat
@@ -127,8 +140,8 @@ object Cluster {
     materializeAndRelease(
       quant.withColumn("__a", assignStruct(col("q"), centroids))
         .select(col(idCol), col("q"),
-          col("__a").getField("cid").as("cid"),
-          col("__a").getField("d").as("dist")),
+          checkedField(col("__a"), "cid").as("cid"),
+          checkedField(col("__a"), "d").as("dist")),
       quant)
   }
 
@@ -173,8 +186,8 @@ object Cluster {
     df.select(col(idCol), quantizeFloor(col(embCol), scale).as("q"))
       .withColumn("__a", assignStruct(col("q"), centroids))
       .select(col(idCol), col("q"),
-        col("__a").getField("cid").as("cid"),
-        col("__a").getField("d").as("dist"))
+        checkedField(col("__a"), "cid").as("cid"),
+        checkedField(col("__a"), "d").as("dist"))
   }
 
   /** SemDeDup: k-means, then inside each cluster drop every vector that has
@@ -222,28 +235,53 @@ object Cluster {
     else deduped
   }
 
-  /** Incremental SemDeDup — the production arrival path (the semantic
-    * analog of `Dedup.minHashIncrementalPairsPortable`): the cluster model
-    * is FIT ONCE on the historical corpus, and each arriving batch is
-    * (a) assigned by [[assignStored]]'s map-only scan and (b) compared
-    * ONLY against co-clustered corpus members and lower-id co-clustered
-    * batch mates. A batch doc with any such neighbor at cosine ≥ `tau` is
-    * dropped. Per-batch cost: one scan of the batch + a cluster-bounded
-    * equi-join — corpus-size-independent given stored corpus assignments
-    * (recomputed here from the model; at scale they are a lake table
-    * written once, exactly like the stored MinHash index).
+  /** Incremental SemDeDup — the demo/one-shot form: fits the model and
+    * assigns the corpus INLINE, then delegates to
+    * [[incrementalSemDeDupStored]]. For repeated arrivals this re-fits
+    * and re-assigns the full corpus every call — production flows write
+    * [[fitCentroids]] + [[assignStored]] to the lake once and call the
+    * stored variant directly, making each batch corpus-size-independent.
     * Returns surviving batch (idCol, cid).
     */
   def incrementalSemDeDup(corpus: DataFrame, batch: DataFrame,
       idCol: String, embCol: String, k: Int, iters: Int, tau: Double,
       scale: Int = QuantScale): DataFrame = {
     val model = fitCentroids(corpus, idCol, embCol, k, iters, scale)
-    val corpusA = assignStored(corpus, idCol, embCol, model, scale)
-    val batchA = assignStored(batch, idCol, embCol, model, scale)
-    // neighbor side: every corpus member, plus batch members (the id_a <
-    // id_b filter below makes the batch-internal rule keep-lowest-id;
-    // corpus neighbors drop a batch doc regardless of id order)
-    val neighbors = corpusA
+    incrementalSemDeDupStored(
+      assignStored(corpus, idCol, embCol, model, scale),
+      batch, idCol, embCol, model, tau, scale)
+  }
+
+  /** Incremental SemDeDup from STORED state — the production arrival path
+    * (the semantic analog of the stored MinHash index feeding
+    * `Dedup.minHashIncrementalPairsPortable`): `centroidsDf` is the k-row
+    * (cid, q) model written once by [[fitCentroids]], and `assignments`
+    * the (idCol, q, cid[, dist]) corpus-assignment lake table written once
+    * by [[assignStored]]. Per batch the plan is exactly:
+    *
+    *  1. ONE map-only quantize+assign scan of the BATCH (k `sq_dist_lit`
+    *     kernels per row, centroids as broadcast-sized literals); and
+    *  2. ONE co-cluster equi-join of the slim stored assignment rows
+    *     against the (typically broadcast) batch — candidate pairs bounded
+    *     by Σ|cluster ∩ batch-relevant|, never corpus².
+    *
+    * No corpus-wide fit, quantization, or assignment appears in the
+    * per-batch plan (plan-pinned in PlanShapeSpec); the corpus side is a
+    * slim stored-table read, so per-batch compute is O(batch) — and with
+    * the assignment table bucketed/partitioned by cid, the read prunes to
+    * the batch's clusters. A batch doc is dropped when any co-clustered
+    * corpus member or lower-id co-clustered batch mate sits at cosine ≥
+    * `tau`. Returns surviving batch (idCol, cid).
+    */
+  def incrementalSemDeDupStored(assignments: DataFrame, batch: DataFrame,
+      idCol: String, embCol: String, centroidsDf: DataFrame, tau: Double,
+      scale: Int = QuantScale): DataFrame = {
+    val batchA = assignStored(batch, idCol, embCol, centroidsDf, scale)
+    // neighbor side: every stored corpus assignment, plus batch members
+    // (the id_a < id_b filter below makes the batch-internal rule
+    // keep-lowest-id; corpus neighbors drop a batch doc regardless of id
+    // order)
+    val neighbors = assignments
       .select(col(idCol).as("id_a"), col("q").as("qa"), col("cid"),
         lit(true).as("is_corpus"))
       .unionByName(batchA.select(col(idCol).as("id_a"), col("q").as("qa"),

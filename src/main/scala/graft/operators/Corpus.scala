@@ -26,27 +26,61 @@ object Corpus {
       .limit(size)
   }
 
+  /** Above this vocabulary size [[vocabOov]] switches from the IN-list
+    * literal to the broadcast anti-join path: a V-term literal bloats the
+    * analyzed plan and the generated code linearly in V, while a broadcast
+    * hash set is O(V) memory once per executor.
+    */
+  val VocabInListThreshold: Int = 4096
+
   /** Per-document out-of-vocabulary rate against the top-`vocabSize`
     * corpus vocabulary — the tokenizer-coverage signal that decides
     * whether a source needs its own vocab or gets filtered.
     *
-    * Scale shape: the vocabulary is bounded by construction (top-V), so it
-    * collects to a literal IN-list and the per-document count is a
-    * stateless codegen'd array filter on the scan — the ONLY shuffle is
-    * the vocabulary aggregate itself. EAGER: runs the vocab job at call
-    * time (two-phase, like [[Similarity.annTopK]]'s tier probe).
-    * Returns (id, n_tokens, n_oov, oov_rate).
+    * Scale shape, demo V (≤ `inListThreshold`): the vocabulary collects to
+    * a literal IN-list and the per-document count is a stateless codegen'd
+    * array filter on the scan — the ONLY shuffle is the vocabulary
+    * aggregate itself. Production V (tokenizer vocabs are 32k–256k): the
+    * vocabulary stays a frame; OOV tokens are found by explode + BROADCAST
+    * left-anti join and re-aggregated per document — plan size independent
+    * of V, the vocab ships once per executor. Both paths produce identical
+    * values. EAGER on the literal path (runs the vocab job at call time,
+    * two-phase like [[Similarity.annTopK]]'s tier probe); lazy on the
+    * broadcast path. Returns (id, n_tokens, n_oov, oov_rate).
     */
   def vocabOov(df: DataFrame, idCol: String, textCol: String,
-      vocabSize: Int): DataFrame = {
-    val vocab = vocabulary(df, textCol, vocabSize)
-      .collect().map(_.getString(0)).toSeq
+      vocabSize: Int, inListThreshold: Int = VocabInListThreshold): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
     val nTok = size(toks).cast("long")
-    val nOov = size(filter(toks, t => !t.isInCollection(vocab))).cast("long")
-    df.select(col(idCol), nTok.as("n_tokens"), nOov.as("n_oov"),
-      when(nTok > 0, nOov.cast("double") / nTok.cast("double"))
-        .otherwise(lit(0.0)).as("oov_rate"))
+    if (vocabSize <= inListThreshold) {
+      val vocab = vocabulary(df, textCol, vocabSize)
+        .collect().map(_.getString(0)).toSeq
+      val nOov = size(filter(toks, t => !t.isInCollection(vocab))).cast("long")
+      df.select(col(idCol), nTok.as("n_tokens"), nOov.as("n_oov"),
+        when(nTok > 0, nOov.cast("double") / nTok.cast("double"))
+          .otherwise(lit(0.0)).as("oov_rate"))
+    } else {
+      Relational.requireFreshColumns(df.select(col(idCol)),
+        Seq("token", "n_tokens", "n_oov", "oov_rate"), "vocabOov")
+      val vocab = vocabulary(df, textCol, vocabSize).select(col("token"))
+      val base = df.select(col(idCol), nTok.as("n_tokens"), toks.as("__toks"))
+      val oovCounts = base
+        .select(col(idCol), explode(col("__toks")).as("token"))
+        .join(broadcast(vocab), Seq("token"), "left_anti")
+        .groupBy(col(idCol)).agg(count(lit(1)).as("__oov"))
+      // docs with zero OOV tokens (or an empty token array) vanish from the
+      // anti-join side — the left join + coalesce restores their 0; a null
+      // token array stays null n_oov, matching the literal path's
+      // size(filter(null)) = null
+      base.join(oovCounts, Seq(idCol), "left")
+        .select(col(idCol), col("n_tokens"),
+          when(col("n_tokens").isNull, lit(null).cast("long"))
+            .otherwise(coalesce(col("__oov"), lit(0L))).as("n_oov"),
+          when(col("n_tokens") > 0,
+            coalesce(col("__oov"), lit(0L)).cast("double") /
+              col("n_tokens").cast("double"))
+            .otherwise(lit(0.0)).as("oov_rate"))
+    }
   }
 
   /** Drop the bottom `dropFrac` of documents PER SOURCE by a score column —
@@ -84,12 +118,19 @@ object Corpus {
     */
   def leakageSafeSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
       trainPct: Int, valPct: Int): DataFrame = {
-    val withCluster = docs.select(col(idCol))
-      .join(clusters, docs(idCol) === clusters("id"), "left")
+    // the result carries cluster_id + split, so an idCol by either name
+    // would collide; and the clusters side is aliased (__cl_*) so
+    // idCol == "id" can't make the post-join references ambiguous
+    Relational.requireFreshColumns(docs.select(col(idCol)),
+      Seq("cluster_id", "split"), "leakageSafeSplit")
+    val cl = clusters.select(col("id").as("__cl_id"),
+      col("cluster_id").as("__cl_cluster"))
+    docs.select(col(idCol))
+      .join(cl, col(idCol) === col("__cl_id"), "left")
       .select(col(idCol),
-        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
-    withCluster.withColumn("split",
-      Relational.splitAssign(col("cluster_id"), trainPct, valPct))
+        coalesce(col("__cl_cluster"), col(idCol)).as("cluster_id"))
+      .withColumn("split",
+        Relational.splitAssign(col("cluster_id"), trainPct, valPct))
   }
 
   /** Cross-source duplication matrix: near-dup pair counts per unordered

@@ -31,8 +31,10 @@ object JdbcUpsertWriter {
       s"ON DUPLICATE KEY UPDATE $updateClause"
   }
 
-  /** ANSI MERGE upsert — the portable dialect (Derby, H2 in ANSI mode,
-    * Postgres 15+, SQL Server). One parameterized VALUES row as the source;
+  /** ANSI MERGE upsert — the standard-SQL dialect (H2 in ANSI mode,
+    * Postgres 15+, SQL Server; NOT Derby, whose MERGE source must be a base
+    * table or table function — use `"update-insert"` there).
+    * One parameterized VALUES row as the source;
     * every parameter is CAST to its column's SQL type because strict
     * engines (Derby) reject parameter markers whose type can't be inferred
     * inside VALUES. Parameter order matches `cols` — identical binding to
@@ -171,9 +173,18 @@ object JdbcUpsertWriter {
             if (buffer.size >= batchSize) flush()
           }
           flush()
-        } finally conn.close()
+        } finally closeQuietly(conn)
       }
     }
+
+  /** Roll back any open transaction before closing: a fail-fast error
+    * leaves the transaction active, and strict engines (Derby) refuse
+    * `close()` then — which would mask the original exception.
+    */
+  private def closeQuietly(conn: Connection): Unit = {
+    try conn.rollback() catch { case _: SQLException => () }
+    conn.close()
+  }
 
   private def writeUpdateInsert(df: DataFrame, table: String, cols: Seq[String],
       keyCols: Seq[String], connect: () => Connection, batchSize: Int,
@@ -196,8 +207,16 @@ object JdbcUpsertWriter {
           conn.setAutoCommit(false)
           val upd = conn.prepareStatement(updateSql)
           val ins = conn.prepareStatement(insertSql)
-          val buffer = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
-          def flush(): Unit = if (buffer.nonEmpty) {
+          val raw = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+          def flush(): Unit = if (raw.nonEmpty) {
+            // dedupe the flush unit by key, LAST occurrence wins — two
+            // same-key rows in one buffer would both see update count 0 and
+            // both take the INSERT path, the second dying on a duplicate-key
+            // error the mysql/ansi dialects don't raise (they apply rows in
+            // order, last wins); deduping reproduces that end state
+            val byKey = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Seq[Any]]
+            raw.foreach { vals => byKey.put(keyIdx.map(vals), vals) }
+            val buffer = byKey.values.toIndexedSeq
             // the whole update→probe-counts→insert→commit sequence is ONE
             // retry unit: replaying it after a deadlock is upsert-idempotent
             // (rows inserted before the rollback re-resolve as updates)
@@ -221,10 +240,17 @@ object JdbcUpsertWriter {
               buffer.indices.filter { bi =>
                 val c = counts(bi)
                 if (c >= 0) c == 0
-                else {
+                else if (c == java.sql.Statement.SUCCESS_NO_INFO) {
                   (nonKeyIdx ++ keyIdx).zipWithIndex.foreach { case (src, i) =>
                     upd.setObject(i + 1, buffer(bi)(src)) }
                   upd.executeUpdate() == 0
+                } else {
+                  // EXECUTE_FAILED (-3) without a BatchUpdateException is a
+                  // driver anomaly — re-running it as "maybe updated" would
+                  // silently drop the row; surface it (retryable classifier
+                  // still applies via withRetries)
+                  throw new SQLException(
+                    s"batched UPDATE reported EXECUTE_FAILED for row $bi")
                 }
               }.foreach { bi =>
                 buffer(bi).zipWithIndex.foreach { case (v, i) =>
@@ -234,14 +260,14 @@ object JdbcUpsertWriter {
               ins.executeBatch()
               conn.commit()
             }
-            buffer.clear()
+            raw.clear()
           }
           rows.foreach { r =>
-            buffer += cols.indices.map(r.get)
-            if (buffer.size >= batchSize) flush()
+            raw += cols.indices.map(r.get)
+            if (raw.size >= batchSize) flush()
           }
           flush()
-        } finally conn.close()
+        } finally closeQuietly(conn)
       }
     }
   }

@@ -65,6 +65,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q111 stored-state incremental SemDeDup quantizes ONLY the batch") {
+    // the per-batch plan must carry no corpus-wide fit/assign: the corpus
+    // side is a slim stored-assignments read, so strictly fewer
+    // quantize_floor kernels (and fewer raw-embedding scans) than q108's
+    // inline form, which re-quantizes the corpus per call
+    val p108 = planOf(q("q108_incremental_semdedup"))
+    val p111 = planOf(q("q111_incremental_semdedup_stored"))
+    def quants(p: String) = "quantize_floor".r.findAllIn(p).size
+    assert(p111.contains("graft_q111"), p111) // corpus side reads stored tables
+    assert(quants(p111) < quants(p108), s"${quants(p111)} vs ${quants(p108)}")
+    assert(!p111.contains("CartesianProduct"), p111)
+    assert(p111.contains("HashJoin") || p111.contains("SortMergeJoin"), p111)
+  }
+
   test("q105 stored-model assignment is one map-only scan (no shuffle, no join)") {
     val df = q("q105_kmeans_assign_stored")
     // drop the final orderBy the driver compare needs; the assignment

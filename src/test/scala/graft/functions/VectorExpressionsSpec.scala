@@ -225,4 +225,31 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r(2).getSeq[String](0) == Seq.empty)
     assert(r(3).isNullAt(0))
   }
+
+  test("quantized kernels reject wrong element types at ANALYSIS time") {
+    // cosine_q on a raw double embedding would reinterpret IEEE bits via
+    // getLong and return a garbage cosine — must fail analysis instead
+    val dbl = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      dbl.select(VectorFunctions.cosineOfQuantized(col("a"), col("b"))).collect()
+    }
+    assert(e1.getMessage.contains("cosine_q"), e1.getMessage)
+    // quantize_floor on array<bigint> would misread via getDouble
+    val lng = Seq(Tuple1(Seq(1L, 2L))).toDF("v")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      lng.select(VectorFunctions.quantizeFloor(col("v"), 4)).collect()
+    }
+    assert(e2.getMessage.contains("quantize_floor"), e2.getMessage)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      dbl.select(VectorFunctions.sqDistToLit(col("a"), Seq(1L, 2L))).collect()
+    }
+    assert(e3.getMessage.contains("sq_dist_lit"), e3.getMessage)
+    // the sanctioned inputs still pass: quantize floats, then cosine_q
+    val ok = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+      .select(VectorFunctions.cosineOfQuantized(
+        VectorFunctions.quantizeFloor(col("a"), 1 << 20),
+        VectorFunctions.quantizeFloor(col("b"), 1 << 20)).as("c"))
+      .collect().head.getDouble(0)
+    assert(math.abs(ok - 1.0) < 1e-12)
+  }
 }

@@ -153,4 +153,51 @@ class ClusterSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(0L, 1L))
   }
+
+  test("incrementalSemDeDupStored from stored tables ≡ the inline form") {
+    val corpus = emb(0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.0f, 1.0f),
+      2L -> Seq(0.9f, 0.1f))
+    val batch = emb(
+      10L -> Seq(1.0f, 0.001f), 11L -> Seq(0.0f, -1.0f),
+      12L -> Seq(-1.0f, 0.004f), 13L -> Seq(-1.0f, 0.005f))
+    val inline = Cluster.incrementalSemDeDup(corpus, batch,
+        "vec_id", "embedding", k = 2, iters = 2, tau = 0.9)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    // production path: model + assignments round-trip through parquet
+    val root = java.nio.file.Files.createTempDirectory("graft_semdedup_stored")
+      .toString
+    val model = Cluster.fitCentroids(corpus, "vec_id", "embedding",
+      k = 2, iters = 2)
+    model.write.parquet(s"$root/centroids")
+    val storedModel = spark.read.parquet(s"$root/centroids")
+    Cluster.assignStored(corpus, "vec_id", "embedding", storedModel)
+      .write.parquet(s"$root/assignments")
+    val stored = Cluster.incrementalSemDeDupStored(
+        spark.read.parquet(s"$root/assignments"), batch,
+        "vec_id", "embedding", storedModel, tau = 0.9)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(stored == inline)
+  }
+
+  test("malformed embeddings fail loudly instead of skewing the model") {
+    // length mismatch with the centroid dims → raise_error, not an
+    // arbitrary cid with a silently-skipped centroid contribution
+    val model = Cluster.fitCentroids(
+      emb(0L -> Seq(0.0f, 0.0f), 1L -> Seq(10.0f, 10.0f)),
+      "vec_id", "embedding", k = 2, iters = 1)
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+      .mkString("|")
+    val short = emb(5L -> Seq(1.0f)) // dims 1 ≠ model dims 2
+    val e = intercept[Exception] {
+      Cluster.assignStored(short, "vec_id", "embedding", model).collect()
+    }
+    assert(chain(e).contains("malformed embedding"), chain(e))
+    // a null element inside the vector is equally malformed
+    val withNull = Seq((6L, Seq(Some(1.0f), None))).toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Cluster.assignStored(withNull, "vec_id", "embedding", model).collect()
+    }
+    assert(chain(e2).contains("malformed embedding"), chain(e2))
+  }
 }

@@ -64,4 +64,49 @@ class CorpusSpec extends SparkSpec {
     // solo: cume_dist 1 > 0.5 keeps it; ties in t ordered by id → ids 3,4 survive
     assert(kept == Seq(1L, 3L, 4L))
   }
+
+  test("vocabOov production-V path: broadcast anti-join, values ≡ the literal path") {
+    // tokens tok0..tok599 with frequency descending by index; V = 50k
+    // (> every distinct token, and far past the IN-list threshold)
+    val docs = (1L to 40L).map { id =>
+      val body = (0 until 30).map(j => s"tok${(id * 7 + j * 13) % 600}")
+        .mkString(" ")
+      (id, body + (if (id % 4 == 0) " zz" + id else ""))
+    }.toDF("id", "text")
+    val broadcastPath = Corpus.vocabOov(docs, "id", "text", 50000)
+    // plan pin: the OOV side must be a broadcast join, not a 50k-term
+    // IN-list literal bloating the plan
+    val plan = broadcastPath.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    // value parity with the literal path at the same V
+    val lit = Corpus.vocabOov(docs, "id", "text", 50000,
+        inListThreshold = Int.MaxValue)
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    val bc = broadcastPath.orderBy("id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(bc == lit)
+    // and the rare-token OOV semantics hold: with V = 5 most tokens are OOV
+    val small = Corpus.vocabOov(docs, "id", "text", 5, inListThreshold = 0)
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    val smallLit = Corpus.vocabOov(docs, "id", "text", 5)
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(small == smallLit)
+  }
+
+  test("leakageSafeSplit guards reserved output names and idCol = 'id'") {
+    // idCol literally named "id" must not collide with the clusters side
+    val docs = Seq(1L, 2L, 9L).toDF("id")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
+    val got = Corpus.leakageSafeSplit(docs, "id", clusters, 90, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 3)
+    assert(Set(got.find(_._1 == 1L).get._3, got.find(_._1 == 2L).get._3).size == 1)
+    assert(got.find(_._1 == 9L).get._2 == 9L)
+    // a docs frame whose idCol collides with an output name fails fast
+    val bad = Seq(1L).toDF("cluster_id")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.leakageSafeSplit(bad, "cluster_id", clusters, 90, 5)
+    }
+    assert(e.getMessage.contains("leakageSafeSplit"), e.getMessage)
+  }
 }

@@ -459,6 +459,52 @@ class MultiModalSpec extends SparkSpec {
     assert(f1.forall(f => f.byte_len > 0 && f.width >= 16 && f.height >= 16))
     assert(f1.filter(_.modality != "video").forall(_.n_frames == 1))
   }
+
+  test("decode stub contract (property): schema, determinism, bounds, " +
+    "portable checksum — a real codec must satisfy the same invariants") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // 1. the OUTPUT SCHEMA is frozen: a future real decoder slots into
+    // extractFeatures without oracle churn iff it keeps exactly this shape
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = MultiModal.extractFeatures(
+      spark.emptyDataset[MultiModal.MediaRow]).schema
+    assert(schema == StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = true),
+      StructField("byte_len", LongType, nullable = false),
+      StructField("checksum", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false))), schema)
+
+    // 2.-5. per-row invariants over arbitrary payloads (driver-side — the
+    // kernel is a pure function, mapPartitions only iterates it)
+    val genRow = for {
+      id <- Gen.chooseNum(0L, Long.MaxValue / 2)
+      modality <- Gen.oneOf("image", "audio", "video")
+      bytes <- Gen.nonEmptyListOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield MultiModal.MediaRow(id, modality, "application/octet-stream",
+      bytes.toArray)
+    val md60 = (b: Array[Byte]) => java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map(x => f"$x%02x").mkString.substring(0, 15), 16)
+    val prop = Prop.forAll(genRow) { r =>
+      val f = MultiModal.decodeStub(r)
+      val again = MultiModal.decodeStub(
+        MultiModal.MediaRow(r.media_id, r.modality, r.mime, r.content.clone()))
+      f == again &&                                  // deterministic in VALUE
+      f.media_id == r.media_id && f.modality == r.modality &&
+      f.byte_len == r.content.length.toLong &&
+      f.checksum == md60(r.content) && f.checksum >= 0 && // portable/replayable
+      f.width >= 16 && f.width < 16 + 1024 &&
+      f.height >= 16 && f.height < 16 + 1024 &&
+      (if (r.modality == "video") f.n_frames >= 1 && f.n_frames <= 300
+       else f.n_frames == 1)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
 
 class ScaleStrategySpec extends graft.SparkSpec {
