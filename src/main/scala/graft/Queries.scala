@@ -1642,7 +1642,9 @@ object Queries {
           val st = it.next(); len += st.getLen
           mt = math.max(mt, st.getModificationTime); nf += 1
         }
-        s"$dir|$len|$mt|$nf"
+        // v2: assignments laid out partitionBy(cid) — the version prefix
+        // makes a stale v1 (unpartitioned) store miss and rebuild
+        s"v2|$dir|$len|$mt|$nf"
       }
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -1654,15 +1656,25 @@ object Queries {
         val hist = emb.filter(col("vec_id") % 5 =!= 0)
         Cluster.fitCentroids(hist, "vec_id", "embedding", k = 4, iters = 3)
           .write.parquet(s"$staging/centroids")
+        // partitioned by cluster id: incrementalSemDeDupStored filters the
+        // read to the batch's ≤ k cids, so this layout turns the per-batch
+        // corpus I/O into partition-pruned directory reads
         Cluster.assignStored(hist, "vec_id", "embedding",
             s.read.parquet(s"$staging/centroids"))
-          .write.parquet(s"$staging/assignments")
+          .write.partitionBy("cid").parquet(s"$staging/assignments")
         fs.create(new Path(staging, "_COMPLETE"), true).close()
         fs.delete(new Path(root), true)
         require(fs.rename(staging, new Path(root)), s"rename $staging -> $root failed")
       }
+      // explicit schema: partition-column type inference would read cid
+      // back as INT (values 0..k-1), and the long-vs-int mismatch both
+      // breaks assignStored's (id, q, cid) long contract downstream and
+      // wraps the partition column in a cast that can defeat pruning
+      val assignments = s.read
+        .schema("vec_id BIGINT, q ARRAY<BIGINT>, dist BIGINT, cid BIGINT")
+        .parquet(s"$root/assignments")
       Cluster.incrementalSemDeDupStored(
-          s.read.parquet(s"$root/assignments"),
+          assignments,
           emb.filter(col("vec_id") % 5 === 0),
           "vec_id", "embedding", s.read.parquet(s"$root/centroids"), tau = 0.45)
         .orderBy(col("vec_id"))

@@ -267,21 +267,32 @@ object Cluster {
     *
     * No corpus-wide fit, quantization, or assignment appears in the
     * per-batch plan (plan-pinned in PlanShapeSpec); the corpus side is a
-    * slim stored-table read, so per-batch compute is O(batch) — and with
-    * the assignment table bucketed/partitioned by cid, the read prunes to
-    * the batch's clusters. A batch doc is dropped when any co-clustered
-    * corpus member or lower-id co-clustered batch mate sits at cosine ≥
-    * `tau`. Returns surviving batch (idCol, cid).
+    * slim stored-table read, so per-batch compute is O(batch) — and the
+    * read is PRUNED to the batch's clusters: the batch's distinct cids
+    * (≤ k values, one bounded map-only job over the batch) become an
+    * `IN`-filter on the assignment read, which a cid-PARTITIONED
+    * assignment table (the layout q111 writes) turns into partition
+    * pruning — the per-batch corpus I/O is Σ|touched clusters|, not the
+    * corpus (plan-pinned: PartitionFilters on the assignments scan). A
+    * batch doc is dropped when any co-clustered corpus member or lower-id
+    * co-clustered batch mate sits at cosine ≥ `tau`. Returns surviving
+    * batch (idCol, cid).
     */
   def incrementalSemDeDupStored(assignments: DataFrame, batch: DataFrame,
       idCol: String, embCol: String, centroidsDf: DataFrame, tau: Double,
       scale: Int = QuantScale): DataFrame = {
     val batchA = assignStored(batch, idCol, embCol, centroidsDf, scale)
+    // ≤ k rows reach the driver (cid ∈ 0..k-1 by assignStored's contract)
+    val batchCids = batchA.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val pruned =
+      if (batchCids.isEmpty) assignments.filter(lit(false))
+      else assignments.filter(col("cid").isin(batchCids: _*))
     // neighbor side: every stored corpus assignment, plus batch members
     // (the id_a < id_b filter below makes the batch-internal rule
     // keep-lowest-id; corpus neighbors drop a batch doc regardless of id
     // order)
-    val neighbors = assignments
+    val neighbors = pruned
       .select(col(idCol).as("id_a"), col("q").as("qa"), col("cid"),
         lit(true).as("is_corpus"))
       .unionByName(batchA.select(col(idCol).as("id_a"), col("q").as("qa"),

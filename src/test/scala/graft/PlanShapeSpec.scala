@@ -70,13 +70,25 @@ class PlanShapeSpec extends SparkSpec {
     // side is a slim stored-assignments read, so strictly fewer
     // quantize_floor kernels (and fewer raw-embedding scans) than q108's
     // inline form, which re-quantizes the corpus per call
-    val p108 = planOf(q("q108_incremental_semdedup"))
     val p111 = planOf(q("q111_incremental_semdedup_stored"))
-    def quants(p: String) = "quantize_floor".r.findAllIn(p).size
     assert(p111.contains("graft_q111"), p111) // corpus side reads stored tables
-    assert(quants(p111) < quants(p108), s"${quants(p111)} vs ${quants(p108)}")
+    // "no corpus-wide assign" pinned by filter signatures: the raw
+    // embeddings table is scanned (batch side, vec_id % 5 = 0) but the
+    // corpus-COMPLEMENT filter (NOT ((vec_id % 5) = 0)) — the signature of
+    // q108's inline corpus assign — must appear nowhere in the plan.
+    // (Expression-count proxies are fragile here: broadcast/DPP subqueries
+    // duplicate the batch subtree in the physical string, and constraint
+    // propagation inlines the computed cid into inferred filters in the
+    // logical one.)
+    assert(p111.contains("embeddings.parquet"), p111)
+    assert(p111.contains("% 5) = 0"), p111)
+    assert(!p111.contains("NOT ((vec_id"), p111)
     assert(!p111.contains("CartesianProduct"), p111)
     assert(p111.contains("HashJoin") || p111.contains("SortMergeJoin"), p111)
+    // the corpus-assignments read must be PARTITION-PRUNED to the batch's
+    // cids (cid-partitioned layout + the ≤k IN-filter) — a full-corpus
+    // scan here is the 100 TB regression this shape exists to avoid
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p111).isDefined, p111)
   }
 
   test("q105 stored-model assignment is one map-only scan (no shuffle, no join)") {
