@@ -35,10 +35,12 @@ object Bench {
     }
     // A failed query must not masquerade as a fast one: report its timing as
     // -1 and list it under "failed" so regressions are visible in the JSON.
-    // Each query is timed twice and the MIN is reported (JMH-style): both
-    // iterations run the full data path; the min strips scheduler/GC noise
-    // that single-shot timing conflates with engine cost.
-    val timedIters = 2
+    // Each query is timed `timedIters` times (default 3) and the MIN is
+    // reported (JMH-style): every iteration runs the full data path; the
+    // min strips scheduler/GC noise that single-shot timing conflates with
+    // engine cost — round-over-round deltas on sub-second queries were
+    // drowning in 1.4-1.5x run-to-run swings at min-of-2.
+    val timedIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       var best = Double.MaxValue
@@ -66,7 +68,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","iters":$timedIters,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // Persist the FULL per-query timing map to a file as well: the driver
+    // captures a bounded stdout tail, and a truncated tail silently drops
+    // query timings from the recorded artifact — the committed file is the
+    // reproducible record.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(json) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -281,7 +281,14 @@ object Cluster {
   def incrementalSemDeDupStored(assignments: DataFrame, batch: DataFrame,
       idCol: String, embCol: String, centroidsDf: DataFrame, tau: Double,
       scale: Int = QuantScale): DataFrame = {
-    val batchA = assignStored(batch, idCol, embCol, centroidsDf, scale)
+    // materialize the assigned batch ONCE: it feeds three consumers (the
+    // cid-collect action, the neighbors union, the join probe side), and
+    // without this each consumer re-reads and re-quantizes the batch —
+    // k `sq_dist_lit` kernels per row ×3, the dominant per-batch compute
+    // at production batch sizes. After this the arrival plan carries no
+    // raw-embedding scan and no quantize kernel at all (plan-pinned).
+    val batchA = materializeAndRelease(
+      assignStored(batch, idCol, embCol, centroidsDf, scale))
     // ≤ k rows reach the driver (cid ∈ 0..k-1 by assignStored's contract)
     val batchCids = batchA.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted

@@ -72,17 +72,16 @@ class PlanShapeSpec extends SparkSpec {
     // inline form, which re-quantizes the corpus per call
     val p111 = planOf(q("q111_incremental_semdedup_stored"))
     assert(p111.contains("graft_q111"), p111) // corpus side reads stored tables
-    // "no corpus-wide assign" pinned by filter signatures: the raw
-    // embeddings table is scanned (batch side, vec_id % 5 = 0) but the
-    // corpus-COMPLEMENT filter (NOT ((vec_id % 5) = 0)) — the signature of
-    // q108's inline corpus assign — must appear nowhere in the plan.
-    // (Expression-count proxies are fragile here: broadcast/DPP subqueries
-    // duplicate the batch subtree in the physical string, and constraint
-    // propagation inlines the computed cid into inferred filters in the
-    // logical one.)
-    assert(p111.contains("embeddings.parquet"), p111)
-    assert(p111.contains("% 5) = 0"), p111)
-    assert(!p111.contains("NOT ((vec_id"), p111)
+    // "no corpus-wide assign" — and since round 9, "no REPEATED batch
+    // assign" either: the assigned batch is materialized once
+    // (localCheckpoint inside incrementalSemDeDupStored), so the arrival
+    // plan must contain NO raw-embeddings scan and NO quantize/assign
+    // kernel at all — the batch subtree is an ExistingRDD scan of the
+    // one-shot assignment, and the corpus side is the pruned stored read.
+    assert(!p111.contains("embeddings.parquet"), p111)
+    assert(!p111.contains("quantize_floor"), p111)
+    assert(!p111.contains("sq_dist_lit"), p111)
+    assert(p111.contains("ExistingRDD"), p111)
     assert(!p111.contains("CartesianProduct"), p111)
     assert(p111.contains("HashJoin") || p111.contains("SortMergeJoin"), p111)
     // the corpus-assignments read must be PARTITION-PRUNED to the batch's
