@@ -33,6 +33,18 @@ object Bench {
     selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // SPARK_GRAFT_EXPLAIN=1: dump each selected query's formatted physical
+    // plan to stderr after warmup — the probe runs use this to read
+    // PartitionFilters / scan shapes on non-default fixtures without
+    // touching the timed loop.
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+      selected.foreach { case (name, fn) =>
+        try {
+          System.err.println(s"==== plan $name ====")
+          System.err.println(fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        } catch { case _: Throwable => () }
+      }
     // A failed query must not masquerade as a fast one: report its timing as
     // -1 and list it under "failed" so regressions are visible in the JSON.
     // Each query is timed `timedIters` times (default 3) and the MIN is
