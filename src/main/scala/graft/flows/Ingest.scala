@@ -76,7 +76,8 @@ object Ingest {
     * `landJsonPayload`/`conformForLanding` which ARE distributed.
     */
   def scrollAll[A](fetch: Option[String] => (Seq[A], Option[String]),
-      maxPages: Int = 100000, maxRetries: Int = 3): (Seq[A], Int) = {
+      maxPages: Int = 100000, maxRetries: Int = 3,
+      fatal: Throwable => Boolean = _ => false): (Seq[A], Int) = {
     val out = Seq.newBuilder[A]
     var cursor: Option[String] = None
     var pages = 0
@@ -89,8 +90,12 @@ object Ingest {
       while (page == null) {
         try page = fetch(cursor)
         catch {
-          case e: Exception if attempt < maxRetries =>
+          // `fatal` short-circuits the retry loop for errors retrying can't
+          // fix (e.g. an ES shard-failure response — the reference raises
+          // immediately, reference sisreg_api/tasks.py:117-119)
+          case e: Exception if !fatal(e) && attempt < maxRetries =>
             attempt += 1 // transient page failure: retry the SAME cursor
+          case e: Exception if fatal(e) => throw e
           case e: Exception =>
             throw new java.io.IOException(
               s"page $pages failed after $maxRetries retries", e)
