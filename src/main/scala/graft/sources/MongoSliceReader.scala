@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.operators.Relational
+
+/** Mongo sliced extraction — the engine half of the reference's
+  * minhasaude flow (reference:
+  * pipelines/datalake/extract_load/minhasaude_mongodb/tasks.py:44-300):
+  * min/max of the slice variable → fixed-size ranges → per-range
+  * `find({slice_var: {$gte, $lte}})` cursor drained through a bounded
+  * buffer that flushes every `FlushThreshold` docs, then a ±5% total
+  * validation. The TRANSPORT (MongoClient) stays a caller seam — the
+  * `find` lambda — exactly like the JDBC reader's connection factory; the
+  * semantics this object owns are the reference's:
+  *
+  *  - slices are `[atual, atual+size]` with the NEXT slice starting at the
+  *    previous END (tasks.py:74-105) — boundary values intentionally land
+  *    in two slices, which is why every flush dedups by `_id` keep-last
+  *    (tasks.py:121-127: idempotence under overlap and retry);
+  *  - a flush failure propagates with the buffer intact so the slice can
+  *    be retried whole (tasks.py:140-148);
+  *  - the per-slice sent counts must reconcile with the collection count
+  *    within ±5% (tasks.py:262-300, via [[Relational.reconcileCount]]).
+  */
+object MongoSliceReader {
+
+  /** Reference flush/batch size (tasks.py:36-37). */
+  val FlushThreshold: Int = 10000
+
+  /** The reference's slice generator (tasks.py:74-105): fixed-size
+    * inclusive ranges where each slice STARTS at the previous slice's end
+    * (overlapping boundaries), the last clipped to `max`. Mirrors its
+    * guards: positive size, min strictly below max.
+    */
+  def slices(min: Long, max: Long, sliceSize: Long): Seq[(Long, Long)] = {
+    require(sliceSize > 0, "sliceSize must be positive")
+    require(min < max, s"min $min must be strictly below max $max")
+    val out = Seq.newBuilder[(Long, Long)]
+    var atual = min
+    while (atual < max) {
+      val fim = math.min(atual + sliceSize, max)
+      out += ((atual, fim))
+      if (fim == atual) atual = max // safety against a zero-width tail
+      else atual = fim
+    }
+    out.result()
+  }
+
+  /** The slice find-filter document: base equality query (if any) merged
+    * with `{sliceVar: {"$gte": gte, "$lte": lte}}` (tasks.py:225-227).
+    */
+  def sliceFilterJson(baseQuery: Option[String], sliceVar: String,
+      gte: Long, lte: Long): String = {
+    val base = baseQuery.map(JsonMethods.parse(_)) match {
+      case Some(JObject(fields)) => fields
+      case None => Nil
+      case Some(other) =>
+        throw new IllegalArgumentException(s"base query must be an object, got $other")
+    }
+    JsonMethods.compact(JsonMethods.render(JObject(
+      base :+ (sliceVar -> (JObject(
+        "$gte" -> JLong(gte), "$lte" -> JLong(lte)): JValue)))))
+  }
+
+  private def idOf(doc: String, idField: String): String =
+    (JsonMethods.parse(doc) \ idField) match {
+      case JString(s) => s
+      case JInt(n) => n.toString
+      case JLong(n) => n.toString
+      case other => JsonMethods.compact(JsonMethods.render(other))
+    }
+
+  /** Keep-last dedup by the id field — the reference's
+    * `drop_duplicates(subset="_id", keep="last")` applied per flush
+    * (tasks.py:121-127), preserving first-seen order of the surviving key.
+    */
+  private[sources] def dedupKeepLast(docs: Seq[String], idField: String): Seq[String] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    docs.foreach(d => m.update(idOf(d, idField), d))
+    m.values.toSeq
+  }
+
+  final case class SliceResult(sent: Long, flushes: Int)
+
+  /** Drain one slice's cursor through the bounded buffer: every
+    * `flushThreshold` docs the buffer is deduped by `idField` (keep-last)
+    * and handed to `flush`; the residual flushes at the end. A `flush`
+    * exception propagates immediately — the buffer is NOT cleared and no
+    * further cursor reads happen, so a caller retry re-runs the slice
+    * whole (idempotent downstream thanks to the id dedup).
+    */
+  def extractSlice(cursor: Iterator[String], flush: Seq[String] => Unit,
+      idField: String = "_id",
+      flushThreshold: Int = FlushThreshold): SliceResult = {
+    require(flushThreshold > 0, "flushThreshold must be positive")
+    var sent = 0L
+    var flushes = 0
+    val buffer = scala.collection.mutable.ArrayBuffer.empty[String]
+    def doFlush(): Unit = if (buffer.nonEmpty) {
+      val batch = dedupKeepLast(buffer.toSeq, idField)
+      flush(batch) // on throw: buffer stays intact for the caller's retry
+      sent += batch.size
+      flushes += 1
+      buffer.clear()
+    }
+    cursor.foreach { doc =>
+      buffer += doc
+      if (buffer.size >= flushThreshold) doFlush()
+    }
+    doFlush()
+    SliceResult(sent, flushes)
+  }
+
+  /** Post-extraction total validation (tasks.py:262-300): the summed
+    * per-slice sent counts must sit within ±`tolerance` of the source
+    * collection count. Zero expected validates trivially (the reference
+    * logs and returns).
+    */
+  def validateTotal(expected: Long, sentPerSlice: Seq[Long],
+      tolerance: Double = 0.05): Unit =
+    if (expected > 0)
+      Relational.reconcileCount(sentPerSlice.sum, expected, tolerance)
+}
