@@ -1642,41 +1642,45 @@ object Queries {
           val st = it.next(); len += st.getLen
           mt = math.max(mt, st.getModificationTime); nf += 1
         }
-        // v2: assignments laid out partitionBy(cid) — the version prefix
-        // makes a stale v1 (unpartitioned) store miss and rebuild
-        s"v2|$dir|$len|$mt|$nf"
+        // v3: stored state commits through VersionedLake (manifest
+        // protocol) — the version prefix makes stale v1/v2 (bare-parquet)
+        // stores miss and rebuild
+        s"v3|$dir|$len|$mt|$nf"
       }
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val root = System.getProperty("java.io.tmpdir") + s"/graft_q111_$key"
       val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      import graft.sources.VersionedLake
       if (!fs.exists(new Path(s"$root/_COMPLETE"))) {
-        val staging = new Path(s"$root.staging")
-        fs.delete(staging, true)
+        // marker-gated GROUP of two VersionedLake tables (same protocol as
+        // DedupIndex.build): each commit is atomic, the marker written
+        // LAST ties them together — a crash mid-build leaves no marker and
+        // the next call recommits both
         val hist = emb.filter(col("vec_id") % 5 =!= 0)
-        Cluster.fitCentroids(hist, "vec_id", "embedding", k = 4, iters = 3)
-          .write.parquet(s"$staging/centroids")
+        VersionedLake.commit(
+          Cluster.fitCentroids(hist, "vec_id", "embedding", k = 4, iters = 3),
+          s"$root/centroids")
         // partitioned by cluster id: incrementalSemDeDupStored filters the
         // read to the batch's ≤ k cids, so this layout turns the per-batch
         // corpus I/O into partition-pruned directory reads
-        Cluster.assignStored(hist, "vec_id", "embedding",
-            s.read.parquet(s"$staging/centroids"))
-          .write.partitionBy("cid").parquet(s"$staging/assignments")
-        fs.create(new Path(staging, "_COMPLETE"), true).close()
-        fs.delete(new Path(root), true)
-        require(fs.rename(staging, new Path(root)), s"rename $staging -> $root failed")
+        VersionedLake.commit(
+          Cluster.assignStored(hist, "vec_id", "embedding",
+            VersionedLake.read(s, s"$root/centroids")),
+          s"$root/assignments", partitionBy = Seq("cid"))
+        fs.create(new Path(s"$root/_COMPLETE"), true).close()
       }
       // explicit schema: partition-column type inference would read cid
       // back as INT (values 0..k-1), and the long-vs-int mismatch both
       // breaks assignStored's (id, q, cid) long contract downstream and
       // wraps the partition column in a cast that can defeat pruning
-      val assignments = s.read
-        .schema("vec_id BIGINT, q ARRAY<BIGINT>, dist BIGINT, cid BIGINT")
-        .parquet(s"$root/assignments")
+      val assignments = VersionedLake.read(s, s"$root/assignments",
+        schemaDDL = "vec_id BIGINT, q ARRAY<BIGINT>, dist BIGINT, cid BIGINT")
       Cluster.incrementalSemDeDupStored(
           assignments,
           emb.filter(col("vec_id") % 5 === 0),
-          "vec_id", "embedding", s.read.parquet(s"$root/centroids"), tau = 0.45)
+          "vec_id", "embedding", VersionedLake.read(s, s"$root/centroids"),
+          tau = 0.45)
         .orderBy(col("vec_id"))
     })
   )

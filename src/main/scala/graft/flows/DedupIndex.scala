@@ -26,9 +26,10 @@ object DedupIndex {
 
   /** Bump when the on-disk layout or pipeline constants change — stale
     * indexes from an older build then miss and rebuild instead of being
-    * read with wrong semantics.
+    * read with wrong semantics. v5: tables store through [[VersionedLake]]
+    * (manifest commits) instead of bare parquet dirs.
     */
-  private val FormatVersion = 4
+  private val FormatVersion = 5
 
   private def defaultRoot: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_minhash_index"
@@ -63,40 +64,50 @@ object DedupIndex {
       .digest(spec.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  /** Build the index for `docs` under `dir` (staging write + atomic
-    * rename), replacing any prior index at the same key. Returns the final
-    * index directory.
+  /** Build the index for `docs` under `dir`, replacing any prior index at
+    * the same key. Each table commits through [[graft.sources.VersionedLake]]
+    * — per-table atomicity, versioning and vacuum come from the manifest
+    * protocol instead of hand-rolled staging/rename — and the `_COMPLETE`
+    * marker (written LAST, deleted FIRST) gates the three tables as a
+    * GROUP: a crash mid-build leaves no marker, and the next call
+    * recommits all three, so the latest version of each table always
+    * belongs to one complete build. Returns the final index directory.
     */
   def build(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, corpusPath: String, root: String = defaultRoot,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       subsetTag: String = ""): String = {
+    import graft.sources.VersionedLake
     val k = key(spark, corpusPath, idCol, textCol, shingleN, numHashes, bands,
       subsetTag)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val finalDir = new Path(s"$root/$k")
-    val staging = new Path(s"$root/.staging-$k")
-    fs.delete(staging, true)
+    fs.delete(new Path(finalDir, "_COMPLETE"), false)
     // hashed first, from the corpus text; banded SECOND, from the stored
     // hashed parquet — one shingle pass total, and the banded job reads
     // slim (id, hs) rows instead of re-tokenizing documents
     val (hashed, _) = Dedup.minHashIndexPortable(docs, idCol, textCol,
       shingleN, numHashes, bands, cache = false)
-    hashed.write.parquet(s"$staging/hashed")
-    val storedHashed = spark.read.parquet(s"$staging/hashed")
-    Dedup.bandedFromHashed(storedHashed, numHashes, bands)
-      .write.parquet(s"$staging/banded")
+    val vHashed = VersionedLake.commit(hashed, s"$finalDir/hashed")
+    val storedHashed = VersionedLake.read(spark, s"$finalDir/hashed")
+    val vBanded = VersionedLake.commit(
+      Dedup.bandedFromHashed(storedHashed, numHashes, bands),
+      s"$finalDir/banded")
     // THIRD: the scored candidate-pair table, derived from the two stored
     // tables. Jaccard is threshold-free, so one stored pair table serves
     // every downstream policy (cluster at 0.5, audit at 0.8, ...) with a
     // single slim scan — the candidate join never re-runs per query.
-    val storedBanded = spark.read.parquet(s"$staging/banded")
-    Dedup.minHashPairsFromIndex(storedHashed, storedBanded)
-      .write.parquet(s"$staging/pairs")
-    fs.create(new Path(staging, "_COMPLETE"), true).close()
-    fs.delete(finalDir, true)
-    require(fs.rename(staging, finalDir),
-      s"DedupIndex: rename $staging -> $finalDir failed")
+    val storedBanded = VersionedLake.read(spark, s"$finalDir/banded")
+    val vPairs = VersionedLake.commit(
+      Dedup.minHashPairsFromIndex(storedHashed, storedBanded),
+      s"$finalDir/pairs")
+    // a rebuild at an existing key (crash recovery, q93's explicit-build
+    // timing) supersedes prior versions — vacuum bounds the store to the
+    // build just committed
+    VersionedLake.vacuum(spark, s"$finalDir/hashed", vHashed)
+    VersionedLake.vacuum(spark, s"$finalDir/banded", vBanded)
+    VersionedLake.vacuum(spark, s"$finalDir/pairs", vPairs)
+    fs.create(new Path(finalDir, "_COMPLETE"), true).close()
     finalDir.toString
   }
 
@@ -136,8 +147,9 @@ object DedupIndex {
       build(spark, docs, idCol, textCol, corpusPath, root, shingleN,
         numHashes, bands, subsetTag)
     }
-    Index(spark.read.parquet(s"$root/$k/hashed"),
-      spark.read.parquet(s"$root/$k/banded"),
-      spark.read.parquet(s"$root/$k/pairs"))
+    import graft.sources.VersionedLake
+    Index(VersionedLake.read(spark, s"$root/$k/hashed"),
+      VersionedLake.read(spark, s"$root/$k/banded"),
+      VersionedLake.read(spark, s"$root/$k/pairs"))
   }
 }

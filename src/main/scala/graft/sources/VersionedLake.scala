@@ -46,9 +46,13 @@ object VersionedLake {
   /** Commit `df` as the next version. `mode` is `"overwrite"` (the new
     * version is exactly `df`) or `"append"` (the new version = previous
     * files + `df`'s files — no data rewrite, pure metadata union).
-    * Returns the committed version number.
+    * `partitionBy` lays the version's data out Hive-style (`col=value`
+    * directories) so reads prune partitions; the manifest records the
+    * partition-relative file paths and [[read]] recovers the partition
+    * columns per version directory. Returns the committed version number.
     */
-  def commit(df: DataFrame, table: String, mode: String = "overwrite"): Long = {
+  def commit(df: DataFrame, table: String, mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append", s"unknown mode $mode")
     val spark = df.sparkSession
     val f = fs(spark, table)
@@ -57,10 +61,24 @@ object VersionedLake {
     // new files land under a per-version directory: never collides with
     // visible data, orphaned cleanly if the manifest rename fails
     val dataDir = new Path(table, s"_data/v$next")
-    df.write.mode("errorifexists").parquet(dataDir.toString)
-    val newFiles = f.listStatus(dataDir)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"_data/v$next/${s.getPath.getName}").toSeq.sorted
+    val writer = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dataDir.toString)
+    // recursive listing: partitioned layouts nest files under col=value dirs
+    val dataPrefix = f.makeQualified(dataDir).toUri.getPath
+    val newFiles = {
+      val it = f.listFiles(dataDir, true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
+          val rel = s.getPath.toUri.getPath.stripPrefix(dataPrefix)
+            .stripPrefix("/")
+          b += s"_data/v$next/$rel"
+        }
+      }
+      b.result().sorted
+    }
     val carried = if (mode == "append" && prev.nonEmpty)
       readManifest(spark, table, prev.last) else Seq.empty
     val files = carried ++ newFiles
@@ -106,15 +124,29 @@ object VersionedLake {
     * version's schema (its manifest lists only its own files).
     */
   def read(spark: SparkSession, table: String,
-      version: Option[Long] = None, mergeSchema: Boolean = true): DataFrame = {
+      version: Option[Long] = None, mergeSchema: Boolean = true,
+      schemaDDL: String = null): DataFrame = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions at $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs at $table")
     val files = readManifest(spark, table, v)
     require(files.nonEmpty, s"version $v of $table lists no files")
-    spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(files.map(rel => new Path(table, rel).toString): _*)
+    // group by version dir and anchor each group's read at its own
+    // basePath: partitioned commits nest files under col=value dirs, and
+    // basePath is what lets the scan recover the partition COLUMNS (and
+    // prune on them — PartitionFilters) from a manifest's explicit file
+    // list. An explicit `schemaDDL` pins column types — partition-column
+    // type INFERENCE would e.g. read a bigint dir value back as INT, a
+    // mismatch that breaks typed consumers downstream.
+    val byVersionDir = files.groupBy(_.split("/").take(2).mkString("/"))
+    val parts = byVersionDir.toSeq.sortBy(_._1).map { case (vdir, fs0) =>
+      val r0 = spark.read.option("basePath", new Path(table, vdir).toString)
+      val r1 = if (schemaDDL != null) r0.schema(schemaDDL)
+        else r0.option("mergeSchema", mergeSchema.toString)
+      r1.parquet(fs0.map(rel => new Path(table, rel).toString): _*)
+    }
+    parts.reduceLeft(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Delete data files referenced by NO manifest ≥ `keepFrom` and all

@@ -48,6 +48,29 @@ class VersionedLakeSpec extends SparkSpec {
     assert(v1.count() == 2)
   }
 
+  test("partitioned commit: partition columns recovered, scan pruned, schemaDDL pins types") {
+    val tbl = Files.createTempDirectory("vlake-part").toString
+    VersionedLake.commit(
+      Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 1L), (4L, "d", 2L))
+        .toDF("id", "payload", "cid"),
+      tbl, partitionBy = Seq("cid"))
+    // partition column comes back (basePath anchoring), typed by the DDL
+    val df = VersionedLake.read(spark, tbl,
+      schemaDDL = "id BIGINT, payload STRING, cid BIGINT")
+    assert(df.schema("cid").dataType.typeName == "long")
+    assert(df.count() == 4)
+    // a cid filter prunes at the PARTITION level, not per-row
+    val pruned = df.where($"cid" === 0L)
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined, plan)
+    // append of a new partition layout version still reads as one table
+    VersionedLake.commit(Seq((9L, "z", 3L)).toDF("id", "payload", "cid"),
+      tbl, mode = "append", partitionBy = Seq("cid"))
+    assert(VersionedLake.read(spark, tbl,
+      schemaDDL = "id BIGINT, payload STRING, cid BIGINT").count() == 5)
+  }
+
   test("vacuum drops unreferenced files and old manifests, keeps live versions") {
     val tbl = Files.createTempDirectory("vlake3").toString
     VersionedLake.commit(Seq(1).toDF("x"), tbl)
