@@ -54,11 +54,20 @@ object Bench {
     // drowning in 1.4-1.5x run-to-run swings at min-of-2.
     val timedIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // Sub-second queries carry the worst relative jitter (scheduler + JIT
+    // layout dominate a 100-300ms measurement), so they earn extra
+    // iterations: after the base `timedIters`, queries whose best is under
+    // `extraBelowSec` run up to `extraIters` more, keeping the min.
+    val extraIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt
+    val extraBelowSec = 1.5
     val results = selected.map { case (name, fn) =>
       var best = Double.MaxValue
       var ok = true
       var i = 0
-      while (ok && i < timedIters) {
+      val maxIters = timedIters + extraIters
+      def wantMore: Boolean =
+        i < timedIters || (i < maxIters && best < extraBelowSec)
+      while (ok && wantMore) {
         // full GC between queries (JMH-style): expunges stale ThreadLocalMap
         // entries in the executor threads (see build.sbt G1PeriodicGCInterval
         // note) and keeps one query's garbage out of the next one's timing
