@@ -89,7 +89,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","iters":$timedIters,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // both iteration knobs recorded: sub-1.5s queries run up to
+    // iters+extra_sub_sec_iters, so the artifact states the actual
+    // methodology instead of implying min-of-iters for every query
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","iters":$timedIters,"extra_sub_sec_iters":$extraIters,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // Persist the FULL per-query timing map to a file as well: the driver
     // captures a bounded stdout tail, and a truncated tail silently drops

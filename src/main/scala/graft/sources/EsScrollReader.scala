@@ -58,6 +58,10 @@ object EsScrollReader {
       "time_zone" -> JString(timeZone))))
     JsonMethods.compact(JsonMethods.render(JObject(
       "size" -> JInt(pageSize),
+      // without this, ES 7+ caps hits.total at 10k with relation "gte",
+      // totalEq comes back None, and the ±5% reconciliation silently
+      // skips — precisely on the extractions large enough to need it
+      "track_total_hits" -> JBool(true),
       "query" -> JObject("bool" -> JObject(
         "must" -> JArray(matches :+ range))))))
   }
@@ -150,8 +154,14 @@ object EsScrollReader {
         throw new ShardFailureException(
           s"search with shard failures: failed=${p.shardsFailed} " +
             s"skipped=${p.shardsSkipped}")
-      if (p.timedOut)
-        throw new IOException("ES search timed_out — retrying same cursor")
+      // timed_out retry is safe ONLY on the initial search (a fresh search
+      // consumes nothing, reference tasks.py:71-80). A scroll call is
+      // FORWARD-ONLY: re-posting the same scroll_id would fetch the NEXT
+      // batch, silently dropping this page's hits — so scroll pages accept
+      // whatever arrived, exactly like the reference's _scroll_paginate
+      // (which never checks timed_out on scroll responses).
+      if (p.timedOut && cursor.isEmpty)
+        throw new IOException("ES initial search timed_out — retrying")
       if (cursor.isEmpty) total = p.totalEq.getOrElse(-1L)
       p.scrollId.foreach(scrollIds += _)
       // termination: an empty page ends the scroll; the initial page keeps
@@ -160,17 +170,22 @@ object EsScrollReader {
         else p.scrollId.orElse(cursor)
       (p.sources, next)
     }
-    val (rows, pages) = Ingest.scrollAll(page _, maxRetries = maxRetries,
-      fatal = _.isInstanceOf[ShardFailureException])
-    // cursor cleanup, 404 tolerated (the server may have expired it)
-    if (scrollIds.nonEmpty) {
-      val (code, _) = http("DELETE", s"$baseUrl/_search/scroll",
-        Some(JsonMethods.compact(JsonMethods.render(JObject(
-          "scroll_id" -> JArray(scrollIds.toList.map(JString(_))))))),
-        timeoutMs)
-      if (code >= 400 && code != 404)
-        throw new IOException(s"clear_scroll returned HTTP $code")
-    }
+    val (rows, pages) =
+      try Ingest.scrollAll(page _, maxRetries = maxRetries,
+        fatal = _.isInstanceOf[ShardFailureException])
+      finally
+        // cursor cleanup runs on failure too — a leaked scroll context
+        // pins server-side segments until the keep-alive expires, and
+        // repeated failing runs can exhaust the open-scroll limit.
+        // 404 tolerated (the server may have expired it already).
+        if (scrollIds.nonEmpty) {
+          val (code, _) = http("DELETE", s"$baseUrl/_search/scroll",
+            Some(JsonMethods.compact(JsonMethods.render(JObject(
+              "scroll_id" -> JArray(scrollIds.toList.map(JString(_))))))),
+            timeoutMs)
+          if (code >= 400 && code != 404)
+            System.err.println(s"[es-scroll] clear_scroll returned HTTP $code")
+        }
     if (rows.isEmpty && total <= 0) None
     else {
       if (total >= 0) Relational.reconcileCount(rows.size.toLong, total, tolerance)

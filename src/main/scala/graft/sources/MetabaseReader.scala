@@ -140,23 +140,68 @@ object MetabaseReader {
   }
 
   /** The reference's scalar-CSV parse: first integer on the line after the
-    * header (tasks.py:87-88, `re.search(r"\n(\d+)")`).
+    * header (tasks.py:87-88, `re.search(r"\n(\d+)")`). None = the window
+    * selected no rows (empty aggregate cell).
     */
+  def firstDataValueOpt(csv: String): Option[Long] =
+    "\\n(\\d+)".r.findFirstMatchIn(csv).map(_.group(1).toLong)
+
   def firstDataValue(csv: String): Long =
-    "\\n(\\d+)".r.findFirstMatchIn(csv) match {
-      case Some(m) => m.group(1).toLong
-      case None => throw new IllegalArgumentException(
-        s"no numeric data row in CSV: ${csv.take(100)}")
+    firstDataValueOpt(csv).getOrElse(throw new IllegalArgumentException(
+      s"no numeric data row in CSV: ${csv.take(100)}"))
+
+  /** Data-row count of a CSV body, quote-aware: newlines inside quoted
+    * fields are field CONTENT, not row breaks (Metabase quotes free-text
+    * columns, so embedded newlines are routine — a raw split("\n") count
+    * would spuriously trip the truncation guard). Escaped quotes ("")
+    * toggle the state twice, which cancels out.
+    */
+  def csvRowCount(csv: String): Long = {
+    var rows = 0L
+    var inQuote = false
+    var lineHasContent = false
+    var i = 0
+    while (i < csv.length) {
+      csv.charAt(i) match {
+        case '"' => inQuote = !inQuote; lineHasContent = true
+        case '\n' if !inQuote =>
+          if (lineHasContent) rows += 1
+          lineHasContent = false
+        case '\r' => ()
+        case _ => lineHasContent = true
+      }
+      i += 1
     }
+    if (lineHasContent) rows += 1
+    math.max(0L, rows - 1) // minus the header
+  }
 
   /** Non-unique slice columns: shrink the slice size by the measured
     * lines-per-id ratio so a slice still bounds ROWS, not ids
     * (tasks.py:141-151, integer semantics preserved). A ratio below 1
     * leaves the size unchanged.
+    *
+    * NOTE the reference divides the count by `slice_size` — an estimate
+    * that is only the true lines-per-id when the id SPAN happens to equal
+    * the slice size. [[extractAll]] knows the actual span and uses
+    * [[adjustSliceSizeBySpan]]; this form is kept for reference parity.
     */
   def adjustSliceSize(totalRows: Long, sliceSize: Int): Int = {
     require(sliceSize > 0, "sliceSize must be positive")
     val linesPerId = totalRows / sliceSize
+    if (linesPerId <= 1) sliceSize else (sliceSize / linesPerId).toInt.max(1)
+  }
+
+  /** The exact form: lines-per-id = total rows / id span, so a slice of
+    * `adjusted` ids holds ≈ `sliceSize` rows whatever the span is. With
+    * the reference's divisor a wide-span table under-shrinks (slices blow
+    * past the 1M cap and the truncation guard aborts) and a narrow-span
+    * table over-shrinks (queries multiply).
+    */
+  def adjustSliceSizeBySpan(totalRows: Long, idSpan: Long, sliceSize: Int): Int = {
+    require(sliceSize > 0, "sliceSize must be positive")
+    require(idSpan > 0, "idSpan must be positive")
+    val linesPerId = totalRows / idSpan
     if (linesPerId <= 1) sliceSize else (sliceSize / linesPerId).toInt.max(1)
   }
 
@@ -179,21 +224,28 @@ object MetabaseReader {
       tableId: Int, columnId: BigInt, columnType: String, sliceSize: Int,
       sliceColumnUnique: Boolean, filter: JValue = JNothing,
       rowCap: Long = RowCap): Seq[String] = {
-    val lo = firstDataValue(datasetCsv(baseUrl, token,
+    // an empty window is a RESULT, not an error (the sibling readers'
+    // convention: EsScrollReader returns None, MongoSliceReader validates
+    // trivially at zero) — min/max aggregates come back with no data row
+    val loOpt = firstDataValueOpt(datasetCsv(baseUrl, token,
       minMaxQuery(databaseId, tableId, "min", columnId, filter)))
-    val hi = firstDataValue(datasetCsv(baseUrl, token,
+    val hiOpt = firstDataValueOpt(datasetCsv(baseUrl, token,
       minMaxQuery(databaseId, tableId, "max", columnId, filter)))
-    val size = if (sliceColumnUnique) sliceSize else adjustSliceSize(
-      firstDataValue(datasetCsv(baseUrl, token,
-        countQuery(databaseId, tableId, filter))), sliceSize)
-    halfOpenSlices(lo, hi + 1, size).map { case (a, b) =>
-      val csv = datasetCsv(baseUrl, token,
-        sliceQuery(databaseId, tableId, columnId, columnType, a, b))
-      // rows = non-empty lines minus the header
-      val rows = csv.split("\n").count(_.nonEmpty) - 1
-      // the reference treats EXACTLY the cap as truncation (tasks.py:211)
-      SlicePlanner.assertNotTruncated(rows.toLong, rowCap)
-      csv
+    (loOpt, hiOpt) match {
+      case (Some(lo), Some(hi)) =>
+        val size = if (sliceColumnUnique) sliceSize else adjustSliceSizeBySpan(
+          firstDataValue(datasetCsv(baseUrl, token,
+            countQuery(databaseId, tableId, filter))), hi - lo + 1, sliceSize)
+        halfOpenSlices(lo, hi + 1, size).map { case (a, b) =>
+          val csv = datasetCsv(baseUrl, token,
+            sliceQuery(databaseId, tableId, columnId, columnType, a, b))
+          // quote-aware count: embedded newlines in quoted fields must not
+          // inflate the row count into a spurious truncation abort
+          // (the reference treats EXACTLY the cap as truncation, tasks.py:211)
+          SlicePlanner.assertNotTruncated(csvRowCount(csv), rowCap)
+          csv
+        }
+      case _ => Nil
     }
   }
 }

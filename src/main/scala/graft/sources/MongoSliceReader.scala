@@ -31,12 +31,19 @@ object MongoSliceReader {
 
   /** The reference's slice generator (tasks.py:74-105): fixed-size
     * inclusive ranges where each slice STARTS at the previous slice's end
-    * (overlapping boundaries), the last clipped to `max`. Mirrors its
-    * guards: positive size, min strictly below max.
+    * (overlapping boundaries), the last clipped to `max`.
+    *
+    * Deliberate divergence: the reference raises when `min >= max`, which
+    * also rejects the legitimate single-distinct-value window (every doc
+    * in the range shares one slice-var value — e.g. a one-day window on a
+    * date key). That window is drainable by the single inclusive slice
+    * `[min, max]`, so `min == max` yields exactly that instead of failing
+    * the whole extraction; only an inverted range errors.
     */
   def slices(min: Long, max: Long, sliceSize: Long): Seq[(Long, Long)] = {
     require(sliceSize > 0, "sliceSize must be positive")
-    require(min < max, s"min $min must be strictly below max $max")
+    require(min <= max, s"min $min must not exceed max $max")
+    if (min == max) return Seq((min, max))
     val out = Seq.newBuilder[(Long, Long)]
     var atual = min
     while (atual < max) {

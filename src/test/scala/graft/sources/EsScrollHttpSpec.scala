@@ -62,8 +62,22 @@ class EsScrollHttpSpec extends SparkSpec {
          |"hits":[${hits.mkString(",")}]}}""".stripMargin
     }
 
+    @volatile var initialAttempts = 0
+    @volatile var sawTrackTotalHits = false
+
     server.createContext("/sisreg/_search", { ex =>
       val body = JsonMethods.parse(readBody(ex))
+      sawTrackTotalHits = (body \ "track_total_hits") == JBool(true)
+      // one transient timeout on the INITIAL search, first attempt: a
+      // fresh search consumes nothing, so the client must re-issue it
+      initialAttempts += 1
+      if (initialAttempts == 1 && failShardAtPage < 0) {
+        timedOutServed = true
+        reply(ex, 200,
+          """{"_scroll_id":"cur-0","timed_out":true,
+            |"_shards":{"total":5,"successful":5,"skipped":0,"failed":0},
+            |"hits":{"total":{"value":0,"relation":"eq"},"hits":[]}}""".stripMargin)
+      } else {
       // honor the query: every must clause filters the canned corpus
       val musts = (body \ "query" \ "bool" \ "must") match {
         case JArray(ms) => ms
@@ -93,6 +107,7 @@ class EsScrollHttpSpec extends SparkSpec {
       matched = selected
       pagesServed += 1
       reply(ex, 200, pageJson(0))
+      }
     })
 
     server.createContext("/_search/scroll", { ex =>
@@ -110,18 +125,16 @@ class EsScrollHttpSpec extends SparkSpec {
         val n = attemptsPerCursor.getOrElse(id, 0) + 1
         attemptsPerCursor += (id -> n)
         val page = id.stripPrefix("cur-").toInt
-        // one transient timeout on the SECOND scroll page, first attempt:
-        // the client must retry the SAME cursor, not skip the page
-        if (page == 2 && !timedOutServed && failShardAtPage < 0) {
-          timedOutServed = true
-          reply(ex, 200,
-            """{"_scroll_id":"cur-2","timed_out":true,
-              |"_shards":{"total":5,"successful":5,"skipped":0,"failed":0},
-              |"hits":{"total":{"value":0,"relation":"eq"},"hits":[]}}""".stripMargin)
-        } else {
-          pagesServed += 1
-          reply(ex, 200, pageJson(page))
-        }
+        // scroll calls are FORWARD-ONLY like real ES: each one serves the
+        // next batch regardless of retries. Page 2 carries timed_out=true
+        // WITH its hits — the client must accept them, not re-fetch (a
+        // re-fetch would consume page 3 and lose this page's rows).
+        pagesServed += 1
+        val base = pageJson(page)
+        val served = if (page == 2 && failShardAtPage < 0)
+          base.replace("\"timed_out\":false", "\"timed_out\":true")
+        else base
+        reply(ex, 200, served)
       }
     })
 
@@ -141,19 +154,26 @@ class EsScrollHttpSpec extends SparkSpec {
         (m \ "range" \ "data_solicitacao" \ "time_zone") == JString("-03:00")))
   }
 
-  test("full paginate+reconcile loop over live HTTP, with a transient timeout retried on the same cursor") {
+  test("full paginate+reconcile loop over live HTTP: initial timeout re-issued, timed-out scroll page's hits ACCEPTED") {
     val es = new FakeEs(pageSize = 5)
     try {
       val q = EsScrollReader.buildQuery(5, Map.empty,
         "data_solicitacao", "2026-07-01", "2026-07-28")
       val Some(ext) = EsScrollReader.fullExtract(es.url, "sisreg", q)
+      // 23 rows even though scroll page 2 carried timed_out=true — its
+      // hits were accepted (a same-cursor re-fetch on a forward-only
+      // scroll would have consumed page 3 and LOST these rows)
       assert(ext.rows.size == 23 && ext.total == 23)
       // 23 docs at page size 5 = initial + 4 full/partial scrolls + the
       // empty terminator page
       assert(ext.pages == 6)
-      // the timed_out page was served once and then RE-fetched with the
-      // same cursor (two attempts on cur-2)
-      assert(es.timedOutServed && es.attemptsPerCursor("cur-2") == 2)
+      // the timed-out INITIAL search was re-issued (fresh search, nothing
+      // consumed); every scroll cursor was fetched exactly once
+      assert(es.timedOutServed && es.initialAttempts == 2)
+      assert(es.attemptsPerCursor.values.forall(_ == 1))
+      // the query asked ES for the exact total (reconciliation depends on
+      // relation=eq past 10k hits)
+      assert(es.sawTrackTotalHits)
       // cursor cleanup happened with the ids the server issued
       assert(es.clearCalls == 1 && es.clearedIds.nonEmpty)
       // drained rows land distributed as a real DataFrame
@@ -187,6 +207,8 @@ class EsScrollHttpSpec extends SparkSpec {
       assert(e.getMessage.contains("failed=1"))
       // fatal short-circuit: the failing cursor was fetched exactly once
       assert(es.attemptsPerCursor("cur-2") == 1)
+      // cleanup runs on the FAILURE path too — no leaked scroll context
+      assert(es.clearCalls == 1 && es.clearedIds.nonEmpty)
     } finally es.stop()
   }
 

@@ -62,6 +62,8 @@ class MetabaseHttpSpec extends SparkSpec {
           case _ => None
         }
         agg match {
+          case Some(_) if table.isEmpty =>
+            reply(ex, 200, "agg\n") // empty aggregate: header, no data row
           case Some("min") => reply(ex, 200, s"min\n${table.map(_.id).min}")
           case Some("max") => reply(ex, 200, s"max\n${table.map(_.id).max}")
           case Some("count") => reply(ex, 200, s"count\n${table.size}")
@@ -136,12 +138,34 @@ class MetabaseHttpSpec extends SparkSpec {
   }
 
   test("non-unique slice column shrinks the slice size by lines-per-id") {
-    // 3 lines per id: count=900, sliceSize=300 -> linesPerId=3 -> size 100
+    // reference-parity form (divisor = slice size):
     assert(MetabaseReader.adjustSliceSize(900, 300) == 100)
-    // fewer rows than the slice size: unchanged
     assert(MetabaseReader.adjustSliceSize(250, 300) == 300)
-    // never collapses to zero
     assert(MetabaseReader.adjustSliceSize(1000000, 7) == 1)
+    // exact form (divisor = id span): 100k ids x 1000 rows each, slice
+    // 1M rows -> 1000 ids per slice, NOT the reference's 10k
+    assert(MetabaseReader.adjustSliceSizeBySpan(100000000L, 100000L, 1000000) == 1000)
+    assert(MetabaseReader.adjustSliceSizeBySpan(250, 1000, 300) == 300)
+  }
+
+  test("quote-aware CSV row count: embedded newlines are content, not rows") {
+    val csv = "id,nome\n1,\"multi\nline\nvalue\"\n2,plain\n"
+    assert(MetabaseReader.csvRowCount(csv) == 2)
+    assert(MetabaseReader.csvRowCount("id,nome\n") == 0)
+    assert(MetabaseReader.csvRowCount("id,nome") == 0)
+    // escaped quotes toggle twice and cancel
+    assert(MetabaseReader.csvRowCount("id,n\n1,\"say \"\"hi\"\"\"\n2,x") == 2)
+  }
+
+  test("an empty window is a result, not an error") {
+    val mb = new FakeMetabase(Nil)
+    try {
+      val token = MetabaseReader.sessionToken(mb.url, "svc", "pw")
+      assert(MetabaseReader.extractAll(mb.url, token, databaseId = 3,
+        tableId = 7, columnId = BigInt(42), columnType = "Integer",
+        sliceSize = 100, sliceColumnUnique = true) == Nil)
+      assert(mb.sliceQueries == 0)
+    } finally mb.stop()
   }
 
   test("a slice at the row cap fails the truncation guard") {

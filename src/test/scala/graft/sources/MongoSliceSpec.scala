@@ -72,7 +72,10 @@ class MongoSliceSpec extends SparkSpec {
   test("slices mirror the reference: fixed size, overlapping boundaries, clipped tail") {
     assert(MongoSliceReader.slices(0, 10, 4) == Seq((0L, 4L), (4L, 8L), (8L, 10L)))
     assert(MongoSliceReader.slices(5, 6, 100) == Seq((5L, 6L)))
-    intercept[IllegalArgumentException](MongoSliceReader.slices(3, 3, 1))
+    // single-distinct-value window drains as one inclusive slice
+    // (deliberate divergence: the reference raises here)
+    assert(MongoSliceReader.slices(3, 3, 1) == Seq((3L, 3L)))
+    intercept[IllegalArgumentException](MongoSliceReader.slices(4, 3, 1))
     intercept[IllegalArgumentException](MongoSliceReader.slices(0, 10, 0))
   }
 
