@@ -60,4 +60,63 @@ object LlmTransform {
         lower(regexp_extract(col(rawCol), "(?i)\\b(sim|nao|yes|no)\\b", 1)))
       .withColumn("confidence",
         regexp_extract(col(rawCol), "(\\d+(?:\\.\\d+)?)\\s*%", 1).cast("double") / 100.0)
+
+  /** The reference's exact verdict shape — `{"flag": ..., "motivo": ...}`
+    * regex-extracted from the model's free text, newlines stripped first,
+    * quotes scrubbed, and an unparseable answer degrading to (empty flag,
+    * whole text as motivo) instead of an error (reference
+    * tasks.py:88-117 `parse_result_row`). Codegen'd column expressions,
+    * after the network boundary.
+    */
+  def parseFlagMotivo(results: DataFrame, rawCol: String): DataFrame = {
+    val flat = regexp_replace(col(rawCol), "\n", "")
+    val flag = regexp_extract(flat, "\\{\"flag\": ?(.*), \"motivo\": ?(.*)\\}", 1)
+    val motivo = regexp_extract(flat, "\\{\"flag\": ?(.*), \"motivo\": ?(.*)\\}", 2)
+    val matched = flat.rlike("\\{\"flag\": ?.*, \"motivo\": ?.*\\}")
+    results
+      .withColumn("flag",
+        when(matched, regexp_replace(flag, "\"", "")).otherwise(lit("")))
+      .withColumn("motivo",
+        when(matched, regexp_replace(motivo, "\"", "")).otherwise(flat))
+  }
+
+  /** A REAL wire client for the reference's Gemini call
+    * (tasks.py:44-75 `get_result_gemini`): POST
+    * `<base>/v1beta/models/<model>:generateContent?key=<key>` with
+    * `{"contents":[{"parts":[{"text": prompt + text}]}]}`, answer text at
+    * `candidates[0].content.parts[0].text`, non-200 → error (which
+    * [[classify]]'s bounded retry absorbs). Serializable — executors build
+    * their own HTTP client lazily; only strings ship with the closure.
+    */
+  final case class GeminiClient(baseUrl: String, model: String, key: String,
+      prompt: String, timeoutMs: Int = 90000)
+      extends (String => String) with Serializable {
+    @transient private lazy val http =
+      java.net.http.HttpClient.newHttpClient()
+    override def apply(text: String): String = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val body = JsonMethods.compact(JsonMethods.render(JObject(
+        "contents" -> JArray(List(JObject("parts" -> JArray(List(
+          JObject("text" -> JString(prompt + text))))))))))
+      val resp = http.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"$baseUrl/v1beta/models/$model:generateContent?key=$key"))
+          .timeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+          .header("Content-type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new java.io.IOException(
+          s"API call failed, error: ${resp.statusCode()}")
+      (JsonMethods.parse(resp.body()) \ "candidates")(0) \ "content" \
+        "parts" match {
+        case JArray(JObject(fields) :: _) =>
+          fields.collectFirst { case ("text", JString(t)) => t }
+            .getOrElse(throw new java.io.IOException("no text part"))
+        case other => throw new java.io.IOException(s"malformed answer: $other")
+      }
+    }
+  }
 }
