@@ -1,0 +1,169 @@
+package graft.sources
+
+import java.io.{BufferedReader, IOException, InputStreamReader, OutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** FTP acquisition — the engine half of the reference's DATASUS fetch
+  * (reference: pipelines/utils/tasks.py:299-355 `download_from_ftp`,
+  * pipelines/datalake/extract_load/datasus_ftp/datasus/utils.py:16-52
+  * `check_newest_file_version`), speaking the control/data protocol over
+  * raw sockets (USER/PASS, CWD, TYPE I, SIZE, PASV, NLST, RETR, QUIT —
+  * the exact command set ftplib issues for these two tasks):
+  *
+  *  - passive-mode transfers (the 227 host,port reply opens the data
+  *    channel, like ftplib's `transfercmd`);
+  *  - `download` streams RETR to a local file and returns its path
+  *    (tasks.py:335-353);
+  *  - `newestFileVersion` replays the probe: NLST, substring-filter on the
+  *    base name, DESCENDING sort, first match, `\d{6}` snapshot → "yyyy-MM"
+  *    (utils.py:39-52).
+  *
+  * Driver-side acquisition like every fetch transport here; landed files
+  * read distributed via CsvReader/DbfReader/spark.read.
+  */
+object FtpReader {
+
+  /** One FTP control session. Create, use, `quit()`. */
+  final class FtpClient(host: String, port: Int, user: String = "anonymous",
+      password: String = "", timeoutMs: Int = 3600000) {
+    private val sock = new Socket()
+    sock.connect(new InetSocketAddress(host, port), timeoutMs)
+    sock.setSoTimeout(timeoutMs)
+    private val in = new BufferedReader(new InputStreamReader(
+      sock.getInputStream, StandardCharsets.US_ASCII))
+    private val out: OutputStream = sock.getOutputStream
+
+    expect(readReply(), 220, "greeting")
+    // login: 230 = already in (anonymous), 331 = password needed
+    cmd(s"USER $user") match {
+      case (331, _) => expect(cmd(s"PASS $password"), 230, "PASS")
+      case (230, _) => ()
+      case (code, text) => throw new IOException(s"USER rejected: $code $text")
+    }
+
+    /** Read one (possibly multi-line) reply: lines continue until
+      * `NNN<space>` (RFC 959 multi-line form `NNN-...`).
+      */
+    private def readReply(): (Int, String) = {
+      val sb = new StringBuilder
+      var line = in.readLine()
+      if (line == null) throw new IOException("FTP connection closed")
+      sb.append(line)
+      val code = line.take(3)
+      while (!(line.startsWith(code + " "))) {
+        line = in.readLine()
+        if (line == null) throw new IOException("FTP connection closed")
+        sb.append('\n').append(line)
+      }
+      (code.toInt, sb.toString)
+    }
+
+    private def cmd(c: String): (Int, String) = {
+      out.write((c + "\r\n").getBytes(StandardCharsets.US_ASCII))
+      out.flush()
+      readReply()
+    }
+
+    private def expect(r: (Int, String), want: Int, what: String): String = {
+      if (r._1 != want) throw new IOException(s"$what failed: ${r._1} ${r._2}")
+      r._2
+    }
+
+    def cwd(dir: String): Unit = expect(cmd(s"CWD $dir"), 250, s"CWD $dir")
+
+    /** SIZE in bytes (213 reply), for the reference's pre-download log. */
+    def size(file: String): Long =
+      expect(cmd(s"SIZE $file"), 213, s"SIZE $file").split(" ").last.trim.toLong
+
+    /** Enter passive mode and parse the 227 (h1,h2,h3,h4,p1,p2) reply. */
+    private def pasv(): Socket = {
+      val text = expect(cmd("PASV"), 227, "PASV")
+      val nums = "(\\d+),(\\d+),(\\d+),(\\d+),(\\d+),(\\d+)".r
+        .findFirstMatchIn(text)
+        .getOrElse(throw new IOException(s"unparseable PASV reply: $text"))
+      val dataHost = (1 to 4).map(nums.group).mkString(".")
+      val dataPort = nums.group(5).toInt * 256 + nums.group(6).toInt
+      val s = new Socket()
+      s.connect(new InetSocketAddress(dataHost, dataPort), timeoutMs)
+      s.setSoTimeout(timeoutMs)
+      s
+    }
+
+    /** A full passive-mode data transfer for `command`; returns the raw
+      * bytes (150/125 open → drain → 226 close, ftplib transfercmd shape).
+      */
+    private def transfer(command: String): Array[Byte] = {
+      val data = pasv()
+      try {
+        val open = cmd(command)
+        if (open._1 != 150 && open._1 != 125)
+          throw new IOException(s"$command failed: ${open._1} ${open._2}")
+        val bytes = data.getInputStream.readAllBytes()
+        expect(readReply(), 226, s"$command completion")
+        bytes
+      } finally data.close()
+    }
+
+    /** Directory listing (NLST), one name per line. */
+    def nlst(): Seq[String] = {
+      expect(cmd("TYPE A"), 200, "TYPE A")
+      new String(transfer("NLST"), StandardCharsets.US_ASCII)
+        .split("\r?\n").toSeq.filter(_.nonEmpty)
+    }
+
+    /** Binary RETR of one file. */
+    def retr(file: String): Array[Byte] = {
+      expect(cmd("TYPE I"), 200, "TYPE I")
+      transfer(s"RETR $file")
+    }
+
+    def quit(): Unit = {
+      try { cmd("QUIT"); () } catch { case _: IOException => () }
+      sock.close()
+    }
+  }
+
+  /** The reference's download task: login → CWD → SIZE (logged there,
+    * returned here) → RETR to `outputDir/fileName`. Returns the local
+    * path (tasks.py:326-355).
+    */
+  def download(host: String, port: Int, directory: String, fileName: String,
+      outputDir: String, user: String = "anonymous", password: String = "",
+      timeoutMs: Int = 3600000): (String, Long) = {
+    val c = new FtpClient(host, port, user, password, timeoutMs)
+    try {
+      c.cwd(directory)
+      val bytes = c.size(fileName)
+      val dest = Paths.get(outputDir, fileName)
+      Files.createDirectories(dest.getParent)
+      Files.copy(new java.io.ByteArrayInputStream(c.retr(fileName)), dest,
+        StandardCopyOption.REPLACE_EXISTING)
+      (dest.toString, bytes)
+    } finally c.quit()
+  }
+
+  /** The newest-version probe on a listing (utils.py:39-52): keep names
+    * CONTAINING the base, sort descending, take the first, snapshot =
+    * first `\d{6}` group as "yyyy-MM". Errors loudly when nothing matches
+    * or the name carries no date — silent staleness is the failure mode
+    * this probe exists to prevent.
+    */
+  def newestFileVersion(files: Seq[String], baseFileName: String): (String, String) = {
+    val matching = files.filter(_.contains(baseFileName)).sorted.reverse
+    require(matching.nonEmpty, s"no file matching '$baseFileName' in listing")
+    val newest = matching.head
+    val six = "\\d{6}".r.findFirstIn(newest).getOrElse(
+      throw new IllegalArgumentException(s"no yyyymm stamp in '$newest'"))
+    (newest, s"${six.take(4)}-${six.drop(4)}")
+  }
+
+  /** Probe over a live server: login → CWD → NLST → [[newestFileVersion]]. */
+  def checkNewestFileVersion(host: String, port: Int, directory: String,
+      baseFileName: String, timeoutMs: Int = 3600000): (String, String) = {
+    val c = new FtpClient(host, port, timeoutMs = timeoutMs)
+    try { c.cwd(directory); newestFileVersion(c.nlst(), baseFileName) }
+    finally c.quit()
+  }
+}
