@@ -69,7 +69,10 @@ object LlmTransform {
     * after the network boundary.
     */
   def parseFlagMotivo(results: DataFrame, rawCol: String): DataFrame = {
-    val flat = regexp_replace(col(rawCol), "\n", "")
+    // strip \r too: Java regex '.' crosses neither \n nor \r, so a CRLF
+    // answer would silently fall through to the unparseable branch where
+    // the Python reference (whose '.' matches \r) extracts the flag
+    val flat = regexp_replace(col(rawCol), "[\r\n]", "")
     val flag = regexp_extract(flat, "\\{\"flag\": ?(.*), \"motivo\": ?(.*)\\}", 1)
     val motivo = regexp_extract(flat, "\\{\"flag\": ?(.*), \"motivo\": ?(.*)\\}", 2)
     val matched = flat.rlike("\\{\"flag\": ?.*, \"motivo\": ?.*\\}")

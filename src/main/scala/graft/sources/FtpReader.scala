@@ -3,7 +3,7 @@ package graft.sources
 import java.io.{BufferedReader, IOException, InputStreamReader, OutputStream}
 import java.net.{InetSocketAddress, Socket}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 /** FTP acquisition — the engine half of the reference's DATASUS fetch
   * (reference: pipelines/utils/tasks.py:299-355 `download_from_ftp`,
@@ -35,16 +35,23 @@ object FtpReader {
       sock.getInputStream, StandardCharsets.US_ASCII))
     private val out: OutputStream = sock.getOutputStream
 
-    expect(readReply(), 220, "greeting")
-    // login: 230 = already in (anonymous), 331 = password needed
-    cmd(s"USER $user") match {
-      case (331, _) => expect(cmd(s"PASS $password"), 230, "PASS")
-      case (230, _) => ()
-      case (code, text) => throw new IOException(s"USER rejected: $code $text")
-    }
+    // a failed greeting/login must not leak the connected socket — the
+    // caller's quit() never runs when construction throws
+    try {
+      expect(readReply(), 220, "greeting")
+      // login: 230 = already in (anonymous), 331 = password needed
+      cmd(s"USER $user") match {
+        case (331, _) => expect(cmd(s"PASS $password"), 230, "PASS")
+        case (230, _) => ()
+        case (code, text) => throw new IOException(s"USER rejected: $code $text")
+      }
+    } catch { case e: Throwable => sock.close(); throw e }
 
     /** Read one (possibly multi-line) reply: lines continue until
-      * `NNN<space>` (RFC 959 multi-line form `NNN-...`).
+      * `NNN<space>` (RFC 959 multi-line form `NNN-...`); a bare `NNN`
+      * line is final too (overloaded servers send e.g. plain "421").
+      * Malformed replies fail as IOException immediately instead of
+      * blocking until the socket timeout or surfacing NumberFormatException.
       */
     private def readReply(): (Int, String) = {
       val sb = new StringBuilder
@@ -52,7 +59,9 @@ object FtpReader {
       if (line == null) throw new IOException("FTP connection closed")
       sb.append(line)
       val code = line.take(3)
-      while (!(line.startsWith(code + " "))) {
+      if (code.length < 3 || !code.forall(_.isDigit))
+        throw new IOException(s"malformed FTP reply: '$line'")
+      while (!(line == code || line.startsWith(code + " "))) {
         line = in.readLine()
         if (line == null) throw new IOException("FTP connection closed")
         sb.append('\n').append(line)
@@ -77,46 +86,68 @@ object FtpReader {
     def size(file: String): Long =
       expect(cmd(s"SIZE $file"), 213, s"SIZE $file").split(" ").last.trim.toLong
 
-    /** Enter passive mode and parse the 227 (h1,h2,h3,h4,p1,p2) reply. */
+    /** Enter passive mode. The 227 reply's PORT is honored but its HOST is
+      * NOT — the data channel connects to the control-connection host, the
+      * modern ftplib default (bpo-43285): NAT'd servers advertise internal
+      * addresses (hangs) and a malicious one could redirect the data
+      * connection to an arbitrary target.
+      */
     private def pasv(): Socket = {
       val text = expect(cmd("PASV"), 227, "PASV")
       val nums = "(\\d+),(\\d+),(\\d+),(\\d+),(\\d+),(\\d+)".r
         .findFirstMatchIn(text)
         .getOrElse(throw new IOException(s"unparseable PASV reply: $text"))
-      val dataHost = (1 to 4).map(nums.group).mkString(".")
       val dataPort = nums.group(5).toInt * 256 + nums.group(6).toInt
       val s = new Socket()
-      s.connect(new InetSocketAddress(dataHost, dataPort), timeoutMs)
+      s.connect(new InetSocketAddress(host, dataPort), timeoutMs)
       s.setSoTimeout(timeoutMs)
       s
     }
 
-    /** A full passive-mode data transfer for `command`; returns the raw
-      * bytes (150/125 open → drain → 226 close, ftplib transfercmd shape).
+    /** A full passive-mode data transfer for `command`, STREAMED to
+      * `consume` (150/125 open → drain → 226 close, ftplib transfercmd
+      * shape) — never buffers the transfer in memory.
       */
-    private def transfer(command: String): Array[Byte] = {
+    private def transfer[A](command: String)(
+        consume: java.io.InputStream => A): A = {
       val data = pasv()
       try {
         val open = cmd(command)
         if (open._1 != 150 && open._1 != 125)
           throw new IOException(s"$command failed: ${open._1} ${open._2}")
-        val bytes = data.getInputStream.readAllBytes()
+        val result = consume(data.getInputStream)
         expect(readReply(), 226, s"$command completion")
-        bytes
+        result
       } finally data.close()
     }
+
+    /** Switch to binary (image) type — required before SIZE as well as
+      * RETR: strict servers reject SIZE in ASCII mode, and permissive ones
+      * answer the CRLF-adjusted ASCII size, which would disagree with the
+      * byte count RETR actually delivers.
+      */
+    def binary(): Unit = expect(cmd("TYPE I"), 200, "TYPE I")
 
     /** Directory listing (NLST), one name per line. */
     def nlst(): Seq[String] = {
       expect(cmd("TYPE A"), 200, "TYPE A")
-      new String(transfer("NLST"), StandardCharsets.US_ASCII)
+      new String(transfer("NLST")(_.readAllBytes()), StandardCharsets.US_ASCII)
         .split("\r?\n").toSeq.filter(_.nonEmpty)
     }
 
-    /** Binary RETR of one file. */
+    /** Binary RETR of one file, streamed to `out` (DATASUS archives run to
+      * GBs — buffering a transfer would cap it at heap/2GB). Returns the
+      * byte count delivered.
+      */
+    def retrTo(file: String, out: OutputStream): Long = {
+      binary()
+      transfer(s"RETR $file")(_.transferTo(out))
+    }
+
+    /** Binary RETR of one SMALL file fully in memory (listing-scale only). */
     def retr(file: String): Array[Byte] = {
-      expect(cmd("TYPE I"), 200, "TYPE I")
-      transfer(s"RETR $file")
+      binary()
+      transfer(s"RETR $file")(_.readAllBytes())
     }
 
     def quit(): Unit = {
@@ -135,11 +166,12 @@ object FtpReader {
     val c = new FtpClient(host, port, user, password, timeoutMs)
     try {
       c.cwd(directory)
+      c.binary() // before SIZE: ASCII-mode SIZE is rejected or CRLF-adjusted
       val bytes = c.size(fileName)
       val dest = Paths.get(outputDir, fileName)
       Files.createDirectories(dest.getParent)
-      Files.copy(new java.io.ByteArrayInputStream(c.retr(fileName)), dest,
-        StandardCopyOption.REPLACE_EXISTING)
+      val out = Files.newOutputStream(dest)
+      try c.retrTo(fileName, out) finally out.close()
       (dest.toString, bytes)
     } finally c.quit()
   }
@@ -151,9 +183,9 @@ object FtpReader {
     * this probe exists to prevent.
     */
   def newestFileVersion(files: Seq[String], baseFileName: String): (String, String) = {
-    val matching = files.filter(_.contains(baseFileName)).sorted.reverse
+    val matching = files.filter(_.contains(baseFileName))
     require(matching.nonEmpty, s"no file matching '$baseFileName' in listing")
-    val newest = matching.head
+    val newest = matching.max // = descending-sort head, one pass
     val six = "\\d{6}".r.findFirstIn(newest).getOrElse(
       throw new IllegalArgumentException(s"no yyyymm stamp in '$newest'"))
     (newest, s"${six.take(4)}-${six.drop(4)}")

@@ -91,6 +91,14 @@ class LlmHttpSpec extends SparkSpec {
     } finally g.stop()
   }
 
+  test("parseFlagMotivo crosses CRLF answers like the Python reference") {
+    val raw = Seq((1L, "{\"flag\": \"1\",\r\n \"motivo\": \"Conf.\"}"))
+      .toDF("id", "raw")
+    val row = LlmTransform.parseFlagMotivo(raw, "raw")
+      .select("flag", "motivo").head()
+    assert(row.getString(0) == "1" && row.getString(1) == "Conf.")
+  }
+
   test("a wrong API key exhausts retries into an empty result, not a task failure") {
     val g = new FakeGemini
     try {

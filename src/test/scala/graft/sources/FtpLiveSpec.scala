@@ -71,7 +71,11 @@ class FtpLiveSpec extends AnyFunSuite {
               if (data != null) data.close()
               data = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
               val p = data.getLocalPort
-              reply(s"227 Entering Passive Mode (127,0,0,1,${p / 256},${p % 256})")
+              // advertise a BOGUS host (NAT'd-server shape): the client
+              // must ignore it and connect the data channel to the
+              // control host (ftplib bpo-43285 semantics) — honoring it
+              // would hang against 10.99.99.99
+              reply(s"227 Entering Passive Mode (10,99,99,99,${p / 256},${p % 256})")
             case "NLST" =>
               reply("150 here it comes")
               val d = data.accept()
