@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.SparkSpec
+
+/** LIVE-protocol cloud-store fetches: one in-JVM HTTP server plays the
+  * GCS JSON API (listing with metadata + alt=media download), an Azure
+  * blob account (SAS-gated GET), and the Sheets values API; the readers
+  * drive them end-to-end including the window/suffix filters and the
+  * all-string landing.
+  */
+class CloudStoreLiveSpec extends SparkSpec {
+
+  private val objects = Seq(
+    ("reports/daily_0601.csv", "2026-06-01T10:00:00Z", "id,v\n1,a\n2,b\n"),
+    ("reports/daily_0615.csv", "2026-06-15T10:00:00Z", "id,v\n3,c\n"),
+    ("reports/daily_0630.csv", "2026-06-30T10:00:00Z", "id,v\n4,d\n5,e\n"),
+    ("reports/readme.txt", "2026-06-20T10:00:00Z", "not a csv"))
+
+  private final class FakeCloud {
+    val server: HttpServer = HttpServer.create(new InetSocketAddress(0), 0)
+
+    private def reply(ex: HttpExchange, code: Int, body: Array[Byte],
+        ct: String = "application/json"): Unit = {
+      ex.getResponseHeaders.set("Content-Type", ct)
+      ex.sendResponseHeaders(code, body.length)
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+      ex.close()
+    }
+    private def replyS(ex: HttpExchange, code: Int, body: String): Unit =
+      reply(ex, code, body.getBytes(StandardCharsets.UTF_8))
+
+    // GCS listing + media download
+    server.createContext("/storage/v1/b/lake-bucket/o", { ex =>
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val prefix = q.split("&").collectFirst {
+        case p if p.startsWith("prefix=") =>
+          java.net.URLDecoder.decode(p.drop(7), StandardCharsets.UTF_8)
+      }.getOrElse("")
+      val items = objects.filter(_._1.startsWith(prefix)).map { case (n, u, _) =>
+        s"""{"name":"$n","updated":"$u","timeCreated":"$u"}"""
+      }
+      replyS(ex, 200, s"""{"items":[${items.mkString(",")}]}""")
+    })
+    server.createContext("/download/storage/v1/b/lake-bucket/o/", { ex =>
+      val name = java.net.URLDecoder.decode(
+        ex.getRequestURI.getPath.stripPrefix("/download/storage/v1/b/lake-bucket/o/"),
+        StandardCharsets.UTF_8)
+      objects.find(_._1 == name) match {
+        case Some((_, _, content)) =>
+          reply(ex, 200, content.getBytes(StandardCharsets.UTF_8), "text/csv")
+        case None => replyS(ex, 404, """{"error":"no such object"}""")
+      }
+    })
+
+    // Azure blob: SAS-token-gated GET
+    server.createContext("/medicines-container/", { ex =>
+      if (Option(ex.getRequestURI.getQuery).forall(!_.contains("sig=abc")))
+        replyS(ex, 403, "missing or bad SAS")
+      else reply(ex, 200, "col1;col2\nx;y\n".getBytes(StandardCharsets.UTF_8),
+        "application/octet-stream")
+    })
+
+    // Sheets values API
+    server.createContext("/v4/spreadsheets/SHEET123/values/", { ex =>
+      val range = ex.getRequestURI.getPath.split("/").last
+      if (range != "Plan1") replyS(ex, 404, """{"error":"no such sheet"}""")
+      else replyS(ex, 200,
+        """{"range":"Plan1!A1:C3","values":[["cnes","nome","ap"],["111","UPA Centro"],["222","Clinica Sul","AP52"]]}""")
+    })
+
+    server.start()
+    def url = s"http://localhost:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("GCS single-file load over live HTTP lands all-string (dtype=str)") {
+    val c = new FakeCloud
+    try {
+      val df = CloudStoreReader.loadFileFromGcs(spark, c.url, "lake-bucket",
+        "reports/daily_0601.csv")
+      assert(df.columns.toSeq == Seq("id", "v") && df.count() == 2)
+      assert(df.schema.forall(_.dataType.typeName == "string"))
+      intercept[UnsupportedOperationException] {
+        CloudStoreReader.loadFileFromGcs(spark, c.url, "lake-bucket",
+          "reports/readme.txt", fileType = "txt")
+      }
+    } finally c.stop()
+  }
+
+  test("GCS bulk load: prefix + suffix + STRICT updated-window filters applied to the live listing") {
+    val c = new FakeCloud
+    try {
+      val got = CloudStoreReader.loadFilesFromGcs(c.url, "lake-bucket",
+        "reports/", ".csv",
+        updatedAfter = Some(Instant.parse("2026-06-01T10:00:00Z")), // strict >
+        updatedBefore = Some(Instant.parse("2026-06-30T10:00:00Z"))) // strict <
+      // 0601 excluded (not strictly after), 0630 excluded (not strictly
+      // before), readme.txt excluded by suffix
+      assert(got.map(_._1.name) == Seq("reports/daily_0615.csv"))
+      assert(new String(got.head._2, StandardCharsets.UTF_8).startsWith("id,v"))
+    } finally c.stop()
+  }
+
+  test("Azure blob download over live HTTP: SAS enforced, dated filename switch") {
+    val c = new FakeCloud
+    val dir = java.nio.file.Files.createTempDirectory("az").toString
+    try {
+      val path = CloudStoreReader.downloadAzureBlob(s"${c.url}/",
+        "medicines-container", "estoque/latest.csv", dir, "estoque",
+        credential = Some("sig=abc"), addLoadDateToFilename = true,
+        loadDate = Some("2026-08-13"))
+      assert(path == s"$dir/estoque_2026-08-13.csv")
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), StandardCharsets.UTF_8)
+        .startsWith("col1;col2"))
+      // bad SAS is loud
+      intercept[java.io.IOException] {
+        CloudStoreReader.downloadAzureBlob(s"${c.url}/", "medicines-container",
+          "estoque/latest.csv", dir, "x", credential = Some("sig=WRONG"))
+      }
+    } finally c.stop()
+  }
+
+  test("Sheets worksheet lands as delimiter CSV with rows padded to the header width") {
+    val c = new FakeCloud
+    val dir = java.nio.file.Files.createTempDirectory("gs").toString
+    try {
+      val path = CloudStoreReader.downloadSheetAsCsv(c.url,
+        "https://docs.google.com/spreadsheets/d/SHEET123/edit", "Plan1",
+        dir, "unidades", csvDelimiter = ";")
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), StandardCharsets.UTF_8)
+      // the short row is padded to the 3-wide header
+      assert(text == "cnes;nome;ap\n111;UPA Centro;\n222;Clinica Sul;AP52")
+      // the landing is readable by the standard CSV path
+      val df = spark.read.option("header", "true").option("sep", ";").csv(path)
+      assert(df.count() == 2 && df.columns.toSeq == Seq("cnes", "nome", "ap"))
+      // URL validation mirrors the reference
+      intercept[IllegalArgumentException] {
+        CloudStoreReader.spreadsheetIdFromUrl("https://example.com/nope")
+      }
+    } finally c.stop()
+  }
+}
