@@ -138,7 +138,9 @@ object CloudSqlImporter {
     * ignore-and-warn, `limitFiles` ≤ 0 means no limit.
     */
   def windowFiles(files: Seq[String], startFrom: Int, limitFiles: Int): Seq[String] = {
-    val sorted = files.sorted
+    // nulls/empties drop BEFORE the sort — Ordering[String] NPEs on null,
+    // which would defeat the per-file empty-name skip downstream
+    val sorted = files.filter(f => f != null && f.nonEmpty).sorted
     val s0 = if (startFrom < 1 || startFrom > sorted.size) 1 else startFrom
     val windowed = sorted.drop(s0 - 1)
     if (limitFiles > 0) windowed.take(limitFiles) else windowed
@@ -160,7 +162,7 @@ object CloudSqlImporter {
       Some("""{"settings":{"activationPolicy":"ALWAYS"}}"""))
     waitForOperations(cfg, instanceName)
     val done = Seq.newBuilder[(String, String)]
-    selected.filter(f => f != null && f.nonEmpty).foreach { file =>
+    selected.foreach { file => // windowFiles already dropped null/empty names
       val (name, cnes) = filenameInfo(file)
       val databaseName = cnes.fold(name)(c => s"${name}_$c")
       checkDbName(databaseName)

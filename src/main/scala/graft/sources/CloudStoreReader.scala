@@ -53,63 +53,91 @@ object CloudStoreReader {
 
   private def enc(s: String) = URLEncoder.encode(s, StandardCharsets.UTF_8)
 
+  // URLEncoder emits FORM encoding ('+' for space) — correct in a query
+  // string, wrong in a PATH segment (GCS reads '+' literally → 404;
+  // Sheets fails to parse the range). Percent-encode paths.
+  private def encPath(s: String) = enc(s).replace("+", "%20")
+
   // ------------------------------------------------------------------ GCS
 
   final case class GcsObject(name: String, updated: Instant, created: Instant)
 
   /** List a bucket's objects (JSON API `o?prefix=`): name + updated +
     * timeCreated, the metadata the reference's window filter reads.
+    * Follows `nextPageToken` to exhaustion — the API pages at 1000
+    * objects, and a single-page read would silently truncate the listing
+    * (the staleness the SDK-paginated reference never sees).
     */
   def gcsList(apiBase: String, bucket: String, prefix: String,
       token: Option[String] = None): Seq[GcsObject] = {
-    val body = getOk(
-      s"$apiBase/storage/v1/b/${enc(bucket)}/o?prefix=${enc(prefix)}",
-      token, "GCS list")
-    (JsonMethods.parse(new String(body, StandardCharsets.UTF_8)) \ "items") match {
-      case JArray(items) => items.map { it =>
-        def s(f: String) = (it \ f) match {
-          case JString(v) => v
-          case other => throw new IOException(s"GCS item without $f: $other")
+    val out = Seq.newBuilder[GcsObject]
+    var pageToken: Option[String] = None
+    var more = true
+    while (more) {
+      val pt = pageToken.map(t => s"&pageToken=${enc(t)}").getOrElse("")
+      val body = getOk(
+        s"$apiBase/storage/v1/b/${encPath(bucket)}/o?prefix=${enc(prefix)}$pt",
+        token, "GCS list")
+      val j = JsonMethods.parse(new String(body, StandardCharsets.UTF_8))
+      (j \ "items") match {
+        case JArray(items) => items.foreach { it =>
+          def s(f: String) = (it \ f) match {
+            case JString(v) => v
+            case other => throw new IOException(s"GCS item without $f: $other")
+          }
+          out += GcsObject(s("name"), Instant.parse(s("updated")),
+            Instant.parse(s("timeCreated")))
         }
-        GcsObject(s("name"), Instant.parse(s("updated")),
-          Instant.parse(s("timeCreated")))
+        case _ => ()
       }
-      case _ => Nil
+      pageToken = (j \ "nextPageToken") match {
+        case JString(t) => Some(t)
+        case _ => None
+      }
+      more = pageToken.isDefined
     }
+    out.result()
   }
 
   /** Download one object's content (`alt=media`). */
   def gcsDownload(apiBase: String, bucket: String, name: String,
       token: Option[String] = None): Array[Byte] =
     getOk(
-      s"$apiBase/download/storage/v1/b/${enc(bucket)}/o/${enc(name)}?alt=media",
+      s"$apiBase/download/storage/v1/b/${encPath(bucket)}/o/${encPath(name)}?alt=media",
       token, s"GCS download $name")
 
   /** The reference's single-file load (tasks.py:1018-1047): CSV content →
     * an ALL-STRING DataFrame (`dtype=str`), non-CSV types unimplemented.
+    * The bytes land in a temp file and go through Spark's multiLine CSV
+    * parser — a newline SPLIT before parsing would tear quoted fields
+    * with embedded line breaks in half (pandas parses them fine).
     */
   def loadFileFromGcs(spark: SparkSession, apiBase: String, bucket: String,
       fileName: String, fileType: String = "csv", csvSep: String = ",",
       token: Option[String] = None): DataFrame = {
     if (fileType != "csv")
       throw new UnsupportedOperationException(s"File type $fileType not implemented")
-    val text = new String(gcsDownload(apiBase, bucket, fileName, token),
-      StandardCharsets.UTF_8)
-    import spark.implicits._
+    val bytes = gcsDownload(apiBase, bucket, fileName, token)
+    val tmp = Files.createTempFile("gcs-load", ".csv")
+    Files.write(tmp, bytes)
     // header + no inference = every column StringType, pandas dtype=str
     spark.read.option("header", "true").option("sep", csvSep)
-      .csv(spark.createDataset(text.split("\r?\n").toSeq.filter(_.nonEmpty)))
+      .option("multiLine", "true").csv(tmp.toString)
   }
 
   /** The reference's bulk load (tasks.py:1212-1245): prefix listing,
     * suffix filter, STRICT updated-window (`updated > after`,
     * `updated < before`), content + (name, updated, created) metadata.
+    * Contents stream LAZILY (one object in memory at a time) — the
+    * reference materializes the whole batch, which OOMs the moment a
+    * prefix matches many large files; callers that want the eager list
+    * call `.toSeq`.
     */
   def loadFilesFromGcs(apiBase: String, bucket: String, filePrefix: String,
       fileSuffix: String, updatedAfter: Option[Instant],
       updatedBefore: Option[Instant],
-      token: Option[String] = None): Seq[(GcsObject, Array[Byte])] =
-    gcsList(apiBase, bucket, filePrefix, token)
+      token: Option[String] = None): Iterator[(GcsObject, Array[Byte])] =
+    gcsList(apiBase, bucket, filePrefix, token).iterator
       .filter(_.name.endsWith(fileSuffix))
       .filter(o => updatedAfter.forall(a => o.updated.isAfter(a)))
       .filter(o => updatedBefore.forall(b => o.updated.isBefore(b)))
@@ -154,12 +182,20 @@ object CloudStoreReader {
 
   /** The values grid as delimiter-joined CSV text: every row padded (or
     * truncated) to the HEADER row's width — gspread's `get_all_values`
-    * rectangularization before the csv write (tasks.py:414-438).
+    * rectangularization before the csv write (tasks.py:414-438). Cells
+    * containing the delimiter, quotes, or line breaks are quoted with ""
+    * doubling, like Python's csv.writer — a raw join would shift columns
+    * on the first free-text cell carrying the delimiter.
     */
   def valuesToCsv(values: Seq[Seq[String]], delimiter: String): String = {
     require(values.nonEmpty, "empty sheet")
+    def cell(s: String): String =
+      if (s.contains(delimiter) || s.contains("\"") ||
+          s.contains("\n") || s.contains("\r"))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
     val width = values.head.size
-    values.map(r => r.padTo(width, "").take(width).mkString(delimiter))
+    values.map(r => r.padTo(width, "").take(width).map(cell).mkString(delimiter))
       .mkString("\n")
   }
 
@@ -172,7 +208,7 @@ object CloudStoreReader {
       token: Option[String] = None): String = {
     val id = spreadsheetIdFromUrl(url)
     val body = getOk(
-      s"$apiBase/v4/spreadsheets/${enc(id)}/values/${enc(sheetName)}",
+      s"$apiBase/v4/spreadsheets/${encPath(id)}/values/${encPath(sheetName)}",
       token, s"Sheets values $sheetName")
     val values = (JsonMethods.parse(
         new String(body, StandardCharsets.UTF_8)) \ "values") match {

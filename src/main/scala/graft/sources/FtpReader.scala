@@ -171,7 +171,12 @@ object FtpReader {
       val dest = Paths.get(outputDir, fileName)
       Files.createDirectories(dest.getParent)
       val out = Files.newOutputStream(dest)
-      try c.retrTo(fileName, out) finally out.close()
+      val delivered = try c.retrTo(fileName, out) finally out.close()
+      // a flaky server can close the data channel early and still 226 —
+      // a silent short file is exactly the corruption SIZE lets us catch
+      if (delivered != bytes)
+        throw new java.io.IOException(
+          s"RETR $fileName delivered $delivered of $bytes bytes")
       (dest.toString, bytes)
     } finally c.quit()
   }

@@ -50,11 +50,18 @@ object HubPushWriter {
 
   /** The records-orient payload: every column cast to string (the
     * reference's `astype(str)`), one JSON object per row
-    * (datalake_hub.py:57-61). Driver-side collect — small data by the
-    * task's own contract.
+    * (datalake_hub.py:57-61). Nulls become the literal "None" — that IS
+    * what `astype(str)` does, and it keeps every key present on every
+    * record (Spark's toJSON would OMIT null fields, handing the hub
+    * ragged records). Driver-side collect — small data by the task's own
+    * contract.
     */
-  def recordsJson(df: DataFrame): String =
-    LakeWriter.allString(df).toJSON.collect().mkString("[", ",", "]")
+  def recordsJson(df: DataFrame): String = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    LakeWriter.allString(df)
+      .select(df.columns.map(c => coalesce(col(c), lit("None")).as(c)): _*)
+      .toJSON.collect().mkString("[", ",", "]")
+  }
 
   /** `POST {apiUrl}write/{assetId}` with the bearer token; 201 is the only
     * success, anything else raises with the server's report

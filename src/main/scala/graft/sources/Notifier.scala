@@ -102,6 +102,19 @@ object Notifier {
       plainBody: Option[String], htmlBody: Option[String],
       attachments: Seq[(String, Array[Byte])] = Nil)
 
+  /** Header-value hardening: CR/LF can never cross into a header (a
+    * crafted subject would otherwise inject arbitrary headers or
+    * terminate DATA early), and non-ASCII values travel RFC 2047
+    * B-encoded like email.mime encodes them — raw UTF-8 header bytes are
+    * mojibake or rejection on strict MTAs.
+    */
+  private[sources] def headerValue(raw: String): String = {
+    val flat = raw.replaceAll("[\r\n]+", " ")
+    if (flat.forall(c => c >= 0x20 && c < 0x7f)) flat
+    else "=?UTF-8?B?" + Base64.getEncoder.encodeToString(
+      flat.getBytes(StandardCharsets.UTF_8)) + "?="
+  }
+
   /** Serialize to MIME, WITHOUT the Bcc header (smtplib.send_message
     * strips it; the hidden list rides only the envelope):
     * multipart/mixed( multipart/alternative(plain, html), attachments* ).
@@ -111,9 +124,10 @@ object Notifier {
     val b2 = "----graft-alt-boundary"
     val sb = new StringBuilder
     def line(s: String): Unit = sb.append(s).append("\r\n")
-    line(s"From: ${email.senderName} <${email.senderEmail}>")
-    line(s"To: ${email.senderName} <${email.senderEmail}>")
-    line(s"Subject: ${email.subject}")
+    val sender = s"${headerValue(email.senderName)} <${email.senderEmail}>"
+    line(s"From: $sender")
+    line(s"To: $sender")
+    line(s"Subject: ${headerValue(email.subject)}")
     line("MIME-Version: 1.0")
     line(s"""Content-Type: multipart/mixed; boundary="$b1"""")
     line("")
@@ -123,21 +137,26 @@ object Notifier {
     email.plainBody.foreach { p =>
       line(s"--$b2")
       line("Content-Type: text/plain; charset=utf-8")
+      line("Content-Transfer-Encoding: 8bit")
       line("")
       p.split("\r?\n", -1).foreach(line)
     }
     email.htmlBody.foreach { h =>
       line(s"--$b2")
       line("Content-Type: text/html; charset=utf-8")
+      line("Content-Transfer-Encoding: 8bit")
       line("")
       h.split("\r?\n", -1).foreach(line)
     }
     line(s"--$b2--")
     email.attachments.foreach { case (name, bytes) =>
+      // quote-stripped + CRLF-hardened: a crafted filename must not break
+      // out of the quoted-string or inject headers
+      val safe = headerValue(name).replace("\"", "")
       line(s"--$b1")
-      line("Content-Type: application/octet-stream; name=\"" + name + "\"")
+      line("Content-Type: application/octet-stream; name=\"" + safe + "\"")
       line("Content-Transfer-Encoding: base64")
-      line("Content-Disposition: attachment; filename=\"" + name + "\"")
+      line("Content-Disposition: attachment; filename=\"" + safe + "\"")
       line("")
       line(Base64.getMimeEncoder(76, "\r\n".getBytes).encodeToString(bytes))
     }
@@ -145,17 +164,23 @@ object Notifier {
     sb.toString
   }
 
-  /** Plain-socket SMTP submission with AUTH LOGIN: EHLO → AUTH → MAIL
-    * FROM → one RCPT per (hidden) recipient → dot-stuffed DATA → QUIT.
-    * (The reference picks SMTP_SSL/starttls by port — TLS is socket
-    * plumbing the JVM would layer via SSLSocketFactory; the PROTOCOL
-    * conversation this speaks is identical on both.)
+  /** SMTP submission with AUTH LOGIN: EHLO → AUTH → MAIL FROM → one RCPT
+    * per (hidden) recipient → dot-stuffed DATA → QUIT. `socketFactory`
+    * is the TLS seam — the reference picks SMTP_SSL by port 465
+    * (emails_subgeral.py:119-126), which here is
+    * `javax.net.ssl.SSLSocketFactory.getDefault().createSocket(h, p)`;
+    * the default is a plain socket (the in-JVM test server, internal
+    * relays). The PROTOCOL conversation is identical on both.
     */
   def sendSmtp(host: String, port: Int, user: String, password: String,
-      email: Email, timeoutMs: Int = 60000): Unit = {
+      email: Email, timeoutMs: Int = 60000,
+      socketFactory: (String, Int) => Socket = null): Unit = {
     val recipients = normalizeRecipients(email.bccRecipients)
-    val sock = new Socket()
-    sock.connect(new InetSocketAddress(host, port), timeoutMs)
+    val sock = if (socketFactory != null) socketFactory(host, port) else {
+      val s = new Socket()
+      s.connect(new InetSocketAddress(host, port), timeoutMs)
+      s
+    }
     sock.setSoTimeout(timeoutMs)
     try {
       val in = new BufferedReader(new InputStreamReader(

@@ -36,17 +36,24 @@ class CloudStoreLiveSpec extends SparkSpec {
     private def replyS(ex: HttpExchange, code: Int, body: String): Unit =
       reply(ex, code, body.getBytes(StandardCharsets.UTF_8))
 
-    // GCS listing + media download
+    // GCS listing + media download — PAGINATED at 2 items per page like
+    // the real API pages at 1000: a single-page client would silently
+    // truncate the listing
     server.createContext("/storage/v1/b/lake-bucket/o", { ex =>
       val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-      val prefix = q.split("&").collectFirst {
-        case p if p.startsWith("prefix=") =>
-          java.net.URLDecoder.decode(p.drop(7), StandardCharsets.UTF_8)
-      }.getOrElse("")
-      val items = objects.filter(_._1.startsWith(prefix)).map { case (n, u, _) =>
+      def param(k: String) = q.split("&").collectFirst {
+        case p if p.startsWith(s"$k=") =>
+          java.net.URLDecoder.decode(p.drop(k.length + 1), StandardCharsets.UTF_8)
+      }
+      val prefix = param("prefix").getOrElse("")
+      val offset = param("pageToken").map(_.toInt).getOrElse(0)
+      val matching = objects.filter(_._1.startsWith(prefix))
+      val page = matching.slice(offset, offset + 2).map { case (n, u, _) =>
         s"""{"name":"$n","updated":"$u","timeCreated":"$u"}"""
       }
-      replyS(ex, 200, s"""{"items":[${items.mkString(",")}]}""")
+      val next = if (offset + 2 < matching.size)
+        s""","nextPageToken":"${offset + 2}"""" else ""
+      replyS(ex, 200, s"""{"items":[${page.mkString(",")}]$next}""")
     })
     server.createContext("/download/storage/v1/b/lake-bucket/o/", { ex =>
       val name = java.net.URLDecoder.decode(
@@ -94,13 +101,18 @@ class CloudStoreLiveSpec extends SparkSpec {
     } finally c.stop()
   }
 
-  test("GCS bulk load: prefix + suffix + STRICT updated-window filters applied to the live listing") {
+  test("GCS bulk load: paginated listing followed to exhaustion; suffix + STRICT updated-window filters") {
     val c = new FakeCloud
     try {
+      // the 4-object listing spans 2 pages of the fake's 2-per-page API —
+      // a client ignoring nextPageToken would never see the second page
+      assert(CloudStoreReader.gcsList(c.url, "lake-bucket", "reports/")
+        .size == 4)
       val got = CloudStoreReader.loadFilesFromGcs(c.url, "lake-bucket",
         "reports/", ".csv",
         updatedAfter = Some(Instant.parse("2026-06-01T10:00:00Z")), // strict >
         updatedBefore = Some(Instant.parse("2026-06-30T10:00:00Z"))) // strict <
+        .toSeq // the reader itself streams one object at a time
       // 0601 excluded (not strictly after), 0630 excluded (not strictly
       // before), readme.txt excluded by suffix
       assert(got.map(_._1.name) == Seq("reports/daily_0615.csv"))

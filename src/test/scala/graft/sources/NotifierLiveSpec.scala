@@ -147,6 +147,9 @@ class NotifierLiveSpec extends SparkSpec {
       // privacy: the transmitted payload names no recipient
       assert(!smtp.data.contains("Bcc") && !smtp.data.contains("ana@org.example"))
       assert(smtp.data.contains("Subject: Informe semanal"))
+      // the non-ASCII sender display name ("Relatórios") travels RFC 2047
+      // B-encoded, never as raw UTF-8 header bytes
+      assert(smtp.data.contains("From: =?UTF-8?B?"))
       assert(smtp.data.contains("Content-Type: text/plain") &&
         smtp.data.contains("Content-Type: text/html") &&
         smtp.data.contains(lgpd))
