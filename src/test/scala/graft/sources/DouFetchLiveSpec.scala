@@ -48,6 +48,10 @@ class DouFetchLiveSpec extends AnyFunSuite {
           if (flakyHits.incrementAndGet() <= 2) reply(ex, 503, "overloaded")
           else reply(ex, 200, decreePage(99))
         case "broken" => reply(ex, 503, "always down")
+        case "moved" =>
+          ex.getResponseHeaders.set("Location", s"$url/5")
+          ex.sendResponseHeaders(302, -1)
+          ex.close()
         case n if n.forall(_.isDigit) => reply(ex, 200, decreePage(n.toInt))
         case _ => reply(ex, 404, "no such decree")
       }
@@ -104,5 +108,24 @@ class DouFetchLiveSpec extends AnyFunSuite {
   test("absent elements land as empty strings, not errors") {
     val d = DouFetcher.parseDecree("<html><body><p>bare page</p></body></html>", "u")
     assert(d.title == "" && d.text == "" && d.signatures == "" && d.html == "")
+  }
+
+  test("redirected decree URLs are followed, not parsed as the stub body") {
+    val dou = new FakeDou
+    try {
+      val d = DouFetcher.extractDecreeDetails(s"${dou.url}/moved")
+      assert(d.title == "PORTARIA N 5") // the target page, not an empty parse
+    } finally dou.stop()
+  }
+
+  test("optional-end tags and entities: omitted </p> closes at the sibling; entities decode like bs4 .text") {
+    val sloppy =
+      """<div><p class="assina">FULANO DE TAL<p class="assina">BELTRANO</p>
+        |<span class="orgao-dou-data">MINIST&Eacute;RIO DA SA&Uacute;DE&nbsp;&#167; 2</span></div>""".stripMargin
+    val d = DouFetcher.parseDecree(sloppy, "u")
+    // the first unclosed <p> must NOT swallow the rest of the document
+    assert(d.signatures == "FULANO DE TAL;BELTRANO")
+    // named accented + numeric entities decode like bs4's .text
+    assert(d.agency == "MINISTÉRIO DA SAÚDE § 2")
   }
 }
