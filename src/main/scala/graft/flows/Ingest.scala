@@ -74,10 +74,19 @@ object Ingest {
     * Returns (all rows, page count). Driver-side by design — each page is
     * bounded (the remote enforces page size) and the result lands via
     * `landJsonPayload`/`conformForLanding` which ARE distributed.
+    *
+    * `retrySafe(cursor)` declares whether a FAILED fetch at that cursor may
+    * be re-sent. Default true (idempotent transports: HTTP offset paging,
+    * Mongo getMore on a stable cursor). FORWARD-ONLY cursors (ES scroll)
+    * must pass `_.isEmpty`: a scroll POST whose response was lost after the
+    * server advanced the context would, re-sent, fetch the NEXT batch and
+    * silently drop a page — better to fail loudly and restart the
+    * extraction than deliver a gap only the ±5% reconciliation might catch.
     */
   def scrollAll[A](fetch: Option[String] => (Seq[A], Option[String]),
       maxPages: Int = 100000, maxRetries: Int = 3,
-      fatal: Throwable => Boolean = _ => false): (Seq[A], Int) = {
+      fatal: Throwable => Boolean = _ => false,
+      retrySafe: Option[String] => Boolean = _ => true): (Seq[A], Int) = {
     val out = Seq.newBuilder[A]
     var cursor: Option[String] = None
     var pages = 0
@@ -92,9 +101,15 @@ object Ingest {
         catch {
           // `fatal` short-circuits the retry loop for errors retrying can't
           // fix (e.g. an ES shard-failure response — the reference raises
-          // immediately, reference sisreg_api/tasks.py:117-119)
-          case e: Exception if !fatal(e) && attempt < maxRetries =>
+          // immediately, reference sisreg_api/tasks.py:117-119); so does a
+          // cursor the transport declared non-idempotent via `retrySafe`
+          case e: Exception if !fatal(e) && retrySafe(cursor) &&
+              attempt < maxRetries =>
             attempt += 1 // transient page failure: retry the SAME cursor
+          case e: Exception if !fatal(e) && !retrySafe(cursor) =>
+            throw new java.io.IOException(
+              s"page $pages failed on a forward-only cursor — not retrying " +
+                "(a re-sent scroll could skip a batch); restart the extraction", e)
           case e: Exception if fatal(e) => throw e
           case e: Exception =>
             throw new java.io.IOException(

@@ -106,11 +106,35 @@ object CloudStoreReader {
       s"$apiBase/download/storage/v1/b/${encPath(bucket)}/o/${encPath(name)}?alt=media",
       token, s"GCS download $name")
 
+  /** Split CSV text into one string per RECORD, honoring "" quoting —
+    * a naive newline split would tear quoted fields with embedded line
+    * breaks in half. Each record element is then parsed individually by
+    * Spark's CSV parser, which handles in-record newlines fine.
+    */
+  private[sources] def splitCsvRecords(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new java.lang.StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '"') { inQuotes = !inQuotes; cur.append(c) }
+      else if ((c == '\n' || c == '\r') && !inQuotes) {
+        if (c == '\r' && i + 1 < text.length && text.charAt(i + 1) == '\n') i += 1
+        if (cur.length > 0) { out += cur.toString; cur.setLength(0) }
+      } else cur.append(c)
+      i += 1
+    }
+    if (cur.length > 0) out += cur.toString
+    out.result()
+  }
+
   /** The reference's single-file load (tasks.py:1018-1047): CSV content →
     * an ALL-STRING DataFrame (`dtype=str`), non-CSV types unimplemented.
-    * The bytes land in a temp file and go through Spark's multiLine CSV
-    * parser — a newline SPLIT before parsing would tear quoted fields
-    * with embedded line breaks in half (pandas parses them fine).
+    * The bytes never touch the driver's local filesystem: a driver-local
+    * temp path is invisible to executors on a real cluster, so the records
+    * go through `spark.read.csv(Dataset[String])` instead — the quote-aware
+    * record split above keeps embedded line breaks intact.
     */
   def loadFileFromGcs(spark: SparkSession, apiBase: String, bucket: String,
       fileName: String, fileType: String = "csv", csvSep: String = ",",
@@ -118,11 +142,11 @@ object CloudStoreReader {
     if (fileType != "csv")
       throw new UnsupportedOperationException(s"File type $fileType not implemented")
     val bytes = gcsDownload(apiBase, bucket, fileName, token)
-    val tmp = Files.createTempFile("gcs-load", ".csv")
-    Files.write(tmp, bytes)
+    val records = splitCsvRecords(new String(bytes, StandardCharsets.UTF_8))
+    import spark.implicits._
     // header + no inference = every column StringType, pandas dtype=str
     spark.read.option("header", "true").option("sep", csvSep)
-      .option("multiLine", "true").csv(tmp.toString)
+      .csv(spark.createDataset(records))
   }
 
   /** The reference's bulk load (tasks.py:1212-1245): prefix listing,
@@ -180,12 +204,13 @@ object CloudStoreReader {
     url.stripPrefix(SheetsUrlPrefix).split("/").head
   }
 
-  /** The values grid as delimiter-joined CSV text: every row padded (or
-    * truncated) to the HEADER row's width — gspread's `get_all_values`
-    * rectangularization before the csv write (tasks.py:414-438). Cells
-    * containing the delimiter, quotes, or line breaks are quoted with ""
-    * doubling, like Python's csv.writer — a raw join would shift columns
-    * on the first free-text cell carrying the delimiter.
+  /** The values grid as delimiter-joined CSV text: every row padded to the
+    * WIDEST row's width — gspread's `get_all_values` rectangularizes to the
+    * widest row before the csv write (tasks.py:414-438), so a data row
+    * longer than the header widens the grid instead of silently losing its
+    * trailing cells. Cells containing the delimiter, quotes, or line breaks
+    * are quoted with "" doubling, like Python's csv.writer — a raw join
+    * would shift columns on the first free-text cell carrying the delimiter.
     */
   def valuesToCsv(values: Seq[Seq[String]], delimiter: String): String = {
     require(values.nonEmpty, "empty sheet")
@@ -194,8 +219,8 @@ object CloudStoreReader {
           s.contains("\n") || s.contains("\r"))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
-    val width = values.head.size
-    values.map(r => r.padTo(width, "").take(width).map(cell).mkString(delimiter))
+    val width = values.map(_.size).max
+    values.map(r => r.padTo(width, "").map(cell).mkString(delimiter))
       .mkString("\n")
   }
 

@@ -150,6 +150,12 @@ object EsScrollReader {
       if (code >= 400)
         throw new IOException(s"ES returned HTTP $code: ${body.take(200)}")
       val p = parsePage(body)
+      // record the scroll id BEFORE any throw below: a timed-out (or
+      // shard-failed) initial search still created a server-side scroll
+      // context, and each retried attempt creates another — capturing here
+      // lets the finally-block clear-scroll release all of them instead of
+      // leaking up to maxRetries contexts per extraction.
+      p.scrollId.foreach(scrollIds += _)
       if (p.shardsFailed > 0 || p.shardsSkipped > 0)
         throw new ShardFailureException(
           s"search with shard failures: failed=${p.shardsFailed} " +
@@ -163,7 +169,6 @@ object EsScrollReader {
       if (p.timedOut && cursor.isEmpty)
         throw new IOException("ES initial search timed_out — retrying")
       if (cursor.isEmpty) total = p.totalEq.getOrElse(-1L)
-      p.scrollId.foreach(scrollIds += _)
       // termination: an empty page ends the scroll; the initial page keeps
       // going even when the first batch is short of the total
       val next = if (p.sources.isEmpty) None
@@ -171,8 +176,12 @@ object EsScrollReader {
       (p.sources, next)
     }
     val (rows, pages) =
+      // retrySafe = initial search only: the scroll cursor is FORWARD-ONLY,
+      // so a lost-response scroll POST must fail the extraction, not be
+      // re-sent (the re-send would fetch the NEXT batch and drop a page)
       try Ingest.scrollAll(page _, maxRetries = maxRetries,
-        fatal = _.isInstanceOf[ShardFailureException])
+        fatal = _.isInstanceOf[ShardFailureException],
+        retrySafe = _.isEmpty)
       finally
         // cursor cleanup runs on failure too — a leaked scroll context
         // pins server-side segments until the keep-alive expires, and

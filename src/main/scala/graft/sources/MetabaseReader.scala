@@ -141,10 +141,19 @@ object MetabaseReader {
 
   /** The reference's scalar-CSV parse: first integer on the line after the
     * header (tasks.py:87-88, `re.search(r"\n(\d+)")`). None = the window
-    * selected no rows (empty aggregate cell).
+    * selected no rows (the CSV is header-only). A PRESENT data row that the
+    * regex cannot parse (negative, non-numeric) throws instead of returning
+    * None — conflating the two would silently return zero slices and drop
+    * the whole extraction, where the reference (`.group(1)` on a failed
+    * search) fails loudly.
     */
-  def firstDataValueOpt(csv: String): Option[Long] =
-    "\\n(\\d+)".r.findFirstMatchIn(csv).map(_.group(1).toLong)
+  def firstDataValueOpt(csv: String): Option[Long] = {
+    val parsed = "\\n(\\d+)".r.findFirstMatchIn(csv).map(_.group(1).toLong)
+    if (parsed.isEmpty && csvRowCount(csv) > 0)
+      throw new IllegalArgumentException(
+        s"unparseable scalar data row (not a non-negative integer): ${csv.take(100)}")
+    parsed
+  }
 
   def firstDataValue(csv: String): Long =
     firstDataValueOpt(csv).getOrElse(throw new IllegalArgumentException(

@@ -106,6 +106,24 @@ class IngestSpec extends SparkSpec {
       Ingest.scrollAll[Int](_ => (Seq(1), Some("again")), maxPages = 10))
   }
 
+  test("scrollAll: a forward-only cursor fails loudly instead of retrying") {
+    // retrySafe = _.isEmpty (the ES-scroll shape): the initial search may
+    // retry, but a failed SCROLL page must not be re-sent — the server
+    // already advanced the context, a re-send would skip a batch
+    val initialFailed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def fetch(cursor: Option[String]): (Seq[Int], Option[String]) = cursor match {
+      case None =>
+        if (!initialFailed.getAndSet(true)) throw new RuntimeException("transient")
+        (Seq(1), Some("s1"))
+      case Some("s1") => throw new RuntimeException("connection reset")
+      case other      => fail(s"unexpected cursor $other")
+    }
+    val boom = intercept[java.io.IOException](
+      Ingest.scrollAll(fetch _, retrySafe = _.isEmpty))
+    assert(boom.getMessage.contains("forward-only"))
+    assert(initialFailed.get) // the initial search DID retry
+  }
+
   test("landJsonPayload packs payload to a JSON column beside metadata") {
     val dir = java.nio.file.Files.createTempDirectory("ingestj").toString + "/t"
     val src = Seq((10, "x"), (20, "y")).toDF("valor", "tipo")

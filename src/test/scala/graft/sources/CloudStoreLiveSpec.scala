@@ -20,7 +20,9 @@ class CloudStoreLiveSpec extends SparkSpec {
     ("reports/daily_0601.csv", "2026-06-01T10:00:00Z", "id,v\n1,a\n2,b\n"),
     ("reports/daily_0615.csv", "2026-06-15T10:00:00Z", "id,v\n3,c\n"),
     ("reports/daily_0630.csv", "2026-06-30T10:00:00Z", "id,v\n4,d\n5,e\n"),
-    ("reports/readme.txt", "2026-06-20T10:00:00Z", "not a csv"))
+    ("reports/readme.txt", "2026-06-20T10:00:00Z", "not a csv"),
+    ("reports/notes.csv", "2026-06-20T11:00:00Z",
+      "id,note\n1,\"line one\nline two\"\n2,plain\n"))
 
   private final class FakeCloud {
     val server: HttpServer = HttpServer.create(new InetSocketAddress(0), 0)
@@ -79,7 +81,7 @@ class CloudStoreLiveSpec extends SparkSpec {
       val range = ex.getRequestURI.getPath.split("/").last
       if (range != "Plan1") replyS(ex, 404, """{"error":"no such sheet"}""")
       else replyS(ex, 200,
-        """{"range":"Plan1!A1:C3","values":[["cnes","nome","ap"],["111","UPA Centro"],["222","Clinica Sul","AP52"]]}""")
+        """{"range":"Plan1!A1:D3","values":[["cnes","nome","ap"],["111","UPA Centro"],["222","Clinica Sul","AP52","extra"]]}""")
     })
 
     server.start()
@@ -98,16 +100,29 @@ class CloudStoreLiveSpec extends SparkSpec {
         CloudStoreReader.loadFileFromGcs(spark, c.url, "lake-bucket",
           "reports/readme.txt", fileType = "txt")
       }
+      // no driver-local temp file in the read path: the quote-aware record
+      // split keeps a quoted embedded newline as ONE record
+      val notes = CloudStoreReader.loadFileFromGcs(spark, c.url, "lake-bucket",
+        "reports/notes.csv")
+      assert(notes.count() == 2)
+      assert(notes.collect().map(_.getString(1)).toSet ==
+        Set("line one\nline two", "plain"))
     } finally c.stop()
+  }
+
+  test("splitCsvRecords: quoted newlines stay in-record, CRLF and trailing newline handled") {
+    assert(CloudStoreReader.splitCsvRecords("a,b\r\n1,\"x\ny\"\r\n2,z\n") ==
+      Seq("a,b", "1,\"x\ny\"", "2,z"))
+    assert(CloudStoreReader.splitCsvRecords("only") == Seq("only"))
   }
 
   test("GCS bulk load: paginated listing followed to exhaustion; suffix + STRICT updated-window filters") {
     val c = new FakeCloud
     try {
-      // the 4-object listing spans 2 pages of the fake's 2-per-page API —
-      // a client ignoring nextPageToken would never see the second page
+      // the 5-object listing spans 3 pages of the fake's 2-per-page API —
+      // a client ignoring nextPageToken would never see the later pages
       assert(CloudStoreReader.gcsList(c.url, "lake-bucket", "reports/")
-        .size == 4)
+        .size == 5)
       val got = CloudStoreReader.loadFilesFromGcs(c.url, "lake-bucket",
         "reports/", ".csv",
         updatedAfter = Some(Instant.parse("2026-06-01T10:00:00Z")), // strict >
@@ -115,7 +130,8 @@ class CloudStoreLiveSpec extends SparkSpec {
         .toSeq // the reader itself streams one object at a time
       // 0601 excluded (not strictly after), 0630 excluded (not strictly
       // before), readme.txt excluded by suffix
-      assert(got.map(_._1.name) == Seq("reports/daily_0615.csv"))
+      assert(got.map(_._1.name) ==
+        Seq("reports/daily_0615.csv", "reports/notes.csv"))
       assert(new String(got.head._2, StandardCharsets.UTF_8).startsWith("id,v"))
     } finally c.stop()
   }
@@ -140,7 +156,7 @@ class CloudStoreLiveSpec extends SparkSpec {
     } finally c.stop()
   }
 
-  test("Sheets worksheet lands as delimiter CSV with rows padded to the header width") {
+  test("Sheets worksheet lands as delimiter CSV rectangularized to the WIDEST row") {
     val c = new FakeCloud
     val dir = java.nio.file.Files.createTempDirectory("gs").toString
     try {
@@ -149,11 +165,16 @@ class CloudStoreLiveSpec extends SparkSpec {
         dir, "unidades", csvDelimiter = ";")
       val text = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), StandardCharsets.UTF_8)
-      // the short row is padded to the 3-wide header
-      assert(text == "cnes;nome;ap\n111;UPA Centro;\n222;Clinica Sul;AP52")
-      // the landing is readable by the standard CSV path
+      // gspread rectangularizes to the WIDEST row: the 4-cell data row
+      // widens the grid — header and short rows pad, nothing truncates
+      assert(text ==
+        "cnes;nome;ap;\n111;UPA Centro;;\n222;Clinica Sul;AP52;extra")
+      // the landing is readable by the standard CSV path (the widened 4th
+      // column has an empty header cell → Spark's placeholder name)
       val df = spark.read.option("header", "true").option("sep", ";").csv(path)
-      assert(df.count() == 2 && df.columns.toSeq == Seq("cnes", "nome", "ap"))
+      assert(df.count() == 2 &&
+        df.columns.toSeq.take(3) == Seq("cnes", "nome", "ap") &&
+        df.columns.size == 4)
       // URL validation mirrors the reference
       intercept[IllegalArgumentException] {
         CloudStoreReader.spreadsheetIdFromUrl("https://example.com/nope")

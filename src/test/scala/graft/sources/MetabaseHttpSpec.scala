@@ -157,6 +157,20 @@ class MetabaseHttpSpec extends SparkSpec {
     assert(MetabaseReader.csvRowCount("id,n\n1,\"say \"\"hi\"\"\"\n2,x") == 2)
   }
 
+  test("scalar parse: header-only is None, an unparseable data row is LOUD") {
+    // truly empty aggregate cell → no slices (the reference's empty window)
+    assert(MetabaseReader.firstDataValueOpt("min\n") == None)
+    assert(MetabaseReader.firstDataValueOpt("min") == None)
+    assert(MetabaseReader.firstDataValueOpt("min\n42\n") == Some(42L))
+    // a PRESENT data row the \n(\d+) regex cannot parse must throw, not
+    // silently collapse the extraction to zero slices — the reference's
+    // .group(1) on a failed search fails loudly too
+    intercept[IllegalArgumentException](
+      MetabaseReader.firstDataValueOpt("min\n-5\n"))
+    intercept[IllegalArgumentException](
+      MetabaseReader.firstDataValueOpt("min\nabc\n"))
+  }
+
   test("an empty window is a result, not an error") {
     val mb = new FakeMetabase(Nil)
     try {
