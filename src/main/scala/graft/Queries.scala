@@ -496,7 +496,8 @@ object Queries {
     }),
 
     // Multimodal: binary payload → deterministic feature extraction.
-    // Decode kernel stubbed (no codec libs in-container) but the stub's
+    // These payloads are text bytes, so the real image decode declines
+    // them and every row takes the STUB path (format='stub') — the stub's
     // features are md5-derived, so the DuckDB oracle replays byte_len,
     // checksum, dimensions, and frame counts exactly; the Spark-side
     // plumbing (binary schema, typed Dataset, mapPartitions batching) is
@@ -504,6 +505,29 @@ object Queries {
     "q40_media_features" -> ((s, dir) => {
       val media = MultiModal.fromText(s, t(s, dir, "documents"), "doc_id", "text")
       MultiModal.extractFeatures(media).toDF().orderBy(col("media_id"))
+    }),
+
+    // Multimodal: REAL image decode round-trip. Payloads are actual
+    // PNG/JPEG bytes (encoded through ImageIO from dimensions that are a
+    // pure function of doc_id), decoded back by the ImageIO header reader
+    // on executors — the oracle replays the dimension formula, so a fake
+    // decode cannot pass. Header-only read: no pixel raster materializes.
+    "q40b_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val w = 8 + (id % 64).toInt
+        val h = 8 + ((id * 3) % 64).toInt
+        val png = id % 2 == 0
+        MultiModal.MediaRow(id, "image",
+          if (png) "image/png" else "image/jpeg",
+          MultiModal.encodeImage(w, h, if (png) "png" else "jpg"))
+      })
+      MultiModal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"), col("format"))
+        .orderBy(col("media_id"))
     }),
 
     // Dedup (near): embedding-cosine near-dup pairs, LSH-bucketed candidates
@@ -3102,8 +3126,17 @@ object Queries {
         |  CAST(16 + (h % 1024) AS INTEGER) AS width,
         |  CAST(16 + ((h // 7) % 1024) AS INTEGER) AS height,
         |  CAST(CASE WHEN modality = 'video' THEN 1 + ((h // 13) % 300)
-        |       ELSE 1 END AS INTEGER) AS n_frames
+        |       ELSE 1 END AS INTEGER) AS n_frames,
+        |  'stub' AS format
         |FROM b ORDER BY media_id""".stripMargin,
+
+    "q40b_image_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 64 AS INTEGER) AS width,
+        |  CAST(8 + (doc_id * 3) % 64 AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS n_frames,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q46_cosine_dedup" -> {
       val planeRows = planeValuesSql(6)

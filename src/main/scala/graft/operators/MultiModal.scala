@@ -6,14 +6,20 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: image/audio/video travel as opaque `binary` columns
   * with typed metadata beside them. The Spark-side plumbing — schema,
   * partition-preserving batch iteration, deterministic feature rows — is
-  * real; the actual media decode is STUBBED (decode libraries are not in
-  * this container) behind `decodeStub`, which derives a deterministic fake
-  * feature vector from the bytes so tests are reproducible.
+  * real. IMAGE decode is real too: JDK `javax.imageio` reads PNG/JPEG/GIF/
+  * BMP headers with zero external dependencies ([[decodeImage]]). Audio and
+  * video decode stays STUBBED (`decodeStub` — no codec libraries in this
+  * container) with a deterministic fake derived from the bytes so tests are
+  * reproducible; the `format` column says which path produced each row
+  * ("png"/"jpeg"/… = real decode, "stub" = fallback).
   *
   * Scale notes: `mapPartitions` over a `Dataset[MediaRow]` keeps the decode
   * batch-shaped (one iterator per partition ≈ one Arrow batch per task in a
   * real decode kernel) and never materializes a partition in memory;
   * binary payloads stay off the shuffle path unless explicitly selected.
+  * The image path reads only the HEADER (ImageReader.getWidth/getHeight),
+  * not the pixel raster — dimensions of 100 TB of images cost a few hundred
+  * bytes of IO each, not a full decode.
   */
 object MultiModal {
 
@@ -21,23 +27,66 @@ object MultiModal {
   final case class MediaRow(media_id: Long, modality: String, mime: String,
       content: Array[Byte])
 
-  /** Extracted features: deterministic stub of a decode+featurize kernel. */
+  /** Extracted features. `format` = lowercase ImageIO format name for a
+    * real image decode, "stub" for the deterministic fallback kernel.
+    */
   final case class MediaFeatures(media_id: Long, modality: String,
       byte_len: Long, checksum: Long, width: Int, height: Int,
-      n_frames: Int)
+      n_frames: Int, format: String)
 
-  /** STUB decode: a real implementation would decode the media and emit
-    * true dimensions / frame counts. This derives them deterministically
-    * from the payload so the pipeline shape (schema, batching,
-    * partitioning) is testable without codec libraries. The checksum is the
-    * PORTABLE 60-bit md5 prefix (first 15 hex chars as an integer, always
-    * non-negative) so external engines can replay every derived feature —
-    * the q40 DuckDB oracle does exactly that.
+  /** Portable 60-bit md5 prefix (first 15 hex chars, always non-negative):
+    * external engines can replay it — the q40 DuckDB oracle does.
+    */
+  private def md60(bytes: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Real image metadata from the bytes. */
+  final case class ImageInfo(width: Int, height: Int, nFrames: Int,
+      format: String)
+
+  /** REAL image decode via JDK ImageIO: dispatches on the payload's magic
+    * bytes to the matching reader (PNG/JPEG/GIF/BMP/WBMP/TIFF in a stock
+    * JDK 17) and reads width/height/frame-count from the HEADER only — no
+    * pixel raster is materialized. Returns None when no installed reader
+    * recognizes the bytes (corrupt payload, or a format like WebP/AVIF the
+    * JDK doesn't ship) — callers fall back to the stub, visibly via
+    * `format = "stub"`.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[ImageInfo] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          // seekForwardOnly=false so getNumImages(allowSearch=true) may
+          // scan for GIF frame count
+          r.setInput(in, false)
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          val n = try math.max(1, r.getNumImages(true))
+            catch { case _: Exception => 1 }
+          Some(ImageInfo(w, h, n, r.getFormatName.toLowerCase))
+        } catch {
+          case _: Exception => None // truncated/corrupt header
+        } finally r.dispose()
+      }
+    } finally in.close()
+  }
+
+  /** STUB decode for modalities without an in-JVM codec (audio/video) and
+    * for image payloads no reader recognizes: deterministic fake features
+    * derived from the payload so the pipeline shape (schema, batching,
+    * partitioning) is testable without codec libraries, replayable by
+    * external engines via the md5-prefix checksum.
     */
   def decodeStub(r: MediaRow): MediaFeatures = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(r.content).map(b => f"$b%02x").mkString
-    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val h = md60(r.content)
     MediaFeatures(
       media_id = r.media_id,
       modality = r.modality,
@@ -45,8 +94,23 @@ object MultiModal {
       checksum = h,
       width = 16 + (h % 1024).toInt,
       height = 16 + (h / 7 % 1024).toInt,
-      n_frames = if (r.modality == "video") 1 + (h / 13 % 300).toInt else 1)
+      n_frames = if (r.modality == "video") 1 + (h / 13 % 300).toInt else 1,
+      format = "stub")
   }
+
+  /** Decode one row: real ImageIO header decode for image payloads,
+    * deterministic stub otherwise (and for undecodable image bytes — the
+    * fallback is visible in `format`, never silent).
+    */
+  def decode(r: MediaRow): MediaFeatures =
+    if (r.modality == "image")
+      decodeImage(r.content) match {
+        case Some(info) => MediaFeatures(r.media_id, r.modality,
+          r.content.length.toLong, md60(r.content), info.width, info.height,
+          info.nFrames, info.format)
+        case None => decodeStub(r)
+      }
+    else decodeStub(r)
 
   /** Batch feature extraction: partition-preserving mapPartitions (the
     * Scala analog of a pandas-UDF `mapInPandas` decode), narrow — no
@@ -54,7 +118,27 @@ object MultiModal {
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map(decode))
+  }
+
+  /** Deterministic image bytes through the REAL ImageIO writer — the
+    * fixture half of the round-trip: dimensions in, actual PNG/JPEG/GIF/BMP
+    * bytes out, which [[decodeImage]] must recover exactly. The pixel fill
+    * is a fixed function of (x, y) so the bytes are reproducible.
+    */
+  def encodeImage(width: Int, height: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, format, out))
+      throw new IllegalArgumentException(s"no ImageIO writer for $format")
+    out.toByteArray
   }
 
   /** Frame sampling plan for video: every `stride`-th frame index up to
