@@ -129,4 +129,58 @@ object MongoSliceReader {
       tolerance: Double = 0.05): Unit =
     if (expected > 0)
       Relational.reconcileCount(sentPerSlice.sum, expected, tolerance)
+
+  private def baseFilter(baseQuery: Option[String]): JValue =
+    baseQuery.map(JsonMethods.parse(_)).getOrElse(JObject())
+
+  /** One extreme of the slice variable over the WIRE (the reference's
+    * `_get_extreme_value`, tasks.py:183-186): find(filter) sorted by the
+    * slice var, limit 1. None = empty collection/window.
+    */
+  def extremeValue(client: MongoWireClient, db: String, coll: String,
+      baseQuery: Option[String], sliceVar: String, direction: Int): Option[Long] = {
+    val cursor = client.find(db, coll, baseFilter(baseQuery),
+      sort = Some(sliceVar -> direction), limit = Some(1L), batchSize = 1)
+    try {
+      if (!cursor.hasNext) None
+      else JsonMethods.parse(cursor.next()) \ sliceVar match {
+        case JLong(l) => Some(l)
+        case JInt(i) => Some(i.toLong)
+        case JDouble(d) => Some(d.toLong)
+        case other => throw new IllegalArgumentException(
+          s"slice var $sliceVar is not numeric: $other")
+      }
+    } finally cursor.close()
+  }
+
+  /** The reference's whole flow over the REAL wire protocol
+    * (tasks.py:161-300 — `gerar_faixas_de_fatiamento` +
+    * `extrair_fatia_para_datalake` per range + `validar_total_documentos`):
+    * extremes and count via OP_MSG commands, per-slice find cursors
+    * drained through the bounded flush buffer (getMore under the hood),
+    * cursors closed even on failure, final ±tolerance reconciliation.
+    * Returns the per-slice results.
+    */
+  def extractAll(client: MongoWireClient, db: String, coll: String,
+      baseQuery: Option[String], sliceVar: String, sliceSize: Long,
+      flush: Seq[String] => Unit, idField: String = "_id",
+      flushThreshold: Int = FlushThreshold, batchSize: Int = 1000,
+      tolerance: Double = 0.05): Seq[SliceResult] = {
+    val expected = client.count(db, coll, baseFilter(baseQuery))
+    val minOpt = extremeValue(client, db, coll, baseQuery, sliceVar, 1)
+    val maxOpt = extremeValue(client, db, coll, baseQuery, sliceVar, -1)
+    val results = (minOpt, maxOpt) match {
+      case (Some(min), Some(max)) =>
+        slices(min, max, sliceSize).map { case (gte, lte) =>
+          val filter = JsonMethods.parse(
+            sliceFilterJson(baseQuery, sliceVar, gte, lte))
+          val cursor = client.find(db, coll, filter, batchSize = batchSize)
+          try extractSlice(cursor, flush, idField, flushThreshold)
+          finally cursor.close() // releases a live cursor if a flush threw
+        }
+      case _ => Nil // empty window: validate against the (zero) count below
+    }
+    validateTotal(expected, results.map(_.sent), tolerance)
+    results
+  }
 }

@@ -1,0 +1,185 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, IOException}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Socket-level MongoDB client speaking OP_MSG (opcode 2013) — the wire
+  * transport under [[MongoSliceReader]], replacing the injected find
+  * lambda with the real protocol the reference's MongoClient speaks
+  * (reference: pipelines/datalake/extract_load/minhasaude_mongodb/
+  * tasks.py:161-256 — `find(filtro).batch_size(n).max_time_ms(m)` drained
+  * through getMore, `count_documents`, sort+limit extremes). Scope is the
+  * modern no-auth conversation:
+  *
+  *  - `hello` handshake (MongoDB ≥5.1 accepts it over OP_MSG directly);
+  *  - `find` with filter/sort/limit/batchSize/maxTimeMS/noCursorTimeout;
+  *  - `getMore` until the server returns cursor id 0;
+  *  - `killCursors` for early-abandoned cursors (close() mid-batch);
+  *  - `count` for the reconciliation total.
+  *
+  * Framing: every message is `int32 len, int32 requestID, int32 responseTo,
+  * int32 opCode(2013), uint32 flags(0), kind-0 section (0x00 + one BSON
+  * doc)`. Replies with `ok != 1` throw with the server's errmsg. One
+  * socket, serial request/response — the reader drains slices
+  * sequentially, so no pipelining is needed.
+  */
+final class MongoWireClient(host: String, port: Int, timeoutMs: Int = 120000)
+    extends AutoCloseable {
+
+  private val socket = new Socket()
+  socket.connect(new InetSocketAddress(host, port), timeoutMs)
+  socket.setSoTimeout(timeoutMs)
+  private val in = new DataInputStream(
+    new BufferedInputStream(socket.getInputStream))
+  private val out = new BufferedOutputStream(socket.getOutputStream)
+  private val requestIds = new AtomicInteger(1)
+
+  override def close(): Unit = socket.close()
+
+  /** Run one command against `db`; returns the reply document. */
+  def runCommand(db: String, cmd: JObject): JObject = {
+    val body = Bson.encodeDoc(JObject(cmd.obj :+ ("$db" -> (JString(db): JValue))))
+    val reqId = requestIds.getAndIncrement()
+    val header = ByteBuffer.allocate(16 + 4 + 1).order(ByteOrder.LITTLE_ENDIAN)
+    header.putInt(16 + 4 + 1 + body.length) // messageLength
+    header.putInt(reqId)
+    header.putInt(0)     // responseTo
+    header.putInt(2013)  // OP_MSG
+    header.putInt(0)     // flagBits: no checksum, no moreToCome
+    header.put(0.toByte) // section kind 0
+    out.write(header.array())
+    out.write(body)
+    out.flush()
+    val reply = readReply(reqId)
+    if (okIsOne(reply)) reply
+    else {
+      val errmsg = reply \ "errmsg" match {
+        case JString(m) => m
+        case _ => JsonMethods.compact(JsonMethods.render(reply))
+      }
+      throw new IOException(s"Mongo command failed: $errmsg")
+    }
+  }
+
+  private def okIsOne(reply: JObject): Boolean = reply \ "ok" match {
+    case JDouble(d) => d == 1.0
+    case JInt(i) => i == 1
+    case JLong(l) => l == 1L
+    case _ => false
+  }
+
+  private def readReply(expectResponseTo: Int): JObject = {
+    val lenBytes = new Array[Byte](4)
+    in.readFully(lenBytes)
+    val len = ByteBuffer.wrap(lenBytes).order(ByteOrder.LITTLE_ENDIAN).getInt()
+    if (len < 16 + 4 + 1 + 5 || len > 48 * 1024 * 1024)
+      throw new IOException(s"implausible OP_MSG length $len")
+    val rest = new Array[Byte](len - 4)
+    in.readFully(rest)
+    val buf = ByteBuffer.wrap(rest).order(ByteOrder.LITTLE_ENDIAN)
+    buf.getInt() // requestID (server's)
+    val responseTo = buf.getInt()
+    if (responseTo != expectResponseTo)
+      throw new IOException(
+        s"out-of-order reply: responseTo=$responseTo expected $expectResponseTo")
+    val opCode = buf.getInt()
+    if (opCode != 2013)
+      throw new IOException(s"unexpected opCode $opCode (want OP_MSG 2013)")
+    val flags = buf.getInt()
+    if ((flags & 0x1) != 0)
+      throw new IOException("checksumPresent replies not supported")
+    val kind = buf.get() & 0xff
+    if (kind != 0)
+      throw new IOException(s"unexpected section kind $kind in reply")
+    Bson.decodeDoc(buf)
+  }
+
+  def hello(): JObject =
+    runCommand("admin", JObject("hello" -> (JInt(1): JValue)))
+
+  def count(db: String, coll: String, filter: JValue): Long = {
+    val reply = runCommand(db, JObject(List(
+      "count" -> (JString(coll): JValue),
+      "query" -> filter)))
+    reply \ "n" match {
+      case JInt(i) => i.toLong
+      case JLong(l) => l
+      case JDouble(d) => d.toLong
+      case other => throw new IOException(s"count reply without n: $other")
+    }
+  }
+
+  /** A live server-side cursor: iterate to exhaustion, or `close()` early
+    * to killCursors the server-side state (pymongo's `cursor.close()` in
+    * the reference's finally-block, tasks.py:252-253).
+    */
+  final class Cursor private[MongoWireClient] (db: String, coll: String,
+      firstReply: JObject, batchSize: Int)
+      extends Iterator[String] with AutoCloseable {
+    private var cursorId: Long = 0L
+    private var batch: Iterator[JValue] = Iterator.empty
+    absorb(firstReply, "firstBatch")
+
+    private def absorb(reply: JObject, batchField: String): Unit = {
+      val cursor = reply \ "cursor"
+      cursorId = cursor \ "id" match {
+        case JLong(l) => l
+        case JInt(i) => i.toLong
+        case other => throw new IOException(s"cursor without id: $other")
+      }
+      batch = cursor \ batchField match {
+        case JArray(docs) => docs.iterator
+        case _ => Iterator.empty
+      }
+    }
+
+    override def hasNext: Boolean = {
+      while (!batch.hasNext && cursorId != 0L)
+        absorb(runCommand(db, JObject(List(
+          "getMore" -> (JLong(cursorId): JValue),
+          "collection" -> JString(coll),
+          "batchSize" -> JInt(batchSize)))), "nextBatch")
+      batch.hasNext
+    }
+
+    override def next(): String = {
+      if (!hasNext) throw new NoSuchElementException("cursor exhausted")
+      JsonMethods.compact(JsonMethods.render(batch.next()))
+    }
+
+    /** Abandoning a live cursor releases it server-side. Exhausted
+      * cursors (id 0) need nothing.
+      */
+    override def close(): Unit = if (cursorId != 0L) {
+      runCommand(db, JObject(List(
+        "killCursors" -> (JString(coll): JValue),
+        "cursors" -> JArray(List(JLong(cursorId))))))
+      cursorId = 0L
+      batch = Iterator.empty
+    }
+  }
+
+  /** The reference's find shape (tasks.py:241-243): filter + optional
+    * single-field sort + optional limit, `batch_size(n)`,
+    * `max_time_ms(m)`, `no_cursor_timeout=True`.
+    */
+  def find(db: String, coll: String, filter: JValue,
+      sort: Option[(String, Int)] = None, limit: Option[Long] = None,
+      batchSize: Int = 1000, maxTimeMs: Int = 120000,
+      noCursorTimeout: Boolean = true): Cursor = {
+    val cmd = List(
+      "find" -> (JString(coll): JValue),
+      "filter" -> filter,
+      "batchSize" -> JInt(batchSize),
+      "maxTimeMS" -> JInt(maxTimeMs),
+      "noCursorTimeout" -> JBool(noCursorTimeout)) ++
+      sort.map { case (f, dir) => "sort" -> (JObject(f -> (JInt(dir): JValue)): JValue) } ++
+      limit.map(l => "limit" -> (JLong(l): JValue))
+    new Cursor(db, coll, runCommand(db, JObject(cmd)), batchSize)
+  }
+}

@@ -1,0 +1,278 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, EOFException}
+import java.net.ServerSocket
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.json4s._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LIVE wire-protocol Mongo extraction: an in-JVM socket server speaks
+  * real OP_MSG frames (BSON bodies, request/response ids, cursor state
+  * with getMore/killCursors) and the [[MongoWireClient]] +
+  * [[MongoSliceReader.extractAll]] stack drives the reference's whole
+  * slice/flush/reconcile flow against it — slice-union ≡ collection over
+  * actual OP_MSG bytes.
+  */
+class MongoWireLiveSpec extends AnyFunSuite {
+
+  /** Minimal OP_MSG server over a doc store: find (equality + $gte/$lte
+    * ranges, single-field sort, limit, batchSize), getMore, killCursors,
+    * count, hello. Thread-per-connection; counters for assertions.
+    */
+  private final class FakeMongo(docs: Seq[JObject]) {
+    val server = new ServerSocket(0)
+    val finds = new AtomicInteger(0)
+    val getMores = new AtomicInteger(0)
+    val killCursors = new AtomicInteger(0)
+    private val cursorIds = new AtomicLong(1000L)
+    // remaining docs per live cursor (Seq + splitAt: a Vector ITERATOR
+    // truncates itself under take, silently losing the tail)
+    private val cursors = new ConcurrentHashMap[Long, Seq[JObject]]()
+    def openCursors: Int = cursors.size()
+
+    private def num(v: JValue): Option[Double] = v match {
+      case JInt(i) => Some(i.toDouble)
+      case JLong(l) => Some(l.toDouble)
+      case JDouble(d) => Some(d)
+      case _ => None
+    }
+
+    private def matches(doc: JObject, filter: JObject): Boolean =
+      filter.obj.forall { case (k, cond) =>
+        val v = doc \ k
+        cond match {
+          case o: JObject if o.obj.exists(f => f._1.startsWith("$")) =>
+            o.obj.forall {
+              case ("$gte", bound) => (num(v), num(bound)) match {
+                case (Some(a), Some(b)) => a >= b
+                case _ => false
+              }
+              case ("$lte", bound) => (num(v), num(bound)) match {
+                case (Some(a), Some(b)) => a <= b
+                case _ => false
+              }
+              case (op, _) => fail(s"fake server: unsupported operator $op")
+            }
+          case other => v == other
+        }
+      }
+
+    private def handle(cmd: JObject): JObject = cmd.obj.head._1 match {
+      case "hello" => JObject(List(
+        "isWritablePrimary" -> JBool(true), "maxWireVersion" -> JInt(17),
+        "ok" -> JDouble(1.0)))
+      case "count" =>
+        val filter = cmd \ "query" match { case o: JObject => o; case _ => JObject() }
+        JObject(List("n" -> JInt(docs.count(matches(_, filter))),
+          "ok" -> JDouble(1.0)))
+      case "find" =>
+        finds.incrementAndGet()
+        val filter = cmd \ "filter" match { case o: JObject => o; case _ => JObject() }
+        val batchSize = num(cmd \ "batchSize").map(_.toInt).getOrElse(101)
+        var selected = docs.filter(matches(_, filter))
+        cmd \ "sort" match {
+          case JObject((field, dir) :: Nil) =>
+            val d = num(dir).getOrElse(1.0)
+            selected = selected.sortBy(doc =>
+              num(doc \ field).getOrElse(Double.NaN))
+            if (d < 0) selected = selected.reverse
+          case _ => ()
+        }
+        num(cmd \ "limit").map(_.toLong).filter(_ > 0)
+          .foreach(l => selected = selected.take(l.toInt))
+        val (first, rest) = selected.splitAt(batchSize)
+        val id = if (rest.nonEmpty) {
+          val cid = cursorIds.incrementAndGet()
+          cursors.put(cid, rest)
+          cid
+        } else 0L
+        JObject(List("cursor" -> JObject(List(
+          "id" -> JLong(id), "ns" -> JString("db.coll"),
+          "firstBatch" -> JArray(first.toList.map(d => d: JValue)))),
+          "ok" -> JDouble(1.0)))
+      case "getMore" =>
+        getMores.incrementAndGet()
+        val cid = num(cmd \ "getMore").map(_.toLong).getOrElse(0L)
+        val batchSize = num(cmd \ "batchSize").map(_.toInt).getOrElse(101)
+        Option(cursors.get(cid)) match {
+          case None => JObject(List("ok" -> JDouble(0.0),
+            "errmsg" -> JString(s"cursor id $cid not found"),
+            "code" -> JInt(43)))
+          case Some(remaining) =>
+            val (batch, rest) = remaining.splitAt(batchSize)
+            val id = if (rest.nonEmpty) { cursors.put(cid, rest); cid }
+              else { cursors.remove(cid); 0L }
+            JObject(List("cursor" -> JObject(List(
+              "id" -> JLong(id), "ns" -> JString("db.coll"),
+              "nextBatch" -> JArray(batch.toList.map(d => d: JValue)))),
+              "ok" -> JDouble(1.0)))
+        }
+      case "killCursors" =>
+        killCursors.incrementAndGet()
+        val killed = cmd \ "cursors" match {
+          case JArray(ids) => ids.flatMap(num).map(_.toLong)
+            .filter(id => cursors.remove(id) != null)
+          case _ => Nil
+        }
+        JObject(List("cursorsKilled" -> JArray(killed.map(JLong(_): JValue)),
+          "ok" -> JDouble(1.0)))
+      case other => JObject(List("ok" -> JDouble(0.0),
+        "errmsg" -> JString(s"no such command: '$other'"), "code" -> JInt(59)))
+    }
+
+    private val thread = new Thread(() => {
+      try while (!server.isClosed) {
+        val sock = server.accept()
+        new Thread(() => {
+          val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+          val out = new BufferedOutputStream(sock.getOutputStream)
+          try while (true) {
+            val lenB = new Array[Byte](4)
+            in.readFully(lenB)
+            val len = ByteBuffer.wrap(lenB).order(ByteOrder.LITTLE_ENDIAN).getInt()
+            val rest = new Array[Byte](len - 4)
+            in.readFully(rest)
+            val buf = ByteBuffer.wrap(rest).order(ByteOrder.LITTLE_ENDIAN)
+            val requestId = buf.getInt()
+            buf.getInt() // responseTo
+            assert(buf.getInt() == 2013, "client must speak OP_MSG")
+            assert(buf.getInt() == 0, "client must not set flag bits")
+            assert((buf.get() & 0xff) == 0, "client must send a kind-0 section")
+            val cmd = Bson.decodeDoc(buf)
+            val reply = Bson.encodeDoc(handle(cmd))
+            val hdr = ByteBuffer.allocate(16 + 4 + 1).order(ByteOrder.LITTLE_ENDIAN)
+            hdr.putInt(16 + 4 + 1 + reply.length)
+            hdr.putInt(requestId + 100000) // server's own id
+            hdr.putInt(requestId)          // responseTo = client's request
+            hdr.putInt(2013)
+            hdr.putInt(0)
+            hdr.put(0.toByte)
+            out.write(hdr.array()); out.write(reply); out.flush()
+          } catch { case _: EOFException | _: java.net.SocketException => () }
+          finally sock.close()
+        }).start()
+      } catch { case _: java.net.SocketException => () }
+    })
+    thread.setDaemon(true)
+    thread.start()
+    def port: Int = server.getLocalPort
+    def stop(): Unit = server.close()
+  }
+
+  private def doc(id: Int, v: Long): JObject = JObject(List(
+    "_id" -> JString(f"doc$id%05d"), "val" -> JLong(v),
+    "payload" -> JObject(List("n" -> JInt(id)))))
+
+  // 260 docs with val 0..square-wave so slice boundaries land ON values
+  private val store: Seq[JObject] =
+    (0 until 260).map(i => doc(i, (i / 2).toLong))
+
+  test("hello handshake + count over real OP_MSG bytes") {
+    val srv = new FakeMongo(store)
+    val cli = new MongoWireClient("localhost", srv.port)
+    try {
+      val h = cli.hello()
+      assert((h \ "maxWireVersion") == JInt(17))
+      assert(cli.count("db", "coll", JObject()) == 260L)
+      assert(cli.count("db", "coll",
+        JObject("val" -> (JObject("$lte" -> (JLong(9L): JValue)): JValue))) == 20L)
+    } finally { cli.close(); srv.stop() }
+  }
+
+  test("slice-union ≡ collection over the wire: extremes, slices, getMore " +
+    "paging, flush dedup, ±5% reconciliation") {
+    val srv = new FakeMongo(store)
+    val cli = new MongoWireClient("localhost", srv.port)
+    try {
+      val landed = scala.collection.mutable.ArrayBuffer.empty[String]
+      val results = MongoSliceReader.extractAll(cli, "db", "coll",
+        baseQuery = None, sliceVar = "val", sliceSize = 40,
+        flush = batch => landed ++= batch, batchSize = 16,
+        flushThreshold = 50)
+      // every doc landed exactly once after cross-slice _id dedup
+      val ids = landed.map(d =>
+        (org.json4s.jackson.JsonMethods.parse(d) \ "_id") match {
+          case JString(s) => s
+          case other => fail(s"no _id in $other")
+        })
+      assert(ids.distinct.size == 260)
+      // boundary values intentionally land in two slices: sent > 260 but
+      // within the ±5% reconciliation (which extractAll already enforced)
+      assert(results.map(_.sent).sum >= 260)
+      // batchSize 16 over 80+-doc slices forces REAL getMore paging
+      assert(srv.getMores.get() > 0)
+      // every cursor was drained or killed — no server-side leaks
+      assert(srv.openCursors == 0)
+    } finally { cli.close(); srv.stop() }
+  }
+
+  test("sort+limit extremes over the wire match the store") {
+    val srv = new FakeMongo(store)
+    val cli = new MongoWireClient("localhost", srv.port)
+    try {
+      assert(MongoSliceReader.extremeValue(cli, "db", "coll", None, "val", 1)
+        .contains(0L))
+      assert(MongoSliceReader.extremeValue(cli, "db", "coll", None, "val", -1)
+        .contains(129L))
+      // with a base query the extremes narrow
+      val base = Some("""{"val":{"$gte":50,"$lte":60}}""")
+      assert(MongoSliceReader.extremeValue(cli, "db", "coll", base, "val", 1)
+        .contains(50L))
+    } finally { cli.close(); srv.stop() }
+  }
+
+  test("early close kills the live cursor server-side") {
+    val srv = new FakeMongo(store)
+    val cli = new MongoWireClient("localhost", srv.port)
+    try {
+      val cursor = cli.find("db", "coll", JObject(), batchSize = 10)
+      assert(cursor.hasNext)
+      cursor.next()
+      assert(srv.openCursors == 1)
+      cursor.close()
+      assert(srv.killCursors.get() == 1 && srv.openCursors == 0)
+      // closing an exhausted cursor is a no-op
+      val small = cli.find("db", "coll",
+        JObject("_id" -> (JString("doc00001"): JValue)), batchSize = 10)
+      assert(small.size == 1)
+      small.close()
+      assert(srv.killCursors.get() == 1)
+    } finally { cli.close(); srv.stop() }
+  }
+
+  test("a command failure (ok:0) surfaces the server errmsg") {
+    val srv = new FakeMongo(store)
+    val cli = new MongoWireClient("localhost", srv.port)
+    try {
+      val e = intercept[java.io.IOException](
+        cli.runCommand("db", JObject("frobnicate" -> (JInt(1): JValue))))
+      assert(e.getMessage.contains("no such command"))
+    } finally { cli.close(); srv.stop() }
+  }
+
+  test("BSON codec round-trips the command subset; decodes server extras") {
+    val nested = JObject(List(
+      "a" -> JInt(1), "big" -> JLong(1L << 40), "s" -> JString("héllo—ç"),
+      "d" -> JDouble(1.5), "f" -> JBool(false), "n" -> JNull,
+      "o" -> JObject(List("x" -> JArray(List(JInt(1), JString("y")))))))
+    val buf = ByteBuffer.wrap(Bson.encodeDoc(nested))
+    assert(Bson.decodeDoc(buf) == nested)
+    // handcrafted ObjectId (0x07) + UTC datetime (0x09) elements
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(0x07); body.write("oid".getBytes); body.write(0)
+    body.write((1 to 12).map(_.toByte).toArray)
+    body.write(0x09); body.write("ts".getBytes); body.write(0)
+    body.write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putLong(1723600000000L).array())
+    val full = new java.io.ByteArrayOutputStream()
+    full.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(4 + body.size() + 1).array())
+    body.writeTo(full); full.write(0)
+    val decoded = Bson.decodeDoc(ByteBuffer.wrap(full.toByteArray))
+    assert((decoded \ "oid") == JString("0102030405060708090a0b0c"))
+    assert((decoded \ "ts") == JLong(1723600000000L))
+  }
+}
