@@ -24,8 +24,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (relative paths). Commit = write `v{N}.json.tmp`, then rename — rename
   * is the atomicity primitive on HDFS-like stores; on object stores a real
   * deployment swaps in a conditional-PUT (documented limitation).
+  *
+  * == Concurrency contract ==
+  *
+  *  - '''Committers''': each commit first CLAIMS its version number by
+  *    creating `_manifests/v{N}.claim` with create-no-overwrite — atomic
+  *    on HDFS and POSIX, so two committers racing to the same N produce
+  *    exactly one winner; the loser recomputes N and retries (bounded by
+  *    `maxAttempts`). The claim is taken BEFORE any data write, so no two
+  *    commits ever share a `_data/v{N}` directory. A committer that
+  *    crashes between claim and manifest burns its number (versions may
+  *    be non-contiguous); later commits skip past it because the next
+  *    number is computed over claims AND manifests.
+  *  - '''Readers''': resolve a manifest (latest or pinned) and read only
+  *    its immutable file list — a reader never observes a half-commit,
+  *    because the manifest rename is the only visibility event.
+  *  - '''Append mode''': an append carries the files of the latest
+  *    version COMMITTED when it claimed. Serial appends (the stored-state
+  *    pattern in [[graft.flows.DedupIndex]]) therefore chain completely;
+  *    two appends racing each other may each chain from the same base —
+  *    concurrent writers wanting strict append serialization must
+  *    serialize externally (the same rule Delta's OCC enforces by
+  *    aborting, surfaced here by version numbering).
+  *  - '''Vacuum vs readers''': vacuum deletes files unreferenced by every
+  *    manifest ≥ `keepFrom`; a reader of any KEPT version is unaffected
+  *    mid-vacuum. A reader pinned BELOW `keepFrom` races with the delete
+  *    by design — the caller owns picking a `keepFrom` older than any
+  *    in-flight read (the same retention contract lakehouse formats ship).
   */
 object VersionedLake {
+
+  /** A lost version-claim race after `maxAttempts` tries. */
+  final class ConcurrentCommitException(msg: String)
+    extends java.io.IOException(msg)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -43,6 +74,31 @@ object VersionedLake {
       .sorted
   }
 
+  /** Version numbers any committer has CLAIMED (committed or in-flight or
+    * crashed) — the sequence the next commit must advance past.
+    */
+  private def claimedVersions(f: FileSystem, table: String): Seq[Long] = {
+    val dir = manifestDir(table)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).map(_.getPath.getName).toSeq
+      .collect { case n if n.matches("v\\d+\\.(json|claim)") =>
+        n.stripPrefix("v").takeWhile(_.isDigit).toLong }
+      .distinct.sorted
+  }
+
+  /** Atomically claim `next` for this committer: create-no-overwrite on
+    * the claim file is the CAS primitive (atomic on HDFS and POSIX local
+    * FS). False = another committer got there first.
+    */
+  private def tryClaim(f: FileSystem, table: String, next: Long): Boolean = {
+    val dir = manifestDir(table)
+    f.mkdirs(dir)
+    try { f.create(new Path(dir, s"v$next.claim"), false).close(); true }
+    catch {
+      case _: java.io.IOException => false // FileAlreadyExists subsumed
+    }
+  }
+
   /** Commit `df` as the next version. `mode` is `"overwrite"` (the new
     * version is exactly `df`) or `"append"` (the new version = previous
     * files + `df`'s files — no data rewrite, pure metadata union).
@@ -50,14 +106,33 @@ object VersionedLake {
     * directories) so reads prune partitions; the manifest records the
     * partition-relative file paths and [[read]] recovers the partition
     * columns per version directory. Returns the committed version number.
+    *
+    * Safe under concurrent committers (see the concurrency contract
+    * above): the version number is claimed atomically before any data
+    * write; a lost claim race retries at the next number up to
+    * `maxAttempts` times, then throws [[ConcurrentCommitException]].
     */
   def commit(df: DataFrame, table: String, mode: String = "overwrite",
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, maxAttempts: Int = 10): Long = {
     require(mode == "overwrite" || mode == "append", s"unknown mode $mode")
     val spark = df.sparkSession
     val f = fs(spark, table)
+    var next = 0L
+    var attempt = 0
+    var claimed = false
+    while (!claimed) {
+      next = claimedVersions(f, table).lastOption.getOrElse(0L) + 1L
+      claimed = tryClaim(f, table, next)
+      attempt += 1
+      if (!claimed && attempt >= maxAttempts)
+        throw new ConcurrentCommitException(
+          s"lost the version-claim race $maxAttempts times at $table")
+    }
+    // the APPEND base is the latest manifest at claim time: under
+    // concurrent appends each commit carries the files of the last
+    // version it SAW — serial appends (the stored-state pattern) chain
+    // completely
     val prev = versions(spark, table)
-    val next = prev.lastOption.getOrElse(0L) + 1L
     // new files land under a per-version directory: never collides with
     // visible data, orphaned cleanly if the manifest rename fails
     val dataDir = new Path(table, s"_data/v$next")
@@ -179,7 +254,12 @@ object VersionedLake {
     }
     vs.filterNot(keep.contains).foreach { v =>
       f.delete(new Path(manifestDir(table), s"v$v.json"), false)
+      f.delete(new Path(manifestDir(table), s"v$v.claim"), false)
     }
+    // claims below keepFrom whose manifest never appeared (crashed
+    // committers): their data dirs were just swept above, drop the claims
+    claimedVersions(f, table).filter(v => v < keepFrom && !vs.contains(v))
+      .foreach(v => f.delete(new Path(manifestDir(table), s"v$v.claim"), false))
     deleted
   }
 }

@@ -86,4 +86,64 @@ class VersionedLakeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       VersionedLake.vacuum(spark, tbl, keepFrom = 99L))
   }
+
+  test("two interleaved committers: atomic version claims, unique version " +
+    "numbers, every manifest a consistent snapshot") {
+    val tbl = Files.createTempDirectory("vlakec").toString
+    val perThread = 6
+    val committed = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Int, Long)]())
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    // each committer writes overwrite snapshots whose row count encodes
+    // (writer, iteration) — a torn commit would surface as a count outside
+    // the valid set
+    def runner(id: Int) = new Thread(() => {
+      for (i <- 1 to perThread) {
+        try {
+          val rows = 100 * id + i
+          val v = VersionedLake.commit(
+            spark.range(rows.toLong).toDF("x"), tbl)
+          committed.add(id -> v)
+        } catch { case _: Throwable => failures.incrementAndGet() }
+      }
+    })
+    val ts = Seq(runner(1), runner(2))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(failures.get() == 0, "claim retry must absorb every race")
+    // every commit got a UNIQUE version number
+    val vs = committed.toArray.map(_.asInstanceOf[(Int, Long)]._2).toSeq
+    assert(vs.distinct.size == 2 * perThread)
+    assert(VersionedLake.versions(spark, tbl).toSet == vs.toSet)
+    // every version reads back as exactly one writer's snapshot — no
+    // interleaved data dirs, no torn manifest
+    val validCounts = (for (id <- 1 to 2; i <- 1 to perThread)
+      yield (100 * id + i).toLong).toSet
+    for (v <- vs)
+      assert(validCounts.contains(
+        VersionedLake.read(spark, tbl, Some(v)).count()))
+  }
+
+  test("readers stay consistent mid-vacuum; crashed claims burn a number " +
+    "without wedging the table") {
+    val tbl = Files.createTempDirectory("vlakev").toString
+    for (n <- Seq(10L, 20L, 30L))
+      VersionedLake.commit(spark.range(n).toDF("x"), tbl)
+    // a reader resolved on the latest version is untouched by a vacuum
+    // that drops older versions, even if the delete runs mid-read
+    val pinned = VersionedLake.read(spark, tbl, Some(3L))
+    assert(VersionedLake.vacuum(spark, tbl, keepFrom = 3L) > 0)
+    assert(pinned.count() == 30L) // kept version: files all alive
+    intercept[IllegalArgumentException](
+      VersionedLake.read(spark, tbl, Some(1L))) // dropped version is gone
+    // simulate a committer that died between claim and manifest
+    val claims = new java.io.File(s"$tbl/_manifests")
+    assert(new java.io.File(claims, "v4.claim").createNewFile())
+    // the next commit skips the burned number instead of wedging
+    assert(VersionedLake.commit(spark.range(5L).toDF("x"), tbl) == 5L)
+    assert(VersionedLake.read(spark, tbl).count() == 5L)
+    // vacuum sweeps the orphaned claim once it falls below keepFrom
+    VersionedLake.vacuum(spark, tbl, keepFrom = 5L)
+    assert(!new java.io.File(claims, "v4.claim").exists())
+    assert(VersionedLake.read(spark, tbl).count() == 5L)
+  }
 }
