@@ -926,6 +926,112 @@ object Queries {
         .orderBy(col("user_id"))
     }),
 
+    // STREAMING/batch parity (T3/W analogs, SURVEY §2.9): the streaming
+    // sessionize (flatMapGroupsWithState + event-time timeout) over the
+    // same events the batch q49 sessionizes — the oracle replays the
+    // session structure in SQL, so the stateful streaming path is held to
+    // the same hash-match bar as every batch operator. The MemoryStream
+    // feed is a driver-side test harness (the operator itself is
+    // distributed); sentinel events advance the watermark so the tail
+    // sessions' event-time timeouts fire before the stream ends.
+    "q112_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val events = input.toDF().toDF("user_id", "ts", "value")
+        .withWatermark("ts", "0 seconds")
+        .as[graft.streaming.Incremental.SessionEvent]
+      val name = "q112_sessions_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.Incremental.sessionize(events, gapMs = 1800000L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // events.ts is TIMESTAMP_NTZ in the lake; the watermark machinery
+        // needs TIMESTAMP — the UTC session TZ makes the cast lossless
+        val rows = t(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("timestamp"), col("value"))
+          .collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+        input.addData(rows)
+        q.processAllAvailable()
+        // two sentinel batches: the watermark advances off the PREVIOUS
+        // batch's max event time, so closing every real session needs the
+        // second push
+        val maxTs = rows.map(_._2.getTime).max
+        input.addData(Seq((-1L, new java.sql.Timestamp(maxTs + 3600000L), 0.0)))
+        q.processAllAvailable()
+        input.addData(Seq((-1L, new java.sql.Timestamp(maxTs + 7200000L), 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start_ms"),
+          col("session_end_ms"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("user_id"), col("session_start_ms"))
+    }),
+
+    // STREAMING/batch parity: watermarked stream-stream interval join
+    // (purchases within 1h after each click, same user) in AvailableNow
+    // mode over file-source streams — the oracle is the plain SQL
+    // time-bounded join, so the stateful join must match it row-for-row.
+    "q113_stream_interval_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("q113").toString
+      val ev = t(s, dir, "events")
+      // ts cast NTZ→TIMESTAMP (lossless under the UTC session TZ): the
+      // watermark machinery rejects TIMESTAMP_NTZ event-time columns
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").as("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").cast("timestamp").as("pts"))
+      clicks.write.parquet(s"$tmp/clicks")
+      purchases.write.parquet(s"$tmp/purchases")
+      val cs = s.readStream.schema(clicks.schema).parquet(s"$tmp/clicks")
+      val ps = s.readStream.schema(purchases.schema).parquet(s"$tmp/purchases")
+      val name = "q113_joined_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.Incremental.intervalJoin(cs, ps, "user_id",
+          leftTs = "ts", rightTs = "pts", lateness = "1 hour",
+          lowerBound = "0 seconds", upperBound = "1 hour")
+        .select(col("user_id"), col("event_id"), col("purchase_id"))
+        .writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name)
+        .orderBy(col("user_id"), col("event_id"), col("purchase_id"))
+    }),
+
+    // STREAMING/batch parity: cdcToSnapshot (foreachBatch CDC merge with
+    // the crash-safe snapshot swap) folding the events changelog into the
+    // customer snapshot — same fixtures and same oracle as the batch q68,
+    // so stream-MERGE ≡ batch-MERGE is driver-checked.
+    "q114_stream_cdc" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("q114").toString
+      val snapshotPath = s"$tmp/snap"
+      t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("status"))
+        .write.parquet(snapshotPath)
+      val changes = t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("status"),
+          col("ts"), col("event_id"))
+      changes.write.parquet(s"$tmp/changes")
+      val stream = s.readStream.schema(changes.schema)
+        .parquet(s"$tmp/changes")
+      val q = graft.streaming.Incremental.cdcToSnapshot(stream,
+          keys = Seq("user_id"), order = Seq(col("ts"), col("event_id")),
+          op = when(col("status") === "error", "delete").otherwise("upsert"),
+          payload = Seq("status"), snapshotPath = snapshotPath,
+          checkpoint = s"$tmp/ckpt")
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(snapshotPath).orderBy(col("user_id"))
+    }),
+
     // Gopher-style repetition signal: fraction of word 2-/3-grams that
     // repeat within the document. Pure per-row array math (slice+zip, no
     // explode, no shuffle); integer counts + one IEEE division replay
@@ -3112,6 +3218,56 @@ object Queries {
         |WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100
         |  < CASE WHEN o_orderpriority = '1-URGENT' THEN 50 ELSE 10 END
         |ORDER BY o_orderkey""".stripMargin,
+
+    // q112 replays the STREAMING sessionize: gap decisions on epoch-MILLIS
+    // (Timestamp.getTime truncates micros — the probe confirmed no gap in
+    // this data falls inside the 1ms ambiguity window around 1800s, so ms
+    // and µs semantics agree); double sums rounded to 2dp on both sides to
+    // absorb addition-order drift.
+    "q112_stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |)
+        |SELECT user_id, min(epoch_ms(ts)) AS session_start_ms,
+        |  max(epoch_ms(ts)) AS session_end_ms,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin,
+
+    "q113_stream_interval_join" ->
+      """SELECT c.user_id, c.event_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p ON p.user_id = c.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // q114 shares q68's oracle: stream-MERGE must equal batch-MERGE.
+    "q114_stream_cdc" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type AS status,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |), latest AS (
+        |  SELECT user_id, status, op FROM ch WHERE rn = 1
+        |), base AS (
+        |  SELECT c_custkey AS user_id, c_mktsegment AS status FROM customer
+        |)
+        |SELECT coalesce(b.user_id, l.user_id) AS user_id,
+        |  CASE WHEN l.op IS NOT NULL THEN l.status ELSE b.status END AS status
+        |FROM base b FULL JOIN latest l ON b.user_id = l.user_id
+        |WHERE l.op IS NULL OR l.op <> 'delete'
+        |ORDER BY user_id""".stripMargin,
 
     "q40_media_features" ->
       """WITH b AS (
