@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 
 /** Physical-plan shape assertions: these encode the scale contracts — a
   * filter that doesn't reach the parquet scan or a dim join that doesn't
@@ -196,6 +197,74 @@ class PlanShapeSpec extends SparkSpec {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
     }
+  }
+
+  // ---- landing-write pins: the wire readers (ES/Mongo/proxy/FTP/...) all
+  // land through Ingest.conformForLanding/landJsonPayload + LakeWriter.
+  // The contract at 100 TB: the whole conform→stamp→partition frame is
+  // NARROW (zero exchanges), and the write path's ONLY shuffle is the
+  // deliberate partition-col repartition that prevents the small-files
+  // problem. A second exchange sneaking into this path would tax every
+  // single acquisition flow. The frames below reconstruct exactly what
+  // overwritePartitions executes before the write.
+
+  private val landPartCols =
+    Seq(col("ano_particao"), col("mes_particao"), col("data_particao"))
+
+  // every Exchange node exactly once (the formatted detail section), of
+  // ANY partitioning: when the run stamp makes the partition columns
+  // constant, Catalyst folds the hash repartition to SinglePartition —
+  // still the one deliberate shuffle
+  private def exchangeNodes(plan: String): Int =
+    plan.linesIterator.count(_.matches("\\(\\d+\\) Exchange"))
+
+  test("landByLoadDate frame: conform+allString+audit+stamps are narrow; one deliberate shuffle") {
+    val stamp = graft.flows.Ingest.RunStamp("run-1",
+      java.sql.Timestamp.valueOf("2026-08-12 09:00:00"))
+    val src = graft.sources.Lake.table(spark, sfDir, "orders")
+    val frame = graft.sources.LakeWriter.withDatePartitions(
+      graft.flows.Ingest.conformForLanding(src, stamp), col("loaded_at"))
+    // the landing transforms themselves must plan with NO exchange
+    val narrow = planOf(frame)
+    assert(hashExchanges(narrow) == 0 && !narrow.contains("Exchange"), narrow)
+    // the pre-write frame (what overwritePartitions executes) carries
+    // exactly the one partition-col shuffle
+    val preWrite = planOf(frame.repartition(landPartCols: _*))
+    assert(exchangeNodes(preWrite) == 1, preWrite)
+  }
+
+  test("landJsonPayload frame: JSON pack + metadata + stamps are narrow; one deliberate shuffle") {
+    val stamp = graft.flows.Ingest.RunStamp("run-1",
+      java.sql.Timestamp.valueOf("2026-08-12 09:00:00"))
+    val src = graft.sources.Lake.table(spark, sfDir, "customer")
+    val packed = graft.operators.JsonNormalize.pack(src,
+      Seq("c_name", "c_acctbal", "c_mktsegment"), "data")
+      .withColumn("_source", lit("wire"))
+    val stamped = graft.sources.LakeWriter
+      .withAudit(packed, stamp.runId, stamp.loadedAt)
+      .withColumn("_target_date", lit("2026-08-12"))
+    val frame = graft.sources.LakeWriter.withDatePartitions(stamped,
+      to_date(lit("2026-08-12")))
+    val narrow = planOf(frame)
+    assert(hashExchanges(narrow) == 0 && !narrow.contains("Exchange"), narrow)
+    val preWrite = planOf(frame.repartition(landPartCols: _*))
+    assert(exchangeNodes(preWrite) == 1, preWrite)
+  }
+
+  test("scrollAll landing via Dataset[String] JSON parse is narrow end-to-end") {
+    // the ES/Mongo cursor rows land as a Dataset[String] of JSON docs →
+    // from_json projection → conform: still zero exchanges before the
+    // deliberate write shuffle
+    import spark.implicits._
+    val docs = (1 to 100).map(i =>
+      s"""{"id":$i,"nome":"N$i","valor":${i * 2}}""").toDS()
+    val parsed = spark.read.json(docs)
+    val stamp = graft.flows.Ingest.RunStamp("run-2",
+      java.sql.Timestamp.valueOf("2026-08-12 10:00:00"))
+    val frame = graft.sources.LakeWriter.withDatePartitions(
+      graft.flows.Ingest.conformForLanding(parsed, stamp), col("loaded_at"))
+    val narrow = planOf(frame)
+    assert(hashExchanges(narrow) == 0 && !narrow.contains("Exchange"), narrow)
   }
 
   test("q65 month filter resolves as PartitionFilters (directory pruning)") {
