@@ -92,7 +92,7 @@ object Bench {
     // both iteration knobs recorded: sub-1.5s queries run up to
     // iters+extra_sub_sec_iters, so the artifact states the actual
     // methodology instead of implying min-of-iters for every query
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","iters":$timedIters,"extra_sub_sec_iters":$extraIters,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","iters":$timedIters,"extra_sub_sec_iters":$extraIters,"emitter":"bench","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // Persist the FULL per-query timing map to a file as well: the driver
     // captures a bounded stdout tail, and a truncated tail silently drops
@@ -111,14 +111,26 @@ object Bench {
     // highest existing round + 1, overridable via SPARK_GRAFT_ROUND): the
     // driver's own round file is reconstructed from a bounded stdout tail
     // and has shipped with a truncated queries map — this one is complete.
-    // Skipped for filtered/profiling runs, which would stamp a partial map.
-    if (only.isEmpty) {
+    // Skipped for filtered/profiling runs (partial map) AND for runs with
+    // an explicit BENCH_OUT (scale probes on non-default fixtures must not
+    // masquerade as the round's sf0.1 record).
+    if (only.isEmpty && sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty) {
       val roundFile = sys.env.get("SPARK_GRAFT_ROUND").map(r => s"BENCH_r$r.json")
         .orElse {
           val pat = "BENCH_r(\\d+)\\.json".r
           Option(new java.io.File(".").list()).map(_.toSeq).getOrElse(Nil)
             .collect { case pat(n) => n.toInt }
-            .maxOption.map(n => f"BENCH_r${n + 1}%02d.json")
+            .maxOption.map { n =>
+              // repeated full runs within one round OVERWRITE their own
+              // stamp (marked "emitter":"bench") instead of bumping N —
+              // only a driver-written round file advances the sequence
+              val cur = new java.io.File(f"BENCH_r$n%02d.json")
+              val mine = cur.exists() && {
+                val s = new String(java.nio.file.Files.readAllBytes(cur.toPath))
+                s.contains("\"emitter\":\"bench\"")
+              }
+              if (mine) f"BENCH_r$n%02d.json" else f"BENCH_r${n + 1}%02d.json"
+            }
         }
       roundFile.foreach(write)
     }
