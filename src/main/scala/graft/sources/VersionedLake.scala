@@ -234,6 +234,13 @@ object VersionedLake {
     val keep = vs.filter(_ >= keepFrom)
     require(keep.nonEmpty, s"vacuum would delete every version of $table")
     val live = keep.flatMap(readManifest(spark, table, _)).toSet
+    // a commit IN FLIGHT (claim taken, manifest not yet renamed) has data
+    // files no manifest references yet — sweeping them would corrupt the
+    // version the moment its manifest lands. Its whole _data/v{N} dir is
+    // off-limits; only claims that stayed manifest-less BELOW keepFrom are
+    // treated as crashed and swept.
+    val inFlight = claimedVersions(f, table)
+      .filter(v => v >= keepFrom && !vs.contains(v)).toSet
     val dataRoot = new Path(table, "_data")
     // path-string relativization (URI.relativize silently fails across
     // scheme-qualified vs raw paths and would mark every file dead)
@@ -247,7 +254,12 @@ object VersionedLake {
         if (s.isFile) {
           val rel = s.getPath.toUri.getPath
             .stripPrefix(tablePrefix).stripPrefix("/")
-          if (!live.contains(rel)) victims += s.getPath
+          // rel = _data/v{N}/...: leave in-flight versions' files alone
+          val ver = rel.split("/").lift(1).collect {
+            case v if v.matches("v\\d+") => v.drop(1).toLong
+          }
+          if (!live.contains(rel) && !ver.exists(inFlight.contains))
+            victims += s.getPath
         }
       }
       victims.result().foreach { p => if (f.delete(p, false)) deleted += 1 }

@@ -123,6 +123,33 @@ class VersionedLakeSpec extends SparkSpec {
         VersionedLake.read(spark, tbl, Some(v)).count()))
   }
 
+  test("vacuum spares an IN-FLIGHT commit's data files (claim ≥ keepFrom, " +
+    "manifest not yet landed); a crashed claim below keepFrom is swept") {
+    val tbl = Files.createTempDirectory("vlakeif").toString
+    for (n <- Seq(10L, 20L, 30L))
+      VersionedLake.commit(spark.range(n).toDF("x"), tbl)
+    // simulate a committer mid-commit at v4: claim taken, data being
+    // written, manifest NOT yet renamed in
+    val manifests = new java.io.File(s"$tbl/_manifests")
+    assert(new java.io.File(manifests, "v4.claim").createNewFile())
+    val inflightDir = new java.io.File(s"$tbl/_data/v4")
+    assert(inflightDir.mkdirs())
+    val inflightFile = new java.io.File(inflightDir, "part-0.parquet")
+    java.nio.file.Files.write(inflightFile.toPath, Array[Byte](1, 2, 3))
+    VersionedLake.vacuum(spark, tbl, keepFrom = 3L)
+    // the unreferenced-but-claimed v4 file SURVIVES — sweeping it would
+    // corrupt v4 the moment its manifest lands
+    assert(inflightFile.exists())
+    assert(new java.io.File(manifests, "v4.claim").exists())
+    // once the same shape falls BELOW keepFrom it is a crashed commit:
+    // data swept, claim removed, number stays burned
+    VersionedLake.commit(spark.range(5L).toDF("x"), tbl) // lands as v5
+    VersionedLake.vacuum(spark, tbl, keepFrom = 5L)
+    assert(!inflightFile.exists())
+    assert(!new java.io.File(manifests, "v4.claim").exists())
+    assert(VersionedLake.read(spark, tbl).count() == 5L)
+  }
+
   test("readers stay consistent mid-vacuum; crashed claims burn a number " +
     "without wedging the table") {
     val tbl = Files.createTempDirectory("vlakev").toString
