@@ -530,6 +530,25 @@ object Queries {
         .orderBy(col("media_id"))
     }),
 
+    // Multimodal: REAL audio decode round-trip. Payloads are actual 16-bit
+    // PCM WAV bytes (hand-rolled RIFF container from rate/channel/frame
+    // formulas over doc_id), decoded back by the JDK sound stack's header
+    // parser on executors; the oracle replays the formulas, so a fake
+    // decode cannot pass. Header-only: no sample data is decoded.
+    "q40c_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val rate = 8000 + (id % 8).toInt * 1000
+        val channels = 1 + (id % 2).toInt
+        val frames = 500 + (id % 1000).toInt
+        MultiModal.MediaRow(id, "audio", "audio/wav",
+          MultiModal.encodeWavPcm16(rate, channels, frames))
+      })
+      MultiModal.extractAudioFeatures(media).toDF().orderBy(col("media_id"))
+    }),
+
     // Dedup (near): embedding-cosine near-dup pairs, LSH-bucketed candidates
     // + exact cosine threshold (oracle replays planes/buckets/cosine).
     "q46_cosine_dedup" -> ((s, dir) => {
@@ -3293,6 +3312,19 @@ object Queries {
         |  CAST(1 AS INTEGER) AS n_frames,
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q40c_audio_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |    CAST(500 + doc_id % 1000 AS BIGINT) AS n_frames
+        |  FROM documents
+        |)
+        |SELECT media_id, sample_rate, channels, n_frames,
+        |  n_frames * 1000 // sample_rate AS duration_ms,
+        |  'wave' AS format
+        |FROM p ORDER BY media_id""".stripMargin,
 
     "q46_cosine_dedup" -> {
       val planeRows = planeValuesSql(6)

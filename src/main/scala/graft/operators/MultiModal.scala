@@ -121,6 +121,80 @@ object MultiModal {
     media.mapPartitions(_.map(decode))
   }
 
+  /** Real audio metadata from the bytes. */
+  final case class AudioInfo(sampleRate: Int, channels: Int, nFrames: Long,
+      format: String)
+
+  /** REAL audio header decode via JDK `javax.sound.sampled` (WAV/AIFF/AU
+    * in a stock JDK, zero external deps): sample rate, channel count and
+    * frame length from the container header — no sample data decoded.
+    * None = no installed reader recognizes the bytes (corrupt, or a
+    * compressed format like MP3/OGG the JDK doesn't ship).
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      Some(AudioInfo(fmt.getSampleRate.toInt, fmt.getChannels,
+        aff.getFrameLength.toLong, aff.getType.toString.toLowerCase))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Typed audio features (the audio analog of [[MediaFeatures]] — audio
+    * metadata doesn't shoehorn into width/height). `duration_ms` is exact
+    * integer math (frames·1000/rate), replayable by external engines.
+    * Undecodable payloads emit zeros with `format = "stub"` — visible,
+    * never silent.
+    */
+  final case class AudioFeatures(media_id: Long, sample_rate: Int,
+      channels: Int, n_frames: Long, duration_ms: Long, format: String)
+
+  /** Batch audio feature extraction: same partition-preserving
+    * mapPartitions shape as [[extractFeatures]], header-only reads.
+    */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      decodeAudio(r.content) match {
+        case Some(a) => AudioFeatures(r.media_id, a.sampleRate, a.channels,
+          a.nFrames, a.nFrames * 1000L / a.sampleRate, a.format)
+        case None => AudioFeatures(r.media_id, 0, 0, 0L, 0L, "stub")
+      }
+    })
+  }
+
+  /** Deterministic 16-bit PCM WAV bytes — the fixture half of the audio
+    * round-trip: a hand-rolled RIFF/WAVE container (44-byte canonical
+    * header + a fixed sample pattern) that [[decodeAudio]]'s JDK parser
+    * must read back exactly. Writer and parser are independent
+    * implementations, so the round-trip cross-checks both.
+    */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nFrames >= 0)
+    val dataLen = nFrames * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames * channels) {
+      buf.putShort((((i * 31) & 0xffff) - 32768).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
   /** Deterministic image bytes through the REAL ImageIO writer — the
     * fixture half of the round-trip: dimensions in, actual PNG/JPEG/GIF/BMP
     * bytes out, which [[decodeImage]] must recover exactly. The pixel fill

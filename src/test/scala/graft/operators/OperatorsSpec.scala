@@ -541,6 +541,38 @@ class MultiModalSpec extends SparkSpec {
       .contains(MultiModal.ImageInfo(12, 9, 5, "gif")))
   }
 
+  test("REAL audio decode: hand-rolled PCM WAV round-trips through the JDK parser") {
+    val bytes = MultiModal.encodeWavPcm16(16000, 2, 1234)
+    assert(MultiModal.decodeAudio(bytes)
+      .contains(MultiModal.AudioInfo(16000, 2, 1234L, "wave")))
+    // cross-check the other direction: a JDK-WRITTEN wav parses too
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte](8000 * 2)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, 8000L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    assert(MultiModal.decodeAudio(out.toByteArray)
+      .contains(MultiModal.AudioInfo(8000, 1, 8000L, "wave")))
+    // junk and truncated headers decline instead of throwing
+    assert(MultiModal.decodeAudio(Array.fill[Byte](50)(7)).isEmpty)
+    assert(MultiModal.decodeAudio(bytes.take(20)).isEmpty)
+  }
+
+  test("extractAudioFeatures: exact duration math, visible stub fallback") {
+    import spark.implicits._
+    val rows = Seq(
+      MultiModal.MediaRow(1L, "audio", "audio/wav",
+        MultiModal.encodeWavPcm16(44100, 1, 44100 * 3)),
+      MultiModal.MediaRow(2L, "audio", "audio/wav",
+        Array.fill[Byte](64)(9))) // undecodable
+    val got = MultiModal.extractAudioFeatures(spark.createDataset(rows))
+      .collect().sortBy(_.media_id)
+    assert(got(0) == MultiModal.AudioFeatures(1L, 44100, 1, 132300L, 3000L, "wave"))
+    assert(got(1) == MultiModal.AudioFeatures(2L, 0, 0, 0L, 0L, "stub"))
+  }
+
   test("undecodable image bytes fall back to the stub VISIBLY (format='stub')") {
     val junk = Array.tabulate[Byte](100)(i => (i * 37).toByte)
     val f = MultiModal.decode(
