@@ -34,6 +34,20 @@ object Queries {
   private def avgDec(c: Column): Column =
     round(sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1)), 6)
 
+  /** Run `body` with `spark.sql.shuffle.partitions` = `n`, restoring the
+    * session value after. Stateful streaming ops allocate one state store
+    * per shuffle partition per operator per micro-batch — for the
+    * streaming-parity harness streams (thousands of rows) 32 partitions is
+    * pure per-batch overhead (measured 2x on q113). State partitioning is
+    * the knob a real deployment SIZES to stream volume; these queries size
+    * it to theirs.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -953,7 +967,7 @@ object Queries {
     // feed is a driver-side test harness (the operator itself is
     // distributed); sentinel events advance the watermark so the tail
     // sessions' event-time timeouts fire before the stream ends.
-    "q112_stream_sessionize" -> ((s, dir) => {
+    "q112_stream_sessionize" -> ((s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -995,7 +1009,7 @@ object Queries {
     // (purchases within 1h after each click, same user) in AvailableNow
     // mode over file-source streams — the oracle is the plain SQL
     // time-bounded join, so the stateful join must match it row-for-row.
-    "q113_stream_interval_join" -> ((s, dir) => {
+    "q113_stream_interval_join" -> ((s, dir) => withShufflePartitions(s, 8) {
       val tmp = java.nio.file.Files.createTempDirectory("q113").toString
       val ev = t(s, dir, "events")
       // ts cast NTZ→TIMESTAMP (lossless under the UTC session TZ): the
@@ -1023,6 +1037,7 @@ object Queries {
       s.table(name)
         .orderBy(col("user_id"), col("event_id"), col("purchase_id"))
     }),
+
 
     // STREAMING/batch parity: cdcToSnapshot (foreachBatch CDC merge with
     // the crash-safe snapshot swap) folding the events changelog into the
