@@ -115,7 +115,13 @@ object Bench {
     // an explicit BENCH_OUT (scale probes on non-default fixtures must not
     // masquerade as the round's sf0.1 record).
     if (only.isEmpty && sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty) {
-      val roundFile = sys.env.get("SPARK_GRAFT_ROUND").map(r => s"BENCH_r$r.json")
+      // zero-pad numeric overrides so the sequence matches the BENCH_r%02d
+      // auto-detection (an unpadded BENCH_r9.json would fork round 9's
+      // artifacts from BENCH_r09.json)
+      val roundFile = sys.env.get("SPARK_GRAFT_ROUND").map { r =>
+        val padded = if (r.nonEmpty && r.forall(_.isDigit)) f"${r.toInt}%02d" else r
+        s"BENCH_r$padded.json"
+      }
         .orElse {
           val pat = "BENCH_r(\\d+)\\.json".r
           Option(new java.io.File(".").list()).map(_.toSeq).getOrElse(Nil)

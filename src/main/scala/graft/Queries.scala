@@ -48,6 +48,23 @@ object Queries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Recreate a FIXED per-query scratch dir (delete, then mkdir): repeated
+    * bench iterations reuse one disk footprint instead of accumulating a
+    * fresh temp copy per run, and streaming checkpoints start clean each
+    * time (a REUSED checkpoint would mark the fixture files
+    * already-processed and the re-run would land nothing).
+    */
+  private def freshScratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), name)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -975,8 +992,10 @@ object Queries {
       val events = input.toDF().toDF("user_id", "ts", "value")
         .withWatermark("ts", "0 seconds")
         .as[graft.streaming.Incremental.SessionEvent]
-      val name = "q112_sessions_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
+      // FIXED sink name, prior run's table dropped: a per-run UUID name
+      // would leak one memory-sink result set per bench iteration
+      val name = "q112_sessions"
+      s.catalog.dropTempView(name)
       val q = graft.streaming.Incremental.sessionize(events, gapMs = 1800000L)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
@@ -1010,7 +1029,7 @@ object Queries {
     // mode over file-source streams — the oracle is the plain SQL
     // time-bounded join, so the stateful join must match it row-for-row.
     "q113_stream_interval_join" -> ((s, dir) => withShufflePartitions(s, 8) {
-      val tmp = java.nio.file.Files.createTempDirectory("q113").toString
+      val tmp = freshScratchDir("graft_q113")
       val ev = t(s, dir, "events")
       // ts cast NTZ→TIMESTAMP (lossless under the UTC session TZ): the
       // watermark machinery rejects TIMESTAMP_NTZ event-time columns
@@ -1024,8 +1043,8 @@ object Queries {
       purchases.write.parquet(s"$tmp/purchases")
       val cs = s.readStream.schema(clicks.schema).parquet(s"$tmp/clicks")
       val ps = s.readStream.schema(purchases.schema).parquet(s"$tmp/purchases")
-      val name = "q113_joined_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
+      val name = "q113_joined"
+      s.catalog.dropTempView(name)
       val q = graft.streaming.Incremental.intervalJoin(cs, ps, "user_id",
           leftTs = "ts", rightTs = "pts", lateness = "1 hour",
           lowerBound = "0 seconds", upperBound = "1 hour")
@@ -1044,7 +1063,7 @@ object Queries {
     // customer snapshot — same fixtures and same oracle as the batch q68,
     // so stream-MERGE ≡ batch-MERGE is driver-checked.
     "q114_stream_cdc" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("q114").toString
+      val tmp = freshScratchDir("graft_q114")
       val snapshotPath = s"$tmp/snap"
       t(s, dir, "customer")
         .select(col("c_custkey").as("user_id"),

@@ -110,19 +110,37 @@ object CloudStoreReader {
     * a naive newline split would tear quoted fields with embedded line
     * breaks in half. Each record element is then parsed individually by
     * Spark's CSV parser, which handles in-record newlines fine.
+    *
+    * Quote semantics match pandas' C parser (the reference): a quote is
+    * special only at FIELD START; a stray mid-field quote (`1,6" nail`) is
+    * literal content — a toggle-anywhere state machine would swallow the
+    * next newline and merge two records. Inside a quoted field `""` is an
+    * escaped quote and the closing quote ends the quoted run.
     */
-  private[sources] def splitCsvRecords(text: String): Seq[String] = {
+  private[sources] def splitCsvRecords(text: String,
+      delimiter: Char = ','): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new java.lang.StringBuilder
     var inQuotes = false
+    var fieldStart = true
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (c == '"') { inQuotes = !inQuotes; cur.append(c) }
-      else if ((c == '\n' || c == '\r') && !inQuotes) {
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '"') {
+            cur.append("\"\""); i += 1 // escaped quote, stay quoted
+          } else { inQuotes = false; cur.append(c) }
+        } else cur.append(c)
+      } else if (c == '"' && fieldStart) {
+        inQuotes = true; fieldStart = false; cur.append(c)
+      } else if (c == delimiter) {
+        cur.append(c); fieldStart = true
+      } else if (c == '\n' || c == '\r') {
         if (c == '\r' && i + 1 < text.length && text.charAt(i + 1) == '\n') i += 1
         if (cur.length > 0) { out += cur.toString; cur.setLength(0) }
-      } else cur.append(c)
+        fieldStart = true
+      } else { cur.append(c); fieldStart = false }
       i += 1
     }
     if (cur.length > 0) out += cur.toString
@@ -142,7 +160,8 @@ object CloudStoreReader {
     if (fileType != "csv")
       throw new UnsupportedOperationException(s"File type $fileType not implemented")
     val bytes = gcsDownload(apiBase, bucket, fileName, token)
-    val records = splitCsvRecords(new String(bytes, StandardCharsets.UTF_8))
+    val records = splitCsvRecords(new String(bytes, StandardCharsets.UTF_8),
+      csvSep.headOption.getOrElse(','))
     import spark.implicits._
     // header + no inference = every column StringType, pandas dtype=str
     spark.read.option("header", "true").option("sep", csvSep)

@@ -64,12 +64,22 @@ object DorjFetcher {
 
   private val RetryStatuses = Set(500, 502, 503, 504)
 
+  /** The reference's urllib3 backoff discipline (factor 15): sleep
+    * 15·2^(attempt−1) s before retry `attempt`, capped at 2 min. The
+    * DEFAULT for every public fetch — an immediate-retry default would
+    * hammer an already-overloaded gazette server three times within
+    * milliseconds. Specs inject a no-op to run fast.
+    */
+  private[sources] def defaultBackoff(attempt: Int): Unit =
+    Thread.sleep(math.min(15000L * (1L << math.max(0, attempt - 1)), 120000L))
+
   /** GET returning (body, content-type sans charset) with the reference's
-    * retry discipline (urllib3 Retry(total=3, status_forcelist), 15 s
-    * backoff factor — injectable so specs run fast).
+    * retry discipline (urllib3 Retry(total=3, status_forcelist, backoff
+    * factor 15)).
     */
   private[sources] def getWithCt(url: String, maxRetries: Int = 3,
-      timeoutMs: Int = 90000, backoff: Int => Unit = _ => ()): (String, String) = {
+      timeoutMs: Int = 90000,
+      backoff: Int => Unit = defaultBackoff): (String, String) = {
     var attempt = 0
     while (true) {
       val res: Either[IOException, (Int, String, String)] =
@@ -112,7 +122,7 @@ object DorjFetcher {
     * empty day as an extraction failure to retry, not a result.
     */
   def currentDoIdentifiers(base: String, date: String,
-      backoff: Int => Unit = _ => ()): Seq[(String, String)] = {
+      backoff: Int => Unit = defaultBackoff): Seq[(String, String)] = {
     val (body, _) = getWithCt(searchUrl(base, date), backoff = backoff)
     val buckets = JsonMethods.parse(body) \ "aggregations" \ "Edicoes" \ "buckets"
     val ids = (buckets match {
@@ -162,7 +172,11 @@ object DorjFetcher {
   /** Parse the `view_html_diario` page into its folder forest. A
     * purpose-built stack parser over the four tags the tree uses — the
     * spans and anchors of this page hold plain text, so inner text runs to
-    * the next close tag of the same name.
+    * the next close tag of the same name. `</li>` is OPTIONAL in HTML and
+    * real gazette markup omits it: a sibling `<li>` (with no intervening
+    * `<ul>`), a parent `</ul>`, and end-of-input all imply the close —
+    * without the implied closes an unterminated tree would silently parse
+    * to zero folders and the day's extraction would "succeed" empty.
     */
   private[sources] def parseFolderTree(html: String): Seq[FolderNode] = {
     import scala.collection.mutable.ListBuffer
@@ -171,8 +185,28 @@ object DorjFetcher {
       val links = ListBuffer.empty[PlacedLink]
       val folders = ListBuffer.empty[FolderNode] // paths filled later
     }
+    sealed trait Frame
+    final case class LiFrame(ctx: Ctx) extends Frame
+    case object UlFrame extends Frame
     val root = new Ctx
-    var stack = List(root)
+    var stack = List[Frame](LiFrame(root))
+    def mergeTarget: Ctx = stack.collectFirst { case LiFrame(c) => c }.get
+    def closeLi(): Unit = stack.head match {
+      case LiFrame(c) if stack.tail.nonEmpty =>
+        stack = stack.tail
+        val parent = mergeTarget
+        c.folderName match {
+          case Some(name) => // paths are placed in the second pass
+            parent.folders += FolderNode(name, Nil, c.folders.toSeq,
+              c.links.toSeq)
+          case None => // transparent li (e.g. a file leaf): propagate up
+            parent.links ++= c.links
+            parent.folders ++= c.folders
+        }
+      case _ => ()
+    }
+    def topIsLi: Boolean =
+      stack.headOption.exists(_.isInstanceOf[LiFrame]) && stack.tail.nonEmpty
     val matches = TagToken.findAllMatchIn(html).toSeq
     var skipUntil = -1 // consume tokens inside a captured span/a text scan
     for (m <- matches if m.start >= skipUntil) {
@@ -180,25 +214,23 @@ object DorjFetcher {
       val tag = m.group(2).toLowerCase
       val attrs = m.group(3)
       tag match {
-        case "li" if !close => stack = new Ctx :: stack
-        case "li" if close && stack.tail.nonEmpty =>
-          val c = stack.head
-          stack = stack.tail
-          val parent = stack.head
-          c.folderName match {
-            case Some(name) => // paths are placed in the second pass
-              parent.folders += FolderNode(name, Nil, c.folders.toSeq,
-                c.links.toSeq)
-            case None => // transparent li (e.g. a file leaf): propagate up
-              parent.links ++= c.links
-              parent.folders ++= c.folders
-          }
+        case "li" if !close =>
+          // implied close: a sibling li with no intervening ul
+          if (topIsLi) closeLi()
+          stack = LiFrame(new Ctx) :: stack
+        case "li" if close => closeLi()
+        case "ul" if !close => stack = UlFrame :: stack
+        case "ul" if close =>
+          // implied close of any open li inside this ul, then pop the ul
+          while (topIsLi) closeLi()
+          if (stack.headOption.contains(UlFrame)) stack = stack.tail
         case "span" if !close && classTokens(attrs).contains("folder") =>
           val end = html.indexOf("</span>", m.end)
           if (end >= 0) {
             // findChild(recursive=False): only the FIRST direct folder span
-            if (stack.head.folderName.isEmpty)
-              stack.head.folderName =
+            val ctx = mergeTarget
+            if (ctx.folderName.isEmpty)
+              ctx.folderName =
                 Some(DouFetcher.innerText(html.substring(m.end, end)))
             skipUntil = end
           }
@@ -211,14 +243,19 @@ object DorjFetcher {
           if (numeric(ident) || numeric(materiaId)) {
             val end = html.indexOf("</a>", m.end)
             if (end >= 0) {
-              stack.head.links += PlacedLink(Nil,
+              mergeTarget.links += PlacedLink(Nil,
                 DouFetcher.innerText(html.substring(m.end, end)),
                 ident, materiaId)
               skipUntil = end
             }
           }
-        case _ => () // ul open/close and span/a closes carry no structure
+        case _ => () // span/a closes carry no structure
       }
+    }
+    // end-of-input implies closing everything still open
+    while (stack.tail.nonEmpty) stack.head match {
+      case LiFrame(_) => closeLi()
+      case UlFrame => stack = stack.tail
     }
     // second pass: assign each folder its root-first path and stamp it on
     // the folder's DIRECT links (a link's path = nearest enclosing folder)
@@ -227,7 +264,7 @@ object DorjFetcher {
       FolderNode(f.name, path, f.subfolders.map(placePaths(_, path)),
         f.ownLinks.map(_.copy(path = path)))
     }
-    stack.head.folders.toSeq.map(placePaths(_, Nil))
+    root.folders.toSeq.map(placePaths(_, Nil))
   }
 
   /** Pre-order flatten — the document-order folder list the reference's
@@ -258,7 +295,7 @@ object DorjFetcher {
     */
   def articleNamesIds(base: String, doId: String,
       paths: Seq[Seq[String]] = DefaultPaths,
-      backoff: Int => Unit = _ => ()): Seq[(String, String, Option[String])] = {
+      backoff: Int => Unit = defaultBackoff): Seq[(String, String, Option[String])] = {
     val (body, _) = getWithCt(
       s"$base/portal/visualizacoes/view_html_diario/$doId", backoff = backoff)
     val all = flatten(parseFolderTree(body))
@@ -272,7 +309,7 @@ object DorjFetcher {
     * anything else (PDF attachments) is None, not an error.
     */
   def articleContent(base: String, articleId: String,
-      backoff: Int => Unit = _ => ()): Option[String] = {
+      backoff: Int => Unit = defaultBackoff): Option[String] = {
     val (body, ct) = getWithCt(
       s"$base/apifront/portal/edicoes/publicacoes_ver_conteudo/$articleId",
       backoff = backoff)

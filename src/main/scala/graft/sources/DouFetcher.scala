@@ -44,7 +44,8 @@ object DouFetcher {
     * `backoff` between them (injectable so specs run fast).
     */
   private[sources] def getWithRetry(url: String, maxRetries: Int = 3,
-      timeoutMs: Int = 90000, backoff: Int => Unit = _ => ()): String = {
+      timeoutMs: Int = 90000,
+      backoff: Int => Unit = DorjFetcher.defaultBackoff): String = {
     var attempt = 0
     while (true) {
       val codeOrErr: Either[IOException, (Int, String)] =
@@ -165,7 +166,7 @@ object DouFetcher {
 
   /** Fetch + parse one decree (utils.py:10-62). */
   def extractDecreeDetails(url: String, maxRetries: Int = 3,
-      backoff: Int => Unit = _ => ()): Decree =
+      backoff: Int => Unit = DorjFetcher.defaultBackoff): Decree =
     parseDecree(getWithRetry(url, maxRetries, backoff = backoff), url)
 
   /** The bounded-pool fan-out over the listing's links (tasks.py:88-103):
@@ -178,7 +179,7 @@ object DouFetcher {
     * order is scheduler-dependent).
     */
   def extractAll(links: Seq[String], maxWorkers: Int, maxRetries: Int = 3,
-      backoff: Int => Unit = _ => ()): Seq[Decree] = {
+      backoff: Int => Unit = DorjFetcher.defaultBackoff): Seq[Decree] = {
     require(maxWorkers > 0, "need at least one worker")
     val pool = Executors.newFixedThreadPool(maxWorkers)
     try {

@@ -137,6 +137,16 @@ object MongoSliceReader {
     * `_get_extreme_value`, tasks.py:183-186): find(filter) sorted by the
     * slice var, limit 1. None = empty collection/window.
     */
+  /** Close a cursor without masking an in-flight exception: killCursors
+    * over a socket that just died throws from the finally block and
+    * REPLACES the original error (the actual failing page) with a cleanup
+    * artifact — log and swallow instead.
+    */
+  private def closeQuietly(c: AutoCloseable): Unit =
+    try c.close()
+    catch { case e: Exception =>
+      System.err.println(s"[mongo] cursor close failed: ${e.getMessage}") }
+
   def extremeValue(client: MongoWireClient, db: String, coll: String,
       baseQuery: Option[String], sliceVar: String, direction: Int): Option[Long] = {
     val cursor = client.find(db, coll, baseFilter(baseQuery),
@@ -146,11 +156,15 @@ object MongoSliceReader {
       else JsonMethods.parse(cursor.next()) \ sliceVar match {
         case JLong(l) => Some(l)
         case JInt(i) => Some(i.toLong)
-        case JDouble(d) => Some(d.toLong)
+        // double extremes round OUTWARD: floor(min) / ceil(max), so the
+        // slice range COVERS fractional extremes — plain toLong would
+        // lower the max and silently exclude docs in (floor(max), max]
+        case JDouble(d) => Some(
+          if (direction >= 0) math.floor(d).toLong else math.ceil(d).toLong)
         case other => throw new IllegalArgumentException(
           s"slice var $sliceVar is not numeric: $other")
       }
-    } finally cursor.close()
+    } finally closeQuietly(cursor)
   }
 
   /** The reference's whole flow over the REAL wire protocol
@@ -175,8 +189,10 @@ object MongoSliceReader {
           val filter = JsonMethods.parse(
             sliceFilterJson(baseQuery, sliceVar, gte, lte))
           val cursor = client.find(db, coll, filter, batchSize = batchSize)
+          // releases a live cursor if a flush threw, without masking the
+          // flush/transport error with a cleanup failure
           try extractSlice(cursor, flush, idField, flushThreshold)
-          finally cursor.close() // releases a live cursor if a flush threw
+          finally closeQuietly(cursor)
         }
       case _ => Nil // empty window: validate against the (zero) count below
     }

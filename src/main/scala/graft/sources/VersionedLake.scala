@@ -86,17 +86,25 @@ object VersionedLake {
       .distinct.sorted
   }
 
-  /** Atomically claim `next` for this committer: create-no-overwrite on
-    * the claim file is the CAS primitive (atomic on HDFS and POSIX local
-    * FS). False = another committer got there first.
+  /** Atomically claim `next` for this committer. False = another
+    * committer got there first. On `file://` Hadoop's
+    * RawLocal/ChecksumFileSystem implements create(overwrite=false) as a
+    * NON-atomic exists()-then-create — two racing local committers could
+    * both "win" — so local tables claim via `java.io.File.createNewFile`,
+    * which is O_EXCL-atomic; HDFS-like stores get the atomic
+    * create-no-overwrite RPC.
     */
   private def tryClaim(f: FileSystem, table: String, next: Long): Boolean = {
     val dir = manifestDir(table)
     f.mkdirs(dir)
-    try { f.create(new Path(dir, s"v$next.claim"), false).close(); true }
-    catch {
-      case _: java.io.IOException => false // FileAlreadyExists subsumed
-    }
+    val claim = new Path(dir, s"v$next.claim")
+    if (f.getScheme == "file")
+      new java.io.File(f.makeQualified(claim).toUri.getPath).createNewFile()
+    else
+      try { f.create(claim, false).close(); true }
+      catch {
+        case _: java.io.IOException => false // FileAlreadyExists subsumed
+      }
   }
 
   /** Commit `df` as the next version. `mode` is `"overwrite"` (the new
@@ -228,19 +236,33 @@ object VersionedLake {
     * older manifests — the vacuum step that bounds storage. Returns the
     * number of deleted data files.
     */
-  def vacuum(spark: SparkSession, table: String, keepFrom: Long): Int = {
+  /** `claimTtlMs`: a manifest-less claim younger than this is an in-flight
+    * commit whatever its version number — a SLOW commit claimed before a
+    * newer version landed can legitimately sit below `keepFrom` while its
+    * data write still runs, and sweeping it would corrupt the version the
+    * moment its manifest lands. Only claims BOTH below keepFrom AND older
+    * than the TTL are crashed commits. The same retention heuristic
+    * lakehouse vacuums ship: pick a TTL longer than your longest commit.
+    */
+  def vacuum(spark: SparkSession, table: String, keepFrom: Long,
+      claimTtlMs: Long = 24L * 3600 * 1000): Int = {
     val f = fs(spark, table)
     val vs = versions(spark, table)
     val keep = vs.filter(_ >= keepFrom)
     require(keep.nonEmpty, s"vacuum would delete every version of $table")
     val live = keep.flatMap(readManifest(spark, table, _)).toSet
     // a commit IN FLIGHT (claim taken, manifest not yet renamed) has data
-    // files no manifest references yet — sweeping them would corrupt the
-    // version the moment its manifest lands. Its whole _data/v{N} dir is
-    // off-limits; only claims that stayed manifest-less BELOW keepFrom are
-    // treated as crashed and swept.
+    // files no manifest references yet — its whole _data/v{N} dir is
+    // off-limits. In flight = manifest-less AND (≥ keepFrom OR claim
+    // younger than the TTL).
+    val now = System.currentTimeMillis()
+    def claimAgeMs(v: Long): Long =
+      try now - f.getFileStatus(
+        new Path(manifestDir(table), s"v$v.claim")).getModificationTime
+      catch { case _: java.io.IOException => Long.MaxValue }
     val inFlight = claimedVersions(f, table)
-      .filter(v => v >= keepFrom && !vs.contains(v)).toSet
+      .filter(v => !vs.contains(v) &&
+        (v >= keepFrom || claimAgeMs(v) <= claimTtlMs)).toSet
     val dataRoot = new Path(table, "_data")
     // path-string relativization (URI.relativize silently fails across
     // scheme-qualified vs raw paths and would mark every file dead)
@@ -268,9 +290,11 @@ object VersionedLake {
       f.delete(new Path(manifestDir(table), s"v$v.json"), false)
       f.delete(new Path(manifestDir(table), s"v$v.claim"), false)
     }
-    // claims below keepFrom whose manifest never appeared (crashed
-    // committers): their data dirs were just swept above, drop the claims
-    claimedVersions(f, table).filter(v => v < keepFrom && !vs.contains(v))
+    // claims below keepFrom whose manifest never appeared AND whose TTL
+    // expired (crashed committers): their data dirs were just swept above,
+    // drop the claims; in-flight claims keep both claim and data
+    claimedVersions(f, table)
+      .filter(v => v < keepFrom && !vs.contains(v) && !inFlight.contains(v))
       .foreach(v => f.delete(new Path(manifestDir(table), s"v$v.claim"), false))
     deleted
   }

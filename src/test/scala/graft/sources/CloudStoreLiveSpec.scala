@@ -114,6 +114,13 @@ class CloudStoreLiveSpec extends SparkSpec {
     assert(CloudStoreReader.splitCsvRecords("a,b\r\n1,\"x\ny\"\r\n2,z\n") ==
       Seq("a,b", "1,\"x\ny\"", "2,z"))
     assert(CloudStoreReader.splitCsvRecords("only") == Seq("only"))
+    // a stray MID-FIELD quote is literal (pandas C-parser semantics): it
+    // must not open a quoted run and swallow the next record's newline
+    assert(CloudStoreReader.splitCsvRecords("id,desc\n1,6\" nail\n2,x\n") ==
+      Seq("id,desc", "1,6\" nail", "2,x"))
+    // escaped quotes inside a quoted field stay in-record
+    assert(CloudStoreReader.splitCsvRecords("a\n\"say \"\"hi\"\"\nthere\"\nb") ==
+      Seq("a", "\"say \"\"hi\"\"\nthere\"", "b"))
   }
 
   test("GCS bulk load: paginated listing followed to exhaustion; suffix + STRICT updated-window filters") {

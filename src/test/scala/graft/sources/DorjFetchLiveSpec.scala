@@ -106,12 +106,12 @@ class DorjFetchLiveSpec extends AnyFunSuite {
     val s = new FakeDorj
     try {
       // 1. search API: retried through two 503s, duplicate bucket distinct'd
-      val ids = DorjFetcher.currentDoIdentifiers(s.url, "2026-08-14")
+      val ids = DorjFetcher.currentDoIdentifiers(s.url, "2026-08-14", backoff = _ => ())
       assert(ids == Seq("7123" -> "2026-08-14", "7124" -> "2026-08-14"))
       assert(s.searchHits.get == 3)
 
       // 2. folder-tree walk: only the configured section paths collect
-      val articles = DorjFetcher.articleNamesIds(s.url, ids.head._1)
+      val articles = DorjFetcher.articleNamesIds(s.url, ids.head._1, backoff = _ => ())
       assert(articles.toSet == Set(
         ("Atos do Prefeito/DECRETOS N", "DECRETO RIO Nº 1", Some("9001")),
         // empty identificador falls through to data-materia-id
@@ -124,9 +124,9 @@ class DorjFetchLiveSpec extends AnyFunSuite {
       assert(!articles.exists(_._2.contains("IRRELEVANTE")))
 
       // 3. article content: HTML passes, a PDF attachment is None not error
-      val html = DorjFetcher.articleContent(s.url, "9001")
+      val html = DorjFetcher.articleContent(s.url, "9001", backoff = _ => ())
       assert(html.exists(_.contains("DECRETO RIO N 1 conteudo")))
-      assert(DorjFetcher.articleContent(s.url, "9002").isEmpty)
+      assert(DorjFetcher.articleContent(s.url, "9002", backoff = _ => ()).isEmpty)
     } finally s.stop()
   }
 
@@ -134,7 +134,7 @@ class DorjFetchLiveSpec extends AnyFunSuite {
     val s = new FakeDorj
     try {
       val e = intercept[java.io.IOException](
-        DorjFetcher.currentDoIdentifiers(s.url, "2026-08-15"))
+        DorjFetcher.currentDoIdentifiers(s.url, "2026-08-15", backoff = _ => ()))
       assert(e.getMessage.contains("no DO"))
     } finally s.stop()
   }
@@ -150,5 +150,28 @@ class DorjFetchLiveSpec extends AnyFunSuite {
     assert(atos.subtreeLinks.size == 3)
     // a missing path element yields no links, not an error
     assert(DorjFetcher.linksForPath(tree, Seq("atos do prefeito", "nope")) == Nil)
+  }
+
+  test("folder-tree parse: OMITTED </li> tags (implied closes) parse identically") {
+    // </li> is optional in HTML and real gazette markup omits it: a
+    // sibling <li>, a parent </ul>, or end-of-input implies the close —
+    // a parser needing explicit closes would silently return ZERO folders
+    val implied = treeHtml.replace("</li>", "")
+    assert(!implied.contains("</li>"))
+    val tree = DorjFetcher.parseFolderTree(implied)
+    assert(tree.map(_.name) ==
+      Seq("Atos do Prefeito", "Avisos Editais e Termos de Contratos"))
+    assert(tree.head.subfolders.map(_.name) == Seq("DECRETOS N", "PORTARIAS"))
+    assert(tree.head.subtreeLinks.size == 3)
+    // the full path walk yields the same articles either way
+    val a = DorjFetcher.DefaultPaths.flatMap(p =>
+      DorjFetcher.linksForPath(
+        {
+          def flat(fs: Seq[DorjFetcher.FolderNode]): Seq[DorjFetcher.FolderNode] =
+            fs.flatMap(f => f +: flat(f.subfolders))
+          flat(tree)
+        }, p))
+      .map(l => (l.path.mkString("/"), l.title, l.articleId)).distinct
+    assert(a.size == 4 && a.forall(_._3.isDefined))
   }
 }

@@ -82,7 +82,7 @@ class DouFetchLiveSpec extends AnyFunSuite {
     try {
       val links = Seq(s"${dou.url}/1", s"${dou.url}/2", s"${dou.url}/flaky",
         s"${dou.url}/3")
-      val decrees = DouFetcher.extractAll(links, maxWorkers = 3)
+      val decrees = DouFetcher.extractAll(links, maxWorkers = 3, backoff = _ => ())
       assert(decrees.size == 4)
       assert(dou.flakyHits.get() == 3) // two 503s then the 200
       assert(decrees.map(_.url).toSet == links.toSet)
@@ -93,13 +93,13 @@ class DouFetchLiveSpec extends AnyFunSuite {
     val dou = new FakeDou
     try {
       val e = intercept[java.io.IOException] {
-        DouFetcher.extractAll(Seq(s"${dou.url}/1", s"${dou.url}/broken"),
+        DouFetcher.extractAll(Seq(s"${dou.url}/1", s"${dou.url}/broken"), backoff = _ => (),
           maxWorkers = 2)
       }
       assert(e.getMessage.contains("aborting"))
       // non-retryable statuses are immediate
       val e2 = intercept[java.io.IOException] {
-        DouFetcher.extractDecreeDetails(s"${dou.url}/missing-decree")
+        DouFetcher.extractDecreeDetails(s"${dou.url}/missing-decree", backoff = _ => ())
       }
       assert(e2.getMessage.contains("404") && e2.getMessage.contains("1 attempts"))
     } finally dou.stop()
@@ -113,7 +113,7 @@ class DouFetchLiveSpec extends AnyFunSuite {
   test("redirected decree URLs are followed, not parsed as the stub body") {
     val dou = new FakeDou
     try {
-      val d = DouFetcher.extractDecreeDetails(s"${dou.url}/moved")
+      val d = DouFetcher.extractDecreeDetails(s"${dou.url}/moved", backoff = _ => ())
       assert(d.title == "PORTARIA N 5") // the target page, not an empty parse
     } finally dou.stop()
   }

@@ -141,10 +141,15 @@ class VersionedLakeSpec extends SparkSpec {
     // corrupt v4 the moment its manifest lands
     assert(inflightFile.exists())
     assert(new java.io.File(manifests, "v4.claim").exists())
-    // once the same shape falls BELOW keepFrom it is a crashed commit:
-    // data swept, claim removed, number stays burned
     VersionedLake.commit(spark.range(5L).toDF("x"), tbl) // lands as v5
+    // below keepFrom but the claim is YOUNG (within the TTL): a slow
+    // in-flight commit claimed before v5 landed — still protected
     VersionedLake.vacuum(spark, tbl, keepFrom = 5L)
+    assert(inflightFile.exists())
+    assert(new java.io.File(manifests, "v4.claim").exists())
+    // below keepFrom AND TTL expired: a crashed commit — data swept,
+    // claim removed, number stays burned
+    VersionedLake.vacuum(spark, tbl, keepFrom = 5L, claimTtlMs = 0L)
     assert(!inflightFile.exists())
     assert(!new java.io.File(manifests, "v4.claim").exists())
     assert(VersionedLake.read(spark, tbl).count() == 5L)
@@ -168,8 +173,9 @@ class VersionedLakeSpec extends SparkSpec {
     // the next commit skips the burned number instead of wedging
     assert(VersionedLake.commit(spark.range(5L).toDF("x"), tbl) == 5L)
     assert(VersionedLake.read(spark, tbl).count() == 5L)
-    // vacuum sweeps the orphaned claim once it falls below keepFrom
-    VersionedLake.vacuum(spark, tbl, keepFrom = 5L)
+    // vacuum sweeps the orphaned claim once it falls below keepFrom AND
+    // its in-flight TTL expires (ttl=0 = "treat every stale claim as dead")
+    VersionedLake.vacuum(spark, tbl, keepFrom = 5L, claimTtlMs = 0L)
     assert(!new java.io.File(claims, "v4.claim").exists())
     assert(VersionedLake.read(spark, tbl).count() == 5L)
   }
