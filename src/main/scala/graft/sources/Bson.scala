@@ -24,6 +24,15 @@ object Bson {
 
   // ------------------------------------------------------------- encoding
 
+  /** Mark a value as BSON binary (subtype 0): `JObject("$binary" ->
+    * JString(base64))` encodes as type 0x05 — the shape SASL payloads
+    * travel as. (json4s has no native binary node; the sentinel keeps the
+    * public surface JValue-only.)
+    */
+  def binary(bytes: Array[Byte]): JObject =
+    JObject("$binary" -> (JString(
+      java.util.Base64.getEncoder.encodeToString(bytes)): JValue))
+
   def encodeDoc(doc: JObject): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     writeDoc(out, doc)
@@ -67,6 +76,10 @@ object Bson {
         out.write(0x08); cstring(key); out.write(if (b) 1 else 0)
       case JNull | JNothing =>
         out.write(0x0A); cstring(key)
+      case JObject(("$binary", JString(b64)) :: Nil) =>
+        out.write(0x05); cstring(key)
+        val b = java.util.Base64.getDecoder.decode(b64)
+        out.write(le32(b.length)); out.write(0x00); out.write(b)
       case o: JObject =>
         out.write(0x03); cstring(key); writeDoc(out, o)
       case JArray(items) =>

@@ -102,6 +102,72 @@ final class MongoWireClient(host: String, port: Int, timeoutMs: Int = 120000)
   def hello(): JObject =
     runCommand("admin", JObject("hello" -> (JInt(1): JValue)))
 
+  private def payloadString(reply: JObject): String = reply \ "payload" match {
+    // the Bson decoder surfaces binData as its base64 text
+    case JString(b64) => new String(java.util.Base64.getDecoder.decode(b64),
+      java.nio.charset.StandardCharsets.UTF_8)
+    case other => throw new IOException(s"SASL reply without payload: $other")
+  }
+
+  /** SCRAM-SHA-256 authentication (RFC 7677 over MongoDB's
+    * saslStart/saslContinue commands) against `authSource` — the auth half
+    * of the reference's `_build_conn_string(user, password, authsource)`.
+    * Verifies the SERVER's signature too: a server that cannot derive the
+    * server key from the stored credentials (a man-in-the-middle replaying
+    * a conversation) fails the final check even after our proof is sent.
+    * `clientNonce` is injectable for deterministic specs.
+    */
+  def authenticate(user: String, password: String,
+      authSource: String = "admin",
+      clientNonce: Option[String] = None): Unit = {
+    val cnonce = clientNonce.getOrElse {
+      val b = new Array[Byte](18)
+      new java.security.SecureRandom().nextBytes(b)
+      java.util.Base64.getEncoder.encodeToString(b)
+    }
+    val bare = Scram.clientFirstBare(user, cnonce)
+    val first = runCommand(authSource, JObject(List(
+      "saslStart" -> (JInt(1): JValue),
+      "mechanism" -> JString("SCRAM-SHA-256"),
+      "payload" -> Bson.binary(
+        ("n,," + bare).getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
+    val conversationId = first \ "conversationId"
+    val serverFirst = payloadString(first)
+    val sf = Scram.parseServerFirst(serverFirst)
+    if (!sf.nonce.startsWith(cnonce))
+      throw new IOException("SCRAM server nonce does not extend ours")
+    if (sf.iterations < 4096)
+      throw new IOException(
+        s"SCRAM iteration count ${sf.iterations} below the RFC 7677 minimum")
+    val keys = Scram.Keys(Scram.hi(password, sf.salt, sf.iterations))
+    val withoutProof = s"c=biws,r=${sf.nonce}"
+    val authMessage = s"$bare,$serverFirst,$withoutProof"
+    val clientFinal =
+      s"$withoutProof,p=${Scram.b64(keys.clientProof(authMessage))}"
+    val second = runCommand(authSource, JObject(List(
+      "saslContinue" -> (JInt(1): JValue),
+      "conversationId" -> conversationId,
+      "payload" -> Bson.binary(
+        clientFinal.getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
+    val expected = s"v=${Scram.b64(keys.serverSignature(authMessage))}"
+    val got = payloadString(second)
+    if (got != expected)
+      throw new IOException(
+        "SCRAM server signature mismatch — peer does not hold the credentials")
+    // some servers need one empty saslContinue round before done:true
+    var done = (second \ "done") == JBool(true)
+    var rounds = 0
+    while (!done) {
+      rounds += 1
+      if (rounds > 3) throw new IOException("SASL conversation did not finish")
+      val r = runCommand(authSource, JObject(List(
+        "saslContinue" -> (JInt(1): JValue),
+        "conversationId" -> conversationId,
+        "payload" -> Bson.binary(Array.emptyByteArray))))
+      done = (r \ "done") == JBool(true)
+    }
+  }
+
   def count(db: String, coll: String, filter: JValue): Long = {
     val reply = runCommand(db, JObject(List(
       "count" -> (JString(coll): JValue),

@@ -1,0 +1,91 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+/** SCRAM-SHA-256 primitives (RFC 5802/7677) — the auth mechanism MongoDB
+  * requires when the reference's connection string carries user/password/
+  * authSource (reference: minhasaude_mongodb/tasks.py `_build_conn_string`).
+  * Pure JDK crypto (PBKDF2WithHmacSHA256, HmacSHA256, SHA-256), pure
+  * functions — the client side lives in [[MongoWireClient.authenticate]],
+  * and the spec's in-JVM server verifies proofs with the server-side half
+  * of the same math, so the round-trip cross-checks both derivations.
+  */
+object Scram {
+
+  def sha256(data: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(data)
+
+  def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Hi(password, salt, i) = PBKDF2-HMAC-SHA256, 32-byte output. MongoDB
+    * applies SASLprep to the password first; ASCII passes through
+    * unchanged and non-ASCII is rejected loudly rather than silently
+    * mis-derived.
+    */
+  def hi(password: String, salt: Array[Byte], iterations: Int): Array[Byte] = {
+    require(password.forall(_ < 128),
+      "SASLprep normalization for non-ASCII passwords is not implemented")
+    val spec = new javax.crypto.spec.PBEKeySpec(
+      password.toCharArray, salt, iterations, 256)
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded
+  }
+
+  def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length)
+    a.zip(b).map { case (x, y) => (x ^ y).toByte }
+  }
+
+  def b64(bytes: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(bytes)
+
+  /** RFC 5802 username escaping: '=' and ',' cannot travel raw. */
+  def saslName(user: String): String =
+    user.replace("=", "=3D").replace(",", "=2C")
+
+  def clientFirstBare(user: String, clientNonce: String): String =
+    s"n=${saslName(user)},r=$clientNonce"
+
+  final case class ServerFirst(nonce: String, salt: Array[Byte],
+      iterations: Int)
+
+  /** Parse `r=...,s=...,i=...`; loud on missing/malformed attributes. */
+  def parseServerFirst(msg: String): ServerFirst = {
+    val attrs = msg.split(",").collect {
+      case kv if kv.length >= 2 && kv.charAt(1) == '=' =>
+        kv.charAt(0) -> kv.substring(2)
+    }.toMap
+    ServerFirst(
+      attrs.getOrElse('r', throw new IllegalArgumentException(
+        s"server-first without r=: $msg")),
+      java.util.Base64.getDecoder.decode(attrs.getOrElse('s',
+        throw new IllegalArgumentException(s"server-first without s=: $msg"))),
+      attrs.getOrElse('i', throw new IllegalArgumentException(
+        s"server-first without i=: $msg")).toInt)
+  }
+
+  /** Everything derived from the salted password in one place. */
+  final case class Keys(saltedPassword: Array[Byte]) {
+    val clientKey: Array[Byte] = hmac(saltedPassword, "Client Key")
+    val storedKey: Array[Byte] = sha256(clientKey)
+    val serverKey: Array[Byte] = hmac(saltedPassword, "Server Key")
+    def clientProof(authMessage: String): Array[Byte] =
+      xor(clientKey, hmac(storedKey, authMessage))
+    def serverSignature(authMessage: String): Array[Byte] =
+      hmac(serverKey, authMessage)
+  }
+
+  /** SERVER-side proof check (used by the spec's in-JVM server): recover
+    * ClientKey = proof XOR ClientSignature and compare H(ClientKey) to the
+    * stored key — the server never needs the cleartext client key.
+    */
+  def verifyClientProof(storedKey: Array[Byte], authMessage: String,
+      proof: Array[Byte]): Boolean = {
+    val clientKey = xor(proof, hmac(storedKey, authMessage))
+    java.security.MessageDigest.isEqual(sha256(clientKey), storedKey)
+  }
+}

@@ -20,9 +20,14 @@ class MongoWireLiveSpec extends AnyFunSuite {
 
   /** Minimal OP_MSG server over a doc store: find (equality + $gte/$lte
     * ranges, single-field sort, limit, batchSize), getMore, killCursors,
-    * count, hello. Thread-per-connection; counters for assertions.
+    * count, hello; with `credentials`, a real SCRAM-SHA-256 verifier
+    * (salted-key math via the server-side half of [[Scram]]) gating every
+    * data command per connection. Thread-per-connection; counters for
+    * assertions.
     */
-  private final class FakeMongo(docs: Seq[JObject]) {
+  private final class FakeMongo(docs: Seq[JObject],
+      credentials: Option[(String, String)] = None,
+      corruptServerSignature: Boolean = false) {
     val server = new ServerSocket(0)
     val finds = new AtomicInteger(0)
     val getMores = new AtomicInteger(0)
@@ -60,10 +65,85 @@ class MongoWireLiveSpec extends AnyFunSuite {
         }
       }
 
-    private def handle(cmd: JObject): JObject = cmd.obj.head._1 match {
+    private val scramSalt = "0123456789abcdef".getBytes("US-ASCII")
+    private val scramIters = 4096
+
+    private final class ConnState {
+      var authenticated: Boolean = credentials.isEmpty
+      var convo: Option[(String, String)] = None // (clientFirstBare, serverFirst)
+    }
+
+    private def b64d(s: String) = java.util.Base64.getDecoder.decode(s)
+    private def payloadText(cmd: JObject): String = cmd \ "payload" match {
+      case JString(b64) => new String(b64d(b64), "UTF-8")
+      case other => fail(s"SASL command without payload: $other")
+    }
+
+    private def authError(msg: String) = JObject(List(
+      "ok" -> JDouble(0.0), "errmsg" -> JString(msg), "code" -> JInt(18)))
+
+    private def handle(cmd: JObject, conn: ConnState): JObject = cmd.obj.head._1 match {
       case "hello" => JObject(List(
         "isWritablePrimary" -> JBool(true), "maxWireVersion" -> JInt(17),
         "ok" -> JDouble(1.0)))
+      case "saslStart" =>
+        val (user, password) = credentials.getOrElse(
+          fail("saslStart against a no-auth fake"))
+        assert((cmd \ "mechanism") == JString("SCRAM-SHA-256"))
+        val clientFirst = payloadText(cmd)
+        assert(clientFirst.startsWith("n,,"), clientFirst)
+        val bare = clientFirst.drop(3)
+        if (!bare.startsWith(s"n=${Scram.saslName(user)},"))
+          authError("Authentication failed.")
+        else {
+          val cnonce = bare.split(",").collectFirst {
+            case kv if kv.startsWith("r=") => kv.drop(2) }.get
+          val serverFirst = s"r=${cnonce}SNONCE99," +
+            s"s=${Scram.b64(scramSalt)},i=$scramIters"
+          conn.convo = Some((bare, serverFirst))
+          val _ = password
+          JObject(List("conversationId" -> JInt(1), "done" -> JBool(false),
+            "payload" -> Bson.binary(serverFirst.getBytes("UTF-8")),
+            "ok" -> JDouble(1.0)))
+        }
+      case "saslContinue" =>
+        val (_, password) = credentials.getOrElse(
+          fail("saslContinue against a no-auth fake"))
+        val text = payloadText(cmd)
+        if (text.isEmpty) // final empty round after done
+          JObject(List("conversationId" -> JInt(1), "done" -> JBool(true),
+            "payload" -> Bson.binary(Array.emptyByteArray),
+            "ok" -> JDouble(1.0)))
+        else conn.convo match {
+          case None => authError("No SASL conversation in progress")
+          case Some((bare, serverFirst)) =>
+            val attrs = text.split(",").collect {
+              case kv if kv.length >= 2 && kv.charAt(1) == '=' =>
+                kv.charAt(0) -> kv.substring(2)
+            }.toMap
+            val withoutProof = s"c=${attrs('c')},r=${attrs('r')}"
+            val authMessage = s"$bare,$serverFirst,$withoutProof"
+            // server-side verification: recover ClientKey from the proof,
+            // hash, compare to the stored key — real SCRAM math
+            val keys = Scram.Keys(Scram.hi(password, scramSalt, scramIters))
+            if (!Scram.verifyClientProof(keys.storedKey, authMessage,
+                b64d(attrs('p'))))
+              authError("Authentication failed.")
+            else {
+              conn.authenticated = true
+              val sig = if (corruptServerSignature) "Zm9yZ2VkIHNpZw=="
+                else Scram.b64(keys.serverSignature(authMessage))
+              JObject(List("conversationId" -> JInt(1),
+                "done" -> JBool(true),
+                "payload" -> Bson.binary(s"v=$sig".getBytes("UTF-8")),
+                "ok" -> JDouble(1.0)))
+            }
+        }
+      case c @ ("find" | "getMore" | "count" | "killCursors")
+          if !conn.authenticated =>
+        JObject(List("ok" -> JDouble(0.0),
+          "errmsg" -> JString(s"command $c requires authentication"),
+          "code" -> JInt(13)))
       case "count" =>
         val filter = cmd \ "query" match { case o: JObject => o; case _ => JObject() }
         JObject(List("n" -> JInt(docs.count(matches(_, filter))),
@@ -129,6 +209,7 @@ class MongoWireLiveSpec extends AnyFunSuite {
         new Thread(() => {
           val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
           val out = new BufferedOutputStream(sock.getOutputStream)
+          val conn = new ConnState
           try while (true) {
             val lenB = new Array[Byte](4)
             in.readFully(lenB)
@@ -142,7 +223,7 @@ class MongoWireLiveSpec extends AnyFunSuite {
             assert(buf.getInt() == 0, "client must not set flag bits")
             assert((buf.get() & 0xff) == 0, "client must send a kind-0 section")
             val cmd = Bson.decodeDoc(buf)
-            val reply = Bson.encodeDoc(handle(cmd))
+            val reply = Bson.encodeDoc(handle(cmd, conn))
             val hdr = ByteBuffer.allocate(16 + 4 + 1).order(ByteOrder.LITTLE_ENDIAN)
             hdr.putInt(16 + 4 + 1 + reply.length)
             hdr.putInt(requestId + 100000) // server's own id
@@ -240,6 +321,71 @@ class MongoWireLiveSpec extends AnyFunSuite {
       assert(small.size == 1)
       small.close()
       assert(srv.killCursors.get() == 1)
+    } finally { cli.close(); srv.stop() }
+  }
+
+  test("SCRAM-SHA-256 Keys math reproduces the RFC 7677 test vector") {
+    // RFC 7677 §3: user "user", password "pencil"
+    val cnonce = "rOprNGfwEbeRWgbNEkqO"
+    val bare = Scram.clientFirstBare("user", cnonce)
+    assert(bare == "n=user,r=rOprNGfwEbeRWgbNEkqO")
+    val serverFirst = "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+      "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    val sf = Scram.parseServerFirst(serverFirst)
+    assert(sf.iterations == 4096)
+    val keys = Scram.Keys(Scram.hi("pencil", sf.salt, sf.iterations))
+    val withoutProof = s"c=biws,r=${sf.nonce}"
+    val authMessage = s"$bare,$serverFirst,$withoutProof"
+    assert(Scram.b64(keys.clientProof(authMessage)) ==
+      "dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+    assert(Scram.b64(keys.serverSignature(authMessage)) ==
+      "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+    // server-side half verifies the same proof
+    assert(Scram.verifyClientProof(keys.storedKey, authMessage,
+      keys.clientProof(authMessage)))
+  }
+
+  test("SCRAM auth over the wire: data commands gated, unlock after authenticate") {
+    val srv = new FakeMongo(store, credentials = Some("svc" -> "s3cr3t"))
+    val cli = new MongoWireClient("localhost", srv.port)
+    try {
+      // unauthenticated data commands are rejected by the server
+      val denied = intercept[java.io.IOException](
+        cli.count("db", "coll", JObject()))
+      assert(denied.getMessage.contains("requires authentication"))
+      // the full SCRAM conversation over real OP_MSG bytes
+      cli.authenticate("svc", "s3cr3t", clientNonce = Some("CNONCE123"))
+      assert(cli.count("db", "coll", JObject()) == 260L)
+      // the whole sliced extraction now runs on the authed connection
+      val landed = scala.collection.mutable.ArrayBuffer.empty[String]
+      MongoSliceReader.extractAll(cli, "db", "coll", None, "val", 64,
+        batch => landed ++= batch, batchSize = 32)
+      assert(landed.nonEmpty)
+    } finally { cli.close(); srv.stop() }
+  }
+
+  test("SCRAM: wrong password and wrong user fail loudly") {
+    val srv = new FakeMongo(store, credentials = Some("svc" -> "s3cr3t"))
+    val cli = new MongoWireClient("localhost", srv.port)
+    try {
+      val badPw = intercept[java.io.IOException](
+        cli.authenticate("svc", "WRONG", clientNonce = Some("CNONCE123")))
+      assert(badPw.getMessage.contains("Authentication failed"))
+      val badUser = intercept[java.io.IOException](
+        cli.authenticate("nobody", "s3cr3t", clientNonce = Some("CNONCE123")))
+      assert(badUser.getMessage.contains("Authentication failed"))
+    } finally { cli.close(); srv.stop() }
+  }
+
+  test("SCRAM: a peer that cannot prove credential possession is rejected " +
+    "even after accepting our proof") {
+    val srv = new FakeMongo(store, credentials = Some("svc" -> "s3cr3t"),
+      corruptServerSignature = true)
+    val cli = new MongoWireClient("localhost", srv.port)
+    try {
+      val e = intercept[java.io.IOException](
+        cli.authenticate("svc", "s3cr3t", clientNonce = Some("CNONCE123")))
+      assert(e.getMessage.contains("server signature mismatch"))
     } finally { cli.close(); srv.stop() }
   }
 
