@@ -41,19 +41,76 @@ final class MongoWireClient(host: String, port: Int, timeoutMs: Int = 120000)
 
   override def close(): Unit = socket.close()
 
-  /** Run one command against `db`; returns the reply document. */
+  /** True after [[hello]] negotiated zlib message compression. */
+  @volatile private var zlibNegotiated = false
+
+  // the driver spec exempts the handshake/auth conversation from
+  // compression (it may run before negotiation completes)
+  private val NeverCompress =
+    Set("hello", "isMaster", "saslStart", "saslContinue")
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflate(data: Array[Byte], expectedLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](expectedLen)
+    var off = 0
+    while (off < expectedLen && !inf.finished())
+      off += inf.inflate(out, off, expectedLen - off)
+    inf.end()
+    if (off != expectedLen)
+      throw new IOException(
+        s"OP_COMPRESSED inflated to $off bytes, header said $expectedLen")
+    out
+  }
+
+  /** Run one command against `db`; returns the reply document. After zlib
+    * negotiation, commands (except the handshake/auth set) travel as
+    * OP_COMPRESSED (opcode 2012): originalOpcode + uncompressedSize +
+    * compressorId(2) + deflated OP_MSG body.
+    */
   def runCommand(db: String, cmd: JObject): JObject = {
     val body = Bson.encodeDoc(JObject(cmd.obj :+ ("$db" -> (JString(db): JValue))))
     val reqId = requestIds.getAndIncrement()
-    val header = ByteBuffer.allocate(16 + 4 + 1).order(ByteOrder.LITTLE_ENDIAN)
-    header.putInt(16 + 4 + 1 + body.length) // messageLength
-    header.putInt(reqId)
-    header.putInt(0)     // responseTo
-    header.putInt(2013)  // OP_MSG
-    header.putInt(0)     // flagBits: no checksum, no moreToCome
-    header.put(0.toByte) // section kind 0
-    out.write(header.array())
-    out.write(body)
+    // the OP_MSG body after the 16-byte header: flags + kind-0 section
+    val inner = ByteBuffer.allocate(4 + 1 + body.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    inner.putInt(0)      // flagBits: no checksum, no moreToCome
+    inner.put(0.toByte)  // section kind 0
+    inner.put(body)
+    val innerBytes = inner.array()
+    if (zlibNegotiated && !NeverCompress.contains(cmd.obj.head._1)) {
+      val compressed = deflate(innerBytes)
+      val msg = ByteBuffer.allocate(16 + 9 + compressed.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      msg.putInt(16 + 9 + compressed.length)
+      msg.putInt(reqId)
+      msg.putInt(0)
+      msg.putInt(2012)          // OP_COMPRESSED
+      msg.putInt(2013)          // originalOpcode = OP_MSG
+      msg.putInt(innerBytes.length)
+      msg.put(2.toByte)         // compressorId 2 = zlib
+      msg.put(compressed)
+      out.write(msg.array())
+    } else {
+      val msg = ByteBuffer.allocate(16 + innerBytes.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      msg.putInt(16 + innerBytes.length)
+      msg.putInt(reqId)
+      msg.putInt(0)
+      msg.putInt(2013) // OP_MSG
+      msg.put(innerBytes)
+      out.write(msg.array())
+    }
     out.flush()
     val reply = readReply(reqId)
     if (okIsOne(reply)) reply
@@ -81,14 +138,29 @@ final class MongoWireClient(host: String, port: Int, timeoutMs: Int = 120000)
       throw new IOException(s"implausible OP_MSG length $len")
     val rest = new Array[Byte](len - 4)
     in.readFully(rest)
-    val buf = ByteBuffer.wrap(rest).order(ByteOrder.LITTLE_ENDIAN)
+    var buf = ByteBuffer.wrap(rest).order(ByteOrder.LITTLE_ENDIAN)
     buf.getInt() // requestID (server's)
     val responseTo = buf.getInt()
     if (responseTo != expectResponseTo)
       throw new IOException(
         s"out-of-order reply: responseTo=$responseTo expected $expectResponseTo")
     val opCode = buf.getInt()
-    if (opCode != 2013)
+    if (opCode == 2012) { // OP_COMPRESSED: unwrap to the original OP_MSG body
+      val originalOp = buf.getInt()
+      if (originalOp != 2013)
+        throw new IOException(s"compressed reply wraps opcode $originalOp")
+      val uncompressedSize = buf.getInt()
+      val compressorId = buf.get() & 0xff
+      val payload = new Array[Byte](buf.remaining())
+      buf.get(payload)
+      val body = compressorId match {
+        case 2 => inflate(payload, uncompressedSize) // zlib
+        case 0 => payload                            // noop
+        case other =>
+          throw new IOException(s"unsupported compressorId $other")
+      }
+      buf = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    } else if (opCode != 2013)
       throw new IOException(s"unexpected opCode $opCode (want OP_MSG 2013)")
     val flags = buf.getInt()
     if ((flags & 0x1) != 0)
@@ -99,8 +171,24 @@ final class MongoWireClient(host: String, port: Int, timeoutMs: Int = 120000)
     Bson.decodeDoc(buf)
   }
 
-  def hello(): JObject =
-    runCommand("admin", JObject("hello" -> (JInt(1): JValue)))
+  /** Handshake. With `requestCompression` the hello advertises zlib
+    * (`compression: ["zlib"]`); if the server echoes it back, every later
+    * non-handshake command travels as OP_COMPRESSED both ways.
+    */
+  def hello(requestCompression: Boolean = false): JObject = {
+    val cmd =
+      if (requestCompression) JObject(List(
+        "hello" -> (JInt(1): JValue),
+        "compression" -> JArray(List(JString("zlib")))))
+      else JObject("hello" -> (JInt(1): JValue))
+    val reply = runCommand("admin", cmd)
+    if (requestCompression)
+      zlibNegotiated = reply \ "compression" match {
+        case JArray(cs) => cs.contains(JString("zlib"))
+        case _ => false
+      }
+    reply
+  }
 
   private def payloadString(reply: JObject): String = reply \ "payload" match {
     // the Bson decoder surfaces binData as its base64 text

@@ -71,6 +71,29 @@ class MongoWireLiveSpec extends AnyFunSuite {
     private final class ConnState {
       var authenticated: Boolean = credentials.isEmpty
       var convo: Option[(String, String)] = None // (clientFirstBare, serverFirst)
+      var zlib: Boolean = false
+    }
+
+    val compressedIn = new AtomicInteger(0)
+    val compressedOut = new AtomicInteger(0)
+
+    // independent zlib helpers (not the client's): the spec cross-checks
+    // two implementations interoperating over the wire
+    private def zDeflate(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    private def zInflate(data: Array[Byte], n: Int): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(data)
+      val out = new Array[Byte](n)
+      var off = 0
+      while (off < n && !inf.finished()) off += inf.inflate(out, off, n - off)
+      inf.end(); out
     }
 
     private def b64d(s: String) = java.util.Base64.getDecoder.decode(s)
@@ -83,9 +106,17 @@ class MongoWireLiveSpec extends AnyFunSuite {
       "ok" -> JDouble(0.0), "errmsg" -> JString(msg), "code" -> JInt(18)))
 
     private def handle(cmd: JObject, conn: ConnState): JObject = cmd.obj.head._1 match {
-      case "hello" => JObject(List(
-        "isWritablePrimary" -> JBool(true), "maxWireVersion" -> JInt(17),
-        "ok" -> JDouble(1.0)))
+      case "hello" =>
+        // echo zlib back iff the client advertised it — the negotiation
+        val negotiated = cmd \ "compression" match {
+          case JArray(cs) if cs.contains(JString("zlib")) =>
+            conn.zlib = true
+            List("compression" -> (JArray(List(JString("zlib"))): JValue))
+          case _ => Nil
+        }
+        JObject(List[(String, JValue)](
+          "isWritablePrimary" -> JBool(true), "maxWireVersion" -> JInt(17)) ++
+          negotiated :+ ("ok" -> (JDouble(1.0): JValue)))
       case "saslStart" =>
         val (user, password) = credentials.getOrElse(
           fail("saslStart against a no-auth fake"))
@@ -216,22 +247,55 @@ class MongoWireLiveSpec extends AnyFunSuite {
             val len = ByteBuffer.wrap(lenB).order(ByteOrder.LITTLE_ENDIAN).getInt()
             val rest = new Array[Byte](len - 4)
             in.readFully(rest)
-            val buf = ByteBuffer.wrap(rest).order(ByteOrder.LITTLE_ENDIAN)
+            var buf = ByteBuffer.wrap(rest).order(ByteOrder.LITTLE_ENDIAN)
             val requestId = buf.getInt()
             buf.getInt() // responseTo
-            assert(buf.getInt() == 2013, "client must speak OP_MSG")
+            val opCode = buf.getInt()
+            var wasCompressed = false
+            if (opCode == 2012) { // OP_COMPRESSED: unwrap
+              wasCompressed = true
+              compressedIn.incrementAndGet()
+              assert(buf.getInt() == 2013, "compressed frame must wrap OP_MSG")
+              val uncompressed = buf.getInt()
+              assert((buf.get() & 0xff) == 2, "client negotiated zlib")
+              val payload = new Array[Byte](buf.remaining())
+              buf.get(payload)
+              buf = ByteBuffer.wrap(zInflate(payload, uncompressed))
+                .order(ByteOrder.LITTLE_ENDIAN)
+            } else assert(opCode == 2013, "client must speak OP_MSG")
             assert(buf.getInt() == 0, "client must not set flag bits")
             assert((buf.get() & 0xff) == 0, "client must send a kind-0 section")
             val cmd = Bson.decodeDoc(buf)
             val reply = Bson.encodeDoc(handle(cmd, conn))
-            val hdr = ByteBuffer.allocate(16 + 4 + 1).order(ByteOrder.LITTLE_ENDIAN)
-            hdr.putInt(16 + 4 + 1 + reply.length)
-            hdr.putInt(requestId + 100000) // server's own id
-            hdr.putInt(requestId)          // responseTo = client's request
-            hdr.putInt(2013)
-            hdr.putInt(0)
-            hdr.put(0.toByte)
-            out.write(hdr.array()); out.write(reply); out.flush()
+            // reply compressed iff the request came compressed (the
+            // server-side mirror of the negotiation)
+            if (wasCompressed && conn.zlib) {
+              compressedOut.incrementAndGet()
+              val inner = ByteBuffer.allocate(4 + 1 + reply.length)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              inner.putInt(0); inner.put(0.toByte); inner.put(reply)
+              val z = zDeflate(inner.array())
+              val hdr = ByteBuffer.allocate(16 + 9 + z.length)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              hdr.putInt(16 + 9 + z.length)
+              hdr.putInt(requestId + 100000)
+              hdr.putInt(requestId)
+              hdr.putInt(2012)
+              hdr.putInt(2013)
+              hdr.putInt(inner.array().length)
+              hdr.put(2.toByte)
+              hdr.put(z)
+              out.write(hdr.array()); out.flush()
+            } else {
+              val hdr = ByteBuffer.allocate(16 + 4 + 1).order(ByteOrder.LITTLE_ENDIAN)
+              hdr.putInt(16 + 4 + 1 + reply.length)
+              hdr.putInt(requestId + 100000) // server's own id
+              hdr.putInt(requestId)          // responseTo = client's request
+              hdr.putInt(2013)
+              hdr.putInt(0)
+              hdr.put(0.toByte)
+              out.write(hdr.array()); out.write(reply); out.flush()
+            }
           } catch { case _: EOFException | _: java.net.SocketException => () }
           finally sock.close()
         }).start()
@@ -386,6 +450,38 @@ class MongoWireLiveSpec extends AnyFunSuite {
       val e = intercept[java.io.IOException](
         cli.authenticate("svc", "s3cr3t", clientNonce = Some("CNONCE123")))
       assert(e.getMessage.contains("server signature mismatch"))
+    } finally { cli.close(); srv.stop() }
+  }
+
+  test("OP_COMPRESSED: zlib negotiated via hello, whole extraction rides " +
+    "compressed frames both ways") {
+    val srv = new FakeMongo(store)
+    val cli = new MongoWireClient("localhost", srv.port)
+    try {
+      val h = cli.hello(requestCompression = true)
+      assert((h \ "compression") == JArray(List(JString("zlib"))))
+      // post-negotiation data commands travel compressed BOTH ways
+      assert(cli.count("db", "coll", JObject()) == 260L)
+      assert(srv.compressedIn.get() >= 1 && srv.compressedOut.get() >= 1)
+      val before = srv.compressedIn.get()
+      val landed = scala.collection.mutable.ArrayBuffer.empty[String]
+      MongoSliceReader.extractAll(cli, "db", "coll", None, "val", 40,
+        batch => landed ++= batch, batchSize = 16, flushThreshold = 50)
+      assert(landed.map(d =>
+        (org.json4s.jackson.JsonMethods.parse(d) \ "_id")).distinct.size == 260)
+      // finds + getMores all rode OP_COMPRESSED
+      assert(srv.compressedIn.get() > before)
+    } finally { cli.close(); srv.stop() }
+  }
+
+  test("OP_COMPRESSED: a server that declines zlib gets plain OP_MSG only") {
+    val srv = new FakeMongo(store)
+    val cli = new MongoWireClient("localhost", srv.port)
+    try {
+      val h = cli.hello() // no compression requested -> server echoes none
+      assert((h \ "compression") == JNothing)
+      assert(cli.count("db", "coll", JObject()) == 260L)
+      assert(srv.compressedIn.get() == 0 && srv.compressedOut.get() == 0)
     } finally { cli.close(); srv.stop() }
   }
 
