@@ -980,16 +980,33 @@ object Queries {
     // sessionize (flatMapGroupsWithState + event-time timeout) over the
     // same events the batch q49 sessionizes — the oracle replays the
     // session structure in SQL, so the stateful streaming path is held to
-    // the same hash-match bar as every batch operator. The MemoryStream
-    // feed is a driver-side test harness (the operator itself is
-    // distributed); sentinel events advance the watermark so the tail
-    // sessions' event-time timeouts fire before the stream ends.
+    // the same hash-match bar as every batch operator. Fully distributed
+    // feed: a file-source stream with maxFilesPerTrigger=1 reads one data
+    // file then two LATER sentinel files (mod-time order), so the
+    // watermark advances across micro-batches and every real session's
+    // event-time timeout fires before the AvailableNow stream ends — no
+    // driver-side collect of the fixture.
     "q112_stream_sessionize" -> ((s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
-      val events = input.toDF().toDF("user_id", "ts", "value")
+      val tmp = freshScratchDir("graft_q112")
+      // events.ts is TIMESTAMP_NTZ in the lake; the watermark machinery
+      // needs TIMESTAMP — the UTC session TZ makes the cast lossless.
+      // ONE data file: all real events share a batch, so the 0-second
+      // watermark delay can never drop a late-arriving real event.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("value"))
+      ev.coalesce(1).write.parquet(s"$tmp/in")
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      // two sentinel files with later mod times: the watermark advances
+      // off the PREVIOUS batch's max event time, so closing every real
+      // session needs the second one
+      for (offsetMs <- Seq(3600000L, 7200000L))
+        Seq((-1L, new java.sql.Timestamp(maxTs.getTime + offsetMs), 0.0))
+          .toDF("user_id", "ts", "value")
+          .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      val events = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
         .withWatermark("ts", "0 seconds")
         .as[graft.streaming.Incremental.SessionEvent]
       // FIXED sink name, prior run's table dropped: a per-run UUID name
@@ -998,25 +1015,10 @@ object Queries {
       s.catalog.dropTempView(name)
       val q = graft.streaming.Incremental.sessionize(events, gapMs = 1800000L)
         .writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try {
-        // events.ts is TIMESTAMP_NTZ in the lake; the watermark machinery
-        // needs TIMESTAMP — the UTC session TZ makes the cast lossless
-        val rows = t(s, dir, "events")
-          .select(col("user_id"), col("ts").cast("timestamp"), col("value"))
-          .collect()
-          .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSeq
-        input.addData(rows)
-        q.processAllAvailable()
-        // two sentinel batches: the watermark advances off the PREVIOUS
-        // batch's max event time, so closing every real session needs the
-        // second push
-        val maxTs = rows.map(_._2.getTime).max
-        input.addData(Seq((-1L, new java.sql.Timestamp(maxTs + 3600000L), 0.0)))
-        q.processAllAvailable()
-        input.addData(Seq((-1L, new java.sql.Timestamp(maxTs + 7200000L), 0.0)))
-        q.processAllAvailable()
-      } finally q.stop()
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
       s.table(name).filter(col("user_id") >= 0)
         .select(col("user_id"), col("session_start_ms"),
           col("session_end_ms"), col("n_events"),
