@@ -495,6 +495,36 @@ class MongoWireLiveSpec extends AnyFunSuite {
     } finally { cli.close(); srv.stop() }
   }
 
+  test("BSON codec round-trip (property): arbitrary nested documents of " +
+    "the command subset survive encode/decode bit-exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genKey = Gen.choose(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    def genValue(depth: Int): Gen[JValue] = {
+      val scalars = Gen.oneOf[JValue](
+        Gen.chooseNum(Int.MinValue, Int.MaxValue).map(i => JInt(BigInt(i))),
+        Gen.chooseNum(Long.MinValue, Long.MaxValue).map(JLong(_)),
+        Gen.chooseNum(-1e9, 1e9).map(JDouble(_)),
+        Gen.asciiPrintableStr.map(JString(_)),
+        Gen.oneOf(JBool(true), JBool(false), JNull))
+      if (depth <= 0) scalars
+      else Gen.frequency(
+        6 -> scalars,
+        1 -> Gen.listOfN(2, genValue(depth - 1)).map(JArray(_)),
+        1 -> genDoc(depth - 1).map(d => d: JValue))
+    }
+    def genDoc(depth: Int): Gen[JObject] =
+      Gen.listOfN(3, Gen.zip(genKey, genValue(depth)))
+        .map(fs => JObject(fs.distinctBy(_._1)))
+    val prop = Prop.forAll(genDoc(3)) { doc =>
+      Bson.decodeDoc(ByteBuffer.wrap(Bson.encodeDoc(doc))
+        .order(ByteOrder.LITTLE_ENDIAN)) == doc
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("BSON codec round-trips the command subset; decodes server extras") {
     val nested = JObject(List(
       "a" -> JInt(1), "big" -> JLong(1L << 40), "s" -> JString("héllo—ç"),
