@@ -18,294 +18,6 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class MongoWireLiveSpec extends AnyFunSuite {
 
-  /** Minimal OP_MSG server over a doc store: find (equality + $gte/$lte
-    * ranges, single-field sort, limit, batchSize), getMore, killCursors,
-    * count, hello; with `credentials`, a real SCRAM-SHA-256 verifier
-    * (salted-key math via the server-side half of [[Scram]]) gating every
-    * data command per connection. Thread-per-connection; counters for
-    * assertions.
-    */
-  private final class FakeMongo(docs: Seq[JObject],
-      credentials: Option[(String, String)] = None,
-      corruptServerSignature: Boolean = false) {
-    val server = new ServerSocket(0)
-    val finds = new AtomicInteger(0)
-    val getMores = new AtomicInteger(0)
-    val killCursors = new AtomicInteger(0)
-    private val cursorIds = new AtomicLong(1000L)
-    // remaining docs per live cursor (Seq + splitAt: a Vector ITERATOR
-    // truncates itself under take, silently losing the tail)
-    private val cursors = new ConcurrentHashMap[Long, Seq[JObject]]()
-    def openCursors: Int = cursors.size()
-
-    private def num(v: JValue): Option[Double] = v match {
-      case JInt(i) => Some(i.toDouble)
-      case JLong(l) => Some(l.toDouble)
-      case JDouble(d) => Some(d)
-      case _ => None
-    }
-
-    private def matches(doc: JObject, filter: JObject): Boolean =
-      filter.obj.forall { case (k, cond) =>
-        val v = doc \ k
-        cond match {
-          case o: JObject if o.obj.exists(f => f._1.startsWith("$")) =>
-            o.obj.forall {
-              case ("$gte", bound) => (num(v), num(bound)) match {
-                case (Some(a), Some(b)) => a >= b
-                case _ => false
-              }
-              case ("$lte", bound) => (num(v), num(bound)) match {
-                case (Some(a), Some(b)) => a <= b
-                case _ => false
-              }
-              case (op, _) => fail(s"fake server: unsupported operator $op")
-            }
-          case other => v == other
-        }
-      }
-
-    private val scramSalt = "0123456789abcdef".getBytes("US-ASCII")
-    private val scramIters = 4096
-
-    private final class ConnState {
-      var authenticated: Boolean = credentials.isEmpty
-      var convo: Option[(String, String)] = None // (clientFirstBare, serverFirst)
-      var zlib: Boolean = false
-    }
-
-    val compressedIn = new AtomicInteger(0)
-    val compressedOut = new AtomicInteger(0)
-
-    // independent zlib helpers (not the client's): the spec cross-checks
-    // two implementations interoperating over the wire
-    private def zDeflate(data: Array[Byte]): Array[Byte] = {
-      val d = new java.util.zip.Deflater()
-      d.setInput(data); d.finish()
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-      d.end(); out.toByteArray
-    }
-    private def zInflate(data: Array[Byte], n: Int): Array[Byte] = {
-      val inf = new java.util.zip.Inflater()
-      inf.setInput(data)
-      val out = new Array[Byte](n)
-      var off = 0
-      while (off < n && !inf.finished()) off += inf.inflate(out, off, n - off)
-      inf.end(); out
-    }
-
-    private def b64d(s: String) = java.util.Base64.getDecoder.decode(s)
-    private def payloadText(cmd: JObject): String = cmd \ "payload" match {
-      case JString(b64) => new String(b64d(b64), "UTF-8")
-      case other => fail(s"SASL command without payload: $other")
-    }
-
-    private def authError(msg: String) = JObject(List(
-      "ok" -> JDouble(0.0), "errmsg" -> JString(msg), "code" -> JInt(18)))
-
-    private def handle(cmd: JObject, conn: ConnState): JObject = cmd.obj.head._1 match {
-      case "hello" =>
-        // echo zlib back iff the client advertised it — the negotiation
-        val negotiated = cmd \ "compression" match {
-          case JArray(cs) if cs.contains(JString("zlib")) =>
-            conn.zlib = true
-            List("compression" -> (JArray(List(JString("zlib"))): JValue))
-          case _ => Nil
-        }
-        JObject(List[(String, JValue)](
-          "isWritablePrimary" -> JBool(true), "maxWireVersion" -> JInt(17)) ++
-          negotiated :+ ("ok" -> (JDouble(1.0): JValue)))
-      case "saslStart" =>
-        val (user, password) = credentials.getOrElse(
-          fail("saslStart against a no-auth fake"))
-        assert((cmd \ "mechanism") == JString("SCRAM-SHA-256"))
-        val clientFirst = payloadText(cmd)
-        assert(clientFirst.startsWith("n,,"), clientFirst)
-        val bare = clientFirst.drop(3)
-        if (!bare.startsWith(s"n=${Scram.saslName(user)},"))
-          authError("Authentication failed.")
-        else {
-          val cnonce = bare.split(",").collectFirst {
-            case kv if kv.startsWith("r=") => kv.drop(2) }.get
-          val serverFirst = s"r=${cnonce}SNONCE99," +
-            s"s=${Scram.b64(scramSalt)},i=$scramIters"
-          conn.convo = Some((bare, serverFirst))
-          val _ = password
-          JObject(List("conversationId" -> JInt(1), "done" -> JBool(false),
-            "payload" -> Bson.binary(serverFirst.getBytes("UTF-8")),
-            "ok" -> JDouble(1.0)))
-        }
-      case "saslContinue" =>
-        val (_, password) = credentials.getOrElse(
-          fail("saslContinue against a no-auth fake"))
-        val text = payloadText(cmd)
-        if (text.isEmpty) // final empty round after done
-          JObject(List("conversationId" -> JInt(1), "done" -> JBool(true),
-            "payload" -> Bson.binary(Array.emptyByteArray),
-            "ok" -> JDouble(1.0)))
-        else conn.convo match {
-          case None => authError("No SASL conversation in progress")
-          case Some((bare, serverFirst)) =>
-            val attrs = text.split(",").collect {
-              case kv if kv.length >= 2 && kv.charAt(1) == '=' =>
-                kv.charAt(0) -> kv.substring(2)
-            }.toMap
-            val withoutProof = s"c=${attrs('c')},r=${attrs('r')}"
-            val authMessage = s"$bare,$serverFirst,$withoutProof"
-            // server-side verification: recover ClientKey from the proof,
-            // hash, compare to the stored key — real SCRAM math
-            val keys = Scram.Keys(Scram.hi(password, scramSalt, scramIters))
-            if (!Scram.verifyClientProof(keys.storedKey, authMessage,
-                b64d(attrs('p'))))
-              authError("Authentication failed.")
-            else {
-              conn.authenticated = true
-              val sig = if (corruptServerSignature) "Zm9yZ2VkIHNpZw=="
-                else Scram.b64(keys.serverSignature(authMessage))
-              JObject(List("conversationId" -> JInt(1),
-                "done" -> JBool(true),
-                "payload" -> Bson.binary(s"v=$sig".getBytes("UTF-8")),
-                "ok" -> JDouble(1.0)))
-            }
-        }
-      case c @ ("find" | "getMore" | "count" | "killCursors")
-          if !conn.authenticated =>
-        JObject(List("ok" -> JDouble(0.0),
-          "errmsg" -> JString(s"command $c requires authentication"),
-          "code" -> JInt(13)))
-      case "count" =>
-        val filter = cmd \ "query" match { case o: JObject => o; case _ => JObject() }
-        JObject(List("n" -> JInt(docs.count(matches(_, filter))),
-          "ok" -> JDouble(1.0)))
-      case "find" =>
-        finds.incrementAndGet()
-        val filter = cmd \ "filter" match { case o: JObject => o; case _ => JObject() }
-        val batchSize = num(cmd \ "batchSize").map(_.toInt).getOrElse(101)
-        var selected = docs.filter(matches(_, filter))
-        cmd \ "sort" match {
-          case JObject((field, dir) :: Nil) =>
-            val d = num(dir).getOrElse(1.0)
-            selected = selected.sortBy(doc =>
-              num(doc \ field).getOrElse(Double.NaN))
-            if (d < 0) selected = selected.reverse
-          case _ => ()
-        }
-        num(cmd \ "limit").map(_.toLong).filter(_ > 0)
-          .foreach(l => selected = selected.take(l.toInt))
-        val (first, rest) = selected.splitAt(batchSize)
-        val id = if (rest.nonEmpty) {
-          val cid = cursorIds.incrementAndGet()
-          cursors.put(cid, rest)
-          cid
-        } else 0L
-        JObject(List("cursor" -> JObject(List(
-          "id" -> JLong(id), "ns" -> JString("db.coll"),
-          "firstBatch" -> JArray(first.toList.map(d => d: JValue)))),
-          "ok" -> JDouble(1.0)))
-      case "getMore" =>
-        getMores.incrementAndGet()
-        val cid = num(cmd \ "getMore").map(_.toLong).getOrElse(0L)
-        val batchSize = num(cmd \ "batchSize").map(_.toInt).getOrElse(101)
-        Option(cursors.get(cid)) match {
-          case None => JObject(List("ok" -> JDouble(0.0),
-            "errmsg" -> JString(s"cursor id $cid not found"),
-            "code" -> JInt(43)))
-          case Some(remaining) =>
-            val (batch, rest) = remaining.splitAt(batchSize)
-            val id = if (rest.nonEmpty) { cursors.put(cid, rest); cid }
-              else { cursors.remove(cid); 0L }
-            JObject(List("cursor" -> JObject(List(
-              "id" -> JLong(id), "ns" -> JString("db.coll"),
-              "nextBatch" -> JArray(batch.toList.map(d => d: JValue)))),
-              "ok" -> JDouble(1.0)))
-        }
-      case "killCursors" =>
-        killCursors.incrementAndGet()
-        val killed = cmd \ "cursors" match {
-          case JArray(ids) => ids.flatMap(num).map(_.toLong)
-            .filter(id => cursors.remove(id) != null)
-          case _ => Nil
-        }
-        JObject(List("cursorsKilled" -> JArray(killed.map(JLong(_): JValue)),
-          "ok" -> JDouble(1.0)))
-      case other => JObject(List("ok" -> JDouble(0.0),
-        "errmsg" -> JString(s"no such command: '$other'"), "code" -> JInt(59)))
-    }
-
-    private val thread = new Thread(() => {
-      try while (!server.isClosed) {
-        val sock = server.accept()
-        new Thread(() => {
-          val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-          val out = new BufferedOutputStream(sock.getOutputStream)
-          val conn = new ConnState
-          try while (true) {
-            val lenB = new Array[Byte](4)
-            in.readFully(lenB)
-            val len = ByteBuffer.wrap(lenB).order(ByteOrder.LITTLE_ENDIAN).getInt()
-            val rest = new Array[Byte](len - 4)
-            in.readFully(rest)
-            var buf = ByteBuffer.wrap(rest).order(ByteOrder.LITTLE_ENDIAN)
-            val requestId = buf.getInt()
-            buf.getInt() // responseTo
-            val opCode = buf.getInt()
-            var wasCompressed = false
-            if (opCode == 2012) { // OP_COMPRESSED: unwrap
-              wasCompressed = true
-              compressedIn.incrementAndGet()
-              assert(buf.getInt() == 2013, "compressed frame must wrap OP_MSG")
-              val uncompressed = buf.getInt()
-              assert((buf.get() & 0xff) == 2, "client negotiated zlib")
-              val payload = new Array[Byte](buf.remaining())
-              buf.get(payload)
-              buf = ByteBuffer.wrap(zInflate(payload, uncompressed))
-                .order(ByteOrder.LITTLE_ENDIAN)
-            } else assert(opCode == 2013, "client must speak OP_MSG")
-            assert(buf.getInt() == 0, "client must not set flag bits")
-            assert((buf.get() & 0xff) == 0, "client must send a kind-0 section")
-            val cmd = Bson.decodeDoc(buf)
-            val reply = Bson.encodeDoc(handle(cmd, conn))
-            // reply compressed iff the request came compressed (the
-            // server-side mirror of the negotiation)
-            if (wasCompressed && conn.zlib) {
-              compressedOut.incrementAndGet()
-              val inner = ByteBuffer.allocate(4 + 1 + reply.length)
-                .order(ByteOrder.LITTLE_ENDIAN)
-              inner.putInt(0); inner.put(0.toByte); inner.put(reply)
-              val z = zDeflate(inner.array())
-              val hdr = ByteBuffer.allocate(16 + 9 + z.length)
-                .order(ByteOrder.LITTLE_ENDIAN)
-              hdr.putInt(16 + 9 + z.length)
-              hdr.putInt(requestId + 100000)
-              hdr.putInt(requestId)
-              hdr.putInt(2012)
-              hdr.putInt(2013)
-              hdr.putInt(inner.array().length)
-              hdr.put(2.toByte)
-              hdr.put(z)
-              out.write(hdr.array()); out.flush()
-            } else {
-              val hdr = ByteBuffer.allocate(16 + 4 + 1).order(ByteOrder.LITTLE_ENDIAN)
-              hdr.putInt(16 + 4 + 1 + reply.length)
-              hdr.putInt(requestId + 100000) // server's own id
-              hdr.putInt(requestId)          // responseTo = client's request
-              hdr.putInt(2013)
-              hdr.putInt(0)
-              hdr.put(0.toByte)
-              out.write(hdr.array()); out.write(reply); out.flush()
-            }
-          } catch { case _: EOFException | _: java.net.SocketException => () }
-          finally sock.close()
-        }).start()
-      } catch { case _: java.net.SocketException => () }
-    })
-    thread.setDaemon(true)
-    thread.start()
-    def port: Int = server.getLocalPort
-    def stop(): Unit = server.close()
-  }
 
   private def doc(id: Int, v: Long): JObject = JObject(List(
     "_id" -> JString(f"doc$id%05d"), "val" -> JLong(v),
@@ -547,4 +259,294 @@ class MongoWireLiveSpec extends AnyFunSuite {
     assert((decoded \ "oid") == JString("0102030405060708090a0b0c"))
     assert((decoded \ "ts") == JLong(1723600000000L))
   }
+}
+
+
+/** Minimal OP_MSG server over a doc store: find (equality + $gte/$lte
+  * ranges, single-field sort, limit, batchSize), getMore, killCursors,
+  * count, hello; with `credentials`, a real SCRAM-SHA-256 verifier
+  * (salted-key math via the server-side half of [[Scram]]) gating every
+  * data command per connection. Thread-per-connection; counters for
+  * assertions.
+  */
+private[sources] final class FakeMongo(docs: Seq[JObject],
+    credentials: Option[(String, String)] = None,
+    corruptServerSignature: Boolean = false) {
+  val server = new ServerSocket(0)
+  val finds = new AtomicInteger(0)
+  val getMores = new AtomicInteger(0)
+  val killCursors = new AtomicInteger(0)
+  private val cursorIds = new AtomicLong(1000L)
+  // remaining docs per live cursor (Seq + splitAt: a Vector ITERATOR
+  // truncates itself under take, silently losing the tail)
+  private val cursors = new ConcurrentHashMap[Long, Seq[JObject]]()
+  def openCursors: Int = cursors.size()
+
+  private def num(v: JValue): Option[Double] = v match {
+    case JInt(i) => Some(i.toDouble)
+    case JLong(l) => Some(l.toDouble)
+    case JDouble(d) => Some(d)
+    case _ => None
+  }
+
+  private def matches(doc: JObject, filter: JObject): Boolean =
+    filter.obj.forall { case (k, cond) =>
+      val v = doc \ k
+      cond match {
+        case o: JObject if o.obj.exists(f => f._1.startsWith("$")) =>
+          o.obj.forall {
+            case ("$gte", bound) => (num(v), num(bound)) match {
+              case (Some(a), Some(b)) => a >= b
+              case _ => false
+            }
+            case ("$lte", bound) => (num(v), num(bound)) match {
+              case (Some(a), Some(b)) => a <= b
+              case _ => false
+            }
+            case (op, _) => sys.error(s"fake server: unsupported operator $op")
+          }
+        case other => v == other
+      }
+    }
+
+  private val scramSalt = "0123456789abcdef".getBytes("US-ASCII")
+  private val scramIters = 4096
+
+  private final class ConnState {
+    var authenticated: Boolean = credentials.isEmpty
+    var convo: Option[(String, String)] = None // (clientFirstBare, serverFirst)
+    var zlib: Boolean = false
+  }
+
+  val compressedIn = new AtomicInteger(0)
+  val compressedOut = new AtomicInteger(0)
+
+  // independent zlib helpers (not the client's): the spec cross-checks
+  // two implementations interoperating over the wire
+  private def zDeflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+  private def zInflate(data: Array[Byte], n: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](n)
+    var off = 0
+    while (off < n && !inf.finished()) off += inf.inflate(out, off, n - off)
+    inf.end(); out
+  }
+
+  private def b64d(s: String) = java.util.Base64.getDecoder.decode(s)
+  private def payloadText(cmd: JObject): String = cmd \ "payload" match {
+    case JString(b64) => new String(b64d(b64), "UTF-8")
+    case other => sys.error(s"SASL command without payload: $other")
+  }
+
+  private def authError(msg: String) = JObject(List(
+    "ok" -> JDouble(0.0), "errmsg" -> JString(msg), "code" -> JInt(18)))
+
+  private def handle(cmd: JObject, conn: ConnState): JObject = cmd.obj.head._1 match {
+    case "hello" =>
+      // echo zlib back iff the client advertised it — the negotiation
+      val negotiated = cmd \ "compression" match {
+        case JArray(cs) if cs.contains(JString("zlib")) =>
+          conn.zlib = true
+          List("compression" -> (JArray(List(JString("zlib"))): JValue))
+        case _ => Nil
+      }
+      JObject(List[(String, JValue)](
+        "isWritablePrimary" -> JBool(true), "maxWireVersion" -> JInt(17)) ++
+        negotiated :+ ("ok" -> (JDouble(1.0): JValue)))
+    case "saslStart" =>
+      val (user, password) = credentials.getOrElse(
+        sys.error("saslStart against a no-auth fake"))
+      assert((cmd \ "mechanism") == JString("SCRAM-SHA-256"))
+      val clientFirst = payloadText(cmd)
+      assert(clientFirst.startsWith("n,,"), clientFirst)
+      val bare = clientFirst.drop(3)
+      if (!bare.startsWith(s"n=${Scram.saslName(user)},"))
+        authError("Authentication failed.")
+      else {
+        val cnonce = bare.split(",").collectFirst {
+          case kv if kv.startsWith("r=") => kv.drop(2) }.get
+        val serverFirst = s"r=${cnonce}SNONCE99," +
+          s"s=${Scram.b64(scramSalt)},i=$scramIters"
+        conn.convo = Some((bare, serverFirst))
+        val _ = password
+        JObject(List("conversationId" -> JInt(1), "done" -> JBool(false),
+          "payload" -> Bson.binary(serverFirst.getBytes("UTF-8")),
+          "ok" -> JDouble(1.0)))
+      }
+    case "saslContinue" =>
+      val (_, password) = credentials.getOrElse(
+        sys.error("saslContinue against a no-auth fake"))
+      val text = payloadText(cmd)
+      if (text.isEmpty) // final empty round after done
+        JObject(List("conversationId" -> JInt(1), "done" -> JBool(true),
+          "payload" -> Bson.binary(Array.emptyByteArray),
+          "ok" -> JDouble(1.0)))
+      else conn.convo match {
+        case None => authError("No SASL conversation in progress")
+        case Some((bare, serverFirst)) =>
+          val attrs = text.split(",").collect {
+            case kv if kv.length >= 2 && kv.charAt(1) == '=' =>
+              kv.charAt(0) -> kv.substring(2)
+          }.toMap
+          val withoutProof = s"c=${attrs('c')},r=${attrs('r')}"
+          val authMessage = s"$bare,$serverFirst,$withoutProof"
+          // server-side verification: recover ClientKey from the proof,
+          // hash, compare to the stored key — real SCRAM math
+          val keys = Scram.Keys(Scram.hi(password, scramSalt, scramIters))
+          if (!Scram.verifyClientProof(keys.storedKey, authMessage,
+              b64d(attrs('p'))))
+            authError("Authentication failed.")
+          else {
+            conn.authenticated = true
+            val sig = if (corruptServerSignature) "Zm9yZ2VkIHNpZw=="
+              else Scram.b64(keys.serverSignature(authMessage))
+            JObject(List("conversationId" -> JInt(1),
+              "done" -> JBool(true),
+              "payload" -> Bson.binary(s"v=$sig".getBytes("UTF-8")),
+              "ok" -> JDouble(1.0)))
+          }
+      }
+    case c @ ("find" | "getMore" | "count" | "killCursors")
+        if !conn.authenticated =>
+      JObject(List("ok" -> JDouble(0.0),
+        "errmsg" -> JString(s"command $c requires authentication"),
+        "code" -> JInt(13)))
+    case "count" =>
+      val filter = cmd \ "query" match { case o: JObject => o; case _ => JObject() }
+      JObject(List("n" -> JInt(docs.count(matches(_, filter))),
+        "ok" -> JDouble(1.0)))
+    case "find" =>
+      finds.incrementAndGet()
+      val filter = cmd \ "filter" match { case o: JObject => o; case _ => JObject() }
+      val batchSize = num(cmd \ "batchSize").map(_.toInt).getOrElse(101)
+      var selected = docs.filter(matches(_, filter))
+      cmd \ "sort" match {
+        case JObject((field, dir) :: Nil) =>
+          val d = num(dir).getOrElse(1.0)
+          selected = selected.sortBy(doc =>
+            num(doc \ field).getOrElse(Double.NaN))
+          if (d < 0) selected = selected.reverse
+        case _ => ()
+      }
+      num(cmd \ "limit").map(_.toLong).filter(_ > 0)
+        .foreach(l => selected = selected.take(l.toInt))
+      val (first, rest) = selected.splitAt(batchSize)
+      val id = if (rest.nonEmpty) {
+        val cid = cursorIds.incrementAndGet()
+        cursors.put(cid, rest)
+        cid
+      } else 0L
+      JObject(List("cursor" -> JObject(List(
+        "id" -> JLong(id), "ns" -> JString("db.coll"),
+        "firstBatch" -> JArray(first.toList.map(d => d: JValue)))),
+        "ok" -> JDouble(1.0)))
+    case "getMore" =>
+      getMores.incrementAndGet()
+      val cid = num(cmd \ "getMore").map(_.toLong).getOrElse(0L)
+      val batchSize = num(cmd \ "batchSize").map(_.toInt).getOrElse(101)
+      Option(cursors.get(cid)) match {
+        case None => JObject(List("ok" -> JDouble(0.0),
+          "errmsg" -> JString(s"cursor id $cid not found"),
+          "code" -> JInt(43)))
+        case Some(remaining) =>
+          val (batch, rest) = remaining.splitAt(batchSize)
+          val id = if (rest.nonEmpty) { cursors.put(cid, rest); cid }
+            else { cursors.remove(cid); 0L }
+          JObject(List("cursor" -> JObject(List(
+            "id" -> JLong(id), "ns" -> JString("db.coll"),
+            "nextBatch" -> JArray(batch.toList.map(d => d: JValue)))),
+            "ok" -> JDouble(1.0)))
+      }
+    case "killCursors" =>
+      killCursors.incrementAndGet()
+      val killed = cmd \ "cursors" match {
+        case JArray(ids) => ids.flatMap(num).map(_.toLong)
+          .filter(id => cursors.remove(id) != null)
+        case _ => Nil
+      }
+      JObject(List("cursorsKilled" -> JArray(killed.map(JLong(_): JValue)),
+        "ok" -> JDouble(1.0)))
+    case other => JObject(List("ok" -> JDouble(0.0),
+      "errmsg" -> JString(s"no such command: '$other'"), "code" -> JInt(59)))
+  }
+
+  private val thread = new Thread(() => {
+    try while (!server.isClosed) {
+      val sock = server.accept()
+      new Thread(() => {
+        val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+        val out = new BufferedOutputStream(sock.getOutputStream)
+        val conn = new ConnState
+        try while (true) {
+          val lenB = new Array[Byte](4)
+          in.readFully(lenB)
+          val len = ByteBuffer.wrap(lenB).order(ByteOrder.LITTLE_ENDIAN).getInt()
+          val rest = new Array[Byte](len - 4)
+          in.readFully(rest)
+          var buf = ByteBuffer.wrap(rest).order(ByteOrder.LITTLE_ENDIAN)
+          val requestId = buf.getInt()
+          buf.getInt() // responseTo
+          val opCode = buf.getInt()
+          var wasCompressed = false
+          if (opCode == 2012) { // OP_COMPRESSED: unwrap
+            wasCompressed = true
+            compressedIn.incrementAndGet()
+            assert(buf.getInt() == 2013, "compressed frame must wrap OP_MSG")
+            val uncompressed = buf.getInt()
+            assert((buf.get() & 0xff) == 2, "client negotiated zlib")
+            val payload = new Array[Byte](buf.remaining())
+            buf.get(payload)
+            buf = ByteBuffer.wrap(zInflate(payload, uncompressed))
+              .order(ByteOrder.LITTLE_ENDIAN)
+          } else assert(opCode == 2013, "client must speak OP_MSG")
+          assert(buf.getInt() == 0, "client must not set flag bits")
+          assert((buf.get() & 0xff) == 0, "client must send a kind-0 section")
+          val cmd = Bson.decodeDoc(buf)
+          val reply = Bson.encodeDoc(handle(cmd, conn))
+          // reply compressed iff the request came compressed (the
+          // server-side mirror of the negotiation)
+          if (wasCompressed && conn.zlib) {
+            compressedOut.incrementAndGet()
+            val inner = ByteBuffer.allocate(4 + 1 + reply.length)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            inner.putInt(0); inner.put(0.toByte); inner.put(reply)
+            val z = zDeflate(inner.array())
+            val hdr = ByteBuffer.allocate(16 + 9 + z.length)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            hdr.putInt(16 + 9 + z.length)
+            hdr.putInt(requestId + 100000)
+            hdr.putInt(requestId)
+            hdr.putInt(2012)
+            hdr.putInt(2013)
+            hdr.putInt(inner.array().length)
+            hdr.put(2.toByte)
+            hdr.put(z)
+            out.write(hdr.array()); out.flush()
+          } else {
+            val hdr = ByteBuffer.allocate(16 + 4 + 1).order(ByteOrder.LITTLE_ENDIAN)
+            hdr.putInt(16 + 4 + 1 + reply.length)
+            hdr.putInt(requestId + 100000) // server's own id
+            hdr.putInt(requestId)          // responseTo = client's request
+            hdr.putInt(2013)
+            hdr.putInt(0)
+            hdr.put(0.toByte)
+            out.write(hdr.array()); out.write(reply); out.flush()
+          }
+        } catch { case _: EOFException | _: java.net.SocketException => () }
+        finally sock.close()
+      }).start()
+    } catch { case _: java.net.SocketException => () }
+  })
+  thread.setDaemon(true)
+  thread.start()
+  def port: Int = server.getLocalPort
+  def stop(): Unit = server.close()
 }
