@@ -48,20 +48,33 @@ object Queries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** Recreate a FIXED per-query scratch dir (delete, then mkdir): repeated
-    * bench iterations reuse one disk footprint instead of accumulating a
-    * fresh temp copy per run, and streaming checkpoints start clean each
-    * time (a REUSED checkpoint would mark the fixture files
-    * already-processed and the re-run would land nothing).
+  /** Recreate a per-query scratch dir (delete, then mkdir): repeated bench
+    * iterations within one JVM reuse one disk footprint instead of
+    * accumulating a fresh temp copy per run, and streaming checkpoints
+    * start clean each time (a REUSED checkpoint would mark the fixture
+    * files already-processed and the re-run would land nothing). The path
+    * is namespaced by PID so two concurrent JVMs cannot delete each
+    * other's in-flight stream input, and a shutdown hook removes the
+    * JVM's dirs on exit.
     */
-  private def freshScratchDir(name: String): String = {
-    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), name)
+  private val scratchHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close() // an unclosed walk stream leaks directory FDs
     }
+  private def freshScratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"${name}_${ProcessHandle.current().pid()}")
+    deleteRecursively(p)
     java.nio.file.Files.createDirectories(p)
+    if (scratchHooked.add(p.toString))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteRecursively(p)))
     p.toString
   }
 
@@ -997,14 +1010,35 @@ object Queries {
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
           col("value"))
       ev.coalesce(1).write.parquet(s"$tmp/in")
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      // max(ts) from the just-written single file — no second source scan
+      val maxTs = s.read.parquet(s"$tmp/in")
+        .agg(max(col("ts"))).head().getTimestamp(0)
+      // FileStreamSource orders files by MODIFICATION TIME; a coarse-mtime
+      // filesystem could tie the data file with a sentinel and process the
+      // sentinel first, dropping every real event as late — so each write
+      // gets an explicitly stamped, strictly increasing mtime
+      // stamps sit in 2001 (1e12 ms), far below any real write's mtime, so
+      // "mtime above the stamp ceiling" identifies the not-yet-stamped
+      // files each pass
+      def stampMtimes(epochMs: Long): Unit = {
+        val ft = java.nio.file.attribute.FileTime.fromMillis(epochMs)
+        val dirPath = java.nio.file.Paths.get(tmp, "in")
+        val listing = java.nio.file.Files.list(dirPath)
+        try listing.forEach { f =>
+          if (java.nio.file.Files.getLastModifiedTime(f).toMillis > 1100000000000L)
+            java.nio.file.Files.setLastModifiedTime(f, ft)
+        } finally listing.close()
+      }
+      stampMtimes(1000000000000L) // fixed epoch for the data file
       // two sentinel files with later mod times: the watermark advances
       // off the PREVIOUS batch's max event time, so closing every real
       // session needs the second one
-      for (offsetMs <- Seq(3600000L, 7200000L))
+      for ((offsetMs, i) <- Seq(3600000L, 7200000L).zipWithIndex) {
         Seq((-1L, new java.sql.Timestamp(maxTs.getTime + offsetMs), 0.0))
           .toDF("user_id", "ts", "value")
           .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+        stampMtimes(1000000000000L + (i + 1) * 60000L)
+      }
       val events = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
         .withWatermark("ts", "0 seconds")

@@ -27,7 +27,10 @@ object Bson {
   /** Mark a value as BSON binary (subtype 0): `JObject("$binary" ->
     * JString(base64))` encodes as type 0x05 — the shape SASL payloads
     * travel as. (json4s has no native binary node; the sentinel keeps the
-    * public surface JValue-only.)
+    * public surface JValue-only.) The single-field `$binary` document
+    * shape is RESERVED by this codec: a caller-supplied subdocument with
+    * exactly that shape would be encoded as binData, and non-base64
+    * content fails loudly below rather than silently changing type.
     */
   def binary(bytes: Array[Byte]): JObject =
     JObject("$binary" -> (JString(
@@ -78,7 +81,13 @@ object Bson {
         out.write(0x0A); cstring(key)
       case JObject(("$binary", JString(b64)) :: Nil) =>
         out.write(0x05); cstring(key)
-        val b = java.util.Base64.getDecoder.decode(b64)
+        val b =
+          try java.util.Base64.getDecoder.decode(b64)
+          catch { case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              "single-field {\"$binary\": ...} documents are reserved for " +
+                "binData and must hold base64 (see Bson.binary)", e)
+          }
         out.write(le32(b.length)); out.write(0x00); out.write(b)
       case o: JObject =>
         out.write(0x03); cstring(key); writeDoc(out, o)

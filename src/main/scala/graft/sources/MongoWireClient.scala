@@ -64,9 +64,18 @@ final class MongoWireClient(host: String, port: Int, timeoutMs: Int = 120000)
     inf.setInput(data)
     val out = new Array[Byte](expectedLen)
     var off = 0
-    while (off < expectedLen && !inf.finished())
-      off += inf.inflate(out, off, expectedLen - off)
-    inf.end()
+    try {
+      while (off < expectedLen && !inf.finished()) {
+        val n = inf.inflate(out, off, expectedLen - off)
+        // a TRUNCATED/corrupt payload makes inflate() return 0 wanting
+        // more input that will never come — that's an error, not a
+        // spin-forever condition
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          throw new IOException(
+            s"OP_COMPRESSED payload truncated at $off/$expectedLen bytes")
+        off += n
+      }
+    } finally inf.end()
     if (off != expectedLen)
       throw new IOException(
         s"OP_COMPRESSED inflated to $off bytes, header said $expectedLen")
@@ -150,6 +159,12 @@ final class MongoWireClient(host: String, port: Int, timeoutMs: Int = 120000)
       if (originalOp != 2013)
         throw new IOException(s"compressed reply wraps opcode $originalOp")
       val uncompressedSize = buf.getInt()
+      // the plain path bounds messageLength; the DECOMPRESSED size must be
+      // bounded too — an unchecked header value means a negative-size
+      // crash or a zlib-bomb allocation
+      if (uncompressedSize < 5 || uncompressedSize > 48 * 1024 * 1024)
+        throw new IOException(
+          s"implausible OP_COMPRESSED uncompressedSize $uncompressedSize")
       val compressorId = buf.get() & 0xff
       val payload = new Array[Byte](buf.remaining())
       buf.get(payload)

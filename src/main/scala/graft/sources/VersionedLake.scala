@@ -98,7 +98,12 @@ object VersionedLake {
     val dir = manifestDir(table)
     f.mkdirs(dir)
     val claim = new Path(dir, s"v$next.claim")
-    if (f.getScheme == "file")
+    // base FileSystem.getScheme throws UnsupportedOperationException for
+    // implementations that never override it — fall back to the URI
+    val scheme =
+      try f.getScheme
+      catch { case _: UnsupportedOperationException => f.getUri.getScheme }
+    if (scheme == "file")
       new java.io.File(f.makeQualified(claim).toUri.getPath).createNewFile()
     else
       try { f.create(claim, false).close(); true }

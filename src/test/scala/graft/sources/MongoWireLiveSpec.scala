@@ -336,7 +336,11 @@ private[sources] final class FakeMongo(docs: Seq[JObject],
     inf.setInput(data)
     val out = new Array[Byte](n)
     var off = 0
-    while (off < n && !inf.finished()) off += inf.inflate(out, off, n - off)
+    while (off < n && !inf.finished()) {
+      val k = inf.inflate(out, off, n - off)
+      assert(k > 0 || !inf.needsInput(), "truncated zlib payload")
+      off += k
+    }
     inf.end(); out
   }
 
