@@ -540,12 +540,13 @@ object Queries {
     }),
 
     // Multimodal: binary payload → deterministic feature extraction.
-    // These payloads are text bytes, so the real image decode declines
-    // them and every row takes the STUB path (format='stub') — the stub's
-    // features are md5-derived, so the DuckDB oracle replays byte_len,
-    // checksum, dimensions, and frame counts exactly; the Spark-side
-    // plumbing (binary schema, typed Dataset, mapPartitions batching) is
-    // the real scale path.
+    // These payloads are text bytes, so the real image/video decoders
+    // decline them and every row takes the STUB path (format='stub') — the
+    // stub's dimensions are md5-derived and its n_frames is a constant 1
+    // (never a fabricated frame count), so the DuckDB oracle replays
+    // byte_len, checksum and dimensions exactly; the Spark-side plumbing
+    // (binary schema, typed Dataset, mapPartitions batching) is the real
+    // scale path.
     "q40_media_features" -> ((s, dir) => {
       val media = MultiModal.fromText(s, t(s, dir, "documents"), "doc_id", "text")
       MultiModal.extractFeatures(media).toDF().orderBy(col("media_id"))
@@ -591,6 +592,29 @@ object Queries {
           MultiModal.encodeWavPcm16(rate, channels, frames))
       })
       MultiModal.extractAudioFeatures(media).toDF().orderBy(col("media_id"))
+    }),
+
+    // Multimodal: REAL video container decode round-trip. Payloads are
+    // actual MP4/ISO-BMFF bytes (hand-rolled ftyp/moov/mvhd/trak/tkhd/
+    // stts trees from duration/size/frame formulas over doc_id, half with
+    // a second audio track, a fifth using the 64-bit version-1 layouts),
+    // parsed back by the pure-JVM box walker on executors; the oracle
+    // replays the formulas, so a fake decode cannot pass. moov-header-only:
+    // the mdat payload is never read.
+    "q40d_video_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val w = 160 + (id % 32).toInt * 8
+        val h = 90 + (id % 24).toInt * 6
+        val dur = 1000L + (id % 600) * 100L
+        val frames = 24L + id % 1000
+        MultiModal.MediaRow(id, "video", "video/mp4",
+          MultiModal.encodeMp4(dur, w, h, frames,
+            withAudioTrack = id % 2 == 0, version1 = id % 5 == 0))
+      })
+      MultiModal.extractVideoFeatures(media).toDF().orderBy(col("media_id"))
     }),
 
     // Dedup (near): embedding-cosine near-dup pairs, LSH-bucketed candidates
@@ -3370,8 +3394,7 @@ object Queries {
         |SELECT media_id, modality, byte_len, h AS checksum,
         |  CAST(16 + (h % 1024) AS INTEGER) AS width,
         |  CAST(16 + ((h // 7) % 1024) AS INTEGER) AS height,
-        |  CAST(CASE WHEN modality = 'video' THEN 1 + ((h // 13) % 300)
-        |       ELSE 1 END AS INTEGER) AS n_frames,
+        |  CAST(1 AS INTEGER) AS n_frames,
         |  'stub' AS format
         |FROM b ORDER BY media_id""".stripMargin,
 
@@ -3395,6 +3418,17 @@ object Queries {
         |  n_frames * 1000 // sample_rate AS duration_ms,
         |  'wave' AS format
         |FROM p ORDER BY media_id""".stripMargin,
+
+    "q40d_video_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(1000 + (doc_id % 600) * 100 AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INTEGER)
+        |    AS n_tracks,
+        |  CAST(160 + (doc_id % 32) * 8 AS INTEGER) AS width,
+        |  CAST(90 + (doc_id % 24) * 6 AS INTEGER) AS height,
+        |  CAST(24 + doc_id % 1000 AS BIGINT) AS n_frames,
+        |  'isom' AS format
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q46_cosine_dedup" -> {
       val planeRows = planeValuesSql(6)

@@ -12,9 +12,11 @@ import org.json4s._
   *  - encode: string, int32 (JInt within range), int64, double, bool,
   *    null, nested document, array;
   *  - decode: the above plus the server-emitted extras — ObjectId (as the
-  *    24-char hex string pymongo shows), UTC datetime and timestamp (as
-  *    epoch-millis JLong), binary (as base64 JString), with unknown types
-  *    failing loudly rather than desynchronizing the stream.
+  *    24-char hex string pymongo shows), UTC datetime (as the typed
+  *    `{"$date": ms}` sentinel so filters re-encode it as type 0x09 —
+  *    see [[date]]), timestamp (as epoch-millis JLong), binary (as base64
+  *    JString), with unknown types failing loudly rather than
+  *    desynchronizing the stream.
   *
   * BSON is little-endian throughout; documents are `int32 length, elements,
   * 0x00` with the length INCLUDING itself and the terminator (the framing
@@ -35,6 +37,19 @@ object Bson {
   def binary(bytes: Array[Byte]): JObject =
     JObject("$binary" -> (JString(
       java.util.Base64.getEncoder.encodeToString(bytes)): JValue))
+
+  /** Mark a value as BSON UTC datetime (type 0x09): `JObject("$date" ->
+    * JLong(epochMillis))` — MongoDB Extended JSON's canonical shape.
+    * Decoding 0x09 produces exactly this sentinel, so datetime values
+    * ROUND-TRIP with their type: a filter bound built from a decoded
+    * extreme goes back onto the wire as a Date, which matters because
+    * MongoDB's type bracketing never matches Date fields against int64
+    * bounds (a `$gte: 1723600000000` drains ZERO docs from a Date-keyed
+    * collection). Like `$binary`, the single-field `$date` document shape
+    * is reserved by this codec.
+    */
+  def date(epochMillis: Long): JObject =
+    JObject("$date" -> (JLong(epochMillis): JValue))
 
   def encodeDoc(doc: JObject): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -66,6 +81,10 @@ object Bson {
       case JInt(i) if i.isValidInt =>
         out.write(0x10); cstring(key); out.write(le32(i.toInt))
       case JInt(i) =>
+        // BigInt.toLong silently truncates past 64 bits — a filter bound
+        // that wide would query WRONG ranges instead of failing
+        require(i.isValidLong,
+          s"BSON int64 cannot represent $i (key $key): out of 64-bit range")
         out.write(0x12); cstring(key); out.write(le64(i.toLong))
       case JLong(l) =>
         out.write(0x12); cstring(key); out.write(le64(l))
@@ -73,8 +92,18 @@ object Bson {
         out.write(0x01); cstring(key)
         out.write(le64(java.lang.Double.doubleToLongBits(d)))
       case JDecimal(d) =>
+        // only exactly-double-representable decimals encode (compared
+        // against the double's EXACT binary expansion — scala's
+        // BigDecimal(Double) shortest-decimal constructor would wave
+        // 0.1 through); a lossy narrowing would send wrong bounds
+        // instead of failing loudly
+        val dd = d.toDouble
+        require(!dd.isInfinite && !dd.isNaN &&
+            new java.math.BigDecimal(dd).compareTo(d.underlying) == 0,
+          s"BSON double cannot exactly represent decimal $d (key $key); " +
+            "pass a double-safe value or pre-round explicitly")
         out.write(0x01); cstring(key)
-        out.write(le64(java.lang.Double.doubleToLongBits(d.toDouble)))
+        out.write(le64(java.lang.Double.doubleToLongBits(dd)))
       case JBool(b) =>
         out.write(0x08); cstring(key); out.write(if (b) 1 else 0)
       case JNull | JNothing =>
@@ -89,6 +118,15 @@ object Bson {
                 "binData and must hold base64 (see Bson.binary)", e)
           }
         out.write(le32(b.length)); out.write(0x00); out.write(b)
+      case JObject(("$date", ms) :: Nil) =>
+        val epochMillis = ms match {
+          case JLong(l) => l
+          case JInt(i) if i.isValidLong => i.toLong
+          case other => throw new IllegalArgumentException(
+            "single-field {\"$date\": ...} documents are reserved for UTC " +
+              s"datetime and must hold epoch millis (see Bson.date), got $other")
+        }
+        out.write(0x09); cstring(key); out.write(le64(epochMillis))
       case o: JObject =>
         out.write(0x03); cstring(key); writeDoc(out, o)
       case JArray(items) =>
@@ -149,7 +187,7 @@ object Bson {
       val b = new Array[Byte](12); buf.get(b)
       JString(b.map(x => f"$x%02x").mkString)
     case 0x08 => JBool(buf.get() != 0)
-    case 0x09 => JLong(buf.getLong()) // UTC datetime: epoch millis
+    case 0x09 => date(buf.getLong()) // UTC datetime: typed {$date: ms} sentinel
     case 0x0A => JNull
     case 0x10 => JInt(BigInt(buf.getInt()))
     case 0x11 => JLong(buf.getLong()) // timestamp

@@ -160,12 +160,23 @@ object CloudStoreReader {
     if (fileType != "csv")
       throw new UnsupportedOperationException(s"File type $fileType not implemented")
     val bytes = gcsDownload(apiBase, bucket, fileName, token)
+    // blank-record skipping in splitCsvRecords matches pandas'
+    // skip_blank_lines=True default, the reference's read path
     val records = splitCsvRecords(new String(bytes, StandardCharsets.UTF_8),
       csvSep.headOption.getOrElse(','))
+    require(records.nonEmpty, s"GCS file $bucket/$fileName has no CSV records")
     import spark.implicits._
-    // header + no inference = every column StringType, pandas dtype=str
-    spark.read.option("header", "true").option("sep", csvSep)
-      .csv(spark.createDataset(records))
+    // Strip ONLY the first record as header: header=true over a
+    // Dataset[String] makes Spark drop every data row byte-identical to
+    // the header in ALL partitions (it cannot know which line was first),
+    // silently losing legitimate rows pandas keeps. Parse the header line
+    // alone for column names, then read the rest schema-first.
+    val headerSchema = spark.read.option("header", "true")
+      .option("sep", csvSep).csv(spark.createDataset(records.take(1))).schema
+    // no inference = every column StringType, pandas dtype=str
+    spark.read.option("header", "false").option("sep", csvSep)
+      .schema(headerSchema)
+      .csv(spark.createDataset(records.drop(1)))
   }
 
   /** The reference's bulk load (tasks.py:1212-1245): prefix listing,

@@ -178,6 +178,17 @@ object DorjFetcher {
     * without the implied closes an unterminated tree would silently parse
     * to zero folders and the day's extraction would "succeed" empty.
     */
+  /** Case-insensitive close-tag scan: the tokenizer matches open tags with
+    * (?is), so an uppercase `</SPAN>`/`</A>` must close the capture too —
+    * a case-sensitive indexOf would return -1 and silently DROP the folder
+    * name or link, shrinking the day's extraction without error.
+    */
+  private def closeTagIndex(html: String, tag: String, from: Int): Int = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)</" + tag + "\\s*>").matcher(html)
+    if (m.find(from)) m.start else -1
+  }
+
   private[sources] def parseFolderTree(html: String): Seq[FolderNode] = {
     import scala.collection.mutable.ListBuffer
     final class Ctx {
@@ -225,7 +236,7 @@ object DorjFetcher {
           while (topIsLi) closeLi()
           if (stack.headOption.contains(UlFrame)) stack = stack.tail
         case "span" if !close && classTokens(attrs).contains("folder") =>
-          val end = html.indexOf("</span>", m.end)
+          val end = closeTagIndex(html, "span", m.end)
           if (end >= 0) {
             // findChild(recursive=False): only the FIRST direct folder span
             val ctx = mergeTarget
@@ -241,7 +252,7 @@ object DorjFetcher {
           val ident = attr(attrs, "identificador")
           val materiaId = attr(attrs, "data-materia-id")
           if (numeric(ident) || numeric(materiaId)) {
-            val end = html.indexOf("</a>", m.end)
+            val end = closeTagIndex(html, "a", m.end)
             if (end >= 0) {
               mergeTarget.links += PlacedLink(Nil,
                 DouFetcher.innerText(html.substring(m.end, end)),

@@ -57,18 +57,24 @@ object MongoSliceReader {
 
   /** The slice find-filter document: base equality query (if any) merged
     * with `{sliceVar: {"$gte": gte, "$lte": lte}}` (tasks.py:225-227).
+    * With `isDate` the bounds travel as the typed `{"$date": ms}` sentinel
+    * ([[Bson.date]]) so the wire client re-encodes them as BSON type 0x09 —
+    * MongoDB's type bracketing never matches Date fields against int64
+    * bounds, so numeric bounds against a Date-keyed collection would drain
+    * ZERO docs from every slice.
     */
   def sliceFilterJson(baseQuery: Option[String], sliceVar: String,
-      gte: Long, lte: Long): String = {
+      gte: Long, lte: Long, isDate: Boolean = false): String = {
     val base = baseQuery.map(JsonMethods.parse(_)) match {
       case Some(JObject(fields)) => fields
       case None => Nil
       case Some(other) =>
         throw new IllegalArgumentException(s"base query must be an object, got $other")
     }
+    def bound(v: Long): JValue = if (isDate) Bson.date(v) else JLong(v)
     JsonMethods.compact(JsonMethods.render(JObject(
       base :+ (sliceVar -> (JObject(
-        "$gte" -> JLong(gte), "$lte" -> JLong(lte)): JValue)))))
+        "$gte" -> bound(gte), "$lte" -> bound(lte)): JValue)))))
   }
 
   private def idOf(doc: String, idField: String): String =
@@ -147,25 +153,44 @@ object MongoSliceReader {
     catch { case e: Exception =>
       System.err.println(s"[mongo] cursor close failed: ${e.getMessage}") }
 
+  /** A slice-variable extreme with its BSON type preserved: `isDate` marks
+    * a value decoded from BSON UTC datetime (the `{"$date": ms}` sentinel),
+    * which must go back onto the wire as type 0x09 in slice filters.
+    */
+  final case class Extreme(value: Long, isDate: Boolean)
+
   def extremeValue(client: MongoWireClient, db: String, coll: String,
-      baseQuery: Option[String], sliceVar: String, direction: Int): Option[Long] = {
+      baseQuery: Option[String], sliceVar: String, direction: Int): Option[Long] =
+    typedExtreme(client, db, coll, baseQuery, sliceVar, direction).map(_.value)
+
+  def typedExtreme(client: MongoWireClient, db: String, coll: String,
+      baseQuery: Option[String], sliceVar: String, direction: Int): Option[Extreme] = {
     val cursor = client.find(db, coll, baseFilter(baseQuery),
       sort = Some(sliceVar -> direction), limit = Some(1L), batchSize = 1)
     try {
       if (!cursor.hasNext) None
       else JsonMethods.parse(cursor.next()) \ sliceVar match {
-        case JLong(l) => Some(l)
-        case JInt(i) => Some(i.toLong)
+        case JLong(l) => Some(Extreme(l, isDate = false))
+        case JInt(i) => Some(Extreme(i.toLong, isDate = false))
         // double extremes round OUTWARD: floor(min) / ceil(max), so the
         // slice range COVERS fractional extremes — plain toLong would
         // lower the max and silently exclude docs in (floor(max), max]
-        case JDouble(d) => Some(
-          if (direction >= 0) math.floor(d).toLong else math.ceil(d).toLong)
+        case JDouble(d) => Some(Extreme(
+          if (direction >= 0) math.floor(d).toLong else math.ceil(d).toLong,
+          isDate = false))
+        // BSON UTC datetime travels as the typed sentinel — the reference's
+        // PRIMARY minhasaude case (tasks.py slices datetimes by timedelta)
+        case JObject(("$date", JLong(ms)) :: Nil) =>
+          Some(Extreme(ms, isDate = true))
+        case JObject(("$date", JInt(ms)) :: Nil) if ms.isValidLong =>
+          Some(Extreme(ms.toLong, isDate = true))
         case other => throw new IllegalArgumentException(
-          s"slice var $sliceVar is not numeric: $other")
+          s"slice var $sliceVar is not numeric or datetime: $other")
       }
     } finally closeQuietly(cursor)
   }
+
+  private val MillisPerDay = 86400000L
 
   /** The reference's whole flow over the REAL wire protocol
     * (tasks.py:161-300 — `gerar_faixas_de_fatiamento` +
@@ -174,6 +199,12 @@ object MongoSliceReader {
     * drained through the bounded flush buffer (getMore under the hood),
     * cursors closed even on failure, final ±tolerance reconciliation.
     * Returns the per-slice results.
+    *
+    * When the slice variable is a BSON UTC datetime, `sliceSize` is in
+    * DAYS — the reference slices datetime vars by `timedelta(days=
+    * slice_size)` (tasks.py:74-105) — and the slice bounds travel back as
+    * type 0x09 so type bracketing matches. Numeric slice variables keep
+    * `sliceSize` in the variable's own unit.
     */
   def extractAll(client: MongoWireClient, db: String, coll: String,
       baseQuery: Option[String], sliceVar: String, sliceSize: Long,
@@ -181,13 +212,21 @@ object MongoSliceReader {
       flushThreshold: Int = FlushThreshold, batchSize: Int = 1000,
       tolerance: Double = 0.05): Seq[SliceResult] = {
     val expected = client.count(db, coll, baseFilter(baseQuery))
-    val minOpt = extremeValue(client, db, coll, baseQuery, sliceVar, 1)
-    val maxOpt = extremeValue(client, db, coll, baseQuery, sliceVar, -1)
+    val minOpt = typedExtreme(client, db, coll, baseQuery, sliceVar, 1)
+    val maxOpt = typedExtreme(client, db, coll, baseQuery, sliceVar, -1)
     val results = (minOpt, maxOpt) match {
       case (Some(min), Some(max)) =>
-        slices(min, max, sliceSize).map { case (gte, lte) =>
+        require(min.isDate == max.isDate,
+          s"slice var $sliceVar mixes datetime and numeric values " +
+            s"(min isDate=${min.isDate}, max isDate=${max.isDate})")
+        val step = if (min.isDate) {
+          require(sliceSize <= Long.MaxValue / MillisPerDay,
+            s"sliceSize $sliceSize days overflows epoch millis")
+          sliceSize * MillisPerDay // days → ms, like timedelta(days=n)
+        } else sliceSize
+        slices(min.value, max.value, step).map { case (gte, lte) =>
           val filter = JsonMethods.parse(
-            sliceFilterJson(baseQuery, sliceVar, gte, lte))
+            sliceFilterJson(baseQuery, sliceVar, gte, lte, isDate = min.isDate))
           val cursor = client.find(db, coll, filter, batchSize = batchSize)
           // releases a live cursor if a flush threw, without masking the
           // flush/transport error with a cleanup failure

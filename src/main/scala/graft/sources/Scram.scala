@@ -21,16 +21,47 @@ object Scram {
     mac.doFinal(data.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** RFC 3454 table B.1 (map-to-nothing): soft hyphen, combining grapheme
+    * joiner, Mongolian vowel separator + FVS1-3, zero-width space/joiners,
+    * word joiner, variation selectors, BOM. Dropped before normalization.
+    */
+  private def mapToNothing(c: Char): Boolean = (c: Int) match {
+    case 0x00AD | 0x034F | 0x1806 | 0x200B | 0x200C | 0x200D |
+         0x2060 | 0xFEFF => true
+    case i if i >= 0x180B && i <= 0x180D => true // Mongolian FVS1-3
+    case i if i >= 0xFE00 && i <= 0xFE0F => true // variation selectors
+    case _ => false
+  }
+
+  /** SASLprep (RFC 4013) for passwords: map non-ASCII spaces to SPACE
+    * (table C.1.2), drop map-to-nothing characters (B.1), NFKC-normalize,
+    * then prohibit control characters (C.2) — the subset a pt-BR
+    * deployment's accented passwords need, with the dangerous leftovers
+    * (controls) failing loudly instead of silently mis-deriving the key.
+    * Accented passwords in composed and decomposed forms derive the SAME
+    * salted key, matching what a conforming server stored at account
+    * creation.
+    */
+  def saslPrep(s: String): String = {
+    val mapped = s.filterNot(mapToNothing).map { c =>
+      if (c != ' ' && Character.getType(c) == Character.SPACE_SEPARATOR) ' '
+      else c
+    }
+    val norm = java.text.Normalizer.normalize(
+      mapped, java.text.Normalizer.Form.NFKC)
+    require(!norm.exists(c => Character.isISOControl(c)),
+      "SASLprep prohibits control characters in passwords (RFC 4013 C.2)")
+    norm
+  }
+
   /** Hi(password, salt, i) = PBKDF2-HMAC-SHA256, 32-byte output. MongoDB
-    * applies SASLprep to the password first; ASCII passes through
-    * unchanged and non-ASCII is rejected loudly rather than silently
-    * mis-derived.
+    * applies SASLprep to the password first ([[saslPrep]]), so accented
+    * passwords (plausible for a pt-BR deployment) authenticate regardless
+    * of the client's composed/decomposed input form.
     */
   def hi(password: String, salt: Array[Byte], iterations: Int): Array[Byte] = {
-    require(password.forall(_ < 128),
-      "SASLprep normalization for non-ASCII passwords is not implemented")
     val spec = new javax.crypto.spec.PBEKeySpec(
-      password.toCharArray, salt, iterations, 256)
+      saslPrep(password).toCharArray, salt, iterations, 256)
     javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
       .generateSecret(spec).getEncoded
   }

@@ -22,7 +22,9 @@ class CloudStoreLiveSpec extends SparkSpec {
     ("reports/daily_0630.csv", "2026-06-30T10:00:00Z", "id,v\n4,d\n5,e\n"),
     ("reports/readme.txt", "2026-06-20T10:00:00Z", "not a csv"),
     ("reports/notes.csv", "2026-06-20T11:00:00Z",
-      "id,note\n1,\"line one\nline two\"\n2,plain\n"))
+      "id,note\n1,\"line one\nline two\"\n2,plain\n"),
+    // a data row BYTE-IDENTICAL to the header: pandas dtype=str keeps it
+    ("reports/echo.csv", "2026-06-21T11:00:00Z", "id,v\nid,v\n7,z\n"))
 
   private final class FakeCloud {
     val server: HttpServer = HttpServer.create(new InetSocketAddress(0), 0)
@@ -107,6 +109,14 @@ class CloudStoreLiveSpec extends SparkSpec {
       assert(notes.count() == 2)
       assert(notes.collect().map(_.getString(1)).toSet ==
         Set("line one\nline two", "plain"))
+      // a data row byte-identical to the header survives: Spark's
+      // header=true over a Dataset[String] would drop it in EVERY
+      // partition, diverging from pandas dtype=str
+      val echo = CloudStoreReader.loadFileFromGcs(spark, c.url, "lake-bucket",
+        "reports/echo.csv")
+      assert(echo.columns.toSeq == Seq("id", "v"))
+      assert(echo.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+        Set(("id", "v"), ("7", "z")))
     } finally c.stop()
   }
 
@@ -126,10 +136,10 @@ class CloudStoreLiveSpec extends SparkSpec {
   test("GCS bulk load: paginated listing followed to exhaustion; suffix + STRICT updated-window filters") {
     val c = new FakeCloud
     try {
-      // the 5-object listing spans 3 pages of the fake's 2-per-page API —
+      // the 6-object listing spans 3 pages of the fake's 2-per-page API —
       // a client ignoring nextPageToken would never see the later pages
       assert(CloudStoreReader.gcsList(c.url, "lake-bucket", "reports/")
-        .size == 5)
+        .size == 6)
       val got = CloudStoreReader.loadFilesFromGcs(c.url, "lake-bucket",
         "reports/", ".csv",
         updatedAfter = Some(Instant.parse("2026-06-01T10:00:00Z")), // strict >
@@ -138,7 +148,8 @@ class CloudStoreLiveSpec extends SparkSpec {
       // 0601 excluded (not strictly after), 0630 excluded (not strictly
       // before), readme.txt excluded by suffix
       assert(got.map(_._1.name) ==
-        Seq("reports/daily_0615.csv", "reports/notes.csv"))
+        Seq("reports/daily_0615.csv", "reports/notes.csv",
+          "reports/echo.csv"))
       assert(new String(got.head._2, StandardCharsets.UTF_8).startsWith("id,v"))
     } finally c.stop()
   }

@@ -152,6 +152,19 @@ class DorjFetchLiveSpec extends AnyFunSuite {
     assert(DorjFetcher.linksForPath(tree, Seq("atos do prefeito", "nope")) == Nil)
   }
 
+  test("folder-tree parse: UPPERCASE close tags (</SPAN>, </A>) parse identically") {
+    // the tokenizer matches open tags case-insensitively; a case-sensitive
+    // inner-text scan would miss </SPAN>/</A> and silently DROP the folder
+    // name or link, shrinking the day's extraction without error
+    val upper = treeHtml.replace("</span>", "</SPAN>").replace("</a>", "</A>")
+    assert(!upper.contains("</span>") && !upper.contains("</a>"))
+    val tree = DorjFetcher.parseFolderTree(upper)
+    assert(tree.map(_.name) ==
+      Seq("Atos do Prefeito", "Avisos Editais e Termos de Contratos"))
+    assert(tree.head.subfolders.map(_.name) == Seq("DECRETOS N", "PORTARIAS"))
+    assert(tree.head.subtreeLinks.size == 3)
+  }
+
   test("folder-tree parse: OMITTED </li> tags (implied closes) parse identically") {
     // </li> is optional in HTML and real gazette markup omits it: a
     // sibling <li>, a parent </ul>, or end-of-input implies the close —

@@ -100,6 +100,95 @@ class MongoWireLiveSpec extends AnyFunSuite {
     } finally { cli.close(); srv.stop() }
   }
 
+  test("datetime slice variable: bounds travel as BSON type 0x09 and the " +
+    "type-bracketing server matches them; sliceSize is in days") {
+    // 120 docs across 6 days, Date-typed ts field — the reference's
+    // primary minhasaude shape (tasks.py slices datetimes by timedelta)
+    val day0 = 1723600000000L - (1723600000000L % 86400000L)
+    val dateStore = (0 until 120).map { i =>
+      JObject(List("_id" -> JString(f"d$i%05d"),
+        "ts" -> Bson.date(day0 + (i / 20).toLong * 86400000L + i * 1000L),
+        "v" -> JInt(i)))
+    }
+    val srv = new FakeMongo(dateStore)
+    val cli = new MongoWireClient("localhost", srv.port)
+    try {
+      // extremes come back typed
+      val lo = MongoSliceReader.typedExtreme(cli, "db", "coll", None, "ts", 1)
+      assert(lo.contains(MongoSliceReader.Extreme(day0, isDate = true)))
+      // sliceSize = 2 DAYS over a 5-day span → 3 slices, every doc landed
+      val landed = scala.collection.mutable.ArrayBuffer.empty[String]
+      val results = MongoSliceReader.extractAll(cli, "db", "coll", None,
+        "ts", sliceSize = 2, batch => landed ++= batch, batchSize = 16)
+      assert(results.size == 3)
+      val ids = landed.map(d =>
+        (org.json4s.jackson.JsonMethods.parse(d) \ "_id")).distinct
+      assert(ids.size == 120)
+      // the doc JSON keeps the typed sentinel, so downstream re-encoding
+      // of any landed value stays a Date
+      assert(landed.head.contains("\"$date\""))
+    } finally { cli.close(); srv.stop() }
+  }
+
+  test("numeric bounds against a Date-keyed collection drain zero docs " +
+    "(type bracketing) — the failure mode the typed sentinel prevents") {
+    val day0 = 1723600000000L
+    val dateStore = (0 until 10).map(i => JObject(List(
+      "_id" -> JString(s"d$i"), "ts" -> Bson.date(day0 + i))))
+    val srv = new FakeMongo(dateStore)
+    val cli = new MongoWireClient("localhost", srv.port)
+    try {
+      val numericFilter = JObject("ts" -> (JObject(
+        "$gte" -> (JLong(0L): JValue),
+        "$lte" -> (JLong(Long.MaxValue / 2): JValue)): JValue))
+      assert(cli.count("db", "coll", numericFilter) == 0L)
+      val dateFilter = JObject("ts" -> (JObject(
+        "$gte" -> (Bson.date(day0): JValue),
+        "$lte" -> (Bson.date(day0 + 9): JValue)): JValue))
+      assert(cli.count("db", "coll", dateFilter) == 10L)
+    } finally { cli.close(); srv.stop() }
+  }
+
+  test("Bson encode guards: oversized JInt and lossy JDecimal fail loudly; " +
+    "$date round-trips as type 0x09") {
+    intercept[IllegalArgumentException](Bson.encodeDoc(
+      JObject("x" -> (JInt(BigInt(2).pow(80)): JValue))))
+    intercept[IllegalArgumentException](Bson.encodeDoc(
+      JObject("x" -> (JDecimal(BigDecimal("0.1")): JValue))))
+    // exactly-representable decimals still encode
+    val ok = Bson.decodeDoc(ByteBuffer.wrap(Bson.encodeDoc(
+      JObject("x" -> (JDecimal(BigDecimal("1.5")): JValue)))))
+    assert((ok \ "x") == JDouble(1.5))
+    val rt = Bson.decodeDoc(ByteBuffer.wrap(Bson.encodeDoc(
+      JObject("ts" -> (Bson.date(1723600000000L): JValue)))))
+    assert((rt \ "ts") == Bson.date(1723600000000L))
+    // the encoded type byte IS 0x09, not a nested document
+    val bytes = Bson.encodeDoc(JObject("t" -> (Bson.date(1L): JValue)))
+    assert((bytes(4) & 0xff) == 0x09)
+  }
+
+  test("SASLprep: composed and decomposed accented passwords derive the " +
+    "same key and authenticate over the wire") {
+    val composed = "pen\u00e7il"        // precomposed c-cedilla
+    val decomposed = "pen\u0063\u0327il" // c + combining cedilla
+    assert(composed != decomposed)
+    assert(Scram.saslPrep(composed) == Scram.saslPrep(decomposed))
+    assert(Scram.hi(composed, "salt0123".getBytes, 256)
+      .sameElements(Scram.hi(decomposed, "salt0123".getBytes, 256)))
+    // non-ASCII space maps to SPACE; zero-width chars drop out
+    assert(Scram.saslPrep("a\u00a0b") == "a b")
+    assert(Scram.saslPrep("a\u200bb") == "ab")
+    intercept[IllegalArgumentException](Scram.saslPrep("a\u0007b"))
+    // over the wire: server stored the composed form, client types the
+    // decomposed form — auth still succeeds
+    val srv = new FakeMongo(store, credentials = Some("svc" -> composed))
+    val cli = new MongoWireClient("localhost", srv.port)
+    try {
+      cli.authenticate("svc", decomposed, clientNonce = Some("CNONCE123"))
+      assert(cli.count("db", "coll", JObject()) == 260L)
+    } finally { cli.close(); srv.stop() }
+  }
+
   test("SCRAM-SHA-256 Keys math reproduces the RFC 7677 test vector") {
     // RFC 7677 §3: user "user", password "pencil"
     val cnonce = "rOprNGfwEbeRWgbNEkqO"
@@ -257,7 +346,7 @@ class MongoWireLiveSpec extends AnyFunSuite {
     body.writeTo(full); full.write(0)
     val decoded = Bson.decodeDoc(ByteBuffer.wrap(full.toByteArray))
     assert((decoded \ "oid") == JString("0102030405060708090a0b0c"))
-    assert((decoded \ "ts") == JLong(1723600000000L))
+    assert((decoded \ "ts") == Bson.date(1723600000000L))
   }
 }
 
@@ -282,10 +371,18 @@ private[sources] final class FakeMongo(docs: Seq[JObject],
   private val cursors = new ConcurrentHashMap[Long, Seq[JObject]]()
   def openCursors: Int = cursors.size()
 
-  private def num(v: JValue): Option[Double] = v match {
-    case JInt(i) => Some(i.toDouble)
-    case JLong(l) => Some(l.toDouble)
-    case JDouble(d) => Some(d)
+  private def num(v: JValue): Option[Double] = typed(v).map(_._1)
+
+  // (value, isDate): like real MongoDB, comparisons TYPE-BRACKET — a Date
+  // field never compares against an int64 bound, so a client that sends
+  // numeric bounds for a datetime slice var drains zero docs (the bug
+  // class the ADVICE flagged; a purely numeric fake could not catch it)
+  private def typed(v: JValue): Option[(Double, Boolean)] = v match {
+    case JInt(i) => Some((i.toDouble, false))
+    case JLong(l) => Some((l.toDouble, false))
+    case JDouble(d) => Some((d, false))
+    case JObject(("$date", JLong(ms)) :: Nil) => Some((ms.toDouble, true))
+    case JObject(("$date", JInt(ms)) :: Nil) => Some((ms.toDouble, true))
     case _ => None
   }
 
@@ -295,12 +392,12 @@ private[sources] final class FakeMongo(docs: Seq[JObject],
       cond match {
         case o: JObject if o.obj.exists(f => f._1.startsWith("$")) =>
           o.obj.forall {
-            case ("$gte", bound) => (num(v), num(bound)) match {
-              case (Some(a), Some(b)) => a >= b
+            case ("$gte", bound) => (typed(v), typed(bound)) match {
+              case (Some((a, at)), Some((b, bt))) => at == bt && a >= b
               case _ => false
             }
-            case ("$lte", bound) => (num(v), num(bound)) match {
-              case (Some(a), Some(b)) => a <= b
+            case ("$lte", bound) => (typed(v), typed(bound)) match {
+              case (Some((a, at)), Some((b, bt))) => at == bt && a <= b
               case _ => false
             }
             case (op, _) => sys.error(s"fake server: unsupported operator $op")
