@@ -7,6 +7,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // ENGINE-LEVEL partition policy (BENCH_NOTES): shuffle.partitions is
+      // only the AQE ceiling — adaptive coalescing sizes every post-shuffle
+      // stage by bytes (advisory 64 MiB), so small intermediate results
+      // collapse to few partitions without any query hand-picking its
+      // parallelism. parallelismFirst=false makes AQE respect the advisory
+      // size instead of keeping tiny partitions just to fill cores — the
+      // setting a real cluster runs with. Streaming state-store counts
+      // (which AQE cannot touch) come from Incremental.statePartitions.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       // Session-artifact classloader isolation routes every Janino codegen
       // class-name MISS through an RPC file download that can block for

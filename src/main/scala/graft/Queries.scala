@@ -34,20 +34,6 @@ object Queries {
   private def avgDec(c: Column): Column =
     round(sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1)), 6)
 
-  /** Run `body` with `spark.sql.shuffle.partitions` = `n`, restoring the
-    * session value after. Stateful streaming ops allocate one state store
-    * per shuffle partition per operator per micro-batch — for the
-    * streaming-parity harness streams (thousands of rows) 32 partitions is
-    * pure per-batch overhead (measured 2x on q113). State partitioning is
-    * the knob a real deployment SIZES to stream volume; these queries size
-    * it to theirs.
-    */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
-
   /** Recreate a per-query scratch dir (delete, then mkdir): repeated bench
     * iterations within one JVM reuse one disk footprint instead of
     * accumulating a fresh temp copy per run, and streaming checkpoints
@@ -1023,7 +1009,7 @@ object Queries {
     // watermark advances across micro-batches and every real session's
     // event-time timeout fires before the AvailableNow stream ends — no
     // driver-side collect of the fixture.
-    "q112_stream_sessionize" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "q112_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       val tmp = freshScratchDir("graft_q112")
       // events.ts is TIMESTAMP_NTZ in the lake; the watermark machinery
@@ -1034,9 +1020,13 @@ object Queries {
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
           col("value"))
       ev.coalesce(1).write.parquet(s"$tmp/in")
-      // max(ts) from the just-written single file — no second source scan
-      val maxTs = s.read.parquet(s"$tmp/in")
-        .agg(max(col("ts"))).head().getTimestamp(0)
+      // max(ts) + row count from the just-written single file in ONE job —
+      // no second source scan; the count feeds the engine's
+      // state-partition policy (Incremental.statePartitions)
+      val agg0 = s.read.parquet(s"$tmp/in")
+        .agg(max(col("ts")), count(lit(1))).head()
+      val maxTs = agg0.getTimestamp(0)
+      val nRows = agg0.getLong(1)
       // FileStreamSource orders files by MODIFICATION TIME; a coarse-mtime
       // filesystem could tie the data file with a sentinel and process the
       // sentinel first, dropping every real event as late — so each write
@@ -1063,20 +1053,24 @@ object Queries {
           .coalesce(1).write.mode("append").parquet(s"$tmp/in")
         stampMtimes(1000000000000L + (i + 1) * 60000L)
       }
-      val events = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
-        .withWatermark("ts", "0 seconds")
-        .as[graft.streaming.Incremental.SessionEvent]
       // FIXED sink name, prior run's table dropped: a per-run UUID name
       // would leak one memory-sink result set per bench iteration
       val name = "q112_sessions"
       s.catalog.dropTempView(name)
-      val q = graft.streaming.Incremental.sessionize(events, gapMs = 1800000L)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
+      // state-store count from the ENGINE policy, sized to the observed
+      // stream volume — not a per-query hand-picked number
+      graft.streaming.Incremental.withStreamParallelism(s, nRows) {
+        val events = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+          .withWatermark("ts", "0 seconds")
+          .as[graft.streaming.Incremental.SessionEvent]
+        val q = graft.streaming.Incremental.sessionize(events, gapMs = 1800000L)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
       s.table(name).filter(col("user_id") >= 0)
         .select(col("user_id"), col("session_start_ms"),
           col("session_end_ms"), col("n_events"),
@@ -1088,7 +1082,7 @@ object Queries {
     // (purchases within 1h after each click, same user) in AvailableNow
     // mode over file-source streams — the oracle is the plain SQL
     // time-bounded join, so the stateful join must match it row-for-row.
-    "q113_stream_interval_join" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "q113_stream_interval_join" -> ((s, dir) => {
       val tmp = freshScratchDir("graft_q113")
       val ev = t(s, dir, "events")
       // ts cast NTZ→TIMESTAMP (lossless under the UTC session TZ): the
@@ -1101,18 +1095,24 @@ object Queries {
           col("ts").cast("timestamp").as("pts"))
       clicks.write.parquet(s"$tmp/clicks")
       purchases.write.parquet(s"$tmp/purchases")
-      val cs = s.readStream.schema(clicks.schema).parquet(s"$tmp/clicks")
-      val ps = s.readStream.schema(purchases.schema).parquet(s"$tmp/purchases")
+      // footer-only count of the bigger landed side feeds the engine's
+      // state-partition policy — no data scan
+      val nRows = math.max(s.read.parquet(s"$tmp/clicks").count(),
+        s.read.parquet(s"$tmp/purchases").count())
       val name = "q113_joined"
       s.catalog.dropTempView(name)
-      val q = graft.streaming.Incremental.intervalJoin(cs, ps, "user_id",
-          leftTs = "ts", rightTs = "pts", lateness = "1 hour",
-          lowerBound = "0 seconds", upperBound = "1 hour")
-        .select(col("user_id"), col("event_id"), col("purchase_id"))
-        .writeStream.format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
+      graft.streaming.Incremental.withStreamParallelism(s, nRows) {
+        val cs = s.readStream.schema(clicks.schema).parquet(s"$tmp/clicks")
+        val ps = s.readStream.schema(purchases.schema).parquet(s"$tmp/purchases")
+        val q = graft.streaming.Incremental.intervalJoin(cs, ps, "user_id",
+            leftTs = "ts", rightTs = "pts", lateness = "1 hour",
+            lowerBound = "0 seconds", upperBound = "1 hour")
+          .select(col("user_id"), col("event_id"), col("purchase_id"))
+          .writeStream.format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
       s.table(name)
         .orderBy(col("user_id"), col("event_id"), col("purchase_id"))
     }),
@@ -1142,6 +1142,65 @@ object Queries {
           checkpoint = s"$tmp/ckpt")
         .start()
       try q.awaitTermination() finally q.stop()
+      s.read.parquet(snapshotPath).orderBy(col("user_id"))
+    }),
+
+    // STREAMING exactly-once THROUGH FAILURE: the same CDC merge as q114,
+    // but the stream is KILLED mid-run (stop() as soon as the first
+    // micro-batch commits, with three more batches still pending) and then
+    // resumed from the checkpoint — the final snapshot must STILL
+    // hash-match the batch oracle. The changelog is split into four
+    // TIME-ORDERED chunk files (mtime-sequenced, maxFilesPerTrigger=1), so
+    // sequential per-batch latest-wins composes to the global latest-wins
+    // whatever batch boundary the kill lands on; the foreachBatch merge is
+    // idempotent per batch, so a batch replayed across the kill (applied
+    // but not yet checkpoint-committed) re-lands the same snapshot.
+    "q115_stream_cdc_resume" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tmp = freshScratchDir("graft_q115")
+      val snapshotPath = s"$tmp/snap"
+      t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("status"))
+        .write.parquet(snapshotPath)
+      val changes = t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("status"),
+          col("ts"), col("event_id"))
+      // four time-ordered chunks — ntile over the global change order is
+      // fixture prep (one sort of the harness changelog), not engine path
+      val chunked = changes.withColumn("chunk",
+        ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
+      def stampMtime(path: String, epochMs: Long): Unit = {
+        val ft = java.nio.file.attribute.FileTime.fromMillis(epochMs)
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+        try listing.forEach { f =>
+          if (java.nio.file.Files.getLastModifiedTime(f).toMillis > 1100000000000L)
+            java.nio.file.Files.setLastModifiedTime(f, ft)
+        } finally listing.close()
+      }
+      for (c <- 1 to 4) {
+        chunked.filter(col("chunk") === c).drop("chunk")
+          .coalesce(1).write.mode("append").parquet(s"$tmp/changes")
+        stampMtime(s"$tmp/changes", 1000000000000L + c * 60000L)
+      }
+      def merge() = graft.streaming.Incremental.cdcToSnapshot(
+        s.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/changes"),
+        keys = Seq("user_id"), order = Seq(col("ts"), col("event_id")),
+        op = when(col("status") === "error", "delete").otherwise("upsert"),
+        payload = Seq("status"), snapshotPath = snapshotPath,
+        checkpoint = s"$tmp/ckpt")
+      // phase 1: kill as soon as the first batch lands — a mid-run crash
+      val q1 = merge().start()
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (q1.recentProgress.isEmpty && q1.isActive &&
+          System.nanoTime() < deadline) Thread.sleep(10)
+      } finally q1.stop()
+      q1.awaitTermination()
+      // phase 2: resume from the SAME checkpoint, drain to completion
+      val q2 = merge().start()
+      try q2.awaitTermination() finally q2.stop()
       s.read.parquet(snapshotPath).orderBy(col("user_id"))
     }),
 
@@ -3362,6 +3421,27 @@ object Queries {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // q115 shares the same oracle as q114/q68: a kill + checkpoint-resume
+    // must land the identical final snapshot (exactly-once through
+    // failure).
+    "q115_stream_cdc_resume" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type AS status,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |), latest AS (
+        |  SELECT user_id, status, op FROM ch WHERE rn = 1
+        |), base AS (
+        |  SELECT c_custkey AS user_id, c_mktsegment AS status FROM customer
+        |)
+        |SELECT coalesce(b.user_id, l.user_id) AS user_id,
+        |  CASE WHEN l.op IS NOT NULL THEN l.status ELSE b.status END AS status
+        |FROM base b FULL JOIN latest l ON b.user_id = l.user_id
+        |WHERE l.op IS NULL OR l.op <> 'delete'
+        |ORDER BY user_id""".stripMargin,
 
     // q114 shares q68's oracle: stream-MERGE must equal batch-MERGE.
     "q114_stream_cdc" ->

@@ -21,9 +21,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * instead of a destructive window where the table is half-loaded.
   *
   * Manifest format: `_manifests/v{N}.json` = `{"version":N,"files":[...]}`
-  * (relative paths). Commit = write `v{N}.json.tmp`, then rename — rename
-  * is the atomicity primitive on HDFS-like stores; on object stores a real
-  * deployment swaps in a conditional-PUT (documented limitation).
+  * (relative paths). The ATOMICITY PRIMITIVE is pluggable via
+  * [[ManifestStore]]: on HDFS-like filesystems ([[HadoopManifestStore]],
+  * the default) a claim is create-no-overwrite and a manifest publish is
+  * write-tmp-then-rename; on object stores ([[CasManifestStore]] over a
+  * [[CasBlobStore]]) both are a conditional PUT (`If-None-Match: *`, the
+  * S3/GCS first-writer-wins precondition) — no rename needed, because a
+  * conditional PUT of the final key IS the visibility event. Data files
+  * are plain parquet either way; only manifest/claim atomicity differs
+  * per store.
   *
   * == Concurrency contract ==
   *
@@ -52,21 +58,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    by design — the caller owns picking a `keepFrom` older than any
   *    in-flight read (the same retention contract lakehouse formats ship).
   */
-object VersionedLake {
+/** The atomicity surface the [[VersionedLake]] commit protocol needs from
+  * manifest storage. `tryClaim` and `publish` MUST be first-writer-wins
+  * atomic (exactly one of N racing callers returns true for a given
+  * version); everything else is plain IO. Two implementations ship:
+  * [[HadoopManifestStore]] (create-no-overwrite + rename — HDFS/POSIX) and
+  * [[CasManifestStore]] (conditional PUT — S3/GCS-style object stores).
+  */
+trait ManifestStore {
+  /** Committed versions, ascending (manifest present). */
+  def committedVersions(): Seq[Long]
+  /** All claimed versions (committed, in-flight, or crashed), ascending. */
+  def claimedVersions(): Seq[Long]
+  /** Atomically claim `version`; false = another committer won it. */
+  def tryClaim(version: Long): Boolean
+  /** Atomically publish `version`'s manifest; false = already published
+    * (a protocol violation the caller surfaces loudly — claims make the
+    * version number exclusive BEFORE publish).
+    */
+  def publish(version: Long, manifest: Array[Byte]): Boolean
+  def readManifest(version: Long): Array[Byte]
+  def deleteManifest(version: Long): Unit
+  def deleteClaim(version: Long): Unit
+  /** Claim mtime for the vacuum TTL heuristic; None = no claim found. */
+  def claimModifiedAtMs(version: Long): Option[Long]
+}
 
-  /** A lost version-claim race after `maxAttempts` tries. */
-  final class ConcurrentCommitException(msg: String)
-    extends java.io.IOException(msg)
+/** Filesystem-rename manifest store: claims are create-no-overwrite files,
+  * manifest publish is write-`v{N}.json.tmp`-then-rename (the HDFS
+  * atomicity primitive). On `file://` Hadoop's RawLocal/ChecksumFileSystem
+  * implements create(overwrite=false) as a NON-atomic exists()-then-create
+  * — two racing local committers could both "win" — so local tables claim
+  * via `java.io.File.createNewFile`, which is O_EXCL-atomic.
+  */
+final class HadoopManifestStore(f: FileSystem, table: String)
+    extends ManifestStore {
+  private def dir = new Path(table, "_manifests")
 
-  private def fs(spark: SparkSession, path: String): FileSystem =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def manifestDir(table: String) = new Path(table, "_manifests")
-
-  /** Versions present, ascending (empty for a fresh path). */
-  def versions(spark: SparkSession, table: String): Seq[Long] = {
-    val f = fs(spark, table)
-    val dir = manifestDir(table)
+  def committedVersions(): Seq[Long] = {
     if (!f.exists(dir)) return Seq.empty
     f.listStatus(dir).map(_.getPath.getName).toSeq
       .collect { case n if n.matches("v\\d+\\.json") =>
@@ -74,11 +103,7 @@ object VersionedLake {
       .sorted
   }
 
-  /** Version numbers any committer has CLAIMED (committed or in-flight or
-    * crashed) — the sequence the next commit must advance past.
-    */
-  private def claimedVersions(f: FileSystem, table: String): Seq[Long] = {
-    val dir = manifestDir(table)
+  def claimedVersions(): Seq[Long] = {
     if (!f.exists(dir)) return Seq.empty
     f.listStatus(dir).map(_.getPath.getName).toSeq
       .collect { case n if n.matches("v\\d+\\.(json|claim)") =>
@@ -86,18 +111,9 @@ object VersionedLake {
       .distinct.sorted
   }
 
-  /** Atomically claim `next` for this committer. False = another
-    * committer got there first. On `file://` Hadoop's
-    * RawLocal/ChecksumFileSystem implements create(overwrite=false) as a
-    * NON-atomic exists()-then-create — two racing local committers could
-    * both "win" — so local tables claim via `java.io.File.createNewFile`,
-    * which is O_EXCL-atomic; HDFS-like stores get the atomic
-    * create-no-overwrite RPC.
-    */
-  private def tryClaim(f: FileSystem, table: String, next: Long): Boolean = {
-    val dir = manifestDir(table)
+  def tryClaim(version: Long): Boolean = {
     f.mkdirs(dir)
-    val claim = new Path(dir, s"v$next.claim")
+    val claim = new Path(dir, s"v$version.claim")
     // base FileSystem.getScheme throws UnsupportedOperationException for
     // implementations that never override it — fall back to the URI
     val scheme =
@@ -111,6 +127,104 @@ object VersionedLake {
         case _: java.io.IOException => false // FileAlreadyExists subsumed
       }
   }
+
+  def publish(version: Long, manifest: Array[Byte]): Boolean = {
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s"v$version.json.tmp")
+    val out = f.create(tmp, false)
+    try out.write(manifest) finally out.close()
+    f.rename(tmp, new Path(dir, s"v$version.json"))
+  }
+
+  def readManifest(version: Long): Array[Byte] = {
+    val in = f.open(new Path(dir, s"v$version.json"))
+    try in.readAllBytes() finally in.close()
+  }
+
+  def deleteManifest(version: Long): Unit =
+    f.delete(new Path(dir, s"v$version.json"), false)
+  def deleteClaim(version: Long): Unit =
+    f.delete(new Path(dir, s"v$version.claim"), false)
+
+  def claimModifiedAtMs(version: Long): Option[Long] =
+    try Some(f.getFileStatus(new Path(dir, s"v$version.claim"))
+      .getModificationTime)
+    catch { case _: java.io.IOException => None }
+}
+
+/** The three object-store operations [[CasManifestStore]] needs — the
+  * subset of the S3/GCS blob API the commit protocol rides. `putIfAbsent`
+  * is the atomic one: a conditional PUT with `If-None-Match: *` (S3) /
+  * `x-goog-if-generation-match: 0` (GCS) that succeeds for exactly one of
+  * N racing writers. Listing/delete/mtime are plain.
+  */
+trait CasBlobStore {
+  /** Conditional PUT: write `key` iff absent; false = it already existed. */
+  def putIfAbsent(key: String, bytes: Array[Byte]): Boolean
+  def get(key: String): Option[Array[Byte]]
+  def list(prefix: String): Seq[String]
+  def delete(key: String): Unit
+  def modifiedAtMs(key: String): Option[Long]
+}
+
+/** Conditional-PUT manifest store for object-store deployments: both the
+  * claim and the manifest publish are `putIfAbsent` of their FINAL key —
+  * no rename exists (or is atomic) on object stores, and none is needed,
+  * because a conditional PUT of `v{N}.json` itself is the visibility
+  * event. Data files remain plain parquet written by Spark's own
+  * committer; only manifest/claim atomicity rides the CAS.
+  */
+final class CasManifestStore(blob: CasBlobStore,
+    prefix: String = "_manifests") extends ManifestStore {
+  private def key(name: String) = s"$prefix/$name"
+
+  def committedVersions(): Seq[Long] =
+    blob.list(key("v")).map(_.stripPrefix(key("")))
+      .collect { case n if n.matches("v\\d+\\.json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted
+
+  def claimedVersions(): Seq[Long] =
+    blob.list(key("v")).map(_.stripPrefix(key("")))
+      .collect { case n if n.matches("v\\d+\\.(json|claim)") =>
+        n.stripPrefix("v").takeWhile(_.isDigit).toLong }
+      .distinct.sorted
+
+  def tryClaim(version: Long): Boolean =
+    blob.putIfAbsent(key(s"v$version.claim"), Array.emptyByteArray)
+
+  def publish(version: Long, manifest: Array[Byte]): Boolean =
+    blob.putIfAbsent(key(s"v$version.json"), manifest)
+
+  def readManifest(version: Long): Array[Byte] =
+    blob.get(key(s"v$version.json")).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no manifest for v$version under $prefix"))
+
+  def deleteManifest(version: Long): Unit = blob.delete(key(s"v$version.json"))
+  def deleteClaim(version: Long): Unit = blob.delete(key(s"v$version.claim"))
+
+  def claimModifiedAtMs(version: Long): Option[Long] =
+    blob.modifiedAtMs(key(s"v$version.claim"))
+}
+
+object VersionedLake {
+
+  /** A lost version-claim race after `maxAttempts` tries. */
+  final class ConcurrentCommitException(msg: String)
+    extends java.io.IOException(msg)
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def storeFor(spark: SparkSession, table: String,
+      override_ : Option[ManifestStore]): ManifestStore =
+    override_.getOrElse(new HadoopManifestStore(fs(spark, table), table))
+
+  /** Versions present, ascending (empty for a fresh path). */
+  def versions(spark: SparkSession, table: String,
+      manifestStore: Option[ManifestStore] = None): Seq[Long] =
+    storeFor(spark, table, manifestStore).committedVersions()
 
   /** Commit `df` as the next version. `mode` is `"overwrite"` (the new
     * version is exactly `df`) or `"append"` (the new version = previous
@@ -126,16 +240,18 @@ object VersionedLake {
     * `maxAttempts` times, then throws [[ConcurrentCommitException]].
     */
   def commit(df: DataFrame, table: String, mode: String = "overwrite",
-      partitionBy: Seq[String] = Nil, maxAttempts: Int = 10): Long = {
+      partitionBy: Seq[String] = Nil, maxAttempts: Int = 10,
+      manifestStore: Option[ManifestStore] = None): Long = {
     require(mode == "overwrite" || mode == "append", s"unknown mode $mode")
     val spark = df.sparkSession
     val f = fs(spark, table)
+    val store = storeFor(spark, table, manifestStore)
     var next = 0L
     var attempt = 0
     var claimed = false
     while (!claimed) {
-      next = claimedVersions(f, table).lastOption.getOrElse(0L) + 1L
-      claimed = tryClaim(f, table, next)
+      next = store.claimedVersions().lastOption.getOrElse(0L) + 1L
+      claimed = store.tryClaim(next)
       attempt += 1
       if (!claimed && attempt >= maxAttempts)
         throw new ConcurrentCommitException(
@@ -145,7 +261,7 @@ object VersionedLake {
     // concurrent appends each commit carries the files of the last
     // version it SAW — serial appends (the stored-state pattern) chain
     // completely
-    val prev = versions(spark, table)
+    val prev = store.committedVersions()
     // new files land under a per-version directory: never collides with
     // visible data, orphaned cleanly if the manifest rename fails
     val dataDir = new Path(table, s"_data/v$next")
@@ -168,32 +284,25 @@ object VersionedLake {
       b.result().sorted
     }
     val carried = if (mode == "append" && prev.nonEmpty)
-      readManifest(spark, table, prev.last) else Seq.empty
+      manifestFiles(store, table, prev.last) else Seq.empty
     val files = carried ++ newFiles
     val json = files.map(p => "\"" + p + "\"").mkString(
       s"""{"version":$next,"files":[""", ",", "]}")
-    val dir = manifestDir(table)
-    f.mkdirs(dir)
-    val tmp = new Path(dir, s"v$next.json.tmp")
-    val out = f.create(tmp, false)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!f.rename(tmp, new Path(dir, s"v$next.json")))
-      throw new java.io.IOException(s"commit v$next lost the rename race")
+    if (!store.publish(next,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      throw new java.io.IOException(s"commit v$next lost the publish race")
     next
   }
 
-  private def readManifest(spark: SparkSession, table: String,
+  private def manifestFiles(store: ManifestStore, table: String,
       version: Long): Seq[String] = {
-    val f = fs(spark, table)
-    val p = new Path(manifestDir(table), s"v$version.json")
-    val in = f.open(p)
-    val json = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val json = new String(store.readManifest(version),
+      java.nio.charset.StandardCharsets.UTF_8)
     // the manifest is machine-written with a fixed shape; a tiny extractor
     // beats a JSON-library dependency
     val m = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json)
-      .getOrElse(throw new IllegalStateException(s"malformed manifest $p"))
+      .getOrElse(throw new IllegalStateException(
+        s"malformed manifest v$version of $table"))
     m.group(1).split(",").toSeq.filter(_.nonEmpty)
       .map(_.trim.stripPrefix("\"").stripSuffix("\""))
   }
@@ -213,12 +322,14 @@ object VersionedLake {
     */
   def read(spark: SparkSession, table: String,
       version: Option[Long] = None, mergeSchema: Boolean = true,
-      schemaDDL: String = null): DataFrame = {
-    val vs = versions(spark, table)
+      schemaDDL: String = null,
+      manifestStore: Option[ManifestStore] = None): DataFrame = {
+    val store = storeFor(spark, table, manifestStore)
+    val vs = store.committedVersions()
     require(vs.nonEmpty, s"no committed versions at $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs at $table")
-    val files = readManifest(spark, table, v)
+    val files = manifestFiles(store, table, v)
     require(files.nonEmpty, s"version $v of $table lists no files")
     // group by version dir and anchor each group's read at its own
     // basePath: partitioned commits nest files under col=value dirs, and
@@ -250,22 +361,22 @@ object VersionedLake {
     * lakehouse vacuums ship: pick a TTL longer than your longest commit.
     */
   def vacuum(spark: SparkSession, table: String, keepFrom: Long,
-      claimTtlMs: Long = 24L * 3600 * 1000): Int = {
+      claimTtlMs: Long = 24L * 3600 * 1000,
+      manifestStore: Option[ManifestStore] = None): Int = {
     val f = fs(spark, table)
-    val vs = versions(spark, table)
+    val store = storeFor(spark, table, manifestStore)
+    val vs = store.committedVersions()
     val keep = vs.filter(_ >= keepFrom)
     require(keep.nonEmpty, s"vacuum would delete every version of $table")
-    val live = keep.flatMap(readManifest(spark, table, _)).toSet
-    // a commit IN FLIGHT (claim taken, manifest not yet renamed) has data
-    // files no manifest references yet — its whole _data/v{N} dir is
+    val live = keep.flatMap(manifestFiles(store, table, _)).toSet
+    // a commit IN FLIGHT (claim taken, manifest not yet published) has
+    // data files no manifest references yet — its whole _data/v{N} dir is
     // off-limits. In flight = manifest-less AND (≥ keepFrom OR claim
     // younger than the TTL).
     val now = System.currentTimeMillis()
     def claimAgeMs(v: Long): Long =
-      try now - f.getFileStatus(
-        new Path(manifestDir(table), s"v$v.claim")).getModificationTime
-      catch { case _: java.io.IOException => Long.MaxValue }
-    val inFlight = claimedVersions(f, table)
+      store.claimModifiedAtMs(v).map(now - _).getOrElse(Long.MaxValue)
+    val inFlight = store.claimedVersions()
       .filter(v => !vs.contains(v) &&
         (v >= keepFrom || claimAgeMs(v) <= claimTtlMs)).toSet
     val dataRoot = new Path(table, "_data")
@@ -292,15 +403,15 @@ object VersionedLake {
       victims.result().foreach { p => if (f.delete(p, false)) deleted += 1 }
     }
     vs.filterNot(keep.contains).foreach { v =>
-      f.delete(new Path(manifestDir(table), s"v$v.json"), false)
-      f.delete(new Path(manifestDir(table), s"v$v.claim"), false)
+      store.deleteManifest(v)
+      store.deleteClaim(v)
     }
     // claims below keepFrom whose manifest never appeared AND whose TTL
     // expired (crashed committers): their data dirs were just swept above,
     // drop the claims; in-flight claims keep both claim and data
-    claimedVersions(f, table)
+    store.claimedVersions()
       .filter(v => v < keepFrom && !vs.contains(v) && !inFlight.contains(v))
-      .foreach(v => f.delete(new Path(manifestDir(table), s"v$v.claim"), false))
+      .foreach(store.deleteClaim)
     deleted
   }
 }

@@ -18,6 +18,40 @@ import org.apache.spark.sql.Row
   */
 object Incremental {
 
+  /** ENGINE-LEVEL stream-parallelism policy: stateful streaming allocates
+    * one state store per shuffle partition per stateful operator per
+    * micro-batch, and `spark.sql.shuffle.partitions` at the FIRST batch
+    * pins that count for the checkpoint's lifetime — so it must be sized
+    * to stream volume, not inherited from the batch default (32 state
+    * stores over a few thousand rows is pure per-batch overhead; measured
+    * 2-3x on the parity harnesses). One partition per ~`targetRows` rows,
+    * clamped to [2, the session's batch parallelism]: small streams get
+    * small state, big streams saturate the session ceiling. AQE cannot do
+    * this for streaming (coalescing would change the state-store count
+    * mid-checkpoint), so the policy lives here instead of a per-query
+    * hand-picked number.
+    */
+  def statePartitions(sessionParallelism: Int, approxRows: Long,
+      targetRows: Long = 15000L): Int = {
+    require(targetRows > 0 && sessionParallelism > 0)
+    val wanted = math.ceil(math.max(0L, approxRows).toDouble / targetRows).toInt
+    math.max(2, math.min(sessionParallelism, wanted))
+  }
+
+  /** Run a streaming job under the [[statePartitions]] policy for its
+    * observed input volume, restoring the session's batch parallelism
+    * after. `approxRows` is cheap to obtain: a parquet-footer count of
+    * the landed fixture, or any upstream cardinality estimate — the
+    * policy only needs the order of magnitude.
+    */
+  def withStreamParallelism[T](s: org.apache.spark.sql.SparkSession,
+      approxRows: Long)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      statePartitions(prev.toInt, approxRows).toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Tumbling-window aggregation with a watermark: the streaming analog of
     * the reference's per-window extraction totals (vitai_db year→window
     * split, reference: pipelines/datalake/extract_load/vitai_db/tasks.py:32-56).

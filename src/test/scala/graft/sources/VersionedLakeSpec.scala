@@ -179,4 +179,120 @@ class VersionedLakeSpec extends SparkSpec {
     assert(!new java.io.File(claims, "v4.claim").exists())
     assert(VersionedLake.read(spark, tbl).count() == 5L)
   }
+
+  /** Object-store fake: the three blob ops with REAL conditional-PUT
+    * semantics — `putIfAbsent` is a single atomic ConcurrentHashMap
+    * operation, so racing writers resolve exactly like an S3
+    * `If-None-Match: *` precondition (one 200, the rest 412).
+    */
+  private final class InMemoryCasStore extends CasBlobStore {
+    private val m = new java.util.concurrent.ConcurrentHashMap[
+      String, (Array[Byte], Long)]()
+    val putAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
+      putAttempts.incrementAndGet()
+      m.putIfAbsent(key, (bytes, System.currentTimeMillis())) == null
+    }
+    def get(key: String): Option[Array[Byte]] = Option(m.get(key)).map(_._1)
+    def list(prefix: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      m.keySet().asScala.toSeq.filter(_.startsWith(prefix)).sorted
+    }
+    def delete(key: String): Unit = m.remove(key)
+    def modifiedAtMs(key: String): Option[Long] = Option(m.get(key)).map(_._2)
+  }
+
+  test("CAS manifest store: commit/read/append/time-travel round-trip with " +
+    "conditional-PUT visibility (no rename anywhere)") {
+    val tbl = Files.createTempDirectory("vlakecas").toString
+    val blob = new InMemoryCasStore
+    val store = Some(new CasManifestStore(blob): ManifestStore)
+    val v1 = VersionedLake.commit(Seq(1, 2, 3).toDF("x"), tbl,
+      manifestStore = store)
+    val v2 = VersionedLake.commit(Seq(10).toDF("x"), tbl, mode = "append",
+      manifestStore = store)
+    assert((v1, v2) == ((1L, 2L)))
+    assert(VersionedLake.read(spark, tbl, manifestStore = store)
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 10))
+    assert(VersionedLake.read(spark, tbl, Some(1L), manifestStore = store)
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    // NO manifest artifacts on the filesystem: visibility lives in the blob
+    assert(!new java.io.File(s"$tbl/_manifests").exists())
+    assert(blob.list("_manifests/").size == 4) // 2 claims + 2 manifests
+    // vacuum over the CAS store: v1's files die, v2 stays readable
+    assert(VersionedLake.vacuum(spark, tbl, keepFrom = 2L,
+      manifestStore = store) >= 1)
+    assert(VersionedLake.versions(spark, tbl, manifestStore = store)
+      == Seq(2L))
+    assert(VersionedLake.read(spark, tbl, manifestStore = store)
+      .count() == 4L)
+  }
+
+  test("CAS manifest store: two interleaved committers resolve every " +
+    "claim race via conditional PUT — unique versions, consistent snapshots") {
+    val tbl = Files.createTempDirectory("vlakecasc").toString
+    val blob = new InMemoryCasStore
+    val store = Some(new CasManifestStore(blob): ManifestStore)
+    val perThread = 6
+    val committed = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Int, Long)]())
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    def runner(id: Int) = new Thread(() => {
+      for (i <- 1 to perThread) {
+        try {
+          val rows = 100 * id + i
+          val v = VersionedLake.commit(spark.range(rows.toLong).toDF("x"),
+            tbl, manifestStore = store)
+          committed.add(id -> v)
+        } catch { case _: Throwable => failures.incrementAndGet() }
+      }
+    })
+    val ts = Seq(runner(1), runner(2))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(failures.get() == 0, "claim retry must absorb every race")
+    val vs = committed.toArray.map(_.asInstanceOf[(Int, Long)]._2).toSeq
+    assert(vs.distinct.size == 2 * perThread)
+    assert(VersionedLake.versions(spark, tbl, manifestStore = store)
+      .toSet == vs.toSet)
+    val validCounts = (for (id <- 1 to 2; i <- 1 to perThread)
+      yield (100 * id + i).toLong).toSet
+    for (v <- vs)
+      assert(validCounts.contains(VersionedLake.read(spark, tbl, Some(v),
+        manifestStore = store).count()))
+  }
+
+  test("CAS claim race: a pre-claimed version forces the committer to the " +
+    "next number; a hijacked publish fails LOUDLY, never silently") {
+    val tbl = Files.createTempDirectory("vlakecasr").toString
+    val blob = new InMemoryCasStore
+    val cas = new CasManifestStore(blob)
+    val store = Some(cas: ManifestStore)
+    // another committer already claimed v1: the conditional PUT rejects,
+    // our commit retries and lands v2
+    assert(cas.tryClaim(1L))
+    assert(VersionedLake.commit(Seq(1).toDF("x"), tbl,
+      manifestStore = store) == 2L)
+    // a rival who claims each number BETWEEN our listing and our claim
+    // makes every conditional PUT reject (the real race, not a stale
+    // listing) → loud ConcurrentCommitException at maxAttempts, never a
+    // silent overwrite
+    val raced = new ManifestStore {
+      def committedVersions() = cas.committedVersions()
+      def claimedVersions() = cas.claimedVersions()
+      def tryClaim(v: Long) = { cas.tryClaim(v); cas.tryClaim(v) }
+      def publish(v: Long, m: Array[Byte]) = cas.publish(v, m)
+      def readManifest(v: Long) = cas.readManifest(v)
+      def deleteManifest(v: Long) = cas.deleteManifest(v)
+      def deleteClaim(v: Long) = cas.deleteClaim(v)
+      def claimModifiedAtMs(v: Long) = cas.claimModifiedAtMs(v)
+    }
+    intercept[VersionedLake.ConcurrentCommitException](
+      VersionedLake.commit(Seq(2).toDF("x"), tbl, maxAttempts = 3,
+        manifestStore = Some(raced)))
+    // publish is ALSO first-writer-wins: a manifest that somehow exists at
+    // our number (protocol violation) is an error, never a replacement
+    assert(cas.publish(9L, "{\"version\":9,\"files\":[]}".getBytes))
+    assert(!cas.publish(9L, "{\"version\":9,\"files\":[\"x\"]}".getBytes))
+    assert(new String(cas.readManifest(9L)).contains("[]"))
+  }
 }

@@ -9,6 +9,30 @@ class IncrementalSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("statePartitions policy: volume-proportional, clamped to " +
+    "[2, session parallelism]; withStreamParallelism restores the conf") {
+    // one partition per ~15k rows
+    assert(Incremental.statePartitions(32, 100000L) == 7)
+    assert(Incremental.statePartitions(32, 10000L) == 2)  // floor
+    assert(Incremental.statePartitions(32, 0L) == 2)
+    assert(Incremental.statePartitions(32, 10000000L) == 32) // ceiling
+    assert(Incremental.statePartitions(8, 1000000L) == 8)
+    intercept[IllegalArgumentException](
+      Incremental.statePartitions(32, 100L, targetRows = 0L))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val inside = Incremental.withStreamParallelism(spark, 100000L) {
+      spark.conf.get("spark.sql.shuffle.partitions")
+    }
+    assert(inside == math.max(2, math.min(prev.toInt, 7)).toString)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prev)
+    // restored even when the body throws
+    intercept[RuntimeException](
+      Incremental.withStreamParallelism(spark, 100000L) {
+        sys.error("boom")
+      })
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prev)
+  }
+
   test("windowedAgg: tumbling hourly counts via MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -95,6 +119,52 @@ class IncrementalSpec extends SparkSpec {
     assert(spark.read.parquet(snap).collect()
       .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq ==
       Seq((1, "a2"), (3, "c")))
+  }
+
+  test("cdcToSnapshot: checkpoint resume processes ONLY unseen files — " +
+    "committed batches are never replayed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-cdc-resume").toString
+    val snap = s"$dir/snapshot"
+    val in = s"$dir/in"
+    def landFile(rows: Seq[(Int, String, Long, String)], mtimeMs: Long): Unit = {
+      rows.toDF("k", "payload", "seq", "op")
+        .coalesce(1).write.mode("append").parquet(in)
+      val ft = java.nio.file.attribute.FileTime.fromMillis(mtimeMs)
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(in))
+      try listing.forEach { f =>
+        if (java.nio.file.Files.getLastModifiedTime(f).toMillis > 1100000000000L)
+          java.nio.file.Files.setLastModifiedTime(f, ft)
+      } finally listing.close()
+    }
+    val schema = "k INT, payload STRING, seq BIGINT, op STRING"
+    def run() = Incremental.cdcToSnapshot(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(in),
+      Seq("k"), Seq(col("seq")), col("op"), Seq("payload"),
+      snap, s"$dir/ckpt").start()
+    // phase 1: two files, run to completion ("the stream died here")
+    landFile(Seq((1, "a", 1L, "upsert"), (2, "b", 1L, "upsert")), 1000000000000L)
+    landFile(Seq((1, "a2", 2L, "upsert")), 1000000060000L)
+    val q1 = run(); q1.awaitTermination(120000)
+    val p1Batches = q1.recentProgress.map(_.batchId).toSet
+    assert(spark.read.parquet(snap).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq ==
+      Seq((1, "a2"), (2, "b")))
+    // phase 2: two NEW files land, resume from the same checkpoint
+    landFile(Seq((2, "x", 3L, "delete"), (3, "c", 1L, "upsert")), 1000000120000L)
+    landFile(Seq((3, "c2", 2L, "upsert")), 1000000180000L)
+    val q2 = run(); q2.awaitTermination(120000)
+    // exactly-once through the restart: the resumed query's batch ids are
+    // STRICTLY beyond phase 1's — no committed batch was replayed
+    val p2Batches = q2.recentProgress.map(_.batchId).toSet
+    assert(p2Batches.nonEmpty && p1Batches.nonEmpty)
+    assert(p2Batches.forall(_ > p1Batches.max),
+      s"phase 2 replayed committed batches: $p1Batches then $p2Batches")
+    // and only the new rows took effect, on top of the phase-1 state
+    assert(spark.read.parquet(snap).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq ==
+      Seq((1, "a2"), (3, "c2")))
   }
 
   test("cdcToSnapshot: crash between swap renames recovers from backup, not empty base") {
