@@ -7,15 +7,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // ENGINE-LEVEL partition policy (BENCH_NOTES): shuffle.partitions is
-      // only the AQE ceiling — adaptive coalescing sizes every post-shuffle
-      // stage by bytes (advisory 64 MiB), so small intermediate results
-      // collapse to few partitions without any query hand-picking its
-      // parallelism. parallelismFirst=false makes AQE respect the advisory
-      // size instead of keeping tiny partitions just to fill cores — the
-      // setting a real cluster runs with. Streaming state-store counts
-      // (which AQE cannot touch) come from Incremental.statePartitions.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // ENGINE-LEVEL partition policy (BENCH_NOTES r11): batch stages ride
+      // AQE's DEFAULT coalescing — advisory 64 MiB but parallelism-first,
+      // which we A/B-measured as strictly better here: forcing
+      // parallelismFirst=false coalesced compute-DENSE shuffles (quantized
+      // cosine kernels: tiny bytes, huge per-byte cost) onto too few cores
+      // (q101 at sf1: 11.1 s vs 6.3 s) and serialized partitioned writes
+      // (q65: 2.2 s vs 1.6 s). Byte-based sizing underestimates compute —
+      // Spark's default exists for exactly this reason. Streaming
+      // state-store counts (which AQE cannot resize) come from
+      // Incremental.statePartitions, derived from observed input volume.
       .config("spark.ui.enabled", "false")
       // Session-artifact classloader isolation routes every Janino codegen
       // class-name MISS through an RPC file download that can block for

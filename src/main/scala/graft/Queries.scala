@@ -34,6 +34,21 @@ object Queries {
   private def avgDec(c: Column): Column =
     round(sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1)), 6)
 
+  /** Pin the session timezone to UTC for the duration of `body` — the
+    * engine's event-time policy (SURVEY §7.4, SessionTzSpec): the lake's
+    * TIMESTAMP_NTZ columns carry UTC wall-clock, and `cast("timestamp")`
+    * interprets NTZ in the SESSION timezone, so a user session running
+    * under America/Sao_Paulo would silently shift every derived epoch by
+    * -03:00. Queries that cast lake NTZ event time wrap the cast (and the
+    * streaming machinery consuming it) in this pin; downstream epoch-long
+    * outputs are then session-TZ-invariant.
+    */
+  private def withUtcEventTime[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.session.timeZone")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    try body finally s.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   /** Recreate a per-query scratch dir (delete, then mkdir): repeated bench
     * iterations within one JVM reuse one disk footprint instead of
     * accumulating a fresh temp copy per run, and streaming checkpoints
@@ -1009,11 +1024,12 @@ object Queries {
     // watermark advances across micro-batches and every real session's
     // event-time timeout fires before the AvailableNow stream ends — no
     // driver-side collect of the fixture.
-    "q112_stream_sessionize" -> ((s, dir) => {
+    "q112_stream_sessionize" -> ((s, dir) => withUtcEventTime(s) {
       import s.implicits._
       val tmp = freshScratchDir("graft_q112")
       // events.ts is TIMESTAMP_NTZ in the lake; the watermark machinery
-      // needs TIMESTAMP — the UTC session TZ makes the cast lossless.
+      // needs TIMESTAMP — withUtcEventTime pins the cast's interpretation
+      // to UTC whatever the user session's timezone (SessionTzSpec).
       // ONE data file: all real events share a batch, so the 0-second
       // watermark delay can never drop a late-arriving real event.
       val ev = t(s, dir, "events")
@@ -1082,11 +1098,12 @@ object Queries {
     // (purchases within 1h after each click, same user) in AvailableNow
     // mode over file-source streams — the oracle is the plain SQL
     // time-bounded join, so the stateful join must match it row-for-row.
-    "q113_stream_interval_join" -> ((s, dir) => {
+    "q113_stream_interval_join" -> ((s, dir) => withUtcEventTime(s) {
       val tmp = freshScratchDir("graft_q113")
       val ev = t(s, dir, "events")
-      // ts cast NTZ→TIMESTAMP (lossless under the UTC session TZ): the
-      // watermark machinery rejects TIMESTAMP_NTZ event-time columns
+      // ts cast NTZ→TIMESTAMP (interpretation pinned to UTC by
+      // withUtcEventTime): the watermark machinery rejects TIMESTAMP_NTZ
+      // event-time columns
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"),
           col("ts").cast("timestamp").as("ts"))
@@ -1707,6 +1724,26 @@ object Queries {
         .select(col("id").as("skew_key"), (col("id") % 5).as("grp"))
       graft.operators.Relational.saltedJoin(li, dim, Seq("skew_key"),
           saltFactor = 16)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_items"),
+          sumDec(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("grp"))
+    }),
+
+    // Skew-SAMPLED salted join: same query as q95, but the salt plan comes
+    // from the engine's one-aggregate Misra-Gries probe — only the hot key
+    // (90% of rows land on skew_key 0) is salted, each cold key joins
+    // un-replicated. Row-identical to the plain join (same oracle as q95).
+    "q95b_adaptive_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(
+          when(col("l_orderkey") % 100 < 90, 0L)
+            .otherwise(col("l_orderkey") % 100).as("skew_key"),
+          col("l_extendedprice"))
+      val dim = s.range(100)
+        .select(col("id").as("skew_key"), (col("id") % 5).as("grp"))
+      graft.operators.Relational.adaptiveSaltedJoin(li, dim, Seq("skew_key"),
+          targetRowsPerTask = 10000L)
         .groupBy(col("grp"))
         .agg(count(lit(1)).as("n_items"),
           sumDec(col("l_extendedprice")).as("sum_price"))
@@ -2651,6 +2688,17 @@ object Queries {
     // q95: salting is invisible in the result — the oracle is the plain
     // skewed join.
     "q95_skew_salted_join" ->
+      """SELECT grp, count(*) AS n_items,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+        |FROM (SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+        |             ELSE l_orderkey % 100 END AS skew_key, l_extendedprice
+        |      FROM lineitem) l
+        |JOIN (SELECT range AS skew_key, range % 5 AS grp FROM range(100)) r
+        |  USING (skew_key)
+        |GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // q95b: selective salting is pure layout — same result as q95.
+    "q95b_adaptive_salted_join" ->
       """SELECT grp, count(*) AS n_items,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
         |FROM (SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0

@@ -10,8 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // same engine-level AQE partition policy as Bench (see BENCH_NOTES)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // same engine-level AQE partition policy as Bench (see BENCH_NOTES
+      // r11: AQE defaults for batch, measured better than
+      // parallelismFirst=false on compute-dense stages; streaming state
+      // partitions from Incremental.statePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // see Bench.scala: codegen class-name misses must not hit the

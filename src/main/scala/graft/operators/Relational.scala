@@ -147,6 +147,77 @@ object Relational {
     saltedLeft.join(saltedRight, keys :+ "__salt").drop("__salt")
   }
 
+  // separator for the composite hot-key probe string; a key value
+  // containing it can only MISCLASSIFY a key as hot (extra replication),
+  // never change join results
+  private val HotKeySep = "\u0001"
+
+  private def hotKeyOf(keys: Seq[String]): Column =
+    concat_ws(HotKeySep, keys.map(k => col(k).cast("string")): _*)
+
+  /** The skew-sample planner behind [[adaptiveSaltedJoin]]: ONE Misra-
+    * Gries aggregate over the left side's key tuple (driver state = k
+    * counters, corpus-size-independent) estimates the heaviest keys; keys
+    * whose estimated row count exceeds `targetRowsPerTask` get a per-key
+    * salt factor `ceil(est / target)` capped at `maxSaltFactor`. Returns
+    * ONLY the hot keys — everything absent salts at factor 1, i.e. cold
+    * keys are never replicated. Misra-Gries UNDERestimates, so a key can
+    * only be under-salted (mild residual skew), never phantom-salted by
+    * overcounting.
+    */
+  def saltPlan(left: DataFrame, keys: Seq[String],
+      targetRowsPerTask: Long, maxSaltFactor: Int = 64,
+      probeK: Int = 64): Map[String, Int] = {
+    require(targetRowsPerTask > 0 && maxSaltFactor > 0 && probeK > 0)
+    import graft.functions.SketchFunctions
+    left.select(SketchFunctions.heavyHitters(hotKeyOf(keys), probeK).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("k"), col("e.est_count").as("est"))
+      .filter(col("est") > targetRowsPerTask)
+      .collect() // bounded: at most probeK rows
+      .map(r => r.getString(0) ->
+        math.min(maxSaltFactor.toLong,
+          (r.getLong(1) + targetRowsPerTask - 1) / targetRowsPerTask).toInt)
+      .toMap
+  }
+
+  /** Skew-aware salted equi join: [[saltedJoin]] replicates the WHOLE
+    * right side `saltFactor` times with a caller-guessed factor; this
+    * variant probes the left side's key frequencies ([[saltPlan]]) and
+    * salts ONLY the hot keys, each with its own factor — cold keys join
+    * completely un-replicated (salt 0 on both sides), so the shuffle
+    * carries no redundant right rows and no magic constant. The hot map
+    * (≤ probeK entries) rides a broadcast join onto both sides. Result is
+    * row-identical to the plain inner join for ANY probe outcome:
+    * misclassification costs replication, never rows.
+    */
+  def adaptiveSaltedJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], targetRowsPerTask: Long,
+      maxSaltFactor: Int = 64, probeK: Int = 64,
+      plan: Option[Map[String, Int]] = None): DataFrame = {
+    val hot = plan.getOrElse(
+      saltPlan(left, keys, targetRowsPerTask, maxSaltFactor, probeK))
+    if (hot.isEmpty) return left.join(right, keys)
+    val spark = left.sparkSession
+    import spark.implicits._
+    val hotDf = broadcast(hot.toSeq.toDF("__hotkey", "__factor"))
+    val lf = left.withColumn("__hotkey", hotKeyOf(keys))
+      .join(hotDf, Seq("__hotkey"), "left")
+      .withColumn("__salt", pmod(
+        xxhash64(left.columns.map(col): _*),
+        coalesce(col("__factor"), lit(1))).cast("int"))
+      .drop("__hotkey", "__factor")
+    val rf = right.withColumn("__hotkey", hotKeyOf(keys))
+      .join(hotDf, Seq("__hotkey"), "left")
+      // cold rows: sequence(0, 0) = exactly one salt row, no replication
+      // (sequence of two ints is already array<int> — no cast, which a
+      // generator cannot nest under anyway)
+      .withColumn("__salt", explode(
+        sequence(lit(0), coalesce(col("__factor"), lit(1)) - 1)))
+      .drop("__hotkey", "__factor")
+    lf.join(rf, keys :+ "__salt").drop("__salt")
+  }
+
   /** Deterministic surrogate key from natural-key columns: the reference
     * uses uuid5 over pipe-joined keys (cientificalab_api/tasks.py:131-188);
     * any deterministic namespaced hash preserves the semantics, so we use

@@ -352,3 +352,85 @@ final class MongoWireClient(host: String, port: Int, timeoutMs: Int = 120000)
     new Cursor(db, coll, runCommand(db, JObject(cmd)), batchSize)
   }
 }
+
+/** Replica-set topology discovery — the half of the reference's
+  * `_build_conn_string` (minhasaude_mongodb/tasks.py) beyond auth: a
+  * conn-string names a SEED LIST, and the driver must find the primary by
+  * `hello` (each member reports `isWritablePrimary`, who it believes the
+  * `primary` is, and the set's `hosts`), retrying through elections.
+  */
+object MongoWireClient {
+
+  private[sources] def defaultBackoff(attempt: Int): Unit =
+    Thread.sleep(math.min(200L << (attempt - 1), 2000L))
+
+  private def parseHostPort(s: String): Option[(String, Int)] =
+    s.lastIndexOf(':') match {
+      case -1 => None
+      case i => s.substring(i + 1).toIntOption.map(p => (s.substring(0, i), p))
+    }
+
+  /** Connect to the replica set's PRIMARY: walk the seed list, `hello`
+    * each reachable member, follow a secondary's `primary` pointer and
+    * learn the set's `hosts` as extra candidates within the same pass;
+    * when a pass finds no primary (election in progress, seeds all
+    * secondaries/down), back off and retry up to `maxAttempts` passes,
+    * then fail LOUDLY listing every member tried. Returns a connected,
+    * hello-shaken client pointed at the primary — the connection every
+    * write and the reference's extraction reads require.
+    */
+  def connectPrimary(seeds: Seq[(String, Int)], timeoutMs: Int = 120000,
+      maxAttempts: Int = 3, backoff: Int => Unit = defaultBackoff,
+      requestCompression: Boolean = false): MongoWireClient = {
+    require(seeds.nonEmpty, "empty seed list")
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (attempt <- 1 to maxAttempts) {
+      // per-pass frontier: seeds first, then members discovered via
+      // `primary`/`hosts` — a seed list naming only secondaries still
+      // reaches the primary in ONE pass
+      val seen = scala.collection.mutable.LinkedHashSet.empty[(String, Int)]
+      val frontier = scala.collection.mutable.Queue.empty[(String, Int)]
+      seeds.foreach { s => if (seen.add(s)) frontier.enqueue(s) }
+      while (frontier.nonEmpty) {
+        val (h, p) = frontier.dequeue()
+        val cli =
+          try new MongoWireClient(h, p, timeoutMs)
+          catch { case e: IOException =>
+            failures.update(s"$h:$p", s"connect: ${e.getMessage}")
+            null
+          }
+        if (cli != null) {
+          val reply =
+            try cli.hello(requestCompression)
+            catch { case e: IOException =>
+              failures.update(s"$h:$p", s"hello: ${e.getMessage}")
+              cli.close(); null
+            }
+          if (reply != null) {
+            if ((reply \ "isWritablePrimary") == JBool(true)) return cli
+            failures.update(s"$h:$p", "secondary")
+            cli.close()
+            // who the member believes is primary goes FIRST, then the
+            // rest of the set's hosts
+            val hinted = (reply \ "primary") match {
+              case JString(hp) => parseHostPort(hp).toSeq
+              case _ => Nil
+            }
+            val members = (reply \ "hosts") match {
+              case JArray(hs) => hs.collect { case JString(hp) => hp }
+                .flatMap(parseHostPort)
+              case _ => Nil
+            }
+            (hinted ++ members).foreach { m =>
+              if (seen.add(m)) frontier.enqueue(m)
+            }
+          }
+        }
+      }
+      if (attempt < maxAttempts) backoff(attempt)
+    }
+    throw new IOException(
+      s"no primary found after $maxAttempts passes; members tried: " +
+        failures.map { case (m, why) => s"$m ($why)" }.mkString(", "))
+  }
+}

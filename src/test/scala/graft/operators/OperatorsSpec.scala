@@ -652,6 +652,55 @@ class ScaleStrategySpec extends graft.SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltPlan: only keys over the row budget are salted, factor sized " +
+    "to the excess — cold keys are NOT in the plan (un-replicated)") {
+    // 900 rows on key 7, 40 on key 3, a smattering of singletons
+    val skewed = (Seq.fill(900)(7) ++ Seq.fill(40)(3) ++ (100 to 120))
+      .toDF("k")
+    val plan = Relational.saltPlan(skewed, Seq("k"),
+      targetRowsPerTask = 100L, maxSaltFactor = 16)
+    assert(plan.keySet == Set("7"), s"only the hot key: $plan")
+    // ~900 rows / 100 target → factor ≈ 9 (Misra-Gries may UNDERestimate,
+    // never overestimate)
+    assert(plan("7") >= 5 && plan("7") <= 9, plan.toString)
+    // a uniform table plans NO salting at all
+    assert(Relational.saltPlan(spark.range(200).toDF("k"), Seq("k"),
+      targetRowsPerTask = 100L).isEmpty)
+  }
+
+  test("adaptiveSaltedJoin: row-identical to the plain join, hot map rides " +
+    "a broadcast, no cartesian anywhere") {
+    val left = ((1 to 500).map(_ => (0, "hot")) ++
+      Seq((1, "a"), (2, "b"), (3, "c"), (9, "nomatch"))).toDF("k", "lv")
+    val right = Seq((0, "H"), (1, "X"), (2, "Y"), (3, "Z"), (8, "dead"))
+      .toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    val adaptive = Relational.adaptiveSaltedJoin(left, right, Seq("k"),
+      targetRowsPerTask = 50L)
+    val got = adaptive.select("k", "lv", "rv")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    assert(got == plain)
+    val physical = adaptive.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"), physical)
+    assert(!physical.contains("CartesianProduct"), physical)
+    // an injected plan skips the probe and replicates exactly as told;
+    // a deliberately WRONG plan (salting a cold key) still returns the
+    // same rows — misclassification is pure layout
+    val forced = Relational.adaptiveSaltedJoin(left, right, Seq("k"),
+      targetRowsPerTask = 50L, plan = Some(Map("2" -> 4)))
+      .select("k", "lv", "rv")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    assert(forced == plain)
+    // empty plan → the plain join, zero salting machinery
+    val empty = Relational.adaptiveSaltedJoin(left, right, Seq("k"),
+      targetRowsPerTask = 50L, plan = Some(Map.empty))
+    assert(!empty.queryExecution.executedPlan.toString.contains("__salt"))
+  }
+
   test("co-bucketed tables join without an exchange") {
     import graft.sources.LakeWriter
     // unique names: a stale managed-table location from a previous JVM

@@ -189,6 +189,75 @@ class MongoWireLiveSpec extends AnyFunSuite {
     } finally { cli.close(); srv.stop() }
   }
 
+  private def deadPort(): Int = {
+    val ss = new ServerSocket(0)
+    val p = ss.getLocalPort
+    ss.close()
+    p
+  }
+
+  test("primary discovery: a seed list of [dead, secondary] follows the " +
+    "secondary's primary pointer to the writable member") {
+    val pri = new FakeMongo(store)
+    val sec = new FakeMongo(store, role0 = "secondary",
+      primaryHint = () => Some(s"localhost:${pri.port}"))
+    try {
+      val cli = MongoWireClient.connectPrimary(
+        Seq(("localhost", deadPort()), ("localhost", sec.port)),
+        backoff = _ => ())
+      try {
+        // the returned client IS the primary connection: data flows
+        assert(cli.count("db", "coll", JObject()) == 260L)
+        assert((cli.hello() \ "isWritablePrimary") == JBool(true))
+      } finally cli.close()
+    } finally { pri.stop(); sec.stop() }
+  }
+
+  test("primary discovery: no primary pointer, but the set's hosts list " +
+    "reaches it in the same pass") {
+    val pri = new FakeMongo(store)
+    lazy val members: Seq[String] =
+      Seq(s"localhost:${sec.port}", s"localhost:${pri.port}")
+    lazy val sec: FakeMongo = new FakeMongo(store, role0 = "secondary",
+      hostsList = () => members)
+    try {
+      val cli = MongoWireClient.connectPrimary(
+        Seq(("localhost", sec.port)), backoff = _ => ())
+      try assert(cli.count("db", "coll", JObject()) == 260L)
+      finally cli.close()
+    } finally { pri.stop(); sec.stop() }
+  }
+
+  test("failover: an election in progress (no primary on pass 1) resolves " +
+    "after backoff when a member is promoted") {
+    val a = new FakeMongo(store, role0 = "secondary")
+    val b = new FakeMongo(store, role0 = "secondary")
+    val backoffs = new AtomicInteger(0)
+    try {
+      val cli = MongoWireClient.connectPrimary(
+        Seq(("localhost", a.port), ("localhost", b.port)),
+        maxAttempts = 3,
+        backoff = { _ => backoffs.incrementAndGet(); b.role = "primary" })
+      try {
+        assert(backoffs.get() == 1, "one failed pass, then the promotion")
+        assert(cli.count("db", "coll", JObject()) == 260L)
+      } finally cli.close()
+    } finally { a.stop(); b.stop() }
+  }
+
+  test("no primary anywhere is a LOUD failure naming every member tried") {
+    val a = new FakeMongo(store, role0 = "secondary")
+    try {
+      val e = intercept[java.io.IOException](
+        MongoWireClient.connectPrimary(
+          Seq(("localhost", a.port), ("localhost", deadPort())),
+          maxAttempts = 2, backoff = _ => ()))
+      assert(e.getMessage.contains("no primary found"))
+      assert(e.getMessage.contains(s"localhost:${a.port} (secondary)"))
+      assert(e.getMessage.contains("connect:"))
+    } finally a.stop()
+  }
+
   test("SCRAM-SHA-256 Keys math reproduces the RFC 7677 test vector") {
     // RFC 7677 §3: user "user", password "pencil"
     val cnonce = "rOprNGfwEbeRWgbNEkqO"
@@ -360,7 +429,12 @@ class MongoWireLiveSpec extends AnyFunSuite {
   */
 private[sources] final class FakeMongo(docs: Seq[JObject],
     credentials: Option[(String, String)] = None,
-    corruptServerSignature: Boolean = false) {
+    corruptServerSignature: Boolean = false,
+    role0: String = "primary",
+    primaryHint: () => Option[String] = () => None,
+    hostsList: () => Seq[String] = () => Nil) {
+  // mutable so a failover spec can promote a secondary between passes
+  @volatile var role: String = role0
   val server = new ServerSocket(0)
   val finds = new AtomicInteger(0)
   val getMores = new AtomicInteger(0)
@@ -459,8 +533,17 @@ private[sources] final class FakeMongo(docs: Seq[JObject],
           List("compression" -> (JArray(List(JString("zlib"))): JValue))
         case _ => Nil
       }
-      JObject(List[(String, JValue)](
-        "isWritablePrimary" -> JBool(true), "maxWireVersion" -> JInt(17)) ++
+      val roleFields: List[(String, JValue)] =
+        if (role == "primary") List("isWritablePrimary" -> JBool(true))
+        else List[(String, JValue)]("isWritablePrimary" -> JBool(false),
+          "secondary" -> JBool(true)) ++
+          primaryHint().map(h => "primary" -> (JString(h): JValue)).toList
+      val hostFields: List[(String, JValue)] = hostsList() match {
+        case Nil => Nil
+        case hs => List("hosts" -> JArray(hs.map(JString(_): JValue).toList))
+      }
+      JObject(roleFields ++ hostFields ++
+        List[(String, JValue)]("maxWireVersion" -> JInt(17)) ++
         negotiated :+ ("ok" -> (JDouble(1.0): JValue)))
     case "saslStart" =>
       val (user, password) = credentials.getOrElse(
