@@ -49,6 +49,24 @@ object Queries {
     try body finally s.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  /** Stamp an explicit, strictly-increasing mtime onto a fixture
+    * directory's NEWLY WRITTEN files (shared by the streaming harnesses —
+    * q112's sentinel feed and q115's chunked changelog):
+    * `FileStreamSource` orders files by modification time, and a
+    * coarse-mtime filesystem could tie writes and process them out of
+    * order. Stamps sit in 2001 (1e12 ms), far below any real write's
+    * mtime, so "mtime above the stamp ceiling" identifies the
+    * not-yet-stamped files on each pass.
+    */
+  private def stampFreshMtimes(dir: String, epochMs: Long): Unit = {
+    val ft = java.nio.file.attribute.FileTime.fromMillis(epochMs)
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try listing.forEach { f =>
+      if (java.nio.file.Files.getLastModifiedTime(f).toMillis > 1100000000000L)
+        java.nio.file.Files.setLastModifiedTime(f, ft)
+    } finally listing.close()
+  }
+
   /** Recreate a per-query scratch dir (delete, then mkdir): repeated bench
     * iterations within one JVM reuse one disk footprint instead of
     * accumulating a fresh temp copy per run, and streaming checkpoints
@@ -679,7 +697,11 @@ object Queries {
     // Batch sessionization: per-user event-time sessions with a 30-min
     // gap (lag + running-sum window, one shuffle), then per-session
     // rollup. Batch complement of the streaming sessionize operator.
-    "q49_sessionize" -> ((s, dir) => {
+    // withUtcEventTime: sessionize casts the lake's NTZ ts internally —
+    // under a DST-transitioning session TZ the gap math would shift
+    // (SessionTzSpec pins the policy; America/Sao_Paulo is fixed-offset
+    // since 2019 but the pin must not depend on that)
+    "q49_sessionize" -> ((s, dir) => withUtcEventTime(s) {
       Relational.sessionize(t(s, dir, "events"), Seq("user_id"), col("ts"),
           Seq(col("ts"), col("event_id")), gapSeconds = 1800L)
         .groupBy(col("user_id"), col("session_id"))
@@ -1047,19 +1069,7 @@ object Queries {
       // filesystem could tie the data file with a sentinel and process the
       // sentinel first, dropping every real event as late — so each write
       // gets an explicitly stamped, strictly increasing mtime
-      // stamps sit in 2001 (1e12 ms), far below any real write's mtime, so
-      // "mtime above the stamp ceiling" identifies the not-yet-stamped
-      // files each pass
-      def stampMtimes(epochMs: Long): Unit = {
-        val ft = java.nio.file.attribute.FileTime.fromMillis(epochMs)
-        val dirPath = java.nio.file.Paths.get(tmp, "in")
-        val listing = java.nio.file.Files.list(dirPath)
-        try listing.forEach { f =>
-          if (java.nio.file.Files.getLastModifiedTime(f).toMillis > 1100000000000L)
-            java.nio.file.Files.setLastModifiedTime(f, ft)
-        } finally listing.close()
-      }
-      stampMtimes(1000000000000L) // fixed epoch for the data file
+      stampFreshMtimes(s"$tmp/in", 1000000000000L) // data file's fixed epoch
       // two sentinel files with later mod times: the watermark advances
       // off the PREVIOUS batch's max event time, so closing every real
       // session needs the second one
@@ -1067,7 +1077,7 @@ object Queries {
         Seq((-1L, new java.sql.Timestamp(maxTs.getTime + offsetMs), 0.0))
           .toDF("user_id", "ts", "value")
           .coalesce(1).write.mode("append").parquet(s"$tmp/in")
-        stampMtimes(1000000000000L + (i + 1) * 60000L)
+        stampFreshMtimes(s"$tmp/in", 1000000000000L + (i + 1) * 60000L)
       }
       // FIXED sink name, prior run's table dropped: a per-run UUID name
       // would leak one memory-sink result set per bench iteration
@@ -1187,18 +1197,10 @@ object Queries {
       // fixture prep (one sort of the harness changelog), not engine path
       val chunked = changes.withColumn("chunk",
         ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
-      def stampMtime(path: String, epochMs: Long): Unit = {
-        val ft = java.nio.file.attribute.FileTime.fromMillis(epochMs)
-        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(path))
-        try listing.forEach { f =>
-          if (java.nio.file.Files.getLastModifiedTime(f).toMillis > 1100000000000L)
-            java.nio.file.Files.setLastModifiedTime(f, ft)
-        } finally listing.close()
-      }
       for (c <- 1 to 4) {
         chunked.filter(col("chunk") === c).drop("chunk")
           .coalesce(1).write.mode("append").parquet(s"$tmp/changes")
-        stampMtime(s"$tmp/changes", 1000000000000L + c * 60000L)
+        stampFreshMtimes(s"$tmp/changes", 1000000000000L + c * 60000L)
       }
       def merge() = graft.streaming.Incremental.cdcToSnapshot(
         s.readStream.schema(changes.schema)

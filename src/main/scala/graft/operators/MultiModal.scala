@@ -186,7 +186,11 @@ object MultiModal {
   final case class VideoInfo(durationMs: Long, nTracks: Int, width: Int,
       height: Int, nFrames: Long, brand: String)
 
-  private final class Mp4ParseError(msg: String) extends RuntimeException(msg)
+  // NoStackTrace: undecodable payloads are the EXPECTED path for stub
+  // rows (a third of q40's corpus) — filling in a stack trace per row
+  // would be exception-as-control-flow cost in the hot decode loop
+  private final class Mp4ParseError(msg: String)
+    extends RuntimeException(msg) with scala.util.control.NoStackTrace
 
   /** One ISO-BMFF box: type + payload range [start, end) in the buffer.
     * Handles 32-bit sizes, the `size == 1` largesize escape, and the

@@ -183,9 +183,16 @@ object DorjFetcher {
     * a case-sensitive indexOf would return -1 and silently DROP the folder
     * name or link, shrinking the day's extraction without error.
     */
+  // precompiled per tag: closeTagIndex runs once per folder span and per
+  // candidate anchor — recompiling the pattern each call would cost
+  // thousands of Pattern.compile per large gazette page
+  private val ClosePatterns: Map[String, java.util.regex.Pattern] =
+    Seq("span", "a").map(t =>
+      t -> java.util.regex.Pattern.compile("(?i)</" + t + "\\s*>")).toMap
+
   private def closeTagIndex(html: String, tag: String, from: Int): Int = {
-    val m = java.util.regex.Pattern
-      .compile("(?i)</" + tag + "\\s*>").matcher(html)
+    val m = ClosePatterns.getOrElse(tag,
+      java.util.regex.Pattern.compile("(?i)</" + tag + "\\s*>")).matcher(html)
     if (m.find(from)) m.start else -1
   }
 

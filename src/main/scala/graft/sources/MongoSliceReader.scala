@@ -56,15 +56,25 @@ object MongoSliceReader {
   }
 
   /** The slice find-filter document: base equality query (if any) merged
-    * with `{sliceVar: {"$gte": gte, "$lte": lte}}` (tasks.py:225-227).
-    * With `isDate` the bounds travel as the typed `{"$date": ms}` sentinel
-    * ([[Bson.date]]) so the wire client re-encodes them as BSON type 0x09 —
-    * MongoDB's type bracketing never matches Date fields against int64
-    * bounds, so numeric bounds against a Date-keyed collection would drain
-    * ZERO docs from every slice.
+    * with `{sliceVar: {"$gte": gte, "$lte"|"$lt": upper}}`
+    * (tasks.py:225-227). With `isDate` the bounds travel as the typed
+    * `{"$date": ms}` sentinel ([[Bson.date]]) so the wire client re-encodes
+    * them as BSON type 0x09 — MongoDB's type bracketing never matches Date
+    * fields against int64 bounds, so numeric bounds against a Date-keyed
+    * collection would drain ZERO docs from every slice.
+    *
+    * `upperInclusive = false` emits `$lt` — the DATETIME path uses it for
+    * every slice but the last: day-stepped ranges put their boundaries
+    * exactly ON the midnight instants where date-only collections hold all
+    * their mass, so inclusive-both-ends ranges would extract every
+    * boundary cohort TWICE (inflating sent counts past the ±5%
+    * reconciliation). Numeric slices keep the reference's inclusive
+    * overlap (boundary dupes are incidental there and per-flush `_id`
+    * dedup plus the tolerance absorb them).
     */
   def sliceFilterJson(baseQuery: Option[String], sliceVar: String,
-      gte: Long, lte: Long, isDate: Boolean = false): String = {
+      gte: Long, lte: Long, isDate: Boolean = false,
+      upperInclusive: Boolean = true): String = {
     val base = baseQuery.map(JsonMethods.parse(_)) match {
       case Some(JObject(fields)) => fields
       case None => Nil
@@ -72,9 +82,10 @@ object MongoSliceReader {
         throw new IllegalArgumentException(s"base query must be an object, got $other")
     }
     def bound(v: Long): JValue = if (isDate) Bson.date(v) else JLong(v)
+    val upperOp = if (upperInclusive) "$lte" else "$lt"
     JsonMethods.compact(JsonMethods.render(JObject(
       base :+ (sliceVar -> (JObject(
-        "$gte" -> bound(gte), "$lte" -> bound(lte)): JValue)))))
+        "$gte" -> bound(gte), upperOp -> bound(lte)): JValue)))))
   }
 
   private def idOf(doc: String, idField: String): String =
@@ -225,8 +236,13 @@ object MongoSliceReader {
           sliceSize * MillisPerDay // days → ms, like timedelta(days=n)
         } else sliceSize
         slices(min.value, max.value, step).map { case (gte, lte) =>
+          // datetime slices are half-open except the last (see
+          // sliceFilterJson: midnight-valued Date collections would
+          // otherwise double-extract every boundary cohort)
           val filter = JsonMethods.parse(
-            sliceFilterJson(baseQuery, sliceVar, gte, lte, isDate = min.isDate))
+            sliceFilterJson(baseQuery, sliceVar, gte, lte,
+              isDate = min.isDate,
+              upperInclusive = !min.isDate || lte == max.value))
           val cursor = client.find(db, coll, filter, batchSize = batchSize)
           // releases a live cursor if a flush threw, without masking the
           // flush/transport error with a cleanup failure

@@ -367,7 +367,12 @@ object MongoWireClient {
   private def parseHostPort(s: String): Option[(String, Int)] =
     s.lastIndexOf(':') match {
       case -1 => None
-      case i => s.substring(i + 1).toIntOption.map(p => (s.substring(0, i), p))
+      case i => s.substring(i + 1).toIntOption
+        // a corrupt hosts/primary entry with an out-of-range port would
+        // throw IllegalArgumentException from the socket constructor and
+        // abort the whole discovery — drop it here instead
+        .filter(p => p > 0 && p <= 65535)
+        .map(p => (s.substring(0, i), p))
     }
 
   /** Connect to the replica set's PRIMARY: walk the seed list, `hello`
@@ -395,9 +400,13 @@ object MongoWireClient {
         val (h, p) = frontier.dequeue()
         val cli =
           try new MongoWireClient(h, p, timeoutMs)
-          catch { case e: IOException =>
-            failures.update(s"$h:$p", s"connect: ${e.getMessage}")
-            null
+          catch {
+            // IllegalArgumentException: unresolvable/odd host strings the
+            // socket layer rejects before IO — a bad member must not
+            // abort discovery of the good ones
+            case e @ (_: IOException | _: IllegalArgumentException) =>
+              failures.update(s"$h:$p", s"connect: ${e.getMessage}")
+              null
           }
         if (cli != null) {
           val reply =

@@ -29,13 +29,16 @@ object Incremental {
     * small state, big streams saturate the session ceiling. AQE cannot do
     * this for streaming (coalescing would change the state-store count
     * mid-checkpoint), so the policy lives here instead of a per-query
-    * hand-picked number.
+    * hand-picked number. The session ceiling wins over the floor of 2
+    * (a local[1] session keeps 1).
     */
   def statePartitions(sessionParallelism: Int, approxRows: Long,
       targetRows: Long = 15000L): Int = {
     require(targetRows > 0 && sessionParallelism > 0)
     val wanted = math.ceil(math.max(0L, approxRows).toDouble / targetRows).toInt
-    math.max(2, math.min(sessionParallelism, wanted))
+    // the session ceiling WINS over the floor of 2: a local[1] session
+    // must never be handed more stream parallelism than its batch side
+    math.min(sessionParallelism, math.max(2, wanted))
   }
 
   /** Run a streaming job under the [[statePartitions]] policy for its

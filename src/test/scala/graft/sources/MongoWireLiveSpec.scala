@@ -130,6 +130,30 @@ class MongoWireLiveSpec extends AnyFunSuite {
     } finally { cli.close(); srv.stop() }
   }
 
+  test("DATE-ONLY datetime collection (all docs at midnight): day slices " +
+    "are half-open, so boundary cohorts extract exactly ONCE and the ±5% " +
+    "reconciliation holds") {
+    // the reference's common shape: a 'data' field holding pure dates —
+    // every doc sits exactly ON a slice boundary when stepping by days
+    val day0 = 1723600000000L - (1723600000000L % 86400000L)
+    val dateStore = (0 until 150).map { i =>
+      JObject(List("_id" -> JString(f"m$i%05d"),
+        "d" -> Bson.date(day0 + (i % 5).toLong * 86400000L)))
+    }
+    val srv = new FakeMongo(dateStore)
+    val cli = new MongoWireClient("localhost", srv.port)
+    try {
+      val landed = scala.collection.mutable.ArrayBuffer.empty[String]
+      // inclusive-both-ends day slices would send ~2x here and trip the
+      // reconciliation; the half-open datetime path sends each doc once
+      val results = MongoSliceReader.extractAll(cli, "db", "coll", None,
+        "d", sliceSize = 1, batch => landed ++= batch, batchSize = 16)
+      assert(results.map(_.sent).sum == 150)
+      assert(landed.map(d =>
+        (org.json4s.jackson.JsonMethods.parse(d) \ "_id")).distinct.size == 150)
+    } finally { cli.close(); srv.stop() }
+  }
+
   test("numeric bounds against a Date-keyed collection drain zero docs " +
     "(type bracketing) — the failure mode the typed sentinel prevents") {
     val day0 = 1723600000000L
@@ -472,6 +496,10 @@ private[sources] final class FakeMongo(docs: Seq[JObject],
             }
             case ("$lte", bound) => (typed(v), typed(bound)) match {
               case (Some((a, at)), Some((b, bt))) => at == bt && a <= b
+              case _ => false
+            }
+            case ("$lt", bound) => (typed(v), typed(bound)) match {
+              case (Some((a, at)), Some((b, bt))) => at == bt && a < b
               case _ => false
             }
             case (op, _) => sys.error(s"fake server: unsupported operator $op")

@@ -17,6 +17,8 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.statePartitions(32, 0L) == 2)
     assert(Incremental.statePartitions(32, 10000000L) == 32) // ceiling
     assert(Incremental.statePartitions(8, 1000000L) == 8)
+    // the session ceiling beats the floor: local[1] never gets 2
+    assert(Incremental.statePartitions(1, 1000000L) == 1)
     intercept[IllegalArgumentException](
       Incremental.statePartitions(32, 100L, targetRows = 0L))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -97,7 +97,11 @@ def main():
         "sf01_total": round(ref["value"], 2), "sf1_total": round(sf1["value"], 2),
         "total_ratio": round(sf1["value"] / ref["value"], 2),
         "n_queries": len(ratios),
-        "median_ratio": round(sorted(ratios.values())[len(ratios) // 2], 2),
+        # guard the empty case (every query failed at sf1, or zero overlap
+        # with the ref record): the failed-queries report below must still
+        # print instead of dying on an IndexError here
+        "median_ratio": (round(sorted(ratios.values())[len(ratios) // 2], 2)
+                         if ratios else None),
         "worst": sorted(ratios.items(), key=lambda kv: -kv[1])[:10],
         "failed_at_sf1": sf1.get("failed", []),
         "violations": violations,
