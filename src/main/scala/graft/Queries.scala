@@ -636,6 +636,30 @@ object Queries {
       MultiModal.extractVideoFeatures(media).toDF().orderBy(col("media_id"))
     }),
 
+    // Multimodal: frame-sampling PLAN over REAL container metadata — the
+    // metadata-only expansion that fans per-frame decode work out to
+    // downstream kernels. n_frames comes from the actual stts parse (the
+    // generic decode() video route), so the oracle's replay of the
+    // sampling arithmetic also re-checks the box parser through a second
+    // path. Every-7th frame, capped at 16 per video.
+    "q40e_frame_sampling" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val w = 160 + (id % 32).toInt * 8
+        val h = 90 + (id % 24).toInt * 6
+        val frames = 24L + id % 1000
+        MultiModal.MediaRow(id, "video", "video/mp4",
+          MultiModal.encodeMp4(1000L, w, h, frames))
+      })
+      val feats = MultiModal.extractFeatures(media).toDF()
+      MultiModal.sampleFrameIndexes(feats, stride = 7, maxFrames = 16)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("max_idx"))
+        .orderBy(col("media_id"))
+    }),
+
     // Dedup (near): embedding-cosine near-dup pairs, LSH-bucketed candidates
     // + exact cosine threshold (oracle replays planes/buckets/cosine).
     "q46_cosine_dedup" -> ((s, dir) => {
@@ -3547,6 +3571,17 @@ object Queries {
         |SELECT media_id, sample_rate, channels, n_frames,
         |  n_frames * 1000 // sample_rate AS duration_ms,
         |  'wave' AS format
+        |FROM p ORDER BY media_id""".stripMargin,
+
+    // q40e: the stride/cap arithmetic over the REAL stts frame counts.
+    "q40e_frame_sampling" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id, 24 + doc_id % 1000 AS frames
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CAST(least(frames - 1, 105) // 7 + 1 AS BIGINT) AS n_sampled,
+        |  CAST((least(frames - 1, 105) // 7) * 7 AS BIGINT) AS max_idx
         |FROM p ORDER BY media_id""".stripMargin,
 
     "q40d_video_decode" ->

@@ -167,12 +167,25 @@ object Relational {
     */
   def saltPlan(left: DataFrame, keys: Seq[String],
       targetRowsPerTask: Long, maxSaltFactor: Int = 64,
-      probeK: Int = 64): Map[String, Int] = {
+      probeK: Int = 64, sampleFraction: Double = 1.0): Map[String, Int] = {
     require(targetRowsPerTask > 0 && maxSaltFactor > 0 && probeK > 0)
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction $sampleFraction out of (0, 1]")
     import graft.functions.SketchFunctions
-    left.select(SketchFunctions.heavyHitters(hotKeyOf(keys), probeK).as("hh"))
+    // the probe scan is column-pruned to the key columns; sampleFraction
+    // < 1 additionally probes a seeded Bernoulli sample (estimates scaled
+    // back up) — skew planning only needs the order of magnitude, and a
+    // sampling error can only mis-SIZE a factor, never change join rows
+    val probeSide =
+      if (sampleFraction < 1.0) left.sample(withReplacement = false,
+        fraction = sampleFraction, seed = 42L)
+      else left
+    val scale = 1.0 / sampleFraction
+    probeSide
+      .select(SketchFunctions.heavyHitters(hotKeyOf(keys), probeK).as("hh"))
       .select(explode(col("hh")).as("e"))
-      .select(col("e.item").as("k"), col("e.est_count").as("est"))
+      .select(col("e.item").as("k"),
+        (col("e.est_count") * scale).cast("long").as("est"))
       .filter(col("est") > targetRowsPerTask)
       .collect() // bounded: at most probeK rows
       .map(r => r.getString(0) ->
@@ -194,9 +207,11 @@ object Relational {
   def adaptiveSaltedJoin(left: DataFrame, right: DataFrame,
       keys: Seq[String], targetRowsPerTask: Long,
       maxSaltFactor: Int = 64, probeK: Int = 64,
+      sampleFraction: Double = 1.0,
       plan: Option[Map[String, Int]] = None): DataFrame = {
     val hot = plan.getOrElse(
-      saltPlan(left, keys, targetRowsPerTask, maxSaltFactor, probeK))
+      saltPlan(left, keys, targetRowsPerTask, maxSaltFactor, probeK,
+        sampleFraction))
     if (hot.isEmpty) return left.join(right, keys)
     val spark = left.sparkSession
     import spark.implicits._

@@ -666,6 +666,12 @@ class ScaleStrategySpec extends graft.SparkSpec {
     // a uniform table plans NO salting at all
     assert(Relational.saltPlan(spark.range(200).toDF("k"), Seq("k"),
       targetRowsPerTask = 100L).isEmpty)
+    // a SAMPLED probe (seeded, estimates scaled back up) still finds only
+    // the hot key — the cheap path a 100 TB planner runs
+    val sampled = Relational.saltPlan(skewed, Seq("k"),
+      targetRowsPerTask = 100L, maxSaltFactor = 16, sampleFraction = 0.5)
+    assert(sampled.keySet == Set("7"), s"sampled plan: $sampled")
+    assert(sampled("7") >= 3 && sampled("7") <= 16, sampled.toString)
   }
 
   test("adaptiveSaltedJoin: row-identical to the plain join, hot map rides " +

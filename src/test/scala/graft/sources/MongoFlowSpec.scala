@@ -25,14 +25,22 @@ class MongoFlowSpec extends SparkSpec {
     "cpf" -> JString(f"$id%011d"),
     "payload" -> JObject(List("n" -> JInt(id)))))
 
-  test("auth + compression + sliced extraction + landing + query, whole chain") {
+  test("topology discovery + auth + compression + sliced extraction + " +
+    "landing + query, whole chain") {
     val store = (0 until 180).map(i => doc(i, (i / 2).toLong))
-    val srv = new FakeMongo(store, credentials = Some("svc" -> "s3cr3t"))
-    val cli = new MongoWireClient("localhost", srv.server.getLocalPort)
+    // the conn-string's seed list names only a SECONDARY — the flow must
+    // discover the primary by hello, like the reference's driver does
+    val pri = new FakeMongo(store, credentials = Some("svc" -> "s3cr3t"))
+    val srv = pri // counters asserted below live on the primary
+    val sec = new FakeMongo(Nil, role0 = "secondary",
+      primaryHint = () => Some(s"localhost:${pri.server.getLocalPort}"))
+    val cli = MongoWireClient.connectPrimary(
+      Seq(("localhost", sec.server.getLocalPort)), backoff = _ => ())
     val dir = java.nio.file.Files.createTempDirectory("mongoflow")
       .toString + "/t"
     try {
-      // 1. the full wire conversation: zlib negotiated, SCRAM authed
+      // 1. the full wire conversation on the DISCOVERED primary: zlib
+      // negotiated, SCRAM authed
       cli.hello(requestCompression = true)
       cli.authenticate("svc", "s3cr3t", clientNonce = Some("CNONCE-FLOW"))
 
@@ -73,6 +81,6 @@ class MongoFlowSpec extends SparkSpec {
       assert(flat.filter(col("id").startsWith("pat")).count() == 180)
       assert(flat.agg(sum(col("n"))).head().getLong(0) == (0 until 180).sum)
       assert(flat.agg(max(col("v"))).head().getLong(0) == 89L)
-    } finally { cli.close(); srv.stop() }
+    } finally { cli.close(); srv.stop(); sec.stop() }
   }
 }
