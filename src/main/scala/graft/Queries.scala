@@ -669,6 +669,19 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Dedup (near): BOUNDED-occupancy LSH — buckets past maxBucketSize
+    // re-bucket one level deeper with 4 extra planes (seed 43), so a
+    // density hot-spot's pair work shrinks ~16x instead of going
+    // quadratic; under-cap buckets keep exactly q46's candidates. The
+    // oracle replays the occupancy decision and both plane sets.
+    "q46b_cosine_dedup_bounded" -> ((s, dir) => {
+      Dedup.cosineNearDupPairsBounded(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64, threshold = 0.30, maxBucketSize = 120,
+          numPlanes = 6, extraPlanes = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Text: PII redaction (anonymization scrub) — deterministic PII spans
     // fabricated from doc_id, then redacted with typed markers; audit
     // counts per pattern. The scrub a health-data pipeline runs before
@@ -2063,8 +2076,8 @@ object Queries {
   /** Seeded hyperplanes as DuckDB VALUES literals — the same constants the
     * Spark plans embed, so oracles replay signatures independently.
     */
-  private def planeValuesSql(numPlanes: Int): String = {
-    val planes = graft.functions.VectorFunctions.seededPlanes(numPlanes, 64, 42L)
+  private def planeValuesSql(numPlanes: Int, seed: Long = 42L): String = {
+    val planes = graft.functions.VectorFunctions.seededPlanes(numPlanes, 64, seed)
     planes.zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n")
@@ -3612,6 +3625,45 @@ object Queries {
          |        / (sqrt(list_inner_product(ca.v, ca.v)) * sqrt(list_inner_product(cb.v, cb.v)))
          |      ELSE CAST(0.0 AS DOUBLE) END AS cos
          |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |  JOIN c ca ON ca.vec_id = a.vec_id
+         |  JOIN c cb ON cb.vec_id = b.vec_id
+         |)
+         |SELECT id_a, id_b, round(cos, 6) AS cosine FROM j
+         |WHERE cos >= 0.30
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q46b_cosine_dedup_bounded" -> {
+      val planeRows = planeValuesSql(6)
+      val xplaneRows = planeValuesSql(4, seed = 43L)
+      s"""WITH c AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), planes(i, p) AS (VALUES
+         |$planeRows
+         |), xplanes(i, p) AS (VALUES
+         |$xplaneRows
+         |), sig AS (
+         |  SELECT c.vec_id,
+         |    SUM(CASE WHEN list_inner_product(c.v, pl.p) >= 0 THEN (CAST(1 AS BIGINT) << pl.i) ELSE 0 END) AS sig
+         |  FROM c CROSS JOIN planes pl GROUP BY c.vec_id
+         |), xsig AS (
+         |  SELECT c.vec_id,
+         |    SUM(CASE WHEN list_inner_product(c.v, pl.p) >= 0 THEN (CAST(1 AS BIGINT) << pl.i) ELSE 0 END) AS x
+         |  FROM c CROSS JOIN xplanes pl GROUP BY c.vec_id
+         |), occ AS (
+         |  SELECT sig AS b, count(*) AS n FROM sig GROUP BY sig
+         |), refined AS (
+         |  SELECT s.vec_id,
+         |    CASE WHEN o.n <= 120 THEN s.sig * 32
+         |         ELSE s.sig * 32 + 16 + x.x END AS bkt
+         |  FROM sig s JOIN occ o ON o.b = s.sig JOIN xsig x ON x.vec_id = s.vec_id
+         |), j AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CASE WHEN sqrt(list_inner_product(ca.v, ca.v)) * sqrt(list_inner_product(cb.v, cb.v)) > 0
+         |      THEN list_inner_product(ca.v, cb.v)
+         |        / (sqrt(list_inner_product(ca.v, ca.v)) * sqrt(list_inner_product(cb.v, cb.v)))
+         |      ELSE CAST(0.0 AS DOUBLE) END AS cos
+         |  FROM refined a JOIN refined b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
          |  JOIN c ca ON ca.vec_id = a.vec_id
          |  JOIN c cb ON cb.vec_id = b.vec_id
          |)

@@ -567,6 +567,49 @@ object Dedup {
     materializeAndRelease(cosinePairsFromBucketed(bucketed, threshold), bucketed)
   }
 
+  /** [[cosineNearDupPairs]] with BOUNDED bucket occupancy — the answer to
+    * the structural watch-item that LSH bucket size grows with true
+    * near-dup density: a bucket whose occupancy exceeds `maxBucketSize`
+    * is re-bucketed ONE level deeper with `extraPlanes` additional
+    * hyperplanes (seed + 1), shrinking its pair work up to
+    * ~4^extraPlanes-fold, while buckets under the cap keep EXACTLY the
+    * base scheme's candidates. The refined key packs
+    * `(base << (extraPlanes+1)) | isSplit | extraSig` into one long, so
+    * split and unsplit keyspaces never collide and the pair step stays a
+    * single hash equi-join. Recall inside a split bucket: a near-dup pair
+    * survives iff it also agrees on the extra planes — the same per-plane
+    * (1 − θ/π) acceptance the base scheme already prices in; exact
+    * duplicates always survive (identical vectors share every signature).
+    * Deterministic and oracle-replayable (q46b).
+    */
+  def cosineNearDupPairsBounded(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, maxBucketSize: Int, numPlanes: Int = 6,
+      extraPlanes: Int = 4, seed: Long = 42L): DataFrame = {
+    require(maxBucketSize > 0 && extraPlanes > 0 && extraPlanes < 32)
+    require(numPlanes + extraPlanes + 1 < 63,
+      "refined bucket key must fit a long")
+    import org.apache.spark.sql.expressions.Window
+    val base = Similarity.withLshBucket(df, vecCol, numPlanes, dim, seed)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket"))
+    val xplanes = graft.functions.VectorFunctions
+      .seededPlanes(extraPlanes, dim, seed + 1)
+    val shiftBy = extraPlanes + 1
+    val refined = base
+      .withColumn("__occ",
+        count(lit(1)).over(Window.partitionBy(col("lsh_bucket"))))
+      .withColumn("lsh_bucket",
+        when(col("__occ") <= maxBucketSize,
+          shiftleft(col("lsh_bucket"), shiftBy))
+          .otherwise(shiftleft(col("lsh_bucket"), shiftBy)
+            .bitwiseOR(lit(1L << extraPlanes))
+            .bitwiseOR(graft.functions.VectorFunctions
+              .lshSignature(col("v"), xplanes))))
+      .drop("__occ")
+      .persist()
+    materializeAndRelease(
+      cosinePairsFromBucketed(refined, threshold), refined)
+  }
+
   /** Lazy plan of [[cosineNearDupPairs]] (no cache, no materialization) —
     * for plan-shape inspection.
     */

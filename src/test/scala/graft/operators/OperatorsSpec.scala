@@ -355,6 +355,48 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("cosineNearDupPairsBounded: identical to the unbounded scheme when " +
+    "no bucket is oversized; a hot bucket splits, exact-dup recall holds") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // 120 vectors sharing a dominant direction (one hot bucket) + their
+    // exact duplicates; plus 40 scattered vectors
+    val dom = Array.fill(8)(1.0 + rng.nextGaussian() * 0.01)
+    def near(i: Int) = dom.map(x => x + rng.nextGaussian() * 0.001)
+    val hot = (0 until 120).flatMap { i =>
+      val v = near(i)
+      Seq((i.toLong * 2, v.toSeq), (i.toLong * 2 + 1, v.toSeq)) // exact dup
+    }
+    val cold = (1000 until 1040).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian()).toSeq))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+    def pairs(got: org.apache.spark.sql.DataFrame) = got
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap high enough that nothing splits → EXACTLY the base candidates
+    val baseline = pairs(Dedup.cosineNearDupPairs(df, "vec_id", "embedding",
+      dim = 8, threshold = 0.9, numPlanes = 4))
+    val unsplit = pairs(Dedup.cosineNearDupPairsBounded(df, "vec_id",
+      "embedding", dim = 8, threshold = 0.9, maxBucketSize = 100000,
+      numPlanes = 4, extraPlanes = 3))
+    assert(unsplit == baseline)
+    // cap of 40 forces the hot bucket to split: every exact-dup mate pair
+    // still surfaces (identical vectors share every extra-plane bit)
+    val bounded = Dedup.cosineNearDupPairsBounded(df, "vec_id", "embedding",
+      dim = 8, threshold = 0.9, maxBucketSize = 40,
+      numPlanes = 4, extraPlanes = 3)
+    val boundedPairs = pairs(bounded)
+    val matePairs = (0 until 120).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(matePairs.subsetOf(boundedPairs),
+      s"missing ${matePairs.diff(boundedPairs).size} exact-dup mates")
+    // the candidate set genuinely shrank (a split bucket loses some
+    // non-identical cross pairs — that is the occupancy/recall trade)
+    assert(boundedPairs.size <= baseline.size)
+    // and the pair step stays a hash equi-join, no cartesian
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("ngramJaccard: identical 1.0, disjoint 0.0") {
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("a", "b")
       .select(Dedup.ngramJaccard(col("a"), col("b"), 2).as("j"))
