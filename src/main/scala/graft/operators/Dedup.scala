@@ -588,15 +588,19 @@ object Dedup {
     require(maxBucketSize > 0 && extraPlanes > 0 && extraPlanes < 32)
     require(numPlanes + extraPlanes + 1 < 63,
       "refined bucket key must fit a long")
-    import org.apache.spark.sql.expressions.Window
     val base = Similarity.withLshBucket(df, vecCol, numPlanes, dim, seed)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket"))
+      .persist()
     val xplanes = graft.functions.VectorFunctions
       .seededPlanes(extraPlanes, dim, seed + 1)
     val shiftBy = extraPlanes + 1
-    val refined = base
-      .withColumn("__occ",
-        count(lit(1)).over(Window.partitionBy(col("lsh_bucket"))))
+    // occupancy via a map-side-combinable aggregate broadcast back — NOT
+    // a window over lsh_bucket, which would funnel every row into at most
+    // 2^numPlanes partitions and buffer the hot bucket in ONE task (the
+    // exact skew this function exists to tame)
+    val occ = broadcast(base.groupBy("lsh_bucket")
+      .agg(count(lit(1)).as("__occ"))) // ≤ 2^numPlanes tiny rows
+    val refined = base.join(occ, Seq("lsh_bucket"))
       .withColumn("lsh_bucket",
         when(col("__occ") <= maxBucketSize,
           shiftleft(col("lsh_bucket"), shiftBy))
@@ -607,7 +611,7 @@ object Dedup {
       .drop("__occ")
       .persist()
     materializeAndRelease(
-      cosinePairsFromBucketed(refined, threshold), refined)
+      cosinePairsFromBucketed(refined, threshold), refined, base)
   }
 
   /** Lazy plan of [[cosineNearDupPairs]] (no cache, no materialization) —

@@ -161,9 +161,11 @@ object Relational {
     * whose estimated row count exceeds `targetRowsPerTask` get a per-key
     * salt factor `ceil(est / target)` capped at `maxSaltFactor`. Returns
     * ONLY the hot keys — everything absent salts at factor 1, i.e. cold
-    * keys are never replicated. Misra-Gries UNDERestimates, so a key can
-    * only be under-salted (mild residual skew), never phantom-salted by
-    * overcounting.
+    * keys are never replicated. At `sampleFraction = 1` Misra-Gries
+    * UNDERestimates, so a key can only be under-salted (mild residual
+    * skew), never phantom-salted by overcounting; with a sampled probe
+    * the scaled estimate can swing either way, and a phantom-salted cold
+    * key costs only its own replication — join rows are unchanged.
     */
   def saltPlan(left: DataFrame, keys: Seq[String],
       targetRowsPerTask: Long, maxSaltFactor: Int = 64,

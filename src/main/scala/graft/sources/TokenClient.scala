@@ -76,8 +76,15 @@ object TokenClient {
       s"assertion ttl $ttlSeconds outside (0, 3600]") // endpoints cap at 1h
     val header = """{"alg":"RS256","typ":"JWT"}"""
     val iat = nowMs / 1000L
-    val claims = s"""{"iss":"${sa.clientEmail}","scope":"$scope",""" +
-      s""""aud":"${sa.tokenUri}","iat":$iat,"exp":${iat + ttlSeconds}}"""
+    // claims rendered through json4s, NOT string interpolation: a quote or
+    // backslash in the email/scope/uri must be escaped, not allowed to
+    // corrupt (or inject into) the signed claim set
+    val claims = JsonMethods.compact(JsonMethods.render(JObject(List(
+      "iss" -> (JString(sa.clientEmail): JValue),
+      "scope" -> JString(scope),
+      "aud" -> JString(sa.tokenUri),
+      "iat" -> JLong(iat),
+      "exp" -> JLong(iat + ttlSeconds)))))
     val signingInput =
       b64url(header.getBytes(StandardCharsets.UTF_8)) + "." +
         b64url(claims.getBytes(StandardCharsets.UTF_8))
@@ -120,7 +127,14 @@ object TokenClient {
     val expiresIn = o \ "expires_in" match {
       case JInt(i) => i.toLong
       case JLong(l) => l
-      case _ => 3600L // endpoints may omit it; the standard default
+      case JDouble(d) => d.toLong  // proxies re-serialize numbers freely
+      case JDecimal(d) => d.toLong
+      case JString(s) if s.forall(_.isDigit) && s.nonEmpty => s.toLong
+      case JNothing | JNull => 3600L // genuinely absent: the standard default
+      case other => throw new java.io.IOException(
+        // a silently-defaulted UNPARSEABLE lifetime would keep serving a
+        // stale bearer ~an hour past its real expiry
+        s"token endpoint reply with unparseable expires_in: $other")
     }
     Token(access, nowMs + expiresIn * 1000L)
   }
@@ -137,11 +151,21 @@ object TokenClient {
       clock: () => Long = () => System.currentTimeMillis())
       extends (() => String) with Serializable {
     @transient private var cached: Token = null
+    @transient private var fetchedAtMs: Long = 0L
     val fetches = new java.util.concurrent.atomic.AtomicInteger(0)
     def apply(): String = synchronized {
       val now = clock()
-      if (cached == null || now >= cached.expiresAtMs - refreshSkewMs) {
+      // effective skew never exceeds HALF the observed token lifetime: a
+      // skew >= lifetime (short-lived tokens against the 60s default)
+      // would otherwise make every apply() a synchronous fetch — the
+      // rate-limited-endpoint lockout this cache exists to prevent
+      val refreshAt =
+        if (cached == null) Long.MinValue
+        else cached.expiresAtMs - math.min(refreshSkewMs,
+          math.max(1L, (cached.expiresAtMs - fetchedAtMs) / 2))
+      if (cached == null || now >= refreshAt) {
         cached = fetchToken(sa, scope, now)
+        fetchedAtMs = now
         fetches.incrementAndGet()
       }
       cached.accessToken

@@ -81,6 +81,11 @@ class MongoFlowSpec extends SparkSpec {
       assert(flat.filter(col("id").startsWith("pat")).count() == 180)
       assert(flat.agg(sum(col("n"))).head().getLong(0) == (0 until 180).sum)
       assert(flat.agg(max(col("v"))).head().getLong(0) == 89L)
-    } finally { cli.close(); srv.stop(); sec.stop() }
+    } finally {
+      // nested: a throwing close() must not leak the two listeners (and
+      // their accept threads) into the rest of the JVM-wide suite run
+      try cli.close()
+      finally { try srv.stop() finally sec.stop() }
+    }
   }
 }

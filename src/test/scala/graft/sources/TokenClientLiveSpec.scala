@@ -175,6 +175,21 @@ class TokenClientLiveSpec extends AnyFunSuite {
     } finally c.stop()
   }
 
+  test("CachingProvider with short-lived tokens: the skew floors at half " +
+    "the lifetime instead of degenerating to one fetch per call") {
+    val c = new FakeAuthCloud(expiresIn = 30L) // 30s tokens, 60s default skew
+    try {
+      var nowMs = 1000000000000L
+      val p = new TokenClient.CachingProvider(account(c), "s",
+        clock = () => nowMs) // refreshSkewMs default 60000 > lifetime
+      p(); p(); p()
+      assert(p.fetches.get() == 1, "skew >= lifetime must not defeat the cache")
+      nowMs += 16000L // past half-life (15s) → one refresh
+      p(); p()
+      assert(p.fetches.get() == 2)
+    } finally c.stop()
+  }
+
   test("issued bearer feeds CloudStoreReader's authenticated GCS download " +
     "end-to-end: provider → token → gated fetch") {
     val c = new FakeAuthCloud()
