@@ -1197,6 +1197,10 @@ object Queries {
         .select(col("user_id"), col("event_type").as("status"),
           col("ts"), col("event_id"))
       changes.write.parquet(s"$tmp/changes")
+      // DELIBERATELY at session parallelism, not the stream policy:
+      // foreachBatch CDC has no state stores (the policy's target cost),
+      // and its per-batch merge is real batch work — an A/B showed the
+      // reduced-parallelism variant ~1.3-1.7x slower here
       val stream = s.readStream.schema(changes.schema)
         .parquet(s"$tmp/changes")
       val q = graft.streaming.Incremental.cdcToSnapshot(stream,
@@ -1246,6 +1250,8 @@ object Queries {
         op = when(col("status") === "error", "delete").otherwise("upsert"),
         payload = Seq("status"), snapshotPath = snapshotPath,
         checkpoint = s"$tmp/ckpt")
+      // at session parallelism like q114: foreachBatch merges are batch
+      // work, not state-store overhead (see q114's A/B note)
       // phase 1: kill as soon as the first batch lands — a mid-run crash
       val q1 = merge().start()
       try {
