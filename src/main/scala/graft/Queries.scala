@@ -1235,14 +1235,15 @@ object Queries {
         .select(col("user_id"), col("event_type").as("status"),
           col("ts"), col("event_id"))
       // four time-ordered chunks — ntile over the global change order is
-      // fixture prep (one sort of the harness changelog), not engine path
+      // fixture prep, not engine path; PERSISTED so the single-task sort
+      // runs once, not once per chunk write
       val chunked = changes.withColumn("chunk",
-        ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
-      for (c <- 1 to 4) {
+        ntile(4).over(Window.orderBy(col("ts"), col("event_id")))).persist()
+      try for (c <- 1 to 4) {
         chunked.filter(col("chunk") === c).drop("chunk")
           .coalesce(1).write.mode("append").parquet(s"$tmp/changes")
         stampFreshMtimes(s"$tmp/changes", 1000000000000L + c * 60000L)
-      }
+      } finally chunked.unpersist()
       def merge() = graft.streaming.Incremental.cdcToSnapshot(
         s.readStream.schema(changes.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$tmp/changes"),

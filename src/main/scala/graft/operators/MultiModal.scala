@@ -209,7 +209,10 @@ object MultiModal {
         if (size32 == 1L) {
           if (end - pos < 16) throw new Mp4ParseError("truncated largesize")
           val large = buf.getLong(pos + 8)
-          if (large < 16 || pos + large > end)
+          // compare as `large > end - pos` — `pos + large` overflows Long
+          // for crafted sizes near Long.MaxValue, letting boxEnd move
+          // BACKWARD and the walk loop forever on untrusted bytes
+          if (large < 16 || large > end - pos)
             throw new Mp4ParseError(s"bad largesize $large")
           (pos + 16, pos + large.toInt)
         } else if (size32 == 0L) (pos + 8, end) // extends to range end
@@ -467,7 +470,11 @@ object MultiModal {
     * happens in the downstream kernel, one task per (video, frame-batch).
     */
   def sampleFrameIndexes(features: DataFrame, stride: Int, maxFrames: Int): DataFrame =
-    features.filter(col("modality") === "video")
+    // n_frames >= 1 guard: the real decoder can emit 0 frames (fragmented
+    // MP4s keep sample counts in moof/trun, leaving moov's stts empty) and
+    // sequence(0, -1, stride) is an execution-time error, not an empty
+    // array — a zero-frame video simply has nothing to sample
+    features.filter(col("modality") === "video" && col("n_frames") >= 1)
       .withColumn("frame_idx",
         explode(sequence(lit(0), least(col("n_frames") - 1, lit((maxFrames - 1).toLong * stride)), lit(stride))))
 

@@ -372,7 +372,16 @@ object MongoWireClient {
         // throw IllegalArgumentException from the socket constructor and
         // abort the whole discovery — drop it here instead
         .filter(p => p > 0 && p <= 65535)
-        .map(p => (s.substring(0, i), p))
+        .map { p =>
+          val host = s.substring(0, i)
+          // IPv6 members advertise the bracket form "[::1]:27017" — the
+          // socket layer wants the bare address, brackets stripped
+          val bare =
+            if (host.startsWith("[") && host.endsWith("]"))
+              host.substring(1, host.length - 1)
+            else host
+          (bare, p)
+        }
     }
 
   /** Connect to the replica set's PRIMARY: walk the seed list, `hello`
@@ -411,9 +420,14 @@ object MongoWireClient {
         if (cli != null) {
           val reply =
             try cli.hello(requestCompression)
-            catch { case e: IOException =>
-              failures.update(s"$h:$p", s"hello: ${e.getMessage}")
-              cli.close(); null
+            catch {
+              // IllegalArgumentException: the BSON codec throws it for
+              // reply types it doesn't speak (e.g. a newer server's
+              // Decimal128 field) — one odd member must not abort the
+              // discovery or leak its socket
+              case e @ (_: IOException | _: IllegalArgumentException) =>
+                failures.update(s"$h:$p", s"hello: ${e.getMessage}")
+                cli.close(); null
             }
           if (reply != null) {
             if ((reply \ "isWritablePrimary") == JBool(true)) return cli

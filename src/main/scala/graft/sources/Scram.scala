@@ -49,8 +49,25 @@ object Scram {
     }
     val norm = java.text.Normalizer.normalize(
       mapped, java.text.Normalizer.Form.NFKC)
-    require(!norm.exists(c => Character.isISOControl(c)),
-      "SASLprep prohibits control characters in passwords (RFC 4013 C.2)")
+    // RFC 4013 prohibited output (loud, not silently mis-derived): C.2
+    // controls incl. the non-ISO line/paragraph separators, C.3 private
+    // use, C.5 surrogates, C.6 inappropriate-for-plain-text, C.8 bidi
+    // and deprecated formatting controls
+    def prohibited(c: Char): Boolean = {
+      val t = Character.getType(c)
+      val i: Int = c
+      Character.isISOControl(c) ||
+        t == Character.PRIVATE_USE || t == Character.SURROGATE ||
+        i == 0x2028 || i == 0x2029 ||              // line/para separators
+        i == 0x200E || i == 0x200F ||              // LRM/RLM
+        (i >= 0x202A && i <= 0x202E) ||            // bidi embeddings
+        (i >= 0x2066 && i <= 0x2069) ||            // bidi isolates
+        (i >= 0x206A && i <= 0x206F) ||            // deprecated format ctl
+        (i >= 0xFFF9 && i <= 0xFFFD)               // interlinear + repl.
+    }
+    require(!norm.exists(prohibited),
+      "SASLprep prohibits control/bidi/private-use characters in " +
+        "passwords (RFC 4013 C.2/C.3/C.5/C.6/C.8)")
     norm
   }
 

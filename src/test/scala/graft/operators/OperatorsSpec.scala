@@ -666,6 +666,24 @@ class MultiModalSpec extends SparkSpec {
       f.format == "isom")
   }
 
+  test("sampleFrameIndexes: a zero-frame video (fragmented MP4 with empty " +
+    "stts) yields no rows instead of crashing the sequence expression") {
+    import spark.implicits._
+    val rows = Seq(
+      MultiModal.MediaRow(1L, "video", "video/mp4",
+        MultiModal.encodeMp4(1000L, 64, 48, 0L)), // stts sample count 0
+      MultiModal.MediaRow(2L, "video", "video/mp4",
+        MultiModal.encodeMp4(1000L, 64, 48, 20L)))
+    val feats = MultiModal.extractFeatures(spark.createDataset(rows)).toDF()
+    // the zero-frame row IS decoded (real parse, n_frames 0), not stubbed
+    assert(feats.filter(col("media_id") === 1L).head().getAs[Int]("n_frames") == 0)
+    val sampled = MultiModal.sampleFrameIndexes(feats, stride = 7, maxFrames = 4)
+      .select("media_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // sequence(0, -1, 7) would THROW at execution; the guard drops the row
+    assert(sampled == Seq((2L, 0L), (2L, 7L), (2L, 14L)))
+  }
+
   test("undecodable image bytes fall back to the stub VISIBLY (format='stub')") {
     val junk = Array.tabulate[Byte](100)(i => (i * 37).toByte)
     val f = MultiModal.decode(

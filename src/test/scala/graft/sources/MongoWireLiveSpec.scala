@@ -203,6 +203,11 @@ class MongoWireLiveSpec extends AnyFunSuite {
     assert(Scram.saslPrep("a\u00a0b") == "a b")
     assert(Scram.saslPrep("a\u200bb") == "ab")
     intercept[IllegalArgumentException](Scram.saslPrep("a\u0007b"))
+    // RFC 4013 prohibits more than ISO controls: bidi overrides and
+    // line separators must fail LOUDLY, not silently mis-derive the key
+    intercept[IllegalArgumentException](Scram.saslPrep("a\u202eb"))
+    intercept[IllegalArgumentException](Scram.saslPrep("a\u2028b"))
+    intercept[IllegalArgumentException](Scram.saslPrep("a\ue000b"))
     // over the wire: server stored the composed form, client types the
     // decomposed form — auth still succeeds
     val srv = new FakeMongo(store, credentials = Some("svc" -> composed))
