@@ -322,7 +322,14 @@ object MultiModal {
           }
       }.getOrElse(0L)
 
-      Some(VideoInfo(duration * 1000L / timescale, traks.size, width, height,
+      // Overflow-guarded like the largesize/stts paths: a corrupt v1 mvhd
+      // with duration near Long.MaxValue must fall to the stub, not yield a
+      // garbage/negative durationMs.
+      val durationMs =
+        try Math.multiplyExact(duration, 1000L) / timescale
+        catch { case _: ArithmeticException =>
+          throw new Mp4ParseError(s"mvhd duration overflow: $duration") }
+      Some(VideoInfo(durationMs, traks.size, width, height,
         nFrames, brand))
     } catch {
       case _: Mp4ParseError | _: IndexOutOfBoundsException => None

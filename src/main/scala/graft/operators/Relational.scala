@@ -218,11 +218,16 @@ object Relational {
     val spark = left.sparkSession
     import spark.implicits._
     val hotDf = broadcast(hot.toSeq.toDF("__hotkey", "__factor"))
+    // the salt only needs to SPREAD same-key left rows across factor
+    // buckets — any in-range value joins the matching right replica, so a
+    // retry recomputing a different salt still yields identical rows.
+    // A per-row counter round-robins perfectly and, unlike hashing the
+    // whole row, neither pays wide-row hashing cost nor throws on
+    // unhashable column types (e.g. MapType).
     val lf = left.withColumn("__hotkey", hotKeyOf(keys))
       .join(hotDf, Seq("__hotkey"), "left")
-      .withColumn("__salt", pmod(
-        xxhash64(left.columns.map(col): _*),
-        coalesce(col("__factor"), lit(1))).cast("int"))
+      .withColumn("__salt", pmod(monotonically_increasing_id(),
+        coalesce(col("__factor"), lit(1)).cast("long")).cast("int"))
       .drop("__hotkey", "__factor")
     val rf = right.withColumn("__hotkey", hotKeyOf(keys))
       .join(hotDf, Seq("__hotkey"), "left")

@@ -52,22 +52,27 @@ object Scram {
     // RFC 4013 prohibited output (loud, not silently mis-derived): C.2
     // controls incl. the non-ISO line/paragraph separators, C.3 private
     // use, C.5 surrogates, C.6 inappropriate-for-plain-text, C.8 bidi
-    // and deprecated formatting controls
-    def prohibited(c: Char): Boolean = {
-      val t = Character.getType(c)
-      val i: Int = c
-      Character.isISOControl(c) ||
+    // and deprecated formatting controls, C.9 tagging characters.
+    // Evaluated per CODE POINT, not per UTF-16 unit: a paired surrogate is
+    // consumed by codePoints() into its supplementary code point, so only a
+    // genuinely UNPAIRED surrogate surfaces with type SURROGATE here —
+    // valid non-BMP passwords (emoji, CJK Ext B) pass, as RFC 4013 C.5
+    // intends.
+    def prohibited(cp: Int): Boolean = {
+      val t = Character.getType(cp)
+      Character.isISOControl(cp) ||
         t == Character.PRIVATE_USE || t == Character.SURROGATE ||
-        i == 0x2028 || i == 0x2029 ||              // line/para separators
-        i == 0x200E || i == 0x200F ||              // LRM/RLM
-        (i >= 0x202A && i <= 0x202E) ||            // bidi embeddings
-        (i >= 0x2066 && i <= 0x2069) ||            // bidi isolates
-        (i >= 0x206A && i <= 0x206F) ||            // deprecated format ctl
-        (i >= 0xFFF9 && i <= 0xFFFD)               // interlinear + repl.
+        cp == 0x2028 || cp == 0x2029 ||              // line/para separators
+        cp == 0x200E || cp == 0x200F ||              // LRM/RLM
+        (cp >= 0x202A && cp <= 0x202E) ||            // bidi embeddings
+        (cp >= 0x2066 && cp <= 0x2069) ||            // bidi isolates
+        (cp >= 0x206A && cp <= 0x206F) ||            // deprecated format ctl
+        (cp >= 0xFFF9 && cp <= 0xFFFD) ||            // interlinear + repl.
+        (cp >= 0xE0001 && cp <= 0xE007F)             // C.9 tag characters
     }
-    require(!norm.exists(prohibited),
+    require(!norm.codePoints.anyMatch(cp => prohibited(cp)),
       "SASLprep prohibits control/bidi/private-use characters in " +
-        "passwords (RFC 4013 C.2/C.3/C.5/C.6/C.8)")
+        "passwords (RFC 4013 C.2/C.3/C.5/C.6/C.8/C.9)")
     norm
   }
 

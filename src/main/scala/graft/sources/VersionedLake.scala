@@ -131,7 +131,11 @@ final class HadoopManifestStore(f: FileSystem, table: String)
   def publish(version: Long, manifest: Array[Byte]): Boolean = {
     f.mkdirs(dir)
     val tmp = new Path(dir, s"v$version.json.tmp")
-    val out = f.create(tmp, false)
+    // overwrite=true: the CLAIM already made this version number exclusive,
+    // so the only way tmp exists is a committer that crashed between create
+    // and rename — a retry must replace the stale tmp, not throw
+    // FileAlreadyExistsException.
+    val out = f.create(tmp, true)
     try out.write(manifest) finally out.close()
     f.rename(tmp, new Path(dir, s"v$version.json"))
   }

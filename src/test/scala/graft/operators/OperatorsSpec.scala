@@ -646,6 +646,17 @@ class MultiModalSpec extends SparkSpec {
       .put(Array.fill(8)(0x42.toByte))
     assert(MultiModal.decodeVideo(base ++ big.array())
       .contains(MultiModal.VideoInfo(700L, 1, 64, 48, 9L, "isom")))
+    // a corrupt v1 mvhd with duration near Long.MaxValue must fall to the
+    // stub (None), not silently yield a garbage/negative durationMs:
+    // duration * 1000 overflows and the guard catches it
+    val v1 = MultiModal.encodeMp4(1000L, 32, 24, 3L, version1 = true)
+    val patched = java.nio.ByteBuffer.wrap(v1.clone())
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    // ftyp(24) + moov hdr(8) + mvhd hdr(8) + ver/flags(4) + create(8) +
+    // modify(8) + timescale(4) = byte 64 is the 64-bit duration field
+    assert(patched.getInt(60) == 1000, "fixture layout moved: not timescale")
+    patched.putLong(64, Long.MaxValue)
+    assert(MultiModal.decodeVideo(patched.array()).isEmpty)
   }
 
   test("extractVideoFeatures: real parse lands typed rows, undecodable " +
@@ -765,6 +776,16 @@ class ScaleStrategySpec extends graft.SparkSpec {
     val empty = Relational.adaptiveSaltedJoin(left, right, Seq("k"),
       targetRowsPerTask = 50L, plan = Some(Map.empty))
     assert(!empty.queryExecution.executedPlan.toString.contains("__salt"))
+    // a left frame with an UNHASHABLE column (MapType) joins fine with a
+    // plain join, so it must join fine here too — the salt no longer
+    // hashes the whole row
+    val mapLeft = left.withColumn("m", map(col("lv"), col("k")))
+    val mapGot = Relational.adaptiveSaltedJoin(mapLeft, right, Seq("k"),
+      targetRowsPerTask = 50L, plan = Some(Map("0" -> 4)))
+      .select("k", "lv", "rv")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    assert(mapGot == plain)
   }
 
   test("co-bucketed tables join without an exchange") {

@@ -208,6 +208,16 @@ class MongoWireLiveSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Scram.saslPrep("a\u202eb"))
     intercept[IllegalArgumentException](Scram.saslPrep("a\u2028b"))
     intercept[IllegalArgumentException](Scram.saslPrep("a\ue000b"))
+    // RFC 4013 C.5 prohibits only UNPAIRED surrogates: a valid non-BMP
+    // password (emoji U+1F600, CJK Ext B U+20021) that a conforming server
+    // accepted at account creation must pass the client-side prep too
+    assert(Scram.saslPrep("a\ud83d\ude00b") == "a\ud83d\ude00b") // \ud83d\ude00
+    assert(Scram.saslPrep("a\ud840\udc21b") == "a\ud840\udc21b")
+    // an unpaired surrogate half still fails loudly
+    intercept[IllegalArgumentException](Scram.saslPrep("a\ud83db"))
+    // supplementary-plane private use (plane 15/16) stays prohibited
+    intercept[IllegalArgumentException](Scram.saslPrep(
+      "a" + new String(Character.toChars(0xF0000)) + "b"))
     // over the wire: server stored the composed form, client types the
     // decomposed form — auth still succeeds
     val srv = new FakeMongo(store, credentials = Some("svc" -> composed))

@@ -17,6 +17,22 @@ class VersionedLakeSpec extends SparkSpec {
       .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3)) // time travel
   }
 
+  test("publish survives a stale tmp from a crashed committer: the retry " +
+    "replaces it instead of throwing FileAlreadyExistsException") {
+    val tbl = Files.createTempDirectory("vlake-staletmp").toString
+    // simulate a committer that crashed AFTER creating v1.json.tmp but
+    // BEFORE the rename — the claim made v1 exclusive, so a retry of the
+    // same version must be able to re-publish over the stale tmp
+    val mdir = new java.io.File(tbl, "_manifests")
+    mdir.mkdirs()
+    Files.write(new java.io.File(mdir, "v1.json.tmp").toPath,
+      "{\"version\":1,\"files\":[]}".getBytes)
+    val v1 = VersionedLake.commit(Seq(7, 8).toDF("x"), tbl)
+    assert(v1 == 1L)
+    assert(VersionedLake.read(spark, tbl).collect().map(_.getInt(0)).sorted
+      .toSeq == Seq(7, 8))
+  }
+
   test("append mode unions files without rewriting data") {
     val tbl = Files.createTempDirectory("vlake2").toString
     VersionedLake.commit(Seq(1).toDF("x"), tbl)
