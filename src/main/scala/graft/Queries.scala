@@ -662,9 +662,12 @@ object Queries {
 
     // Dedup (near): embedding-cosine near-dup pairs, LSH-bucketed candidates
     // + exact cosine threshold (oracle replays planes/buckets/cosine).
+    // maxBucketSize = Int.MaxValue pins the UNBOUNDED special case the
+    // oracle replays; the engine default is bounded occupancy (q46b).
     "q46_cosine_dedup" -> ((s, dir) => {
       Dedup.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.30, numPlanes = 6)
+        dim = 64, threshold = 0.30, numPlanes = 6,
+        maxBucketSize = Int.MaxValue)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -675,7 +678,7 @@ object Queries {
     // quadratic; under-cap buckets keep exactly q46's candidates. The
     // oracle replays the occupancy decision and both plane sets.
     "q46b_cosine_dedup_bounded" -> ((s, dir) => {
-      Dedup.cosineNearDupPairsBounded(t(s, dir, "embeddings"), "vec_id",
+      Dedup.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
           "embedding", dim = 64, threshold = 0.30, maxBucketSize = 120,
           numPlanes = 6, extraPlanes = 4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

@@ -21,6 +21,15 @@ import graft.operators.{Cluster, Dedup, Relational}
   *                          SSL-prototypes outlier gate — catches
   *                          paraphrase-level duplicates the lexical
   *                          MinHash stage can't see
+  *  3c. embedding near-dup — OPTIONAL (`cosineNearDupThreshold > 0`):
+  *                          cosine-LSH pairs over the surviving docs'
+  *                          embeddings → connected components → keep each
+  *                          cluster's minimum-id doc. Routed through
+  *                          [[graft.operators.Dedup.cosineNearDupPairs]],
+  *                          whose DEFAULT is bounded bucket occupancy —
+  *                          at corpus scale density hot-spots are
+  *                          guaranteed, so the flow inherits the bounded
+  *                          scheme without a call-site knob
   *  4. PII redaction      — chained codegen'd regex
   *  5. chunking           — fixed-size overlapping token windows
   *  6. sequence packing   — per-language context bins
@@ -48,7 +57,13 @@ object TrainingCorpus {
       semClusters: Int = 16,
       semIters: Int = 3,
       semTau: Double = 0.9,
-      semPruneFrac: Double = 0.0): DataFrame = {
+      semPruneFrac: Double = 0.0,
+      // stage 3c: 0 = off; > 0 needs `embeddings` and `embeddingDim`
+      cosineNearDupThreshold: Double = 0.0,
+      embeddingDim: Int = 0): DataFrame = {
+    require(cosineNearDupThreshold <= 0 ||
+      (embeddings.nonEmpty && embeddingDim > 0),
+      "cosineNearDupThreshold needs an embeddings frame and embeddingDim")
 
     val quality = docs
       .filter(TextFunctions.qualityScore(col("text")) >= minQuality)
@@ -88,7 +103,26 @@ object TrainingCorpus {
         // with no embedding row passes through (absence of evidence)
         val rejected = embKept.select(col("doc_id"))
           .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        canon.join(rejected, Seq("doc_id"), "left_anti")
+        val afterSem = canon.join(rejected, Seq("doc_id"), "left_anti")
+        if (cosineNearDupThreshold <= 0) afterSem
+        else {
+          // stage 3c over the semantic survivors only: cosine-LSH pairs
+          // (bounded-occupancy default), transitive clusters, keep each
+          // cluster's minimum-id doc; a doc with no embedding row passes
+          // through, same evidence rule as 3b
+          val embLeft = emb.join(afterSem.select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          val cosPairs = Dedup.cosineNearDupPairs(embLeft, "doc_id",
+            "embedding", embeddingDim, cosineNearDupThreshold)
+          val cosClusters = Dedup.duplicateClusters(
+            cosPairs.select(col("id_a"), col("id_b")))
+          afterSem
+            .join(cosClusters.withColumnRenamed("id", "doc_id"),
+              Seq("doc_id"), "left")
+            .filter(col("cluster_id").isNull ||
+              col("cluster_id") === col("doc_id"))
+            .drop("cluster_id")
+        }
       case None => canonical
     }
 

@@ -555,39 +555,42 @@ object Dedup {
     * At 100 TB the signature is a stored column ([[Similarity.withLshBucket]]
     * at ingest) and this reduces to one shuffle on `lsh_bucket`.
     */
+  /** Default occupancy cap for [[cosineNearDupPairs]]: pair work per
+    * bucket is occupancy², so 4096 bounds any single bucket's candidate
+    * generation at ~16M pairs — one healthy task, never a straggler. At
+    * 100 TB density hot-spots (boilerplate clusters, template embeddings)
+    * are guaranteed, so the BOUNDED scheme is the default; unbounded is
+    * the `maxBucketSize = Int.MaxValue` opt-in.
+    */
+  val DefaultCosineBucketCap = 4096
+
+  /** Embedding-cosine near-dup pairs, BOUNDED-occupancy by default: a
+    * bucket whose occupancy exceeds `maxBucketSize` is re-bucketed ONE
+    * level deeper with `extraPlanes` additional hyperplanes (seed + 1),
+    * shrinking its pair work up to ~4^extraPlanes-fold, while buckets
+    * under the cap keep EXACTLY the base scheme's candidates. The refined
+    * key packs `(base << (extraPlanes+1)) | isSplit | extraSig` into one
+    * long, so split and unsplit keyspaces never collide and the pair step
+    * stays a single hash equi-join. Recall inside a split bucket: a
+    * near-dup pair survives iff it also agrees on the extra planes — the
+    * same per-plane (1 − θ/π) acceptance the base scheme already prices
+    * in; exact duplicates always survive (identical vectors share every
+    * signature). Deterministic and oracle-replayable (q46, q46b).
+    *
+    * `maxBucketSize = Int.MaxValue` is the unbounded special case: no
+    * bucket can exceed the cap, so no bucket splits and the candidates
+    * are exactly the classic single-level LSH scheme's.
+    */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, numPlanes: Int = 6,
-      seed: Long = 42L): DataFrame = {
-    // persisted: both sides of the bucket self-join read it; without the
-    // persist each side re-scans the source and recomputes every
-    // numPlanes×dim signature dot product
-    val bucketed = Similarity.withLshBucket(df, vecCol, numPlanes, dim, seed)
-      .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket"))
-      .persist()
-    materializeAndRelease(cosinePairsFromBucketed(bucketed, threshold), bucketed)
-  }
-
-  /** [[cosineNearDupPairs]] with BOUNDED bucket occupancy — the answer to
-    * the structural watch-item that LSH bucket size grows with true
-    * near-dup density: a bucket whose occupancy exceeds `maxBucketSize`
-    * is re-bucketed ONE level deeper with `extraPlanes` additional
-    * hyperplanes (seed + 1), shrinking its pair work up to
-    * ~4^extraPlanes-fold, while buckets under the cap keep EXACTLY the
-    * base scheme's candidates. The refined key packs
-    * `(base << (extraPlanes+1)) | isSplit | extraSig` into one long, so
-    * split and unsplit keyspaces never collide and the pair step stays a
-    * single hash equi-join. Recall inside a split bucket: a near-dup pair
-    * survives iff it also agrees on the extra planes — the same per-plane
-    * (1 − θ/π) acceptance the base scheme already prices in; exact
-    * duplicates always survive (identical vectors share every signature).
-    * Deterministic and oracle-replayable (q46b).
-    */
-  def cosineNearDupPairsBounded(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, maxBucketSize: Int, numPlanes: Int = 6,
-      extraPlanes: Int = 4, seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Int = DefaultCosineBucketCap,
+      extraPlanes: Int = 4): DataFrame = {
     require(maxBucketSize > 0 && extraPlanes > 0 && extraPlanes < 32)
     require(numPlanes + extraPlanes + 1 < 63,
       "refined bucket key must fit a long")
+    // persisted: the occupancy probe and both sides of the bucket
+    // self-join read it; without the persist each consumer re-scans the
+    // source and recomputes every numPlanes×dim signature dot product
     val base = Similarity.withLshBucket(df, vecCol, numPlanes, dim, seed)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket"))
       .persist()
@@ -613,6 +616,15 @@ object Dedup {
     materializeAndRelease(
       cosinePairsFromBucketed(refined, threshold), refined, base)
   }
+
+  /** Source-compatible alias from when bounded occupancy was the opt-in
+    * variant; [[cosineNearDupPairs]] IS the bounded scheme now.
+    */
+  def cosineNearDupPairsBounded(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, maxBucketSize: Int, numPlanes: Int = 6,
+      extraPlanes: Int = 4, seed: Long = 42L): DataFrame =
+    cosineNearDupPairs(df, idCol, vecCol, dim, threshold, numPlanes, seed,
+      maxBucketSize, extraPlanes)
 
   /** Lazy plan of [[cosineNearDupPairs]] (no cache, no materialization) —
     * for plan-shape inspection.

@@ -71,4 +71,36 @@ class TrainingCorpusSpec extends SparkSpec {
       chunkTokens = 64, overlap = 8, binCapacity = 256L)
     assert(plain.select("doc_id").distinct().count() == 3)
   }
+
+  test("stage 3c embedding near-dup: cosine clusters keep the minimum-id " +
+    "doc; routed through the bounded-occupancy default") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river", "en"),
+      (2L, "a completely different sentence with its own novel words here", "en"),
+      (3L, "yet another unrelated document about trains and the weather", "en"),
+      (4L, "one more standalone text concerning gardens and morning light", "en"))
+      .toDF("doc_id", "text", "lang")
+    // docs 1/2 near-identical directions (cosine ≈ 1), 3 orthogonal,
+    // 4 has NO embedding row and must pass through
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.001f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("doc_id", "embedding")
+    // semTau = 0 disables the 3b drop so the 3c stage is what's tested;
+    // semClusters = 1 keeps everything in one k-means cluster
+    val corpus = TrainingCorpus.build(docs,
+      minQuality = 0.0, jaccardThreshold = 0.8,
+      chunkTokens = 64, overlap = 8, binCapacity = 256L,
+      embeddings = Some(emb), semClusters = 1, semIters = 1, semTau = 2.0,
+      cosineNearDupThreshold = 0.95, embeddingDim = 4)
+    val kept = corpus.select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L), kept.toString)
+
+    // the knob guard: threshold without dim/embeddings fails loudly
+    intercept[IllegalArgumentException](TrainingCorpus.build(docs,
+      cosineNearDupThreshold = 0.9))
+  }
 }
