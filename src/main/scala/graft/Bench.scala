@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Reference wall-clock of the micro-calibration workload (cpus=32
+    * threads × 2^27 xorshift64 steps, median of 5) measured on the round-12
+    * reference host. `host_factor = calib_sec / CalibRefSec` in the bench
+    * JSON: >1 means this run's host was that much slower than the
+    * reference, and `normalized_value` divides it back out.
+    */
+  val CalibRefSec = 0.295
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -55,26 +63,68 @@ object Bench {
             org.apache.spark.sql.execution.FormattedMode))
         } catch { case _: Throwable => () }
       }
+    // ---- micro-calibration: pure-CPU, engine-free host-factor probe ----
+    // A fixed workload (cpus threads × 2^27 xorshift64 steps each, pinned
+    // iteration count, result published through an AtomicLong so the JIT
+    // cannot elide it) measures THIS host's compute speed at bench time.
+    // Round-over-round bench drift then decomposes: if calib moved by the
+    // same factor as the query totals, the drift is the HOST (thermal /
+    // co-tenant / governor), not the engine. `CalibRefSec` pins the value
+    // measured on the reference machine the day this landed; the emitted
+    // `host_factor` = calib/ref and `normalized_value` = total/host_factor
+    // make the comparison a recorded number instead of a narrative.
+    val blackhole = new java.util.concurrent.atomic.AtomicLong(0L)
+    def calibRep(threads: Int): Double = {
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map { t =>
+        new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L + t
+          var s = 0L
+          var i = 0
+          while (i < (1 << 27)) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17; s += x
+            i += 1
+          }
+          blackhole.addAndGet(s)
+          ()
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val calibSec = {
+      calibRep(cpus.toInt) // JIT warmup rep, untimed
+      median((1 to 5).map(_ => calibRep(cpus.toInt)))
+    }
+    System.err.println(f"[bench] calibration $calibSec%8.3f s (blackhole ${blackhole.get()}%d)")
+
     // A failed query must not masquerade as a fast one: report its timing as
     // -1 and list it under "failed" so regressions are visible in the JSON.
-    // Each query is timed `timedIters` times (default 3) and the MIN is
-    // reported (JMH-style): every iteration runs the full data path; the
-    // min strips scheduler/GC noise that single-shot timing conflates with
-    // engine cost — round-over-round deltas on sub-second queries were
-    // drowning in 1.4-1.5x run-to-run swings at min-of-2.
+    // Each query is timed `timedIters` times (default 3); the MIN is
+    // reported in `queries` (JMH-style, continuity with earlier rounds) and
+    // the MEDIAN in `queries_median` — the median is the robust
+    // round-over-round comparator (the min can ride one lucky scheduler
+    // slot; the median can't), so drift analysis reads medians.
     val timedIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     // Sub-second queries carry the worst relative jitter (scheduler + JIT
     // layout dominate a 100-300ms measurement), so they earn extra
     // iterations: after the base `timedIters`, queries whose best is under
-    // `extraBelowSec` run up to `extraIters` more, keeping the min.
+    // `extraBelowSec` run up to `extraIters` more.
     val extraIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt
     val extraBelowSec = 1.5
     val results = selected.map { case (name, fn) =>
-      var best = Double.MaxValue
+      val times = scala.collection.mutable.ListBuffer.empty[Double]
       var ok = true
       var i = 0
       val maxIters = timedIters + extraIters
+      def best: Double = if (times.isEmpty) Double.MaxValue else times.min
       def wantMore: Boolean =
         i < timedIters || (i < maxIters && best < extraBelowSec)
       while (ok && wantMore) {
@@ -88,21 +138,27 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           failed += name; ok = false
         }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        times += (System.nanoTime() - t0) / 1e9
         i += 1
       }
-      val reported = if (ok) best else -1.0
-      System.err.println(f"[bench] $name%-22s $reported%8.2f s")
-      name -> reported
+      val reportedMin = if (ok) times.min else -1.0
+      val reportedMed = if (ok) median(times.toSeq) else -1.0
+      System.err.println(f"[bench] $name%-22s $reportedMin%8.2f s (median $reportedMed%8.2f)")
+      (name, reportedMin, reportedMed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val qsMed = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val totalMed = results.collect { case (_, _, m) if m >= 0 => m }.sum
+    val hostFactor = calibSec / Bench.CalibRefSec
+    val normalized = total / hostFactor
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // both iteration knobs recorded: sub-1.5s queries run up to
     // iters+extra_sub_sec_iters, so the artifact states the actual
     // methodology instead of implying min-of-iters for every query
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","iters":$timedIters,"extra_sub_sec_iters":$extraIters,"emitter":"bench","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","value_median":$totalMed,"calib_sec":$calibSec,"calib_ref_sec":${Bench.CalibRefSec},"host_factor":$hostFactor,"normalized_value":$normalized,"iters":$timedIters,"extra_sub_sec_iters":$extraIters,"emitter":"bench","queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // Persist the FULL per-query timing map to a file as well: the driver
     // captures a bounded stdout tail, and a truncated tail silently drops

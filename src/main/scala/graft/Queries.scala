@@ -734,6 +734,24 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // q50's DISTRIBUTED fallback, forced: unionFindMaxEdges = 0 pushes
+    // duplicateClusters past the driver union-find cap onto the
+    // pointer-jumping (label-propagation) path — the route a 100-TB pair
+    // graph takes. Same oracle as q50: the two paths must agree exactly,
+    // and this entry records the distributed path's wall-clock in every
+    // bench and the sf1 ratio gate instead of leaving it spec-only.
+    "q50b_dup_clusters_distributed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashCandidatePairsPortable(docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+      val clusters = Dedup.duplicateClusters(pairs, unionFindMaxEdges = 0L)
+      docs.select(col("doc_id"))
+        .join(clusters, docs("doc_id") === clusters("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Batch sessionization: per-user event-time sessions with a 30-min
     // gap (lag + running-sum window, one shuffle), then per-session
     // rollup. Batch complement of the streaming sessionize operator.
@@ -1123,14 +1141,16 @@ object Queries {
       // would leak one memory-sink result set per bench iteration
       val name = "q112_sessions"
       s.catalog.dropTempView(name)
-      // state-store count from the ENGINE policy, sized to the observed
-      // stream volume — not a per-query hand-picked number
-      graft.streaming.Incremental.withStreamParallelism(s, nRows) {
-        val events = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
-          .withWatermark("ts", "0 seconds")
-          .as[graft.streaming.Incremental.SessionEvent]
-        val q = graft.streaming.Incremental.sessionize(events, gapMs = 1800000L)
+      // parallelism from the ENGINE policy: the plan keeps state
+      // (flatMapGroupsWithState), so withStreamPolicy sizes state stores
+      // to the observed stream volume — not a per-query hand-picked number
+      val events = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+        .withWatermark("ts", "0 seconds")
+        .as[graft.streaming.Incremental.SessionEvent]
+      val sessions = graft.streaming.Incremental.sessionize(events, gapMs = 1800000L)
+      graft.streaming.Incremental.withStreamPolicy(sessions, nRows) {
+        val q = sessions
           .writeStream.format("memory").queryName(name)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1168,13 +1188,15 @@ object Queries {
         s.read.parquet(s"$tmp/purchases").count())
       val name = "q113_joined"
       s.catalog.dropTempView(name)
-      graft.streaming.Incremental.withStreamParallelism(s, nRows) {
-        val cs = s.readStream.schema(clicks.schema).parquet(s"$tmp/clicks")
-        val ps = s.readStream.schema(purchases.schema).parquet(s"$tmp/purchases")
-        val q = graft.streaming.Incremental.intervalJoin(cs, ps, "user_id",
-            leftTs = "ts", rightTs = "pts", lateness = "1 hour",
-            lowerBound = "0 seconds", upperBound = "1 hour")
-          .select(col("user_id"), col("event_id"), col("purchase_id"))
+      val cs = s.readStream.schema(clicks.schema).parquet(s"$tmp/clicks")
+      val ps = s.readStream.schema(purchases.schema).parquet(s"$tmp/purchases")
+      val joined = graft.streaming.Incremental.intervalJoin(cs, ps, "user_id",
+          leftTs = "ts", rightTs = "pts", lateness = "1 hour",
+          lowerBound = "0 seconds", upperBound = "1 hour")
+        .select(col("user_id"), col("event_id"), col("purchase_id"))
+      // stream-stream join keeps state → the policy sizes its stores
+      graft.streaming.Incremental.withStreamPolicy(joined, nRows) {
+        val q = joined
           .writeStream.format("memory").queryName(name)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -1200,19 +1222,21 @@ object Queries {
         .select(col("user_id"), col("event_type").as("status"),
           col("ts"), col("event_id"))
       changes.write.parquet(s"$tmp/changes")
-      // DELIBERATELY at session parallelism, not the stream policy:
-      // foreachBatch CDC has no state stores (the policy's target cost),
-      // and its per-batch merge is real batch work — an A/B showed the
-      // reduced-parallelism variant ~1.3-1.7x slower here
+      // withStreamPolicy DETECTS this plan as stateless (pure relay into a
+      // foreachBatch merge — no state stores) and rides session
+      // parallelism; the approxRows job is by-name and never runs
       val stream = s.readStream.schema(changes.schema)
         .parquet(s"$tmp/changes")
-      val q = graft.streaming.Incremental.cdcToSnapshot(stream,
-          keys = Seq("user_id"), order = Seq(col("ts"), col("event_id")),
-          op = when(col("status") === "error", "delete").otherwise("upsert"),
-          payload = Seq("status"), snapshotPath = snapshotPath,
-          checkpoint = s"$tmp/ckpt")
-        .start()
-      try q.awaitTermination() finally q.stop()
+      graft.streaming.Incremental.withStreamPolicy(stream,
+        s.read.parquet(s"$tmp/changes").count()) {
+        val q = graft.streaming.Incremental.cdcToSnapshot(stream,
+            keys = Seq("user_id"), order = Seq(col("ts"), col("event_id")),
+            op = when(col("status") === "error", "delete").otherwise("upsert"),
+            payload = Seq("status"), snapshotPath = snapshotPath,
+            checkpoint = s"$tmp/ckpt")
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
       s.read.parquet(snapshotPath).orderBy(col("user_id"))
     }),
 
@@ -1247,26 +1271,29 @@ object Queries {
           .coalesce(1).write.mode("append").parquet(s"$tmp/changes")
         stampFreshMtimes(s"$tmp/changes", 1000000000000L + c * 60000L)
       } finally chunked.unpersist()
-      def merge() = graft.streaming.Incremental.cdcToSnapshot(
-        s.readStream.schema(changes.schema)
-          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/changes"),
+      val changeStream = s.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/changes")
+      def merge() = graft.streaming.Incremental.cdcToSnapshot(changeStream,
         keys = Seq("user_id"), order = Seq(col("ts"), col("event_id")),
         op = when(col("status") === "error", "delete").otherwise("upsert"),
         payload = Seq("status"), snapshotPath = snapshotPath,
         checkpoint = s"$tmp/ckpt")
-      // at session parallelism like q114: foreachBatch merges are batch
-      // work, not state-store overhead (see q114's A/B note)
-      // phase 1: kill as soon as the first batch lands — a mid-run crash
-      val q1 = merge().start()
-      try {
-        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-        while (q1.recentProgress.isEmpty && q1.isActive &&
-          System.nanoTime() < deadline) Thread.sleep(10)
-      } finally q1.stop()
-      q1.awaitTermination()
-      // phase 2: resume from the SAME checkpoint, drain to completion
-      val q2 = merge().start()
-      try q2.awaitTermination() finally q2.stop()
+      // the policy detects the stateless relay and keeps session
+      // parallelism for both lifecycles (same detection as q114)
+      graft.streaming.Incremental.withStreamPolicy(changeStream,
+        s.read.parquet(s"$tmp/changes").count()) {
+        // phase 1: kill as soon as the first batch lands — a mid-run crash
+        val q1 = merge().start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (q1.recentProgress.isEmpty && q1.isActive &&
+            System.nanoTime() < deadline) Thread.sleep(10)
+        } finally q1.stop()
+        q1.awaitTermination()
+        // phase 2: resume from the SAME checkpoint, drain to completion
+        val q2 = merge().start()
+        try q2.awaitTermination() finally q2.stop()
+      }
       s.read.parquet(snapshotPath).orderBy(col("user_id"))
     }),
 
@@ -2930,6 +2957,9 @@ object Queries {
     "q34_simhash_pairs" -> q34Oracle,
 
     "q50_dup_clusters" -> q50Oracle,
+    // same oracle: the distributed pointer-jumping path must agree with
+    // the driver union-find exactly
+    "q50b_dup_clusters_distributed" -> q50Oracle,
 
     // q52 replays the HTML pipeline in DuckDB: same fabricated markup, same
     // regex chain (RE2 'g' flag = Java replace-all). The fabricated HTML has

@@ -35,6 +35,58 @@ class IncrementalSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == prev)
   }
 
+  test("withStreamPolicy: stateful plans get volume-sized parallelism, " +
+    "stateless foreachBatch relays ride session parallelism untouched") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val stream = input.toDF().toDF("ts", "k", "v")
+
+    // detection: plain relay = stateless; agg/dedup/mapGroupsWithState/
+    // stream-stream join = stateful; batch frames are never stateful
+    assert(!Incremental.plansStreamState(stream.filter(col("v") > 0)))
+    assert(!Incremental.plansStreamState(Seq((1, "a")).toDF("a", "b")
+      .groupBy("b").count()))
+    assert(Incremental.plansStreamState(Incremental.windowedAgg(
+      stream.withColumnRenamed("ts", "t"), "t", "1 hour", "10 minutes",
+      Seq(count(lit(1)).as("n")))))
+    assert(Incremental.plansStreamState(Incremental.dedupWithinWatermark(
+      stream, "ts", "10 minutes", Seq("k"))))
+    val evStream = stream.select(col("k").cast("long").as("user_id"),
+      col("ts"), col("v").as("value"))
+      .withWatermark("ts", "0 seconds")
+      .as[Incremental.SessionEvent]
+    assert(Incremental.plansStreamState(
+      Incremental.sessionize(evStream, gapMs = 1000L)))
+    val other = MemoryStream[(Timestamp, String)]
+    assert(Incremental.plansStreamState(Incremental.intervalJoin(
+      stream.withWatermark("ts", "1 minute").select(col("k"), col("ts")),
+      other.toDF().toDF("pts", "k").withWatermark("pts", "1 minute"),
+      "k", "ts", "pts", "1 minute", "0 seconds", "1 minute")))
+    // a streaming relay JOINED to a static side stays stateless (the
+    // static lookup is batch work, no stream-stream state)
+    val dim = Seq(("a", 1)).toDF("k", "dim")
+    assert(!Incremental.plansStreamState(stream.join(dim, "k")))
+
+    // the policy applies/skips the conf accordingly; approxRows is
+    // by-name and must NOT be evaluated on the stateless path
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    var counted = false
+    val statelessConf = Incremental.withStreamPolicy(stream,
+      { counted = true; 100000L }) {
+      spark.conf.get("spark.sql.shuffle.partitions")
+    }
+    assert(statelessConf == prev && !counted)
+    val statefulConf = Incremental.withStreamPolicy(
+      Incremental.dedupWithinWatermark(stream, "ts", "10 minutes", Seq("k")),
+      100000L) {
+      spark.conf.get("spark.sql.shuffle.partitions")
+    }
+    assert(statefulConf ==
+      math.max(2, math.min(prev.toInt, 7)).toString)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prev)
+  }
+
   test("windowedAgg: tumbling hourly counts via MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
