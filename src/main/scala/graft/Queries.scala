@@ -2057,44 +2057,47 @@ object Queries {
           val st = it.next(); len += st.getLen
           mt = math.max(mt, st.getModificationTime); nf += 1
         }
-        // v3: stored state commits through VersionedLake (manifest
-        // protocol) — the version prefix makes stale v1/v2 (bare-parquet)
-        // stores miss and rebuild
-        s"v3|$dir|$len|$mt|$nf"
+        // v4: centroid+assignment pair commits as ONE atomic VersionedLake
+        // GROUP (no marker) — the version prefix makes stale v1-v3 stores
+        // miss and rebuild
+        s"v4|$dir|$len|$mt|$nf"
       }
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val root = System.getProperty("java.io.tmpdir") + s"/graft_q111_$key"
-      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
       import graft.sources.VersionedLake
-      if (!fs.exists(new Path(s"$root/_COMPLETE"))) {
-        // marker-gated GROUP of two VersionedLake tables (same protocol as
-        // DedupIndex.build): each commit is atomic, the marker written
-        // LAST ties them together — a crash mid-build leaves no marker and
-        // the next call recommits both
+      if (VersionedLake.versions(s, root).isEmpty) {
+        // one group commit spans both tables: assignments derive from the
+        // STAGED centroids, and the single publish means no reader can see
+        // new centroids beside stale assignments (or vice versa)
         val hist = emb.filter(col("vec_id") % 5 =!= 0)
-        VersionedLake.commit(
-          Cluster.fitCentroids(hist, "vec_id", "embedding", k = 4, iters = 3),
-          s"$root/centroids")
+        val gc = VersionedLake.beginGroupCommit(s, root)
+        gc.write("centroids",
+          Cluster.fitCentroids(hist, "vec_id", "embedding", k = 4, iters = 3))
         // partitioned by cluster id: incrementalSemDeDupStored filters the
         // read to the batch's ≤ k cids, so this layout turns the per-batch
         // corpus I/O into partition-pruned directory reads
-        VersionedLake.commit(
+        gc.write("assignments",
           Cluster.assignStored(hist, "vec_id", "embedding",
-            VersionedLake.read(s, s"$root/centroids")),
-          s"$root/assignments", partitionBy = Seq("cid"))
-        fs.create(new Path(s"$root/_COMPLETE"), true).close()
+            gc.readStaged("centroids")),
+          partitionBy = Seq("cid"))
+        gc.publish()
       }
-      // explicit schema: partition-column type inference would read cid
-      // back as INT (values 0..k-1), and the long-vs-int mismatch both
-      // breaks assignStored's (id, q, cid) long contract downstream and
-      // wraps the partition column in a cast that can defeat pruning
-      val assignments = VersionedLake.read(s, s"$root/assignments",
+      // one version resolve for both reads (group consistency by
+      // construction). Explicit schema: partition-column type inference
+      // would read cid back as INT (values 0..k-1), and the long-vs-int
+      // mismatch both breaks assignStored's (id, q, cid) long contract
+      // downstream and wraps the partition column in a cast that can
+      // defeat pruning
+      val v = VersionedLake.versions(s, root).last
+      val assignments = VersionedLake.readTable(s, root, "assignments",
+        Some(v),
         schemaDDL = "vec_id BIGINT, q ARRAY<BIGINT>, dist BIGINT, cid BIGINT")
       Cluster.incrementalSemDeDupStored(
           assignments,
           emb.filter(col("vec_id") % 5 === 0),
-          "vec_id", "embedding", VersionedLake.read(s, s"$root/centroids"),
+          "vec_id", "embedding",
+          VersionedLake.readTable(s, root, "centroids", Some(v)),
           tau = 0.45)
         .orderBy(col("vec_id"))
     })

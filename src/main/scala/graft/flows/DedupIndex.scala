@@ -3,6 +3,7 @@ package graft.flows
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Dedup
+import graft.sources.VersionedLake
 
 /** Stored MinHash signature index — the PRODUCTION shape of near-dup
   * dedup at corpus scale: the `(id, hs)` hashed-shingle table and the
@@ -11,25 +12,28 @@ import graft.operators.Dedup
   * duplicate clustering, cluster retention, incremental batch dedup —
   * READS the stored tables instead of re-running the normalize → tokenize
   * → shingle → md5 pipeline, by far the most expensive stage. The hashed
-  * table is written first and the banded table is derived FROM the stored
+  * table is written first and the banded table is derived FROM the staged
   * hashed table ([[Dedup.bandedFromHashed]]), so the corpus text is
   * shingled exactly once ever.
   *
-  * Layout: `<root>/<key>/hashed` + `<root>/<key>/banded` parquet dirs with
-  * a `_COMPLETE` marker written LAST — a crash mid-build leaves no marker
-  * and the next call rebuilds from scratch (writes go to a fresh staging
-  * dir that is atomically renamed into place, so a half-written index is
-  * never visible under the final key). The key hashes the corpus location
-  * and every parameter that shapes the index, plus a format version.
+  * Layout: `<root>/<key>` is ONE [[VersionedLake]] table GROUP holding the
+  * `hashed`/`banded`/`pairs` member tables — all three are published by a
+  * single atomic manifest commit, so a reader can never observe a torn
+  * index (e.g. a new `hashed` beside a stale `pairs`), which the previous
+  * `_COMPLETE`-marker gating only approximated between the last table
+  * write and the marker write. A crash mid-build leaves no manifest and
+  * the next call rebuilds from scratch. The key hashes the corpus
+  * location and every parameter that shapes the index, plus a format
+  * version.
   */
 object DedupIndex {
 
   /** Bump when the on-disk layout or pipeline constants change — stale
     * indexes from an older build then miss and rebuild instead of being
-    * read with wrong semantics. v5: tables store through [[VersionedLake]]
-    * (manifest commits) instead of bare parquet dirs.
+    * read with wrong semantics. v6: the three tables form one atomic
+    * [[VersionedLake]] group commit (no `_COMPLETE` marker).
     */
-  private val FormatVersion = 5
+  private val FormatVersion = 6
 
   private def defaultRoot: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_minhash_index"
@@ -64,51 +68,38 @@ object DedupIndex {
       .digest(spec.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  /** Build the index for `docs` under `dir`, replacing any prior index at
-    * the same key. Each table commits through [[graft.sources.VersionedLake]]
-    * — per-table atomicity, versioning and vacuum come from the manifest
-    * protocol instead of hand-rolled staging/rename — and the `_COMPLETE`
-    * marker (written LAST, deleted FIRST) gates the three tables as a
-    * GROUP: a crash mid-build leaves no marker, and the next call
-    * recommits all three, so the latest version of each table always
-    * belongs to one complete build. Returns the final index directory.
+  /** Build the index for `docs` under `dir`, superseding any prior index
+    * at the same key. One [[VersionedLake.beginGroupCommit]] spans all
+    * three tables: `hashed` is staged from the corpus text, `banded` is
+    * derived from the STAGED hashed parquet (`readStaged` — one shingle
+    * pass ever, and the banded job reads slim `(id, hs)` rows instead of
+    * re-tokenizing documents), `pairs` from the staged pair of them; the
+    * single publish makes the whole group visible atomically. Jaccard is
+    * threshold-free, so one stored pair table serves every downstream
+    * policy (cluster at 0.5, audit at 0.8, ...) with a single slim scan.
+    * Returns the final index directory.
     */
   def build(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, corpusPath: String, root: String = defaultRoot,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       subsetTag: String = ""): String = {
-    import graft.sources.VersionedLake
     val k = key(spark, corpusPath, idCol, textCol, shingleN, numHashes, bands,
       subsetTag)
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val finalDir = new Path(s"$root/$k")
-    fs.delete(new Path(finalDir, "_COMPLETE"), false)
-    // hashed first, from the corpus text; banded SECOND, from the stored
-    // hashed parquet — one shingle pass total, and the banded job reads
-    // slim (id, hs) rows instead of re-tokenizing documents
+    val finalDir = s"$root/$k"
+    val gc = VersionedLake.beginGroupCommit(spark, finalDir)
     val (hashed, _) = Dedup.minHashIndexPortable(docs, idCol, textCol,
       shingleN, numHashes, bands, cache = false)
-    val vHashed = VersionedLake.commit(hashed, s"$finalDir/hashed")
-    val storedHashed = VersionedLake.read(spark, s"$finalDir/hashed")
-    val vBanded = VersionedLake.commit(
-      Dedup.bandedFromHashed(storedHashed, numHashes, bands),
-      s"$finalDir/banded")
-    // THIRD: the scored candidate-pair table, derived from the two stored
-    // tables. Jaccard is threshold-free, so one stored pair table serves
-    // every downstream policy (cluster at 0.5, audit at 0.8, ...) with a
-    // single slim scan — the candidate join never re-runs per query.
-    val storedBanded = VersionedLake.read(spark, s"$finalDir/banded")
-    val vPairs = VersionedLake.commit(
-      Dedup.minHashPairsFromIndex(storedHashed, storedBanded),
-      s"$finalDir/pairs")
+    gc.write("hashed", hashed)
+    val storedHashed = gc.readStaged("hashed")
+    gc.write("banded", Dedup.bandedFromHashed(storedHashed, numHashes, bands))
+    val storedBanded = gc.readStaged("banded")
+    gc.write("pairs", Dedup.minHashPairsFromIndex(storedHashed, storedBanded))
+    val v = gc.publish()
     // a rebuild at an existing key (crash recovery, q93's explicit-build
     // timing) supersedes prior versions — vacuum bounds the store to the
     // build just committed
-    VersionedLake.vacuum(spark, s"$finalDir/hashed", vHashed)
-    VersionedLake.vacuum(spark, s"$finalDir/banded", vBanded)
-    VersionedLake.vacuum(spark, s"$finalDir/pairs", vPairs)
-    fs.create(new Path(finalDir, "_COMPLETE"), true).close()
-    finalDir.toString
+    VersionedLake.vacuumGroup(spark, finalDir, v)
+    finalDir
   }
 
   /** Readers over one stored index: the per-doc hashed shingle sets, the
@@ -139,17 +130,20 @@ object DedupIndex {
     val corpusPath = s"$sfDir/$table.parquet"
     val k = key(spark, corpusPath, idCol, textCol, shingleN, numHashes, bands,
       subsetTag)
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$root/$k/_COMPLETE")
-    if (!fs.exists(marker)) {
+    val finalDir = s"$root/$k"
+    // completeness IS the group manifest: a crashed build publishes
+    // nothing, so "no committed versions" means rebuild
+    if (VersionedLake.versions(spark, finalDir).isEmpty) {
       val full = graft.sources.Lake.table(spark, sfDir, table)
       val docs = if (subset == null) full else subset(full)
       build(spark, docs, idCol, textCol, corpusPath, root, shingleN,
         numHashes, bands, subsetTag)
     }
-    import graft.sources.VersionedLake
-    Index(VersionedLake.read(spark, s"$root/$k/hashed"),
-      VersionedLake.read(spark, s"$root/$k/banded"),
-      VersionedLake.read(spark, s"$root/$k/pairs"))
+    // one version resolve for all three reads — the group guarantee makes
+    // the trio mutually consistent by construction
+    val v = VersionedLake.versions(spark, finalDir).last
+    Index(VersionedLake.readTable(spark, finalDir, "hashed", Some(v)),
+      VersionedLake.readTable(spark, finalDir, "banded", Some(v)),
+      VersionedLake.readTable(spark, finalDir, "pairs", Some(v)))
   }
 }

@@ -243,13 +243,11 @@ object VersionedLake {
     * write; a lost claim race retries at the next number up to
     * `maxAttempts` times, then throws [[ConcurrentCommitException]].
     */
-  def commit(df: DataFrame, table: String, mode: String = "overwrite",
-      partitionBy: Seq[String] = Nil, maxAttempts: Int = 10,
-      manifestStore: Option[ManifestStore] = None): Long = {
-    require(mode == "overwrite" || mode == "append", s"unknown mode $mode")
-    val spark = df.sparkSession
-    val f = fs(spark, table)
-    val store = storeFor(spark, table, manifestStore)
+  /** Claim the next free version number (create-no-overwrite / CAS loop,
+    * bounded by `maxAttempts`).
+    */
+  private def claimNext(store: ManifestStore, at: String,
+      maxAttempts: Int): Long = {
     var next = 0L
     var attempt = 0
     var claimed = false
@@ -259,8 +257,42 @@ object VersionedLake {
       attempt += 1
       if (!claimed && attempt >= maxAttempts)
         throw new ConcurrentCommitException(
-          s"lost the version-claim race $maxAttempts times at $table")
+          s"lost the version-claim race $maxAttempts times at $at")
     }
+    next
+  }
+
+  /** Write `df` under `dataDir` and return the written parquet files as
+    * paths relative to the root owning `relPrefix` (recursive: partitioned
+    * layouts nest files under col=value dirs).
+    */
+  private def writeData(df: DataFrame, f: FileSystem, dataDir: Path,
+      relPrefix: String, partitionBy: Seq[String]): Seq[String] = {
+    val writer = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dataDir.toString)
+    val dataPrefix = f.makeQualified(dataDir).toUri.getPath
+    val it = f.listFiles(dataDir, true)
+    val b = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
+        val rel = s.getPath.toUri.getPath.stripPrefix(dataPrefix)
+          .stripPrefix("/")
+        b += s"$relPrefix/$rel"
+      }
+    }
+    b.result().sorted
+  }
+
+  def commit(df: DataFrame, table: String, mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil, maxAttempts: Int = 10,
+      manifestStore: Option[ManifestStore] = None): Long = {
+    require(mode == "overwrite" || mode == "append", s"unknown mode $mode")
+    val spark = df.sparkSession
+    val f = fs(spark, table)
+    val store = storeFor(spark, table, manifestStore)
+    val next = claimNext(store, table, maxAttempts)
     // the APPEND base is the latest manifest at claim time: under
     // concurrent appends each commit carries the files of the last
     // version it SAW — serial appends (the stored-state pattern) chain
@@ -268,25 +300,8 @@ object VersionedLake {
     val prev = store.committedVersions()
     // new files land under a per-version directory: never collides with
     // visible data, orphaned cleanly if the manifest rename fails
-    val dataDir = new Path(table, s"_data/v$next")
-    val writer = df.write.mode("errorifexists")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(dataDir.toString)
-    // recursive listing: partitioned layouts nest files under col=value dirs
-    val dataPrefix = f.makeQualified(dataDir).toUri.getPath
-    val newFiles = {
-      val it = f.listFiles(dataDir, true)
-      val b = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
-          val rel = s.getPath.toUri.getPath.stripPrefix(dataPrefix)
-            .stripPrefix("/")
-          b += s"_data/v$next/$rel"
-        }
-      }
-      b.result().sorted
-    }
+    val newFiles = writeData(df, f, new Path(table, s"_data/v$next"),
+      s"_data/v$next", partitionBy)
     val carried = if (mode == "append" && prev.nonEmpty)
       manifestFiles(store, table, prev.last) else Seq.empty
     val files = carried ++ newFiles
@@ -335,21 +350,236 @@ object VersionedLake {
     require(vs.contains(v), s"version $v not in $vs at $table")
     val files = manifestFiles(store, table, v)
     require(files.nonEmpty, s"version $v of $table lists no files")
-    // group by version dir and anchor each group's read at its own
-    // basePath: partitioned commits nest files under col=value dirs, and
-    // basePath is what lets the scan recover the partition COLUMNS (and
-    // prune on them — PartitionFilters) from a manifest's explicit file
-    // list. An explicit `schemaDDL` pins column types — partition-column
-    // type INFERENCE would e.g. read a bigint dir value back as INT, a
-    // mismatch that breaks typed consumers downstream.
-    val byVersionDir = files.groupBy(_.split("/").take(2).mkString("/"))
+    readFiles(spark, table, files, mergeSchema, schemaDDL)
+  }
+
+  /** Read an explicit manifest file list rooted at `root`, grouping by
+    * per-version data directory and anchoring each group's read at its own
+    * basePath: partitioned commits nest files under col=value dirs, and
+    * basePath is what lets the scan recover the partition COLUMNS (and
+    * prune on them — PartitionFilters) from a manifest's explicit file
+    * list. An explicit `schemaDDL` pins column types — partition-column
+    * type INFERENCE would e.g. read a bigint dir value back as INT, a
+    * mismatch that breaks typed consumers downstream.
+    */
+  private def readFiles(spark: SparkSession, root: String,
+      files: Seq[String], mergeSchema: Boolean, schemaDDL: String): DataFrame = {
+    // version dir = everything up to and including the v{N} segment after
+    // `_data` (single-table: `_data/vN`; group tables: `t/_data/vN`)
+    def versionDir(rel: String): String = {
+      val segs = rel.split("/")
+      val i = segs.indexOf("_data")
+      require(i >= 0 && i + 1 < segs.length, s"not a lake data path: $rel")
+      segs.take(i + 2).mkString("/")
+    }
+    val byVersionDir = files.groupBy(versionDir)
     val parts = byVersionDir.toSeq.sortBy(_._1).map { case (vdir, fs0) =>
-      val r0 = spark.read.option("basePath", new Path(table, vdir).toString)
+      val r0 = spark.read.option("basePath", new Path(root, vdir).toString)
       val r1 = if (schemaDDL != null) r0.schema(schemaDDL)
         else r0.option("mergeSchema", mergeSchema.toString)
-      r1.parquet(fs0.map(rel => new Path(table, rel).toString): _*)
+      r1.parquet(fs0.map(rel => new Path(root, rel).toString): _*)
     }
     parts.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  // ===================== atomic multi-table groups =====================
+  //
+  // A table GROUP shares ONE manifest sequence at its root: every member
+  // table's files for version N are listed in a single manifest published
+  // by a single atomic event (rename or conditional PUT), so a reader can
+  // NEVER observe table A at version n and table B at n−1 — the guarantee
+  // the `_COMPLETE` marker pattern only approximated (a reader between the
+  // last table write and the marker write saw a torn group).
+  //
+  // Layout: `<root>/_manifests/v{N}.json` =
+  //   `{"version":N,"tables":{"a":["a/_data/vN/part…"],"b":[…]}}`
+  // with data under `<root>/<table>/_data/v{N}/`. Claim/publish atomicity
+  // is the SAME pluggable [[ManifestStore]] as single tables — one CAS
+  // publish covers the whole group on object stores.
+
+  private def tableNameOk(t: String): Boolean =
+    t.nonEmpty && t.matches("[A-Za-z0-9_.-]+") && t != "version" && t != "tables"
+
+  /** Per-table file lists of a group manifest. */
+  private def groupManifestFiles(store: ManifestStore, root: String,
+      version: Long): Map[String, Seq[String]] = {
+    val json = new String(store.readManifest(version),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val body = """"tables":\{(.*)\}\}""".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalStateException(
+        s"v$version of $root is not a group manifest"))
+      .group(1)
+    // table names are validated at write time to [A-Za-z0-9_.-]+ and file
+    // paths never contain quotes/brackets, so the extractor stays regular
+    """"([A-Za-z0-9_.-]+)":\[([^\]]*)\]""".r.findAllMatchIn(body).map { m =>
+      m.group(1) -> m.group(2).split(",").toSeq.filter(_.nonEmpty)
+        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }.toMap
+  }
+
+  /** An in-flight atomic multi-table commit: the version number is already
+    * claimed; [[write]] stages each member table's data under
+    * `<root>/<table>/_data/v{N}`; [[readStaged]] reads data staged EARLIER
+    * IN THIS COMMIT (so derived tables — an index built from a just-staged
+    * base table — form one atomic group without re-computation or a
+    * premature publish); [[publish]] makes every staged table visible in
+    * one atomic event. A crash before publish leaves orphaned data and a
+    * burned claim (swept by [[vacuumGroup]]'s TTL heuristic), never a
+    * torn group.
+    */
+  final class GroupCommit private[VersionedLake] (spark: SparkSession,
+      root: String, store: ManifestStore, val version: Long,
+      prevVersion: Option[Long]) {
+    private val staged =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    private var published = false
+
+    def write(table: String, df: DataFrame, mode: String = "overwrite",
+        partitionBy: Seq[String] = Nil): Unit = {
+      require(!published, "group already published")
+      require(tableNameOk(table), s"invalid group table name '$table'")
+      require(!staged.contains(table), s"table $table already staged in v$version")
+      require(mode == "overwrite" || mode == "append", s"unknown mode $mode")
+      val newFiles = writeData(df, fs(spark, root),
+        new Path(root, s"$table/_data/v$version"),
+        s"$table/_data/v$version", partitionBy)
+      val carried = if (mode == "append" && prevVersion.nonEmpty)
+        groupManifestFiles(store, root, prevVersion.get)
+          .getOrElse(table, Seq.empty)
+      else Seq.empty
+      staged(table) = carried ++ newFiles
+    }
+
+    /** Read a table staged in THIS commit (pre-publish). */
+    def readStaged(table: String, mergeSchema: Boolean = true): DataFrame = {
+      val files = staged.getOrElse(table, throw new IllegalArgumentException(
+        s"table $table not staged in v$version (staged: ${staged.keys.mkString(", ")})"))
+      readFiles(spark, root, files, mergeSchema, null)
+    }
+
+    /** Atomically publish every staged table as version [[version]]. */
+    def publish(): Long = {
+      require(!published, "group already published")
+      require(staged.nonEmpty, "publish with no staged tables")
+      val body = staged.map { case (t, files) =>
+        "\"" + t + "\":" + files.map(p => "\"" + p + "\"")
+          .mkString("[", ",", "]")
+      }.mkString(s"""{"version":$version,"tables":{""", ",", "}}")
+      if (!store.publish(version,
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        throw new java.io.IOException(
+          s"group commit v$version lost the publish race at $root")
+      published = true
+      version
+    }
+  }
+
+  /** Open an atomic multi-table commit at `root` (claims the version
+    * number immediately; see [[GroupCommit]]).
+    */
+  def beginGroupCommit(spark: SparkSession, root: String,
+      maxAttempts: Int = 10,
+      manifestStore: Option[ManifestStore] = None): GroupCommit = {
+    val store = storeFor(spark, root, manifestStore)
+    val next = claimNext(store, root, maxAttempts)
+    new GroupCommit(spark, root, store, next,
+      store.committedVersions().lastOption)
+  }
+
+  /** Commit several tables as ONE atomic version of the group at `root`.
+    * Convenience over [[beginGroupCommit]] for callers with all frames in
+    * hand; returns the committed version.
+    */
+  def commitAll(tables: Seq[(String, DataFrame)], root: String,
+      mode: String = "overwrite", maxAttempts: Int = 10,
+      manifestStore: Option[ManifestStore] = None): Long = {
+    require(tables.nonEmpty, "commitAll with no tables")
+    val gc = beginGroupCommit(tables.head._2.sparkSession, root,
+      maxAttempts, manifestStore)
+    tables.foreach { case (t, df) => gc.write(t, df, mode) }
+    gc.publish()
+  }
+
+  /** Read one member table of the group at `root` (default: latest
+    * version). The version resolves ONCE for the whole group, so two
+    * `readTable` calls at the same pinned version are guaranteed mutually
+    * consistent; callers wanting cross-table consistency at "latest"
+    * resolve `versions(...).last` once and pin it.
+    */
+  def readTable(spark: SparkSession, root: String, table: String,
+      version: Option[Long] = None, mergeSchema: Boolean = true,
+      schemaDDL: String = null,
+      manifestStore: Option[ManifestStore] = None): DataFrame = {
+    val store = storeFor(spark, root, manifestStore)
+    val vs = store.committedVersions()
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs at $root")
+    val files = groupManifestFiles(store, root, v).getOrElse(table,
+      throw new java.io.FileNotFoundException(
+        s"table $table not in group v$v at $root"))
+    require(files.nonEmpty, s"table $table of group v$v at $root lists no files")
+    readFiles(spark, root, files, mergeSchema, schemaDDL)
+  }
+
+  /** Group analog of [[vacuum]]: delete member-table data files referenced
+    * by NO group manifest ≥ `keepFrom`, plus older manifests and expired
+    * crashed claims. Same in-flight protection as the single-table vacuum
+    * (a manifest-less claim ≥ keepFrom or younger than `claimTtlMs` keeps
+    * its data). Returns the number of deleted data files.
+    */
+  def vacuumGroup(spark: SparkSession, root: String, keepFrom: Long,
+      claimTtlMs: Long = 24L * 3600 * 1000,
+      manifestStore: Option[ManifestStore] = None): Int = {
+    val f = fs(spark, root)
+    val store = storeFor(spark, root, manifestStore)
+    val vs = store.committedVersions()
+    val keep = vs.filter(_ >= keepFrom)
+    require(keep.nonEmpty, s"vacuum would delete every version of $root")
+    val live = keep.flatMap(v => groupManifestFiles(store, root, v).values.flatten).toSet
+    val now = System.currentTimeMillis()
+    def claimAgeMs(v: Long): Long =
+      store.claimModifiedAtMs(v).map(now - _).getOrElse(Long.MaxValue)
+    val inFlight = store.claimedVersions()
+      .filter(v => !vs.contains(v) &&
+        (v >= keepFrom || claimAgeMs(v) <= claimTtlMs)).toSet
+    val rootPrefix = f.makeQualified(new Path(root)).toUri.getPath
+    var deleted = 0
+    // member data roots: every first-level dir with a `_data` child (the
+    // manifests' table keys cover committed tables; this sweep also finds
+    // tables only ever staged by crashed commits)
+    val tableDirs =
+      if (!f.exists(new Path(root))) Seq.empty
+      else f.listStatus(new Path(root)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName != "_manifests")
+        .map(s => new Path(s.getPath, "_data"))
+        .filter(f.exists)
+    tableDirs.foreach { dataRoot =>
+      val it = f.listFiles(dataRoot, true)
+      val victims = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile) {
+          val rel = s.getPath.toUri.getPath
+            .stripPrefix(rootPrefix).stripPrefix("/")
+          // rel = <table>/_data/v{N}/…: leave in-flight versions alone
+          val ver = rel.split("/").lift(2).collect {
+            case v if v.matches("v\\d+") => v.drop(1).toLong
+          }
+          if (!live.contains(rel) && !ver.exists(inFlight.contains))
+            victims += s.getPath
+        }
+      }
+      victims.result().foreach { p => if (f.delete(p, false)) deleted += 1 }
+    }
+    vs.filterNot(keep.contains).foreach { v =>
+      store.deleteManifest(v)
+      store.deleteClaim(v)
+    }
+    store.claimedVersions()
+      .filter(v => v < keepFrom && !vs.contains(v) && !inFlight.contains(v))
+      .foreach(store.deleteClaim)
+    deleted
   }
 
   /** Delete data files referenced by NO manifest ≥ `keepFrom` and all

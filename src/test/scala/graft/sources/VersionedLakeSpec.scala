@@ -311,4 +311,84 @@ class VersionedLakeSpec extends SparkSpec {
     assert(!cas.publish(9L, "{\"version\":9,\"files\":[\"x\"]}".getBytes))
     assert(new String(cas.readManifest(9L)).contains("[]"))
   }
+
+  test("group commit: one manifest spans every member table — atomic " +
+    "visibility, time travel, staged derivation, append mode") {
+    val root = Files.createTempDirectory("vlakeg").toString
+    // v1 via the convenience wrapper
+    val v1 = VersionedLake.commitAll(Seq(
+      "dim" -> Seq((1, "a"), (2, "b")).toDF("k", "name"),
+      "fact" -> Seq((1, 10.0), (2, 20.0)).toDF("k", "amt")), root)
+    assert(v1 == 1L)
+    assert(VersionedLake.readTable(spark, root, "dim").count() == 2)
+    assert(VersionedLake.readTable(spark, root, "fact").count() == 2)
+    // v2 via the staged path: the second table DERIVES from the first's
+    // staged parquet, pre-publish; fact appends while dim overwrites
+    val gc = VersionedLake.beginGroupCommit(spark, root)
+    assert(gc.version == 2L)
+    gc.write("dim", Seq((1, "a2"), (2, "b2"), (3, "c")).toDF("k", "name"))
+    import org.apache.spark.sql.functions.col
+    val derived = gc.readStaged("dim").select(col("k"),
+      (col("k") * 100.0).as("amt"))
+    gc.write("fact", derived, mode = "append")
+    // NOTHING visible until publish: latest is still v1 for both tables
+    assert(VersionedLake.versions(spark, root) == Seq(1L))
+    assert(VersionedLake.readTable(spark, root, "dim").count() == 2)
+    assert(gc.publish() == 2L)
+    // after the single publish both tables move together
+    assert(VersionedLake.readTable(spark, root, "dim").count() == 3)
+    assert(VersionedLake.readTable(spark, root, "fact").count() == 5) // 2 + 3
+    // pinned time travel reads the OLD pair consistently
+    assert(VersionedLake.readTable(spark, root, "dim", Some(1L)).count() == 2)
+    assert(VersionedLake.readTable(spark, root, "fact", Some(1L)).count() == 2)
+    // unknown member table fails loudly
+    intercept[java.io.FileNotFoundException](
+      VersionedLake.readTable(spark, root, "nope"))
+    // vacuumGroup: v1's files die, v2 stays fully readable (including the
+    // appended fact files it carried from v1)
+    assert(VersionedLake.vacuumGroup(spark, root, keepFrom = 2L) >= 0)
+    assert(VersionedLake.readTable(spark, root, "fact").count() == 5)
+    intercept[IllegalArgumentException](
+      VersionedLake.readTable(spark, root, "dim", Some(1L)))
+  }
+
+  test("group commit: interleaved multi-table committers on BOTH stores — " +
+    "a reader can never observe table A at version n and B at n-1") {
+    def run(store: Option[ManifestStore], root: String): Unit = {
+      val perThread = 4
+      val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+      // each commit writes BOTH tables with the same (writer, iteration)
+      // tag encoded in the row count; a torn group would surface as a
+      // version whose two tables decode different tags
+      def runner(id: Int) = new Thread(() => {
+        for (i <- 1 to perThread) {
+          try {
+            val rows = (100 * id + i).toLong
+            VersionedLake.commitAll(Seq(
+              "a" -> spark.range(rows).toDF("x"),
+              "b" -> spark.range(rows * 2).toDF("x")), root,
+              manifestStore = store)
+          } catch { case _: Throwable => failures.incrementAndGet() }
+        }
+      })
+      val ts = Seq(runner(1), runner(2))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(failures.get() == 0, "claim retry must absorb every race")
+      val vs = VersionedLake.versions(spark, root, manifestStore = store)
+      assert(vs.size == 2 * perThread)
+      for (v <- vs) {
+        val na = VersionedLake.readTable(spark, root, "a", Some(v),
+          manifestStore = store).count()
+        val nb = VersionedLake.readTable(spark, root, "b", Some(v),
+          manifestStore = store).count()
+        assert(nb == na * 2, s"torn group at v$v: a=$na b=$nb")
+      }
+    }
+    run(None, Files.createTempDirectory("vlakegc1").toString)
+    val blob = new InMemoryCasStore
+    run(Some(new CasManifestStore(blob): ManifestStore),
+      Files.createTempDirectory("vlakegc2").toString)
+    // CAS path really went through the blob: claims + manifests live there
+    assert(blob.list("_manifests/").count(_.endsWith(".json")) == 8)
+  }
 }
