@@ -660,6 +660,67 @@ object Queries {
         .orderBy(col("media_id"))
     }),
 
+    // Multimodal: REAL pixel-level decode. Payloads are lossless PNG/BMP
+    // rasters (fill = (x*31 + y*7) & 0xffffff) decoded back to pixels via
+    // ImageIO; the engine emits the exact channel sum and the
+    // integer-exact block-mean perceptual hash, and the oracle replays
+    // the fill + quantization + cross-multiplied bits pixel-for-pixel —
+    // a fake or header-only decode cannot pass.
+    "q40f_pixel_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val w = 8 + (id % 24).toInt
+        val h = 8 + ((id * 5) % 24).toInt
+        val png = id % 2 == 0
+        MultiModal.MediaRow(id, "image",
+          if (png) "image/png" else "image/bmp",
+          MultiModal.encodeImage(w, h, if (png) "png" else "bmp"))
+      })
+      MultiModal.extractPixelFeatures(media).toDF().orderBy(col("media_id"))
+    }),
+
+    // Multimodal: REAL audio SAMPLE decode (beyond q40c's header): every
+    // 16-bit PCM sample streams through the JDK sound stack and folds
+    // into exact sum/peak/count; the oracle replays the sample formula
+    // ((i*31) & 0xffff) - 32768 per index.
+    "q40g_audio_samples" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val rate = 8000 + (id % 4).toInt * 1000
+        val channels = 1 + (id % 2).toInt
+        val frames = 200 + (id % 300).toInt
+        MultiModal.MediaRow(id, "audio", "audio/wav",
+          MultiModal.encodeWavPcm16(rate, channels, frames))
+      })
+      MultiModal.extractAudioSamples(media).toDF().orderBy(col("media_id"))
+    }),
+
+    // Multimodal: REAL frame extraction (beyond q40d's header): the
+    // stsz/stsc/stco sample tables resolve every frame's byte range
+    // (chunked 3 per chunk — partial tail chunks exercise the two-run
+    // stsc), and each frame's exact size and byte sum fan out one row per
+    // frame; the oracle replays the frame-count/size/byte formulas.
+    "q40h_frame_extract" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val nf = 3 + (id % 6).toInt
+        val frames = (0 until nf).map { i =>
+          val size = 10 + ((id + i) % 7).toInt * 4
+          Array.tabulate[Byte](size)(j => ((id + i * 7 + j * 13) % 256).toByte)
+        }
+        MultiModal.MediaRow(id, "video", "video/mp4",
+          MultiModal.encodeMp4Frames(64, 48, frames, samplesPerChunk = 3))
+      })
+      MultiModal.extractFrameBytes(media).toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // Dedup (near): embedding-cosine near-dup pairs, LSH-bucketed candidates
     // + exact cosine threshold (oracle replays planes/buckets/cosine).
     // maxBucketSize = Int.MaxValue pins the UNBOUNDED special case the
@@ -3650,6 +3711,84 @@ object Queries {
         |  CAST(24 + doc_id % 1000 AS BIGINT) AS n_frames,
         |  'isom' AS format
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q40f: full pixel replay — the fill formula, the 8x8 cell
+    // quantization and the cross-multiplied block-mean bits, all integer
+    // exact (PNG and BMP are lossless, so the decoded raster IS the fill).
+    "q40f_pixel_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(8 + doc_id % 24 AS INTEGER) AS w,
+        |    CAST(8 + (doc_id * 5) % 24 AS INTEGER) AS h
+        |  FROM documents
+        |), xs AS (
+        |  SELECT media_id, w, h, unnest(range(0, w)) AS x FROM p
+        |), px AS (
+        |  SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+        |), lum AS (
+        |  SELECT media_id,
+        |    (((x*31 + y*7) % 16777216) // 65536) % 256
+        |      + (((x*31 + y*7) % 16777216) // 256) % 256
+        |      + ((x*31 + y*7) % 16777216) % 256 AS l,
+        |    (y * 8 // h) * 8 + (x * 8 // w) AS k
+        |  FROM px
+        |), cells AS (
+        |  SELECT media_id, k, SUM(l) AS cs, COUNT(*) AS cc
+        |  FROM lum GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT media_id, SUM(l) AS ts, COUNT(*) AS ta FROM lum GROUP BY 1
+        |), hs AS (
+        |  SELECT c.media_id,
+        |    string_agg(CASE WHEN c.cs * t.ta > t.ts * c.cc
+        |      THEN '1' ELSE '0' END, '' ORDER BY c.k) AS ahash
+        |  FROM cells c JOIN tot t USING (media_id) GROUP BY c.media_id
+        |)
+        |SELECT p.media_id, p.w AS width, p.h AS height,
+        |  CAST(t.ts AS BIGINT) AS sum_rgb, hs.ahash,
+        |  CASE WHEN p.media_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format
+        |FROM p JOIN tot t USING (media_id) JOIN hs USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // q40g: per-sample replay of ((i*31) & 0xffff) - 32768 over
+    // frames*channels indexes.
+    "q40g_audio_samples" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    (1 + doc_id % 2) * (200 + doc_id % 300) AS n
+        |  FROM documents
+        |), i AS (
+        |  SELECT media_id, n, unnest(range(0, n)) AS i FROM p
+        |), v AS (
+        |  SELECT media_id, n, ((i * 31) % 65536) - 32768 AS smp FROM i
+        |)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(SUM(smp) AS BIGINT) AS sum_samples,
+        |  CAST(MAX(abs(smp)) AS INTEGER) AS peak,
+        |  'wave' AS format
+        |FROM v GROUP BY media_id, n ORDER BY media_id""".stripMargin,
+
+    // q40h: per-frame replay of the count/size/byte formulas the fixture
+    // encoder used — the engine must recover them through the sample
+    // tables, not from the formulas.
+    "q40h_frame_extract" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id, 3 + doc_id % 6 AS nf FROM documents
+        |), f AS (
+        |  SELECT media_id, unnest(range(0, nf)) AS frame_idx FROM p
+        |), sz AS (
+        |  SELECT media_id, frame_idx,
+        |    10 + ((media_id + frame_idx) % 7) * 4 AS size
+        |  FROM f
+        |), b AS (
+        |  SELECT media_id, frame_idx, size, unnest(range(0, size)) AS j
+        |  FROM sz
+        |)
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(size AS INTEGER) AS size,
+        |  CAST(SUM((media_id + frame_idx * 7 + j * 13) % 256) AS BIGINT)
+        |    AS sum_bytes
+        |FROM b GROUP BY media_id, frame_idx, size
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "q46_cosine_dedup" -> {
       val planeRows = planeValuesSql(6)

@@ -485,6 +485,386 @@ object MultiModal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), least(col("n_frames") - 1, lit((maxFrames - 1).toLong * stride)), lit(stride))))
 
+  // ------------------------------------------- pixel / sample level
+
+  /** REAL full-raster image decode via JDK ImageIO (PNG/GIF/BMP lossless,
+    * JPEG lossy): the pixel-level complement of the header-only
+    * [[decodeImage]]. Returns the raster plus the reader's format name;
+    * None for bytes no installed reader decodes — callers emit the visible
+    * stub row, never fabricated pixels.
+    */
+  def decodeRaster(bytes: Array[Byte]):
+      Option[(java.awt.image.BufferedImage, String)] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in, false)
+          Some((r.read(0), r.getFormatName.toLowerCase))
+        } catch {
+          case _: Exception => None
+        } finally r.dispose()
+      }
+    } finally in.close()
+  }
+
+  /** Pixel-level features over one decoded raster. `sum_rgb` is the exact
+    * integer sum of all R+G+B channel bytes; `ahash` is a 64-character
+    * '0'/'1' block-mean perceptual hash: the image quantizes to an 8×8
+    * grid (pixel (x,y) → cell (x·8/w, y·8/h), integer division), and a
+    * cell's bit is set iff its mean luminance exceeds the global mean —
+    * compared by cross-multiplication (`cellSum·area > total·cellCnt`), so
+    * the hash is integer-exact and replayable by any engine, with no
+    * division or float rounding. Emitted as a bit-string because bit 63
+    * would overflow a signed 64-bit pack.
+    */
+  final case class PixelFeatures(media_id: Long, width: Int, height: Int,
+      sum_rgb: Long, ahash: String, format: String)
+
+  private def pixelFeaturesOf(id: Long, img: java.awt.image.BufferedImage,
+      format: String): PixelFeatures = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val iy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        val k = iy * 8 + x * 8 / w
+        cellSum(k) += lum
+        cellCnt(k) += 1
+        total += lum
+        x += 1
+      }
+      y += 1
+    }
+    // cross-multiplication bound: cellSum·area ≤ 765·(wh)² — exact in a
+    // long through ~8K×8K rasters, far past any thumbnail/training tile
+    val area = w.toLong * h
+    val bits = new java.lang.StringBuilder(64)
+    var k = 0
+    while (k < 64) {
+      bits.append(if (cellSum(k) * area > total * cellCnt(k)) '1' else '0')
+      k += 1
+    }
+    PixelFeatures(id, w, h, total, bits.toString, format)
+  }
+
+  /** Batch pixel-feature extraction: REAL raster decode per row (the
+    * thumbnail/perceptual-hash path a multimodal pipeline runs after the
+    * cheap header triage), same partition-preserving mapPartitions shape
+    * as [[extractFeatures]]. Undecodable payloads emit zeros with
+    * `format = "stub"` and an empty hash — visible, never fabricated.
+    */
+  def extractPixelFeatures(media: Dataset[MediaRow]): Dataset[PixelFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      decodeRaster(r.content) match {
+        case Some((img, fmt)) => pixelFeaturesOf(r.media_id, img, fmt)
+        case None => PixelFeatures(r.media_id, 0, 0, 0L, "", "stub")
+      }
+    })
+  }
+
+  /** Sample-level audio features: exact integer sum and peak |amplitude|
+    * over the REAL decoded 16-bit PCM samples (JDK sound stack — the
+    * sample-access complement of the header-only [[decodeAudio]]).
+    */
+  final case class AudioSampleFeatures(media_id: Long, n_samples: Long,
+      sum_samples: Long, peak: Int, format: String)
+
+  /** Decode every PCM sample of one payload and fold sum/peak/count in a
+    * fixed-size streaming pass (no sample array materializes — a 100 TB
+    * audio corpus streams through a few KB of buffer per task). None for
+    * non-PCM-16 payloads or bytes the JDK doesn't recognize.
+    */
+  def decodeAudioSampleStats(bytes: Array[Byte]):
+      Option[(Long, Long, Int, String)] =
+    try {
+      val tpe = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes)).getType.toString.toLowerCase
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val pcm16 = fmt.getSampleSizeInBits == 16 &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!pcm16) None
+        else {
+          val le = !fmt.isBigEndian
+          val buf = new Array[Byte](8192)
+          var pending = -1 // first byte of a sample split across reads
+          var n = 0L; var sum = 0L; var peak = 0
+          var read = ais.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i < read) {
+              if (pending < 0) pending = buf(i) & 0xff
+              else {
+                val b2 = buf(i) & 0xff
+                val s = (if (le) (b2 << 8) | pending
+                  else (pending << 8) | b2).toShort
+                n += 1; sum += s; peak = math.max(peak, math.abs(s.toInt))
+                pending = -1
+              }
+              i += 1
+            }
+            read = ais.read(buf)
+          }
+          Some((n, sum, peak, tpe))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Batch audio sample extraction (see [[decodeAudioSampleStats]]). */
+  def extractAudioSamples(media: Dataset[MediaRow]): Dataset[AudioSampleFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      decodeAudioSampleStats(r.content) match {
+        case Some((n, sum, peak, fmt)) =>
+          AudioSampleFeatures(r.media_id, n, sum, peak, fmt)
+        case None => AudioSampleFeatures(r.media_id, 0L, 0L, 0, "stub")
+      }
+    })
+  }
+
+  /** Byte ranges of the visual track's samples (frames), resolved from the
+    * REAL ISO-BMFF sample tables — `stsz` (per-sample sizes, uniform or
+    * per-entry), `stsc` (samples-per-chunk runs), `stco`/`co64` (chunk
+    * offsets): the exact walk a frame extractor performs before handing
+    * each frame's bytes to a codec. Returns (offset, size) per frame in
+    * sample order; None when the payload is not a well-formed MP4 with a
+    * complete, in-bounds sample table. Only the requested frames' byte
+    * ranges are touched downstream — the box walk itself never reads
+    * `mdat`.
+    */
+  def videoFrameRanges(bytes: Array[Byte]): Option[Seq[(Long, Int)]] =
+    try {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      val top = mp4Children(buf, 0, bytes.length)
+      val (moovS, moovE) = findBox(top, "moov")
+        .getOrElse(throw new Mp4ParseError("no moov box"))
+      val moov = mp4Children(buf, moovS, moovE)
+      val stbl = moov.collect { case ("trak", s, e) => mp4Children(buf, s, e) }
+        .flatMap { kids =>
+          val mdia = findBox(kids, "mdia").map { case (ms, me) =>
+            mp4Children(buf, ms, me) }
+          val handler = mdia.flatMap(findBox(_, "hdlr")).map { case (hs, he) =>
+            if (he - hs < 12) throw new Mp4ParseError("short hdlr")
+            new String(Array(buf.get(hs + 8), buf.get(hs + 9),
+              buf.get(hs + 10), buf.get(hs + 11)), "US-ASCII")
+          }
+          if (!handler.contains("vide")) None
+          else mdia.flatMap(findBox(_, "minf"))
+            .map { case (s, e) => mp4Children(buf, s, e) }
+            .flatMap(findBox(_, "stbl"))
+            .map { case (s, e) => mp4Children(buf, s, e) }
+        }.headOption.getOrElse(throw new Mp4ParseError("no vide stbl"))
+
+      // stsz: ver/flags, uniform sample_size (0 = per-entry table), count
+      val (szS, szE) = findBox(stbl, "stsz")
+        .getOrElse(throw new Mp4ParseError("no stsz"))
+      if (szE - szS < 12) throw new Mp4ParseError("short stsz")
+      val uniform = buf.getInt(szS + 4)
+      val nSamples = buf.getInt(szS + 8)
+      if (nSamples < 0 || nSamples > 10000000)
+        throw new Mp4ParseError(s"bad stsz count $nSamples")
+      if (uniform == 0 && szS + 12 + nSamples.toLong * 4 > szE)
+        throw new Mp4ParseError("truncated stsz table")
+      def sizeOf(i: Int): Int = {
+        val s = if (uniform != 0) uniform else buf.getInt(szS + 12 + i * 4)
+        if (s < 0) throw new Mp4ParseError(s"negative sample size $s")
+        s
+      }
+
+      // chunk offsets: stco (32-bit) or co64
+      val offsets: IndexedSeq[Long] = findBox(stbl, "stco") match {
+        case Some((s, e)) =>
+          if (e - s < 8) throw new Mp4ParseError("short stco")
+          val n = buf.getInt(s + 4)
+          if (n < 0 || s + 8 + n.toLong * 4 > e)
+            throw new Mp4ParseError(s"bad stco count $n")
+          (0 until n).map(i => buf.getInt(s + 8 + i * 4).toLong & 0xffffffffL)
+        case None =>
+          val (s, e) = findBox(stbl, "co64")
+            .getOrElse(throw new Mp4ParseError("no stco/co64"))
+          if (e - s < 8) throw new Mp4ParseError("short co64")
+          val n = buf.getInt(s + 4)
+          if (n < 0 || s + 8 + n.toLong * 8 > e)
+            throw new Mp4ParseError(s"bad co64 count $n")
+          (0 until n).map(i => buf.getLong(s + 8 + i * 8))
+      }
+
+      // stsc: (first_chunk, samples_per_chunk, desc_idx) runs — each run
+      // applies from its first_chunk until the next run's
+      val (scS, scE) = findBox(stbl, "stsc")
+        .getOrElse(throw new Mp4ParseError("no stsc"))
+      if (scE - scS < 8) throw new Mp4ParseError("short stsc")
+      val nRuns = buf.getInt(scS + 4)
+      if (nRuns <= 0 || scS + 8 + nRuns.toLong * 12 > scE)
+        throw new Mp4ParseError(s"bad stsc count $nRuns")
+      val runs = (0 until nRuns).map { i =>
+        val base = scS + 8 + i * 12
+        (buf.getInt(base), buf.getInt(base + 4)) // (first_chunk, spc)
+      }
+      if (runs.head._1 != 1) throw new Mp4ParseError("stsc must start at chunk 1")
+
+      // walk chunks in order, assigning samples sequentially; every frame
+      // range must land inside the file
+      val out = Vector.newBuilder[(Long, Int)]
+      var sample = 0
+      var run = 0
+      var chunk = 1
+      while (sample < nSamples && chunk <= offsets.length) {
+        while (run + 1 < runs.length && runs(run + 1)._1 <= chunk) run += 1
+        val spc = runs(run)._2
+        if (spc <= 0) throw new Mp4ParseError(s"bad samples-per-chunk $spc")
+        var off = offsets(chunk - 1)
+        var k = 0
+        while (k < spc && sample < nSamples) {
+          val sz = sizeOf(sample)
+          if (off < 0 || off + sz > bytes.length)
+            throw new Mp4ParseError(s"frame $sample out of bounds")
+          out += ((off, sz))
+          off += sz
+          sample += 1
+          k += 1
+        }
+        chunk += 1
+      }
+      if (sample < nSamples)
+        throw new Mp4ParseError(
+          s"sample table ends at $sample of $nSamples (missing chunks)")
+      Some(out.result())
+    } catch {
+      case _: Mp4ParseError | _: IndexOutOfBoundsException => None
+    }
+
+  /** Per-frame byte stats from the REAL sample-table walk
+    * ([[videoFrameRanges]]): one output row per frame with its size and
+    * exact byte sum — the distributable fan-out a per-frame decode kernel
+    * consumes (each row names a byte range; the codec call is the only
+    * missing piece and it sits behind this seam). An undecodable payload
+    * emits ONE visible marker row (`frame_idx = -1`, zeros) — never
+    * silence, never fabricated frames.
+    */
+  final case class FrameBytes(media_id: Long, frame_idx: Long, size: Int,
+      sum_bytes: Long)
+
+  def extractFrameBytes(media: Dataset[MediaRow]): Dataset[FrameBytes] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      videoFrameRanges(r.content) match {
+        case Some(ranges) => ranges.iterator.zipWithIndex.map {
+          case ((off, sz), i) =>
+            var s = 0L
+            var j = 0
+            while (j < sz) { s += r.content(off.toInt + j) & 0xff; j += 1 }
+            FrameBytes(r.media_id, i.toLong, sz, s)
+        }
+        case None => Iterator.single(FrameBytes(r.media_id, -1L, 0, 0L))
+      }
+    })
+  }
+
+  /** Deterministic MP4 with a REAL sample table and frame payloads — the
+    * fixture half of the frame-extraction round-trip: `frames` land in the
+    * `mdat` chunked `samplesPerChunk` at a time, with `stsz`/`stsc`/`stco`
+    * describing them exactly (multiple stsc runs whenever the last chunk
+    * is partial). Writer and [[videoFrameRanges]] are independent
+    * implementations, so the round-trip cross-checks both.
+    */
+  def encodeMp4Frames(width: Int, height: Int, frames: Seq[Array[Byte]],
+      samplesPerChunk: Int = 3, timescale: Int = 1000): Array[Byte] = {
+    require(width > 0 && height > 0 && samplesPerChunk > 0)
+    def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payload.map(_.length).sum
+      val buf = java.nio.ByteBuffer.allocate(len)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      buf.putInt(len).put(tpe.getBytes("US-ASCII"))
+      payload.foreach(buf.put)
+      buf.array()
+    }
+    def be32(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .putInt((v & 0xffffffffL).toInt).array()
+    def be16(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(2)
+      .putShort(v.toShort).array()
+    def be64(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(8)
+      .putLong(v).array()
+    val unityMatrix = Array(0x10000L, 0, 0, 0, 0x10000L, 0, 0, 0, 0x40000000L)
+      .flatMap(be32)
+    val n = frames.size
+    val chunks = frames.grouped(samplesPerChunk).toSeq
+    val duration = n.toLong // one tick per frame
+
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
+      "isom".getBytes("US-ASCII"), "mp42".getBytes("US-ASCII"))
+
+    def moovOf(mdatPayloadStart: Long): Array[Byte] = {
+      val chunkOffsets = chunks.scanLeft(mdatPayloadStart) {
+        (off, ch) => off + ch.map(_.length).sum
+      }.init
+      val stts = box("stts", Array[Byte](0, 0, 0, 0), be32(1), be32(n.toLong),
+        be32(1))
+      val stsz = box("stsz", Array[Byte](0, 0, 0, 0), be32(0), be32(n.toLong),
+        frames.map(f => be32(f.length.toLong)).fold(Array.emptyByteArray)(_ ++ _))
+      // stsc runs: all full chunks share one run; a partial tail chunk
+      // gets its own
+      val lastSpc = if (chunks.isEmpty) samplesPerChunk else chunks.last.size
+      val runs: Seq[(Int, Int)] =
+        if (chunks.isEmpty) Seq((1, samplesPerChunk))
+        else if (chunks.size == 1 || lastSpc == samplesPerChunk)
+          Seq((1, samplesPerChunk))
+        else Seq((1, samplesPerChunk), (chunks.size, lastSpc))
+      val stsc = box("stsc", Array[Byte](0, 0, 0, 0), be32(runs.size.toLong),
+        runs.map { case (fc, spc) => be32(fc.toLong) ++ be32(spc.toLong) ++
+          be32(1L) }.fold(Array.emptyByteArray)(_ ++ _))
+      val stco = box("stco", Array[Byte](0, 0, 0, 0),
+        be32(chunkOffsets.size.toLong),
+        chunkOffsets.map(be32).fold(Array.emptyByteArray)(_ ++ _))
+      val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
+        be32(timescale.toLong), be32(duration), be32(0x10000L), be16(0x100),
+        be16(0), be64(0), unityMatrix, Array.fill(24)(0.toByte), be32(2))
+      val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7), be32(0), be32(0),
+        be32(1L), be32(0), be32(duration), be64(0), be16(0), be16(0),
+        be16(0), be16(0), unityMatrix,
+        be32(width.toLong << 16), be32(height.toLong << 16))
+      val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
+        be32(timescale.toLong), be32(duration), be16(0x55c4), be16(0))
+      val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0), be32(0),
+        "vide".getBytes("US-ASCII"), Array.fill(12)(0.toByte),
+        Array(0.toByte))
+      box("moov", mvhd,
+        box("trak", tkhd,
+          box("mdia", mdhd, hdlr,
+            box("minf", box("stbl", stts, stsz, stsc, stco)))))
+    }
+
+    // stco carries ABSOLUTE file offsets, which depend on moov's size —
+    // but moov's size does NOT depend on the offset values (fixed-width
+    // be32), so one placeholder pass sizes it and the second pass fills
+    // the real offsets
+    val probe = moovOf(0L)
+    val mdatPayloadStart = ftyp.length + probe.length + 8L
+    val moov = moovOf(mdatPayloadStart)
+    require(moov.length == probe.length, "moov size must be offset-invariant")
+    val mdat = box("mdat", frames.fold(Array.emptyByteArray)(_ ++ _))
+    ftyp ++ moov ++ mdat
+  }
+
   /** Build a synthetic media table from any text table (documents stand in
     * for real blobs in tests: bytes = utf-8 of the text).
     */

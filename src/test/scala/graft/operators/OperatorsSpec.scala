@@ -707,6 +707,98 @@ class MultiModalSpec extends SparkSpec {
     assert(MultiModal.decode(
       MultiModal.MediaRow(2L, "image", "image/png", cut)).format == "stub")
   }
+
+  test("REAL pixel decode: channel sums and block-mean ahash match an " +
+    "independent replay of the fixture fill; PNG ≡ BMP (both lossless)") {
+    import spark.implicits._
+    val (w, h) = (20, 12)
+    // independent replay of encodeImage's (x*31 + y*7) & 0xffffff fill
+    // with the documented cell quantization and cross-multiplied bits
+    val cellSum = Array.fill(64)(0L); val cellCnt = Array.fill(64)(0L)
+    var total = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 31 + y * 7) & 0xffffff
+      val lum = ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+      val k = (y * 8 / h) * 8 + (x * 8 / w)
+      cellSum(k) += lum; cellCnt(k) += 1; total += lum
+    }
+    val area = w.toLong * h
+    val wantHash = (0 until 64).map(k =>
+      if (cellSum(k) * area > total * cellCnt(k)) '1' else '0').mkString
+    val rows = Seq(
+      MultiModal.MediaRow(1L, "image", "image/png",
+        MultiModal.encodeImage(w, h, "png")),
+      MultiModal.MediaRow(2L, "image", "image/bmp",
+        MultiModal.encodeImage(w, h, "bmp")),
+      MultiModal.MediaRow(3L, "image", "image/png", Array.fill[Byte](40)(9)))
+    val got = MultiModal.extractPixelFeatures(spark.createDataset(rows))
+      .collect().sortBy(_.media_id)
+    assert(got(0) == MultiModal.PixelFeatures(1L, w, h, total, wantHash, "png"))
+    // BMP is lossless too: identical raster, identical hash and sum
+    assert(got(1).sum_rgb == total && got(1).ahash == wantHash &&
+      got(1).format == "bmp")
+    // undecodable bytes: visible stub, empty hash, zeros
+    assert(got(2) == MultiModal.PixelFeatures(3L, 0, 0, 0L, "", "stub"))
+  }
+
+  test("REAL audio sample decode: streamed PCM sum/peak/count match the " +
+    "fixture formula; non-PCM bytes emit the visible stub") {
+    import spark.implicits._
+    val frames = 700
+    val channels = 2
+    val n = frames * channels
+    // independent replay of encodeWavPcm16's ((i*31) & 0xffff) - 32768 fill
+    var sum = 0L; var peak = 0
+    for (i <- 0 until n) {
+      val s = ((i * 31) & 0xffff) - 32768
+      sum += s; peak = math.max(peak, math.abs(s))
+    }
+    val rows = Seq(
+      MultiModal.MediaRow(1L, "audio", "audio/wav",
+        MultiModal.encodeWavPcm16(16000, channels, frames)),
+      MultiModal.MediaRow(2L, "audio", "audio/wav", Array.fill[Byte](64)(3)))
+    val got = MultiModal.extractAudioSamples(spark.createDataset(rows))
+      .collect().sortBy(_.media_id)
+    assert(got(0) == MultiModal.AudioSampleFeatures(1L, n.toLong, sum, peak,
+      "wave"))
+    assert(got(1) == MultiModal.AudioSampleFeatures(2L, 0L, 0L, 0, "stub"))
+  }
+
+  test("REAL frame extraction: stsz/stsc/stco sample-table walk recovers " +
+    "every frame's exact bytes, partial tail chunk included") {
+    import spark.implicits._
+    // 8 frames of distinct sizes/contents, 3 per chunk → chunks of 3,3,2
+    // (exercises the two-run stsc shape)
+    val frames = (0 until 8).map(i =>
+      Array.tabulate[Byte](10 + i * 3)(j => ((i * 7 + j * 13) % 256).toByte))
+    val mp4 = MultiModal.encodeMp4Frames(64, 48, frames, samplesPerChunk = 3)
+    // the ranges land exactly on the original frame bytes
+    val ranges = MultiModal.videoFrameRanges(mp4).get
+    assert(ranges.size == 8)
+    for ((f, i) <- frames.zipWithIndex) {
+      val (off, sz) = ranges(i)
+      assert(sz == f.length)
+      assert(mp4.slice(off.toInt, off.toInt + sz).sameElements(f), s"frame $i")
+    }
+    // the header-only walker agrees on the count; mdat stays unread there
+    assert(MultiModal.decodeVideo(mp4).get.nFrames == 8L)
+    // distributed stats rows: one per frame + a visible marker for junk
+    val rows = Seq(
+      MultiModal.MediaRow(1L, "video", "video/mp4", mp4),
+      MultiModal.MediaRow(2L, "video", "video/mp4", Array.fill[Byte](64)(5)))
+    val got = MultiModal.extractFrameBytes(spark.createDataset(rows))
+      .collect().sortBy(r => (r.media_id, r.frame_idx))
+    assert(got.count(_.media_id == 1L) == 8)
+    for ((f, i) <- frames.zipWithIndex) {
+      val row = got(i)
+      assert(row.frame_idx == i.toLong && row.size == f.length &&
+        row.sum_bytes == f.map(_ & 0xff).sum.toLong)
+    }
+    assert(got.last == MultiModal.FrameBytes(2L, -1L, 0, 0L))
+    // a sample table pointing past the file is rejected, not mis-read:
+    // truncating the mdat payload must fail the bounds check
+    assert(MultiModal.videoFrameRanges(mp4.dropRight(5)).isEmpty)
+  }
 }
 
 class ScaleStrategySpec extends graft.SparkSpec {
