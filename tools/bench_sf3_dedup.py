@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""BENCH_SF3 mode: the density-family sf3 probe as a GATED number.
+
+Runs ONLY the density-sensitive dedup/cluster queries
+(q33/q34/q46b/q50/q50b/q101) against the 30x organic fixture
+(tools/make_sf3_dedup.py — superlinear near-dup FAMILY growth, see its
+docstring), ratios each against the committed sf1 record, and fails
+loudly past the gate.
+
+Gate rationale: sf3 is 3x sf1's rows, but its near-dup families carry
+6x the intra-family pairs (size-4 families vs size-2) — so honest
+pair-bounded implementations land ~3-6x sf1 wall, and anything past 10x
+means the operator's cost grew with a power of density it shouldn't
+have (unbounded bucket occupancy, all-pairs candidate generation).
+Queries under MIN_SECS at sf3 are exempt (jitter, not scaling).
+
+Usage:
+    python3 tools/bench_sf3_dedup.py [--ref BENCH_SF1_rNN.json]
+        [--fixture /tmp/graft_sf3_dedup] [--gate 10.0] [--round N]
+
+Writes BENCH_SF3_r{N}.json: {sf1, sf3, ratios, gate, violations}.
+"""
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MIN_SECS = 2.0
+QUERIES = ["q33_minhash_pairs", "q34_simhash_pairs",
+           "q46b_cosine_dedup_bounded", "q50_dup_clusters",
+           "q50b_dup_clusters_distributed", "q101_semdedup"]
+
+
+def last_json_line(path):
+    with open(path) as f:
+        lines = [l for l in f.read().strip().splitlines() if l.startswith("{")]
+    return json.loads(lines[-1])
+
+
+def latest_sf1_record():
+    rounds = [(int(m.group(1)), f) for f in os.listdir(REPO)
+              if (m := re.match(r"BENCH_SF1_r(\d+)\.json", f))]
+    if not rounds:
+        sys.exit("[bench_sf3] no BENCH_SF1_r*.json to ratio against")
+    return os.path.join(REPO, max(rounds)[1])
+
+
+def ensure_fixture(fixture):
+    if os.path.exists(os.path.join(fixture, "embeddings.parquet")):
+        print(f"[bench_sf3] fixture {fixture} present")
+        return
+    print(f"[bench_sf3] generating fixture {fixture} via make_sf3_dedup.py")
+    subprocess.run([sys.executable,
+                    os.path.join(REPO, "tools", "make_sf3_dedup.py"),
+                    fixture], check=True, cwd=os.path.join(REPO, "tools"))
+
+
+def run_bench(fixture, out):
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=fixture,
+               SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_QUERIES=",".join(QUERIES),
+               SPARK_GRAFT_BENCH_OUT=out)
+    print(f"[bench_sf3] running graft.Bench ({len(QUERIES)} queries) on {fixture}")
+    subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                   check=True, cwd=REPO, env=env,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    return last_json_line(out)
+
+
+def next_round():
+    rounds = [int(m.group(1)) for f in os.listdir(REPO)
+              if (m := re.match(r"BENCH_SF3_r(\d+)\.json", f))]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref", default=None,
+                    help="BENCH_SF1 record to ratio against (default: latest)")
+    ap.add_argument("--fixture", default="/tmp/graft_sf3_dedup")
+    ap.add_argument("--gate", type=float, default=10.0)
+    ap.add_argument("--round", type=int, default=None)
+    args = ap.parse_args()
+
+    ref_path = args.ref or latest_sf1_record()
+    ref = last_json_line(ref_path)
+    sf1_queries = ref.get("queries_sf1") or ref.get("queries") or {}
+    ensure_fixture(args.fixture)
+    sf3 = run_bench(args.fixture, "/tmp/bench_sf3_raw.json")
+
+    ratios, violations = {}, []
+    for q, t3 in sorted(sf3["queries"].items()):
+        t1 = sf1_queries.get(q)
+        if t1 is None or t1 <= 0 or t3 <= 0:
+            continue
+        r = t3 / t1
+        ratios[q] = round(r, 2)
+        if r > args.gate and t3 >= MIN_SECS:
+            violations.append({"query": q, "sf1": round(t1, 3),
+                               "sf3": round(t3, 3), "ratio": round(r, 2)})
+
+    rnd = args.round if args.round is not None else next_round()
+    out = {
+        "metric": "sf3_density_probe", "unit": "ratio",
+        "emitter": "bench_sf3_dedup", "fixture": args.fixture,
+        "ref": os.path.basename(ref_path), "gate": args.gate,
+        "min_secs": MIN_SECS,
+        "queries_sf3": {k: round(v, 3) for k, v in sorted(sf3["queries"].items())},
+        "queries_sf1": {k: round(sf1_queries[k], 3) for k in sorted(ratios)},
+        "ratios": ratios,
+        "failed_at_sf3": sf3.get("failed", []),
+        "violations": violations,
+    }
+    path = os.path.join(REPO, f"BENCH_SF3_r{rnd:02d}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"[bench_sf3] ratios vs sf1: {ratios}, wrote {path}")
+    if sf3.get("failed"):
+        print(f"[bench_sf3] FAILED QUERIES AT SF3: {sf3['failed']}")
+        sys.exit(1)
+    if violations:
+        print(f"[bench_sf3] GATE VIOLATIONS (> {args.gate}x vs sf1):")
+        for v in violations:
+            print(f"  {v['query']}: {v['sf1']}s -> {v['sf3']}s = {v['ratio']}x")
+        sys.exit(1)
+    print("[bench_sf3] gate clean")
+
+
+if __name__ == "__main__":
+    main()
