@@ -35,9 +35,15 @@ QUERIES = ["q33_minhash_pairs", "q34_simhash_pairs",
 
 
 def last_json_line(path):
+    """Parse either a whole (possibly indented) JSON file or the last
+    JSON line of a log-style file (graft.Bench raw output)."""
     with open(path) as f:
-        lines = [l for l in f.read().strip().splitlines() if l.startswith("{")]
-    return json.loads(lines[-1])
+        text = f.read().strip()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        lines = [l for l in text.splitlines() if l.startswith("{")]
+        return json.loads(lines[-1])
 
 
 def latest_sf1_record():
