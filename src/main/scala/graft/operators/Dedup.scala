@@ -594,6 +594,18 @@ object Dedup {
     val base = Similarity.withLshBucket(df, vecCol, numPlanes, dim, seed)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket"))
       .persist()
+    val refined = refineOversizedBuckets(base, dim, seed, maxBucketSize,
+      extraPlanes).persist()
+    materializeAndRelease(
+      cosinePairsFromBucketed(refined, threshold), refined, base)
+  }
+
+  /** The occupancy-bounding step shared by the executing path and the
+    * lazy plan builder: ONE definition of the refinement, so plan pins
+    * inspect exactly what callers run.
+    */
+  private def refineOversizedBuckets(base: DataFrame, dim: Int, seed: Long,
+      maxBucketSize: Int, extraPlanes: Int): DataFrame = {
     val xplanes = graft.functions.VectorFunctions
       .seededPlanes(extraPlanes, dim, seed + 1)
     val shiftBy = extraPlanes + 1
@@ -603,7 +615,7 @@ object Dedup {
     // exact skew this function exists to tame)
     val occ = broadcast(base.groupBy("lsh_bucket")
       .agg(count(lit(1)).as("__occ"))) // ≤ 2^numPlanes tiny rows
-    val refined = base.join(occ, Seq("lsh_bucket"))
+    base.join(occ, Seq("lsh_bucket"))
       .withColumn("lsh_bucket",
         when(col("__occ") <= maxBucketSize,
           shiftleft(col("lsh_bucket"), shiftBy))
@@ -612,9 +624,6 @@ object Dedup {
             .bitwiseOR(graft.functions.VectorFunctions
               .lshSignature(col("v"), xplanes))))
       .drop("__occ")
-      .persist()
-    materializeAndRelease(
-      cosinePairsFromBucketed(refined, threshold), refined, base)
   }
 
   /** Source-compatible alias from when bounded occupancy was the opt-in
@@ -627,15 +636,22 @@ object Dedup {
       maxBucketSize, extraPlanes)
 
   /** Lazy plan of [[cosineNearDupPairs]] (no cache, no materialization) —
-    * for plan-shape inspection.
+    * for plan-shape inspection. Mirrors the DEFAULT (bounded-occupancy)
+    * path including the occupancy probe and conditional re-bucketing, so
+    * plan pins cover what callers actually execute; pass
+    * `maxBucketSize = Int.MaxValue` to inspect the unbounded special case.
     */
   private[graft] def cosineNearDupPairsPlan(df: DataFrame, idCol: String,
       vecCol: String, dim: Int, threshold: Double, numPlanes: Int = 6,
-      seed: Long = 42L): DataFrame =
+      seed: Long = 42L,
+      maxBucketSize: Int = DefaultCosineBucketCap,
+      extraPlanes: Int = 4): DataFrame = {
+    val base = Similarity.withLshBucket(df, vecCol, numPlanes, dim, seed)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket"))
     cosinePairsFromBucketed(
-      Similarity.withLshBucket(df, vecCol, numPlanes, dim, seed)
-        .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket")),
+      refineOversizedBuckets(base, dim, seed, maxBucketSize, extraPlanes),
       threshold)
+  }
 
   private def cosinePairsFromBucketed(bucketed: DataFrame,
       threshold: Double): DataFrame = {

@@ -269,6 +269,10 @@ object MultiModal {
             buf.getInt(mvhdS + 16).toLong & 0xffffffffL)
         }
       if (timescale == 0) throw new Mp4ParseError("zero mvhd timescale")
+      // v0 reads duration unsigned; v1's 64-bit field is signed, and a
+      // corrupt negative duration must fall to the stub, not emit a
+      // negative durationMs that multiplyExact below would wave through
+      if (duration < 0) throw new Mp4ParseError(s"negative mvhd duration $duration")
 
       val traks = moov.collect { case ("trak", s, e) => (s, e) }
       if (traks.isEmpty) throw new Mp4ParseError("no trak boxes")
@@ -548,12 +552,19 @@ object MultiModal {
       y += 1
     }
     // cross-multiplication bound: cellSum·area ≤ 765·(wh)² — exact in a
-    // long through ~8K×8K rasters, far past any thumbnail/training tile
+    // long up to wh ≈ 1.1e8 pixels (~10K×10K). Past that the products
+    // would wrap SILENTLY and corrupt hash bits, so huge rasters switch
+    // to BigInt for the 64 comparisons (negligible next to the pixel
+    // loop) instead of breaking the integer-exact contract.
     val area = w.toLong * h
+    val exactInLong = area <= 100000000L
     val bits = new java.lang.StringBuilder(64)
     var k = 0
     while (k < 64) {
-      bits.append(if (cellSum(k) * area > total * cellCnt(k)) '1' else '0')
+      val bit =
+        if (exactInLong) cellSum(k) * area > total * cellCnt(k)
+        else BigInt(cellSum(k)) * area > BigInt(total) * cellCnt(k)
+      bits.append(if (bit) '1' else '0')
       k += 1
     }
     PixelFeatures(id, w, h, total, bits.toString, format)
@@ -757,9 +768,13 @@ object MultiModal {
     * ([[videoFrameRanges]]): one output row per frame with its size and
     * exact byte sum — the distributable fan-out a per-frame decode kernel
     * consumes (each row names a byte range; the codec call is the only
-    * missing piece and it sits behind this seam). An undecodable payload
+    * missing piece and it sits behind this seam). An UNDECODABLE payload
     * emits ONE visible marker row (`frame_idx = -1`, zeros) — never
-    * silence, never fabricated frames.
+    * fabricated frames. A well-formed MP4 whose sample table lists ZERO
+    * samples (fragmented-style moov) correctly emits zero rows: "decoded,
+    * no frames" is a real answer, distinct from the marker, and callers
+    * needing per-media accounting join back through the header path
+    * ([[extractVideoFeatures]]), which always emits the media row.
     */
   final case class FrameBytes(media_id: Long, frame_idx: Long, size: Int,
       sum_bytes: Long)

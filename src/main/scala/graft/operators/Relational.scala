@@ -218,15 +218,29 @@ object Relational {
     val spark = left.sparkSession
     import spark.implicits._
     val hotDf = broadcast(hot.toSeq.toDF("__hotkey", "__factor"))
-    // the salt only needs to SPREAD same-key left rows across factor
-    // buckets — any in-range value joins the matching right replica, so a
-    // retry recomputing a different salt still yields identical rows.
-    // A per-row counter round-robins perfectly and, unlike hashing the
-    // whole row, neither pays wide-row hashing cost nor throws on
-    // unhashable column types (e.g. MapType).
+    // the salt must be DETERMINISTIC per row content: it sits upstream of
+    // the (keys, __salt) shuffle, and a nondeterministic salt (row counter,
+    // rand) re-salts rows differently when a lost executor re-runs only
+    // SOME map tasks — reducers that already fetched the old output then
+    // see a row joined twice or dropped (Spark only rolls back whole
+    // stages for round-robin repartition, not nondeterministic SQL
+    // expressions). So: hash the key columns plus up to 8 more HASH-SAFE
+    // columns for row-spreading entropy — skipping unhashable types
+    // (MapType) instead of throwing, and capping the per-row hash cost on
+    // wide frames. Degenerate worst case (all spread columns equal within
+    // a key) collapses to one replica: un-spread skew, never wrong rows.
+    def hashSafe(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ArrayType(e, _) => hashSafe(e)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashSafe(f.dataType))
+      case _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    }
+    val spreadCols = keys.map(col) ++ left.schema.fields
+      .filter(f => !keys.contains(f.name) && hashSafe(f.dataType))
+      .take(8).map(f => col(f.name))
     val lf = left.withColumn("__hotkey", hotKeyOf(keys))
       .join(hotDf, Seq("__hotkey"), "left")
-      .withColumn("__salt", pmod(monotonically_increasing_id(),
+      .withColumn("__salt", pmod(xxhash64(spreadCols: _*),
         coalesce(col("__factor"), lit(1)).cast("long")).cast("int"))
       .drop("__hotkey", "__factor")
     val rf = right.withColumn("__hotkey", hotKeyOf(keys))

@@ -305,7 +305,7 @@ object VersionedLake {
     val carried = if (mode == "append" && prev.nonEmpty)
       manifestFiles(store, table, prev.last) else Seq.empty
     val files = carried ++ newFiles
-    val json = files.map(p => "\"" + p + "\"").mkString(
+    val json = files.map(p => "\"" + jsonEscape(p) + "\"").mkString(
       s"""{"version":$next,"files":[""", ",", "]}")
     if (!store.publish(next,
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
@@ -313,17 +313,70 @@ object VersionedLake {
     next
   }
 
+  /** Tokenize the machine-written manifest JSON into structural characters
+    * and (unescaped) string literals. File paths can contain commas,
+    * brackets, quotes or backslashes the moment a partition VALUE carries
+    * them (Spark's escapePathName escapes `/` but not `,`/`]`), so naive
+    * split/regex extraction is not safe — this quote-aware scanner plus
+    * the escaping writer keeps the no-JSON-library choice honest.
+    */
+  private def jsonTokens(json: String): Vector[Either[Char, String]] = {
+    val out = Vector.newBuilder[Either[Char, String]]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < json.length) {
+      val c = json.charAt(i)
+      if (inStr) c match {
+        case '\\' if i + 1 < json.length =>
+          sb.append(json.charAt(i + 1)); i += 1
+        case '"' => inStr = false; out += Right(sb.toString)
+        case other => sb.append(other)
+      } else c match {
+        case '"' => inStr = true; sb.setLength(0)
+        case '{' | '}' | '[' | ']' | ':' | ',' => out += Left(c)
+        case _ => () // digits / whitespace — not needed by the readers
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  private def jsonEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** The string elements of the array valued at `key`, starting the scan
+    * at token index `from`.
+    */
+  private def stringArrayAt(ts: Vector[Either[Char, String]],
+      from: Int): (Seq[String], Int) = {
+    require(from + 1 < ts.length && ts(from) == Left(':') &&
+      ts(from + 1) == Left('['), "malformed manifest: expected :[")
+    val b = Seq.newBuilder[String]
+    var i = from + 2
+    while (i < ts.length && ts(i) != Left(']')) {
+      ts(i) match {
+        case Right(s) => b += s
+        case Left(',') => ()
+        case other => throw new IllegalStateException(
+          s"malformed manifest: unexpected $other in file list")
+      }
+      i += 1
+    }
+    (b.result(), i + 1) // past the ]
+  }
+
   private def manifestFiles(store: ManifestStore, table: String,
       version: Long): Seq[String] = {
     val json = new String(store.readManifest(version),
       java.nio.charset.StandardCharsets.UTF_8)
-    // the manifest is machine-written with a fixed shape; a tiny extractor
-    // beats a JSON-library dependency
-    val m = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json)
-      .getOrElse(throw new IllegalStateException(
-        s"malformed manifest v$version of $table"))
-    m.group(1).split(",").toSeq.filter(_.nonEmpty)
-      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    val ts = jsonTokens(json)
+    // "files" can only appear as the key: single-table paths all start
+    // with "_data/"
+    val ki = ts.indexOf(Right("files"))
+    if (ki < 0) throw new IllegalStateException(
+      s"malformed manifest v$version of $table")
+    stringArrayAt(ts, ki + 1)._1
   }
 
   /** Read a version (default: latest). Missing table/version throws.
@@ -397,24 +450,39 @@ object VersionedLake {
   // is the SAME pluggable [[ManifestStore]] as single tables — one CAS
   // publish covers the whole group on object stores.
 
+  // leading alphanumeric keeps member tables out of the store's own
+  // metadata directories (`_manifests`, `_data`); the reserved words keep
+  // the manifest's key scan unambiguous (member paths always contain "/",
+  // so they can never collide with a bare key)
   private def tableNameOk(t: String): Boolean =
-    t.nonEmpty && t.matches("[A-Za-z0-9_.-]+") && t != "version" && t != "tables"
+    t.nonEmpty && t.matches("[A-Za-z0-9][A-Za-z0-9_.-]*") &&
+      t != "version" && t != "tables" && t != "files"
 
   /** Per-table file lists of a group manifest. */
   private def groupManifestFiles(store: ManifestStore, root: String,
       version: Long): Map[String, Seq[String]] = {
     val json = new String(store.readManifest(version),
       java.nio.charset.StandardCharsets.UTF_8)
-    val body = """"tables":\{(.*)\}\}""".r.findFirstMatchIn(json)
-      .getOrElse(throw new IllegalStateException(
-        s"v$version of $root is not a group manifest"))
-      .group(1)
-    // table names are validated at write time to [A-Za-z0-9_.-]+ and file
-    // paths never contain quotes/brackets, so the extractor stays regular
-    """"([A-Za-z0-9_.-]+)":\[([^\]]*)\]""".r.findAllMatchIn(body).map { m =>
-      m.group(1) -> m.group(2).split(",").toSeq.filter(_.nonEmpty)
-        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    }.toMap
+    val ts = jsonTokens(json)
+    val ti = ts.indexOf(Right("tables"))
+    if (ti < 0 || ti + 2 >= ts.length || ts(ti + 1) != Left(':') ||
+      ts(ti + 2) != Left('{'))
+      throw new IllegalStateException(
+        s"v$version of $root is not a group manifest")
+    val out = Map.newBuilder[String, Seq[String]]
+    var i = ti + 3
+    while (i < ts.length && ts(i) != Left('}')) {
+      ts(i) match {
+        case Right(name) =>
+          val (files, next) = stringArrayAt(ts, i + 1)
+          out += name -> files
+          i = next
+        case Left(',') => i += 1
+        case other => throw new IllegalStateException(
+          s"malformed group manifest v$version of $root: unexpected $other")
+      }
+    }
+    out.result()
   }
 
   /** An in-flight atomic multi-table commit: the version number is already
@@ -462,7 +530,7 @@ object VersionedLake {
       require(!published, "group already published")
       require(staged.nonEmpty, "publish with no staged tables")
       val body = staged.map { case (t, files) =>
-        "\"" + t + "\":" + files.map(p => "\"" + p + "\"")
+        "\"" + t + "\":" + files.map(p => "\"" + jsonEscape(p) + "\"")
           .mkString("[", ",", "]")
       }.mkString(s"""{"version":$version,"tables":{""", ",", "}}")
       if (!store.publish(version,

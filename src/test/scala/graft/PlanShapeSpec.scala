@@ -128,14 +128,28 @@ class PlanShapeSpec extends SparkSpec {
         side.output.map(_.name).mkString(","))
   }
 
-  test("q46 cosine dedup joins on the bucket key (no cartesian product)") {
-    // lazy plan builder for the same reason as the q33 pin above
+  test("q46 cosine dedup joins on the bucket key (no cartesian product); " +
+    "the DEFAULT bounded path rides a broadcast occupancy probe") {
+    // lazy plan builder for the same reason as the q33 pin above; since
+    // round 12 this builds the bounded-occupancy DEFAULT, so these pins
+    // cover what callers actually execute
     val plan = planOf(graft.operators.Dedup.cosineNearDupPairsPlan(
       spark.read.parquet(s"$sfDir/embeddings.parquet"),
       "vec_id", "embedding", dim = 64, threshold = 0.30))
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("lsh_bucket"), plan)
+    // the ≤2^numPlanes-row occupancy map must BROADCAST back onto the
+    // rows — a shuffle join here would re-partition the whole corpus on
+    // lsh_bucket (at most 2^numPlanes partitions: the exact skew funnel
+    // the occupancy scheme exists to avoid)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the unbounded special case keeps the old slim single-join shape
+    val unbounded = planOf(graft.operators.Dedup.cosineNearDupPairsPlan(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      "vec_id", "embedding", dim = 64, threshold = 0.30,
+      maxBucketSize = Int.MaxValue))
+    assert(!unbounded.contains("CartesianProduct"), unbounded)
   }
 
   test("q45 custom operator: no Sort/Window, survivors-only exchange") {

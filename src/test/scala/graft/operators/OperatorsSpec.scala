@@ -657,6 +657,12 @@ class MultiModalSpec extends SparkSpec {
     assert(patched.getInt(60) == 1000, "fixture layout moved: not timescale")
     patched.putLong(64, Long.MaxValue)
     assert(MultiModal.decodeVideo(patched.array()).isEmpty)
+    // a NEGATIVE v1 duration (no multiplication overflow) must also fall
+    // to the stub, not emit a negative durationMs
+    val negDur = java.nio.ByteBuffer.wrap(v1.clone())
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    negDur.putLong(64, -5000L)
+    assert(MultiModal.decodeVideo(negDur.array()).isEmpty)
   }
 
   test("extractVideoFeatures: real parse lands typed rows, undecodable " +
@@ -798,6 +804,13 @@ class MultiModalSpec extends SparkSpec {
     // a sample table pointing past the file is rejected, not mis-read:
     // truncating the mdat payload must fail the bounds check
     assert(MultiModal.videoFrameRanges(mp4.dropRight(5)).isEmpty)
+    // a WELL-FORMED zero-sample MP4 decodes to zero frames (Some(empty)),
+    // distinct from the undecodable marker — "no frames" is a real answer
+    val empty = MultiModal.encodeMp4Frames(64, 48, Seq.empty)
+    assert(MultiModal.videoFrameRanges(empty).contains(Seq.empty))
+    val zrows = MultiModal.extractFrameBytes(spark.createDataset(Seq(
+      MultiModal.MediaRow(3L, "video", "video/mp4", empty)))).collect()
+    assert(zrows.isEmpty)
   }
 }
 

@@ -352,6 +352,43 @@ class VersionedLakeSpec extends SparkSpec {
       VersionedLake.readTable(spark, root, "dim", Some(1L)))
   }
 
+  test("manifest round-trips partition VALUES containing commas/brackets " +
+    "(escapePathName leaves them raw) on both single tables and groups") {
+    import org.apache.spark.sql.functions.col
+    // `,` and `]` survive Spark's partition-path escaping verbatim, so a
+    // split/regex manifest parser would shred these paths; the quote-aware
+    // tokenizer must not
+    val df = Seq(("a,b", 1), ("c]d", 2), ("plain", 3)).toDF("k", "v")
+    val tbl = Files.createTempDirectory("vlake-comma").toString
+    VersionedLake.commit(df, tbl, partitionBy = Seq("k"))
+    val got = VersionedLake.read(spark, tbl, schemaDDL = "v INT, k STRING")
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Int]("v"))).sorted.toSeq
+    assert(got == Seq(("a,b", 1), ("c]d", 2), ("plain", 3)))
+    // vacuum's live-set must keep every referenced file despite the commas
+    // (only unreferenced sidecars — _SUCCESS/.crc — may be swept): both
+    // kept versions stay fully readable after the vacuum
+    VersionedLake.commit(df.filter(col("v") === 1), tbl, partitionBy = Seq("k"))
+    VersionedLake.vacuum(spark, tbl, keepFrom = 1L)
+    assert(VersionedLake.read(spark, tbl, Some(1L),
+      schemaDDL = "v INT, k STRING").count() == 3)
+    assert(VersionedLake.read(spark, tbl, Some(2L),
+      schemaDDL = "v INT, k STRING").count() == 1)
+    val root = Files.createTempDirectory("vlakeg-comma").toString
+    VersionedLake.commitAll(Seq("t" -> df), root)
+    val gotG = VersionedLake.readTable(spark, root, "t",
+      schemaDDL = "v INT, k STRING")
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Int]("v"))).sorted.toSeq
+    assert(gotG == got)
+    VersionedLake.vacuumGroup(spark, root, keepFrom = 1L)
+    assert(VersionedLake.readTable(spark, root, "t",
+      schemaDDL = "v INT, k STRING").count() == 3)
+    // member tables may not collide with the store's metadata dirs
+    intercept[IllegalArgumentException](
+      VersionedLake.commitAll(Seq("_manifests" -> df), root))
+    intercept[IllegalArgumentException](
+      VersionedLake.commitAll(Seq("_data" -> df), root))
+  }
+
   test("group commit: interleaved multi-table committers on BOTH stores — " +
     "a reader can never observe table A at version n and B at n-1") {
     def run(store: Option[ManifestStore], root: String): Unit = {
