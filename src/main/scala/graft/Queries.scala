@@ -721,6 +721,30 @@ object Queries {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // Multimodal: REAL per-frame PIXEL decode of image-codec video
+    // (PNG-coded MP4, stsd 'png '): the sample tables resolve each
+    // frame's bytes and ImageIO decodes the raster — per-frame channel
+    // sums and block-mean hashes that the oracle replays pixel-for-pixel
+    // from the fill formula. Compressed-video frame decode with zero
+    // codec dependencies; inter-frame codecs stay behind the same seam.
+    "q40i_video_frame_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val nf = 2 + (id % 4).toInt
+        val frames = (0 until nf).map { i =>
+          val w = 8 + ((id + i) % 16).toInt
+          val h = 8 + ((id * 3 + i) % 16).toInt
+          MultiModal.encodeImage(w, h, "png")
+        }
+        MultiModal.MediaRow(id, "video", "video/mp4",
+          MultiModal.encodeMp4Frames(24, 24, frames, samplesPerChunk = 3))
+      })
+      MultiModal.extractFramePixels(media).toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // Dedup (near): embedding-cosine near-dup pairs, LSH-bucketed candidates
     // + exact cosine threshold (oracle replays planes/buckets/cosine).
     // maxBucketSize = Int.MaxValue pins the UNBOUNDED special case the
@@ -3766,6 +3790,51 @@ object Queries {
         |  CAST(MAX(abs(smp)) AS INTEGER) AS peak,
         |  'wave' AS format
         |FROM v GROUP BY media_id, n ORDER BY media_id""".stripMargin,
+
+    // q40i: q40f's full pixel replay per FRAME — dims from the frame
+    // formulas, fill/quantization/hash bits identical to the still-image
+    // oracle, grouped by (media, frame).
+    "q40i_video_frame_pixels" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id, 2 + doc_id % 4 AS nf FROM documents
+        |), f AS (
+        |  SELECT media_id, unnest(range(0, nf)) AS frame_idx FROM p
+        |), d AS (
+        |  SELECT media_id, frame_idx,
+        |    CAST(8 + (media_id + frame_idx) % 16 AS INTEGER) AS w,
+        |    CAST(8 + (media_id * 3 + frame_idx) % 16 AS INTEGER) AS h
+        |  FROM f
+        |), xs AS (
+        |  SELECT media_id, frame_idx, w, h, unnest(range(0, w)) AS x FROM d
+        |), px AS (
+        |  SELECT media_id, frame_idx, w, h, x, unnest(range(0, h)) AS y
+        |  FROM xs
+        |), lum AS (
+        |  SELECT media_id, frame_idx,
+        |    (((x*31 + y*7) % 16777216) // 65536) % 256
+        |      + (((x*31 + y*7) % 16777216) // 256) % 256
+        |      + ((x*31 + y*7) % 16777216) % 256 AS l,
+        |    (y * 8 // h) * 8 + (x * 8 // w) AS k
+        |  FROM px
+        |), cells AS (
+        |  SELECT media_id, frame_idx, k, SUM(l) AS cs, COUNT(*) AS cc
+        |  FROM lum GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT media_id, frame_idx, SUM(l) AS ts, COUNT(*) AS ta
+        |  FROM lum GROUP BY 1, 2
+        |), hs AS (
+        |  SELECT c.media_id, c.frame_idx,
+        |    string_agg(CASE WHEN c.cs * t.ta > t.ts * c.cc
+        |      THEN '1' ELSE '0' END, '' ORDER BY c.k) AS ahash
+        |  FROM cells c JOIN tot t USING (media_id, frame_idx)
+        |  GROUP BY c.media_id, c.frame_idx
+        |)
+        |SELECT d.media_id, CAST(d.frame_idx AS BIGINT) AS frame_idx,
+        |  d.w AS width, d.h AS height,
+        |  CAST(t.ts AS BIGINT) AS sum_rgb, hs.ahash, 'png' AS format
+        |FROM d JOIN tot t USING (media_id, frame_idx)
+        |  JOIN hs USING (media_id, frame_idx)
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // q40h: per-frame replay of the count/size/byte formulas the fixture
     // encoder used — the engine must recover them through the sample

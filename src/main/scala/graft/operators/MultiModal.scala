@@ -795,16 +795,95 @@ object MultiModal {
     })
   }
 
+  /** The visual track's codec fourcc from the `stsd` sample description
+    * (first entry) — what tells a frame extractor WHICH decoder each
+    * sample needs ("png "/"jpeg" = intra-only image codecs the JDK
+    * decodes; "avc1"/"hvc1" = inter-frame codecs that need a real codec
+    * dependency). None when the payload has no parsable vide stsd.
+    */
+  def videoFrameCodec(bytes: Array[Byte]): Option[String] =
+    try {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      val top = mp4Children(buf, 0, bytes.length)
+      val (moovS, moovE) = findBox(top, "moov")
+        .getOrElse(throw new Mp4ParseError("no moov box"))
+      val stbl = mp4Children(buf, moovS, moovE)
+        .collect { case ("trak", s, e) => mp4Children(buf, s, e) }
+        .flatMap { kids =>
+          val mdia = findBox(kids, "mdia").map { case (ms, me) =>
+            mp4Children(buf, ms, me) }
+          val handler = mdia.flatMap(findBox(_, "hdlr")).map { case (hs, he) =>
+            if (he - hs < 12) throw new Mp4ParseError("short hdlr")
+            new String(Array(buf.get(hs + 8), buf.get(hs + 9),
+              buf.get(hs + 10), buf.get(hs + 11)), "US-ASCII")
+          }
+          if (!handler.contains("vide")) None
+          else mdia.flatMap(findBox(_, "minf"))
+            .map { case (s, e) => mp4Children(buf, s, e) }
+            .flatMap(findBox(_, "stbl"))
+            .map { case (s, e) => mp4Children(buf, s, e) }
+        }.headOption.getOrElse(throw new Mp4ParseError("no vide stbl"))
+      val (sdS, sdE) = findBox(stbl, "stsd")
+        .getOrElse(throw new Mp4ParseError("no stsd"))
+      // stsd: ver/flags(4) entry_count(4), then sample-entry boxes — the
+      // entry's box TYPE is the codec fourcc
+      if (sdE - sdS < 8 || buf.getInt(sdS + 4) < 1)
+        throw new Mp4ParseError("empty stsd")
+      mp4Children(buf, sdS + 8, sdE).headOption.map(_._1)
+    } catch {
+      case _: Mp4ParseError | _: IndexOutOfBoundsException => None
+    }
+
+  /** Per-frame PIXEL features for image-codec video (PNG/MJPEG-style
+    * intra-only MP4, stsd fourcc "png "/"jpeg"): the sample tables
+    * resolve each frame's byte range ([[videoFrameRanges]]), JDK ImageIO
+    * decodes the frame's raster, and each frame emits the same
+    * integer-exact pixel features as the still-image path — REAL
+    * compressed-video frame decode with zero codec dependencies.
+    * Inter-frame codecs (avc1/hvc1) decline per frame (ImageIO doesn't
+    * recognize the NAL payload) and emit visible stub rows; an
+    * undecodable CONTAINER emits one `frame_idx = -1` marker row.
+    */
+  final case class FramePixels(media_id: Long, frame_idx: Long, width: Int,
+      height: Int, sum_rgb: Long, ahash: String, format: String)
+
+  def extractFramePixels(media: Dataset[MediaRow]): Dataset[FramePixels] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      videoFrameRanges(r.content) match {
+        case Some(ranges) => ranges.iterator.zipWithIndex.map {
+          case ((off, sz), i) =>
+            val frame = java.util.Arrays.copyOfRange(
+              r.content, off.toInt, off.toInt + sz)
+            decodeRaster(frame) match {
+              case Some((img, fmt)) =>
+                val p = pixelFeaturesOf(r.media_id, img, fmt)
+                FramePixels(r.media_id, i.toLong, p.width, p.height,
+                  p.sum_rgb, p.ahash, p.format)
+              case None =>
+                FramePixels(r.media_id, i.toLong, 0, 0, 0L, "", "stub")
+            }
+        }
+        case None =>
+          Iterator.single(FramePixels(r.media_id, -1L, 0, 0, 0L, "", "stub"))
+      }
+    })
+  }
+
   /** Deterministic MP4 with a REAL sample table and frame payloads — the
     * fixture half of the frame-extraction round-trip: `frames` land in the
     * `mdat` chunked `samplesPerChunk` at a time, with `stsz`/`stsc`/`stco`
     * describing them exactly (multiple stsc runs whenever the last chunk
-    * is partial). Writer and [[videoFrameRanges]] are independent
+    * is partial), and an `stsd` naming `codec` as the sample description.
+    * Writer and [[videoFrameRanges]]/[[videoFrameCodec]] are independent
     * implementations, so the round-trip cross-checks both.
     */
   def encodeMp4Frames(width: Int, height: Int, frames: Seq[Array[Byte]],
-      samplesPerChunk: Int = 3, timescale: Int = 1000): Array[Byte] = {
+      samplesPerChunk: Int = 3, timescale: Int = 1000,
+      codec: String = "png "): Array[Byte] = {
     require(width > 0 && height > 0 && samplesPerChunk > 0)
+    require(codec.length == 4, s"codec fourcc must be 4 chars: '$codec'")
     def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
       val len = 8 + payload.map(_.length).sum
       val buf = java.nio.ByteBuffer.allocate(len)
@@ -850,6 +929,19 @@ object MultiModal {
       val stco = box("stco", Array[Byte](0, 0, 0, 0),
         be32(chunkOffsets.size.toLong),
         chunkOffsets.map(be32).fold(Array.emptyByteArray)(_ ++ _))
+      // stsd: one VisualSampleEntry named by the codec fourcc (78-byte
+      // payload per ISO 14496-12 §12.1.3: reserved/dref + pre_defined +
+      // width/height + 72dpi fixed-point resolutions + frame_count 1 +
+      // 32-byte compressorname + depth 24 + pre_defined -1)
+      val sampleEntry = box(codec,
+        Array.fill(6)(0.toByte), be16(1),      // reserved + data_ref_index
+        be16(0), be16(0), Array.fill(12)(0.toByte), // pre_defined/reserved
+        be16(width), be16(height),
+        be32(0x480000L), be32(0x480000L),      // 72 dpi 16.16
+        be32(0), be16(1),                      // reserved + frame_count
+        Array.fill(32)(0.toByte),              // compressorname
+        be16(24), be16(0xffff))                // depth + pre_defined(-1)
+      val stsd = box("stsd", Array[Byte](0, 0, 0, 0), be32(1), sampleEntry)
       val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
         be32(timescale.toLong), be32(duration), be32(0x10000L), be16(0x100),
         be16(0), be64(0), unityMatrix, Array.fill(24)(0.toByte), be32(2))
@@ -865,7 +957,7 @@ object MultiModal {
       box("moov", mvhd,
         box("trak", tkhd,
           box("mdia", mdhd, hdlr,
-            box("minf", box("stbl", stts, stsz, stsc, stco)))))
+            box("minf", box("stbl", stsd, stts, stsz, stsc, stco)))))
     }
 
     // stco carries ABSOLUTE file offsets, which depend on moov's size —

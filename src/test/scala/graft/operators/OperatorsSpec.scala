@@ -812,6 +812,50 @@ class MultiModalSpec extends SparkSpec {
       MultiModal.MediaRow(3L, "video", "video/mp4", empty)))).collect()
     assert(zrows.isEmpty)
   }
+
+  test("REAL per-frame PIXEL decode: PNG-coded MP4 frames decode to " +
+    "rasters matching the still-image path; stsd names the codec; " +
+    "inter-frame codecs decline visibly per frame") {
+    import spark.implicits._
+    // four PNG frames of distinct sizes inside one MP4 (QuickTime-style
+    // intra-only video): per-frame features must equal the standalone
+    // still-image features of the same PNGs
+    val stills = (0 until 4).map(i =>
+      MultiModal.encodeImage(10 + i, 8 + i, "png"))
+    val mp4 = MultiModal.encodeMp4Frames(16, 16, stills, samplesPerChunk = 3)
+    assert(MultiModal.videoFrameCodec(mp4).contains("png "))
+    // the stsd addition must not disturb the existing header walkers
+    assert(MultiModal.decodeVideo(mp4).get.nFrames == 4L)
+    val want = MultiModal.extractPixelFeatures(spark.createDataset(
+      stills.zipWithIndex.map { case (b, i) =>
+        MultiModal.MediaRow(i.toLong, "image", "image/png", b) }))
+      .collect().sortBy(_.media_id)
+    val got = MultiModal.extractFramePixels(spark.createDataset(Seq(
+      MultiModal.MediaRow(7L, "video", "video/mp4", mp4))))
+      .collect().sortBy(_.frame_idx)
+    assert(got.length == 4)
+    for (i <- 0 until 4) {
+      assert(got(i) == MultiModal.FramePixels(7L, i.toLong, want(i).width,
+        want(i).height, want(i).sum_rgb, want(i).ahash, "png"),
+        s"frame $i: ${got(i)} vs ${want(i)}")
+    }
+    // an avc1-coded container: the sample walk still resolves frames, but
+    // ImageIO declines the NAL payload — visible per-frame stubs, and the
+    // stsd correctly names the codec a deployment would plug in
+    val nalish = Seq(Array.tabulate[Byte](40)(j => (j * 11).toByte))
+    val avc = MultiModal.encodeMp4Frames(16, 16, nalish, codec = "avc1")
+    assert(MultiModal.videoFrameCodec(avc).contains("avc1"))
+    val gotAvc = MultiModal.extractFramePixels(spark.createDataset(Seq(
+      MultiModal.MediaRow(8L, "video", "video/mp4", avc)))).collect()
+    assert(gotAvc.toSeq == Seq(
+      MultiModal.FramePixels(8L, 0L, 0, 0, 0L, "", "stub")))
+    // undecodable CONTAINER: one marker row
+    val junk = MultiModal.extractFramePixels(spark.createDataset(Seq(
+      MultiModal.MediaRow(9L, "video", "video/mp4",
+        Array.fill[Byte](64)(3))))).collect()
+    assert(junk.toSeq == Seq(
+      MultiModal.FramePixels(9L, -1L, 0, 0, 0L, "", "stub")))
+  }
 }
 
 class ScaleStrategySpec extends graft.SparkSpec {
