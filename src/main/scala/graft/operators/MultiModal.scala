@@ -881,9 +881,15 @@ object MultiModal {
     */
   def encodeMp4Frames(width: Int, height: Int, frames: Seq[Array[Byte]],
       samplesPerChunk: Int = 3, timescale: Int = 1000,
-      codec: String = "png "): Array[Byte] = {
+      codec: String = "png ",
+      // layout variants real encoders emit: a UNIFORM stsz (sample_size
+      // field set, no per-entry table — requires equal-size frames) and
+      // 64-bit co64 chunk offsets (large-file layout)
+      uniformStsz: Boolean = false, co64: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && samplesPerChunk > 0)
     require(codec.length == 4, s"codec fourcc must be 4 chars: '$codec'")
+    require(!uniformStsz || frames.map(_.length).distinct.size <= 1,
+      "uniformStsz needs equal-size frames")
     def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
       val len = 8 + payload.map(_.length).sum
       val buf = java.nio.ByteBuffer.allocate(len)
@@ -913,8 +919,12 @@ object MultiModal {
       }.init
       val stts = box("stts", Array[Byte](0, 0, 0, 0), be32(1), be32(n.toLong),
         be32(1))
-      val stsz = box("stsz", Array[Byte](0, 0, 0, 0), be32(0), be32(n.toLong),
-        frames.map(f => be32(f.length.toLong)).fold(Array.emptyByteArray)(_ ++ _))
+      val stsz =
+        if (uniformStsz) box("stsz", Array[Byte](0, 0, 0, 0),
+          be32(frames.headOption.map(_.length.toLong).getOrElse(0L)),
+          be32(n.toLong))
+        else box("stsz", Array[Byte](0, 0, 0, 0), be32(0), be32(n.toLong),
+          frames.map(f => be32(f.length.toLong)).fold(Array.emptyByteArray)(_ ++ _))
       // stsc runs: all full chunks share one run; a partial tail chunk
       // gets its own
       val lastSpc = if (chunks.isEmpty) samplesPerChunk else chunks.last.size
@@ -926,9 +936,13 @@ object MultiModal {
       val stsc = box("stsc", Array[Byte](0, 0, 0, 0), be32(runs.size.toLong),
         runs.map { case (fc, spc) => be32(fc.toLong) ++ be32(spc.toLong) ++
           be32(1L) }.fold(Array.emptyByteArray)(_ ++ _))
-      val stco = box("stco", Array[Byte](0, 0, 0, 0),
-        be32(chunkOffsets.size.toLong),
-        chunkOffsets.map(be32).fold(Array.emptyByteArray)(_ ++ _))
+      val stco =
+        if (co64) box("co64", Array[Byte](0, 0, 0, 0),
+          be32(chunkOffsets.size.toLong),
+          chunkOffsets.map(be64).fold(Array.emptyByteArray)(_ ++ _))
+        else box("stco", Array[Byte](0, 0, 0, 0),
+          be32(chunkOffsets.size.toLong),
+          chunkOffsets.map(be32).fold(Array.emptyByteArray)(_ ++ _))
       // stsd: one VisualSampleEntry named by the codec fourcc (78-byte
       // payload per ISO 14496-12 §12.1.3: reserved/dref + pre_defined +
       // width/height + 72dpi fixed-point resolutions + frame_count 1 +

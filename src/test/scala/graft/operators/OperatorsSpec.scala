@@ -804,6 +804,21 @@ class MultiModalSpec extends SparkSpec {
     // a sample table pointing past the file is rejected, not mis-read:
     // truncating the mdat payload must fail the bounds check
     assert(MultiModal.videoFrameRanges(mp4.dropRight(5)).isEmpty)
+    // the OTHER sample-table layouts real encoders emit: uniform stsz
+    // (sample_size field, no per-entry table) and 64-bit co64 offsets —
+    // same frames must resolve identically through both
+    val eq = (0 until 7).map(i =>
+      Array.tabulate[Byte](24)(j => ((i * 5 + j * 3) % 256).toByte))
+    val alt = MultiModal.encodeMp4Frames(64, 48, eq, samplesPerChunk = 2,
+      uniformStsz = true, co64 = true)
+    val altRanges = MultiModal.videoFrameRanges(alt).get
+    assert(altRanges.size == 7 && altRanges.forall(_._2 == 24))
+    for ((f, i) <- eq.zipWithIndex) {
+      val (off, sz) = altRanges(i)
+      assert(alt.slice(off.toInt, off.toInt + sz).sameElements(f),
+        s"uniform/co64 frame $i")
+    }
+
     // a WELL-FORMED zero-sample MP4 decodes to zero frames (Some(empty)),
     // distinct from the undecodable marker — "no frames" is a real answer
     val empty = MultiModal.encodeMp4Frames(64, 48, Seq.empty)
