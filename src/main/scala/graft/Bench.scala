@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   /** Reference wall-clock of the micro-calibration workload (cpus=32
     * threads × 2^27 xorshift64 steps, median of 5) measured on the round-12
@@ -12,31 +11,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // ENGINE-LEVEL partition policy (BENCH_NOTES r11): batch stages ride
-      // AQE's DEFAULT coalescing — advisory 64 MiB but parallelism-first,
-      // which we A/B-measured as strictly better here: forcing
-      // parallelismFirst=false coalesced compute-DENSE shuffles (quantized
-      // cosine kernels: tiny bytes, huge per-byte cost) onto too few cores
-      // (q101 at sf1: 11.1 s vs 6.3 s) and serialized partitioned writes
-      // (q65: 2.2 s vs 1.6 s). Byte-based sizing underestimates compute —
-      // Spark's default exists for exactly this reason. Streaming
-      // state-store counts (which AQE cannot resize) come from
-      // Incremental.statePartitions, derived from observed input volume.
-      .config("spark.ui.enabled", "false")
-      // Session-artifact classloader isolation routes every Janino codegen
-      // class-name MISS through an RPC file download that can block for
-      // minutes (observed: a 0.6 s query stalling 50-220 s inside
-      // ExecutorClassLoader.findClassLocally → NettyRpcEnv
-      // FileDownloadChannel.read during UnitCompiler.findTypeByName).
-      // This process never adds session artifacts, so isolation buys
-      // nothing — disable it and codegen resolves misses on the local
-      // classpath instantly.
-      .config("spark.sql.artifact.isolation.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // session policy (shuffle partitions = cores, AQE defaults for batch,
+    // artifact isolation off) lives in ONE place: GraftSession's scaladoc
+    // carries the A/B evidence for each decision
+    val spark = GraftSession.local(cpus.toInt, appName = "graft-bench")
     // optional comma-separated filter for profiling single queries
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -1,26 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // same engine-level AQE partition policy as Bench (see BENCH_NOTES
-      // r11: AQE defaults for batch, measured better than
-      // parallelismFirst=false on compute-dense stages; streaming state
-      // partitions from Incremental.statePartitions)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // see Bench.scala: codegen class-name misses must not hit the
-      // artifact-isolation RPC classloader (minutes-long stalls)
-      .config("spark.sql.artifact.isolation.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // session policy lives in ONE place (GraftSession scaladoc); UTC
+    // pinned so oracle comparisons are zone-stable
+    val spark = GraftSession.fromEnv(timeZone = Some("UTC"),
+      appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

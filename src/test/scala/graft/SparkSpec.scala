@@ -6,16 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for all specs (one JVM, one session). */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // see Bench.scala: codegen class-name misses must not hit the
-      // artifact-isolation RPC classloader (minutes-long stalls)
-      .config("spark.sql.artifact.isolation.enabled", "false")
-      .getOrCreate()
+    // the ENGINE session policy (GraftSession) with test-grade logging
+    val s = GraftSession.local(4, timeZone = Some("UTC"),
+      appName = "graft-test")
     s.sparkContext.setLogLevel("ERROR")
     s
   }
