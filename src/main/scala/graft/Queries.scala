@@ -1984,6 +1984,20 @@ object Queries {
         .orderBy(col("vec_id"))
     }),
 
+    // SemDeDup with BOUNDED cluster occupancy: clusters past
+    // maxClusterSize re-bucket one level deeper via sign bits of exact
+    // integer dot products against quantized seeded planes — the sf3
+    // density gate's q101 watch-item answered in-engine (Σ|cluster|² pair
+    // work capped), same scheme as q46b's LSH occupancy bound. The
+    // oracle replays occupancy, planes, signs and the refined pair key.
+    "q101b_semdedup_bounded" -> ((s, dir) => {
+      graft.operators.Cluster.semDeDupBounded(t(s, dir, "embeddings"),
+          "vec_id", "embedding", dims = 64, k = 4, iters = 3, tau = 0.45,
+          maxClusterSize = 150, extraBits = 3)
+        .select(col("vec_id"), col("cid"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Semantic outlier pruning (SSL-prototypes): drop the 20% of each
     // k-means cluster farthest from its centroid. The distance is the
     // exact integer from the assignment step, so the per-cluster
@@ -2201,6 +2215,14 @@ object Queries {
   /** Seeded hyperplanes as DuckDB VALUES literals — the same constants the
     * Spark plans embed, so oracles replay signatures independently.
     */
+  /** Quantized (integer-grid) planes as DuckDB VALUES — the q101b split
+    * key's literals, from the SAME Scala constants the engine embeds.
+    */
+  private def quantPlaneValuesSql(n: Int, dims: Int, seed: Long): String =
+    graft.operators.Cluster.quantizedPlanes(n, dims, seed).zipWithIndex
+      .map { case (p, j) => s"($j, [${p.mkString(", ")}]::BIGINT[])" }
+      .mkString(",\n")
+
   private def planeValuesSql(numPlanes: Int, seed: Long = 42L): String = {
     val planes = graft.functions.VectorFunctions.seededPlanes(numPlanes, 64, seed)
     planes.zipWithIndex.map { case (p, i) =>
@@ -2672,6 +2694,44 @@ object Queries {
         |drp AS (
         |  SELECT DISTINCT b.vec_id AS id_b
         |  FROM nn a JOIN nn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0
+        |    AND CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
+        |        / (a.nrm * b.nrm) >= 0.45
+        |)
+        |SELECT vec_id, cid FROM a3 WHERE vec_id NOT IN (SELECT id_b FROM drp)
+        |ORDER BY vec_id""".stripMargin),
+
+    // q101b: q101's chain with the BOUNDED pair key — per-cid occupancy,
+    // quantized-plane sign bits (exact integer dots, literals identical
+    // to the engine's), refined rcid = cid·16 + 8·isSplit + sig, and the
+    // same lower-id drop rule joined on rcid.
+    "q101b_semdedup_bounded" -> (kmeansCtesSql(k = 4, iters = 3, dims = 64, scale = 1 << 20) +
+      s""",
+        |occ AS (SELECT cid, COUNT(*) AS n FROM a3 GROUP BY cid),
+        |pq(j, p) AS (VALUES
+        |${quantPlaneValuesSql(3, 64, 101L)}
+        |),
+        |sg AS (
+        |  SELECT a.vec_id,
+        |    CAST(SUM(CASE WHEN CAST(list_sum(list_transform(range(1, 65),
+        |        i -> a.q[i] * p.p[i])) AS BIGINT) >= 0
+        |      THEN 1 << p.j ELSE 0 END) AS BIGINT) AS sig
+        |  FROM a3 a CROSS JOIN pq p GROUP BY a.vec_id
+        |),
+        |r AS (
+        |  SELECT a.vec_id, a.cid, a.q,
+        |    CASE WHEN o.n <= 150 THEN a.cid * 16
+        |         ELSE a.cid * 16 + 8 + s.sig END AS rcid
+        |  FROM a3 a JOIN occ o USING (cid) JOIN sg s USING (vec_id)
+        |),
+        |nn AS (
+        |  SELECT vec_id, cid, rcid, q,
+        |    sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS DOUBLE)) AS nrm
+        |  FROM r
+        |),
+        |drp AS (
+        |  SELECT DISTINCT b.vec_id AS id_b
+        |  FROM nn a JOIN nn b ON a.rcid = b.rcid AND a.vec_id < b.vec_id
         |  WHERE a.nrm > 0 AND b.nrm > 0
         |    AND CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
         |        / (a.nrm * b.nrm) >= 0.45

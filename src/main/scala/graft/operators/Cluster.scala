@@ -204,6 +204,72 @@ object Cluster {
     semanticCurate(df, idCol, embCol, k, iters, tau, dropFrac = 0.0, scale)
       .select(col(idCol), col("cid"))
 
+  /** Quantized seeded hyperplanes on the SAME integer grid as the vectors
+    * (`round(plane·scale)`): the split key ingredient for
+    * [[semDeDupBounded]], computed once in Scala so the engine expression
+    * and a replaying oracle embed IDENTICAL literals — no cross-engine
+    * float rounding anywhere.
+    */
+  def quantizedPlanes(n: Int, dims: Int, seed: Long,
+      scale: Int = QuantScale): Seq[Seq[Long]] =
+    graft.functions.VectorFunctions.seededPlanes(n, dims, seed)
+      .map(_.map(x => math.round(x * scale)))
+
+  /** [[semDeDup]] with BOUNDED cluster occupancy — the q46b answer applied
+    * to SemDeDup's Σ|cluster|² pair work, the sf3 density gate's one
+    * watch-item: a cluster whose occupancy exceeds `maxClusterSize`
+    * re-buckets ONE level deeper by the sign bits of `extraBits` integer
+    * dot products between the QUANTIZED vector and [[quantizedPlanes]]
+    * (exact long arithmetic end-to-end — products ≤ 2^47, sums ≤ 2^53 —
+    * so any engine replays the split bit-for-bit). The refined key packs
+    * `cid·2^(extraBits+1) + isSplit·2^extraBits + sig`, so split and
+    * unsplit keyspaces never collide and the pair step stays ONE hash
+    * equi-join; pair work in a split cluster shrinks up to
+    * ~4^extraBits-fold. Recall inside a split cluster: a near-dup pair
+    * survives iff it also agrees on every extra plane — the standard
+    * (1 − θ/π) per-plane LSH acceptance; exact duplicates always survive
+    * (identical vectors share every sign). Under-cap clusters keep
+    * EXACTLY [[semDeDup]]'s candidates. Output cluster ids are the
+    * ORIGINAL cids — the split key exists only inside the pair step.
+    */
+  def semDeDupBounded(df: DataFrame, idCol: String, embCol: String,
+      dims: Int, k: Int, iters: Int, tau: Double, maxClusterSize: Int,
+      extraBits: Int = 3, seed: Long = 101L,
+      scale: Int = QuantScale): DataFrame = {
+    require(maxClusterSize > 0 && extraBits > 0 && extraBits < 20)
+    val assigned = kmeansQuantized(df, idCol, embCol, k, iters, scale)
+    val pq = quantizedPlanes(extraBits, dims, seed, scale)
+    val shiftMul = 1L << (extraBits + 1)
+    val half = 1L << extraBits
+    // occupancy via a map-side-combinable aggregate broadcast back (≤ k
+    // tiny rows) — same non-window discipline as the LSH occupancy probe
+    val occ = broadcast(assigned.groupBy("cid")
+      .agg(count(lit(1)).as("__occ")))
+    def dot(p: Seq[Long]): Column =
+      aggregate(zip_with(col("q"), typedLit(p), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+    val sig = (0 until extraBits).map(j =>
+      when(dot(pq(j)) >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val refined = assigned.join(occ, Seq("cid"))
+      .withColumn("__rcid",
+        when(col("__occ") <= maxClusterSize, col("cid") * shiftMul)
+          .otherwise(col("cid") * shiftMul + half + sig))
+      .drop("__occ")
+    val a = refined.select(col(idCol).as("id_a"), col("q").as("qa"),
+      col("__rcid"))
+    val b = refined.select(col(idCol).as("id_b"), col("q").as("qb"),
+      col("__rcid"))
+    val dropped = a.join(b, Seq("__rcid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorFunctions.cosineOfQuantized(
+        col("qa"), col("qb")) >= tau)
+      .select(col("id_b")).distinct()
+    assigned.select(col(idCol), col("cid"))
+      .join(dropped, col(idCol) === col("id_b"), "left_anti")
+      .select(col(idCol), col("cid"))
+  }
+
   /** The combined semantic curation pass — ONE k-means, then SemDeDup's
     * within-cluster near-dup drop, then the SSL-prototypes outlier gate
     * over the SURVIVORS (cume_dist per cluster on the exact integer

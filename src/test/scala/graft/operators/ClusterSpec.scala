@@ -61,6 +61,44 @@ class ClusterSpec extends SparkSpec {
     assert(kept == Seq(0L, 1L))
   }
 
+  test("semDeDupBounded: identical to semDeDup when no cluster is " +
+    "oversized; a hot cluster splits, exact-dup recall holds, no cartesian") {
+    val rng = new scala.util.Random(11)
+    // one HOT direction: 60 near-identical vectors plus their exact
+    // duplicates land in one cluster; 20 scattered vectors elsewhere
+    val dom = Array.fill(8)(1.0 + rng.nextGaussian() * 0.01)
+    val hot = (0 until 60).flatMap { i =>
+      val v = dom.map(x => (x + rng.nextGaussian() * 0.001).toFloat).toSeq
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, v)) // exact dup mate
+    }
+    val cold = (1000 until 1020).map(i =>
+      (i.toLong, Seq.fill(8)(rng.nextGaussian().toFloat)))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+    def kept(got: org.apache.spark.sql.DataFrame): Set[Long] =
+      got.select("vec_id").as[Long].collect().toSet
+    val plain = kept(Cluster.semDeDup(df, "vec_id", "embedding",
+      k = 3, iters = 2, tau = 0.95))
+    // cap above every cluster: EXACTLY the unbounded result
+    val unsplit = kept(Cluster.semDeDupBounded(df, "vec_id", "embedding",
+      dims = 8, k = 3, iters = 2, tau = 0.95, maxClusterSize = 100000))
+    assert(unsplit == plain)
+    // cap of 30 forces the hot cluster to split: every exact-dup pair
+    // still resolves (identical vectors share every plane sign), so each
+    // mate's higher id is still dropped
+    val bounded = Cluster.semDeDupBounded(df, "vec_id", "embedding",
+      dims = 8, k = 3, iters = 2, tau = 0.95, maxClusterSize = 30)
+    val keptB = kept(bounded)
+    for (i <- 0 until 60)
+      assert(!keptB.contains(i.toLong * 2 + 1) || !keptB.contains(i.toLong * 2),
+        s"exact-dup pair $i survived whole through the split")
+    // the split can only RETAIN more (pairs across sub-buckets are not
+    // compared), never drop more
+    assert(plain.subsetOf(keptB))
+    // pair step stays a hash equi-join
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("semanticPrune drops the farthest fraction per cluster") {
     // one cluster around (0,0) with an outlier at (0.5,0.5); k=1, drop 25%
     // of 4 points → exactly the single farthest point goes

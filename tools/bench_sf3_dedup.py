@@ -31,7 +31,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MIN_SECS = 2.0
 QUERIES = ["q33_minhash_pairs", "q34_simhash_pairs",
            "q46b_cosine_dedup_bounded", "q50_dup_clusters",
-           "q50b_dup_clusters_distributed", "q101_semdedup"]
+           "q50b_dup_clusters_distributed", "q101_semdedup",
+           "q101b_semdedup_bounded"]
 
 
 def last_json_line(path):
