@@ -564,6 +564,17 @@ object Dedup {
     */
   val DefaultCosineBucketCap = 4096
 
+  /** Over-cap buckets split on the most recent [[cosineNearDupPairs]] run
+    * in this JVM (−1 before any run). Bounded occupancy trades recall
+    * inside dense buckets for bounded pair work; this makes the trade-off
+    * OBSERVABLE — a caller (or spec) can tell whether any bucket actually
+    * split, instead of silently getting reduced dense-bucket recall. Also
+    * logged per run. Driver-side only: the probe is an aggregate over the
+    * already-persisted bucketed frame, ≤ 2^numPlanes rows.
+    */
+  private val oversizedSplits = new java.util.concurrent.atomic.AtomicLong(-1L)
+  def lastOversizedBucketSplits: Long = oversizedSplits.get()
+
   /** Embedding-cosine near-dup pairs, BOUNDED-occupancy by default: a
     * bucket whose occupancy exceeds `maxBucketSize` is re-bucketed ONE
     * level deeper with `extraPlanes` additional hyperplanes (seed + 1),
@@ -594,6 +605,20 @@ object Dedup {
     val base = Similarity.withLshBucket(df, vecCol, numPlanes, dim, seed)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket"))
       .persist()
+    // split-count probe over the PERSISTED base (cached blocks, ≤
+    // 2^numPlanes aggregate rows): one cheap extra job that makes the
+    // bounded scheme's recall trade-off observable per run
+    val splits =
+      if (maxBucketSize == Int.MaxValue) 0L
+      else base.groupBy("lsh_bucket").agg(count(lit(1)).as("__occ"))
+        .filter(col("__occ") > maxBucketSize).count()
+    oversizedSplits.set(splits)
+    if (splits > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"cosineNearDupPairs: $splits bucket(s) over occupancy cap " +
+          s"$maxBucketSize re-bucketed $extraPlanes plane(s) deeper " +
+          "(reduced near-dup recall inside those buckets; " +
+          "maxBucketSize = Int.MaxValue opts out)")
     val refined = refineOversizedBuckets(base, dim, seed, maxBucketSize,
       extraPlanes).persist()
     materializeAndRelease(

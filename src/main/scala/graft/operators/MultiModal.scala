@@ -496,8 +496,17 @@ object MultiModal {
     * [[decodeImage]]. Returns the raster plus the reader's format name;
     * None for bytes no installed reader decodes — callers emit the visible
     * stub row, never fabricated pixels.
+    *
+    * Untrusted-input guard: the declared dimensions are read header-only
+    * (`getWidth(0)`/`getHeight(0)` never touch pixel data) BEFORE `read(0)`
+    * allocates ~w·h·4 bytes. A crafted header declaring huge dimensions
+    * would otherwise raise OutOfMemoryError — an Error, not an Exception,
+    * so it would escape the catch and kill the executor task instead of
+    * degrading to the stub row. Payloads past `maxPixels` (default 64 MP ≈
+    * 256 MB ARGB, far above any real fixture) return None like any other
+    * undecodable input.
     */
-  def decodeRaster(bytes: Array[Byte]):
+  def decodeRaster(bytes: Array[Byte], maxPixels: Long = 64L * 1024 * 1024):
       Option[(java.awt.image.BufferedImage, String)] = {
     val in = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
@@ -508,7 +517,9 @@ object MultiModal {
         val r = readers.next()
         try {
           r.setInput(in, false)
-          Some((r.read(0), r.getFormatName.toLowerCase))
+          val declared = r.getWidth(0).toLong * r.getHeight(0).toLong
+          if (declared <= 0 || declared > maxPixels) None
+          else Some((r.read(0), r.getFormatName.toLowerCase))
         } catch {
           case _: Exception => None
         } finally r.dispose()
@@ -631,7 +642,17 @@ object MultiModal {
             }
             read = ais.read(buf)
           }
-          Some((n, sum, peak, tpe))
+          // Truncated-payload guard: a payload cut mid-sample must flag a
+          // parse failure (stub row), never report clean stats. Two
+          // detectors because the JDK stream is frame-aligned — it
+          // usually WITHHOLDS a trailing odd byte rather than hand it
+          // over (then `pending` never trips), so also compare decoded
+          // samples against the header's declared frame count when the
+          // format specifies one.
+          val declared = ais.getFrameLength
+          val shortRead = declared != javax.sound.sampled.AudioSystem.NOT_SPECIFIED &&
+            declared >= 0 && n != declared * fmt.getChannels
+          if (pending >= 0 || shortRead) None else Some((n, sum, peak, tpe))
         }
       } finally ais.close()
     } catch {

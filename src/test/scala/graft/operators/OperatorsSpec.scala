@@ -380,12 +380,17 @@ class DedupSpec extends SparkSpec {
       "embedding", dim = 8, threshold = 0.9, maxBucketSize = 100000,
       numPlanes = 4, extraPlanes = 3))
     assert(unsplit == baseline)
+    // the split metric is observable: no bucket split under the high cap
+    assert(Dedup.lastOversizedBucketSplits == 0L)
     // cap of 40 forces the hot bucket to split: every exact-dup mate pair
     // still surfaces (identical vectors share every extra-plane bit)
     val bounded = Dedup.cosineNearDupPairsBounded(df, "vec_id", "embedding",
       dim = 8, threshold = 0.9, maxBucketSize = 40,
       numPlanes = 4, extraPlanes = 3)
     val boundedPairs = pairs(bounded)
+    // ...and under the tight cap the hot bucket's split is REPORTED, so
+    // the dense-bucket recall trade-off is never silent
+    assert(Dedup.lastOversizedBucketSplits >= 1L)
     val matePairs = (0 until 120).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
     assert(matePairs.subsetOf(boundedPairs),
       s"missing ${matePairs.diff(boundedPairs).size} exact-dup mates")
@@ -745,6 +750,31 @@ class MultiModalSpec extends SparkSpec {
       got(1).format == "bmp")
     // undecodable bytes: visible stub, empty hash, zeros
     assert(got(2) == MultiModal.PixelFeatures(3L, 0, 0, 0L, "", "stub"))
+  }
+
+  test("decodeRaster: declared dimensions are checked header-only before " +
+    "pixel allocation — an over-cap image degrades to None, under-cap " +
+    "decodes") {
+    val png = MultiModal.encodeImage(20, 12, "png") // 240 declared pixels
+    assert(MultiModal.decodeRaster(png).isDefined)
+    assert(MultiModal.decodeRaster(png, maxPixels = 240L).isDefined)
+    // one pixel under the declared area: refused BEFORE read(0) can
+    // allocate — this is the untrusted-header OOM guard
+    assert(MultiModal.decodeRaster(png, maxPixels = 239L).isEmpty)
+  }
+
+  test("audio PCM truncated mid-sample: the buffered half-sample at EOF " +
+    "flags a parse failure (stub row), never clean stats") {
+    import spark.implicits._
+    val wav = MultiModal.encodeWavPcm16(16000, 1, 50)
+    // intact payload decodes...
+    assert(MultiModal.decodeAudioSampleStats(wav).isDefined)
+    // ...but dropping the final byte leaves a dangling half-sample
+    assert(MultiModal.decodeAudioSampleStats(wav.dropRight(1)).isEmpty)
+    val got = MultiModal.extractAudioSamples(spark.createDataset(Seq(
+      MultiModal.MediaRow(9L, "audio", "audio/wav", wav.dropRight(1)))))
+      .collect()
+    assert(got.head == MultiModal.AudioSampleFeatures(9L, 0L, 0L, 0, "stub"))
   }
 
   test("REAL audio sample decode: streamed PCM sum/peak/count match the " +
