@@ -1976,10 +1976,13 @@ object Queries {
 
     // SemDeDup: within-cluster semantic near-dup removal (cosine ≥ 0.45 to
     // a lower-id cluster-mate → dropped). The pairwise work is an equi-join
-    // on the cluster id — Σ|cluster|² candidates, never corpus².
+    // on the cluster id — Σ|cluster|² candidates, never corpus². The
+    // UNBOUNDED classic scheme is the explicit opt-in here (mirroring q46):
+    // the engine default is q101b's bounded occupancy.
     "q101_semdedup" -> ((s, dir) => {
       graft.operators.Cluster.semDeDup(t(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 4, iters = 3, tau = 0.45)
+          "vec_id", "embedding", k = 4, iters = 3, tau = 0.45,
+          maxClusterSize = Int.MaxValue)
         .select(col("vec_id"), col("cid"))
         .orderBy(col("vec_id"))
     }),
@@ -1993,7 +1996,7 @@ object Queries {
     "q101b_semdedup_bounded" -> ((s, dir) => {
       graft.operators.Cluster.semDeDupBounded(t(s, dir, "embeddings"),
           "vec_id", "embedding", dims = 64, k = 4, iters = 3, tau = 0.45,
-          maxClusterSize = 150, extraBits = 3)
+          maxClusterSize = 100, extraBits = 3)
         .select(col("vec_id"), col("cid"))
         .orderBy(col("vec_id"))
     }),
@@ -2064,6 +2067,18 @@ object Queries {
         .orderBy(col("vec_id"))
     }),
 
+    // q106 with a FORCED split (cap 100 < every cluster at sf0.01):
+    // proves the bounded pair key — now the semanticCurate DEFAULT — as a
+    // hash-checked oracle result, not just a spec. The oracle replays
+    // occupancy, plane signs, the refined rcid, the drop rule, and the
+    // cume_dist gate over the (possibly larger) survivor set.
+    "q106b_semantic_curate_bounded" -> ((s, dir) => {
+      graft.operators.Cluster.semanticCurate(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 4, iters = 3, tau = 0.45, dropFrac = 0.2,
+          maxClusterSize = 100, extraBits = 3)
+        .orderBy(col("vec_id"))
+    }),
+
     // Boilerplate removal — the action to q96's report: drop every token
     // covered by a ≥3-doc-recurring 6-token window, keep the rest. Window
     // hashes and positions travel as longs/ints; the splice is row-local.
@@ -2085,6 +2100,21 @@ object Queries {
           emb.filter(col("vec_id") % 5 =!= 0),
           emb.filter(col("vec_id") % 5 === 0),
           "vec_id", "embedding", k = 4, iters = 3, tau = 0.45)
+        .orderBy(col("vec_id"))
+    }),
+
+    // q108 with a FORCED split (cap 100): the arrival path's bounded pair
+    // key — occupancy counted over the neighbor side (pruned corpus +
+    // batch), both join sides re-bucketed by the same plane signs — as a
+    // hash-checked oracle result. Batch docs identical to a corpus member
+    // still drop (identical vectors share every sign).
+    "q108b_incremental_semdedup_bounded" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Cluster.incrementalSemDeDup(
+          emb.filter(col("vec_id") % 5 =!= 0),
+          emb.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", k = 4, iters = 3, tau = 0.45,
+          maxClusterSize = 100, extraBits = 3)
         .orderBy(col("vec_id"))
     }),
 
@@ -2720,7 +2750,7 @@ object Queries {
         |),
         |r AS (
         |  SELECT a.vec_id, a.cid, a.q,
-        |    CASE WHEN o.n <= 150 THEN a.cid * 16
+        |    CASE WHEN o.n <= 100 THEN a.cid * 16
         |         ELSE a.cid * 16 + 8 + s.sig END AS rcid
         |  FROM a3 a JOIN occ o USING (cid) JOIN sg s USING (vec_id)
         |),
@@ -2788,10 +2818,104 @@ object Queries {
         |)
         |SELECT vec_id, cid, dist FROM w WHERE cd > 0.2 ORDER BY vec_id""".stripMargin),
 
+    // q106b: q106's chain with q101b's BOUNDED pair key — per-cid
+    // occupancy, plane-sign split (cap 100), refined rcid join — then the
+    // same cume_dist gate over the (possibly larger) survivor set.
+    "q106b_semantic_curate_bounded" -> (kmeansCtesSql(k = 4, iters = 3, dims = 64, scale = 1 << 20) +
+      s""",
+        |occ AS (SELECT cid, COUNT(*) AS n FROM a3 GROUP BY cid),
+        |pq(j, p) AS (VALUES
+        |${quantPlaneValuesSql(3, 64, 101L)}
+        |),
+        |sg AS (
+        |  SELECT a.vec_id,
+        |    CAST(SUM(CASE WHEN CAST(list_sum(list_transform(range(1, 65),
+        |        i -> a.q[i] * p.p[i])) AS BIGINT) >= 0
+        |      THEN 1 << p.j ELSE 0 END) AS BIGINT) AS sig
+        |  FROM a3 a CROSS JOIN pq p GROUP BY a.vec_id
+        |),
+        |r AS (
+        |  SELECT a.vec_id, a.cid, a.q,
+        |    CASE WHEN o.n <= 100 THEN a.cid * 16
+        |         ELSE a.cid * 16 + 8 + s.sig END AS rcid
+        |  FROM a3 a JOIN occ o USING (cid) JOIN sg s USING (vec_id)
+        |),
+        |nn AS (
+        |  SELECT vec_id, cid, rcid, q,
+        |    sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS DOUBLE)) AS nrm
+        |  FROM r
+        |),
+        |drp AS (
+        |  SELECT DISTINCT b.vec_id AS id_b
+        |  FROM nn a JOIN nn b ON a.rcid = b.rcid AND a.vec_id < b.vec_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0
+        |    AND CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
+        |        / (a.nrm * b.nrm) >= 0.45
+        |),
+        |sv AS (
+        |  SELECT vec_id, cid, q FROM a3
+        |  WHERE vec_id NOT IN (SELECT id_b FROM drp)
+        |),
+        |dd AS (
+        |  SELECT s.vec_id, s.cid,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> (s.q[i] - c.q[i]) * (s.q[i] - c.q[i]))) AS BIGINT) AS dist
+        |  FROM sv s JOIN c2 c USING (cid)
+        |),
+        |w AS (
+        |  SELECT vec_id, cid, dist,
+        |    cume_dist() OVER (PARTITION BY cid ORDER BY -dist ASC, vec_id ASC) AS cd
+        |  FROM dd
+        |)
+        |SELECT vec_id, cid, dist FROM w WHERE cd > 0.2 ORDER BY vec_id""".stripMargin),
+
     // q108: fit on the corpus subset (ef), assign EVERYTHING against the
     // final centroids (af — the assignStored replay), then the
     // corpus-or-lower-batch-id neighbor drop rule.
     "q108_incremental_semdedup" -> incrementalSemDedupOracle,
+
+    // q108b: the arrival path with the BOUNDED pair key forced (cap 100):
+    // occupancy counted over the neighbor side (corpus + batch per cid),
+    // both join sides re-bucketed by the same plane signs, then the same
+    // corpus-or-lower-batch-id drop rule on rcid.
+    "q108b_incremental_semdedup_bounded" ->
+      (kmeansCtesSql(k = 4, iters = 3, dims = 64,
+        scale = 1 << 20, fitWhere = "vec_id % 5 <> 0") +
+      s""",
+         |af AS (${assignCteSql("e", "c2", 64)}),
+         |nb0 AS (
+         |  SELECT vec_id, cid, q, TRUE AS is_corpus FROM af WHERE vec_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT vec_id, cid, q, FALSE AS is_corpus FROM af WHERE vec_id % 5 = 0
+         |),
+         |occ AS (SELECT cid, COUNT(*) AS n FROM nb0 GROUP BY cid),
+         |pq(j, p) AS (VALUES
+         |${quantPlaneValuesSql(3, 64, 101L)}
+         |),
+         |sg AS (
+         |  SELECT a.vec_id,
+         |    CAST(SUM(CASE WHEN CAST(list_sum(list_transform(range(1, 65),
+         |        i -> a.q[i] * p.p[i])) AS BIGINT) >= 0
+         |      THEN 1 << p.j ELSE 0 END) AS BIGINT) AS sig
+         |  FROM af a CROSS JOIN pq p GROUP BY a.vec_id
+         |),
+         |nbr AS (
+         |  SELECT n.vec_id, n.cid, n.q, n.is_corpus,
+         |    CASE WHEN o.n <= 100 THEN n.cid * 16
+         |         ELSE n.cid * 16 + 8 + s.sig END AS rcid,
+         |    sqrt(CAST(list_sum(list_transform(range(1, 65), i -> n.q[i] * n.q[i])) AS DOUBLE)) AS nrm
+         |  FROM nb0 n JOIN occ o USING (cid) JOIN sg s USING (vec_id)
+         |),
+         |drp AS (
+         |  SELECT DISTINCT b.vec_id AS id_b
+         |  FROM nbr a JOIN nbr b ON a.rcid = b.rcid
+         |    AND NOT b.is_corpus AND (a.is_corpus OR a.vec_id < b.vec_id)
+         |  WHERE a.nrm > 0 AND b.nrm > 0
+         |    AND CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
+         |        / (a.nrm * b.nrm) >= 0.45
+         |)
+         |SELECT vec_id, cid FROM af
+         |WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT id_b FROM drp)
+         |ORDER BY vec_id""".stripMargin),
 
     // q111: identical result contract to q108 — the stored-model /
     // stored-assignments plumbing must be invisible to the oracle.

@@ -194,14 +194,19 @@ object Cluster {
     * a LOWER-id cluster-mate with cosine ≥ `tau` (keep-lowest-id survivor
     * rule — deterministic, order-free). Returns surviving (idCol, cid).
     *
-    * The pairwise join is an equi-join on cid — never a cartesian across
-    * clusters — so the candidate count is Σ|cluster|², the quantity k is
-    * chosen to bound (SemDeDup runs web-scale corpora with k ≈ N/1000).
-    * Norms are computed once per row, not per pair.
+    * The pairwise join is an equi-join on the pair key — never a cartesian
+    * across clusters — so the candidate count is Σ|cluster|² bounded by
+    * `maxClusterSize` (BOUNDED occupancy by default since round 13, see
+    * [[semanticCurate]]; `maxClusterSize = Int.MaxValue` opts into the
+    * classic unbounded candidates). Norms are computed once per row, not
+    * per pair.
     */
   def semDeDup(df: DataFrame, idCol: String, embCol: String,
-      k: Int, iters: Int, tau: Double, scale: Int = QuantScale): DataFrame =
-    semanticCurate(df, idCol, embCol, k, iters, tau, dropFrac = 0.0, scale)
+      k: Int, iters: Int, tau: Double, scale: Int = QuantScale,
+      maxClusterSize: Int = DefaultSemClusterCap, extraBits: Int = 3,
+      splitSeed: Long = 101L, dims: Int = 0): DataFrame =
+    semanticCurate(df, idCol, embCol, k, iters, tau, dropFrac = 0.0, scale,
+      maxClusterSize, extraBits, splitSeed, dims)
       .select(col(idCol), col("cid"))
 
   /** Quantized seeded hyperplanes on the SAME integer grid as the vectors
@@ -215,60 +220,84 @@ object Cluster {
     graft.functions.VectorFunctions.seededPlanes(n, dims, seed)
       .map(_.map(x => math.round(x * scale)))
 
-  /** [[semDeDup]] with BOUNDED cluster occupancy — the q46b answer applied
+  /** Default occupancy cap for the SemDeDup family's within-cluster pair
+    * step: pair work per pair-key is occupancy², so 4096 bounds any single
+    * key's candidates at ~16M — one healthy task, never a straggler. At
+    * 100 TB density hot-spots (boilerplate embeddings, template docs) are
+    * guaranteed, so BOUNDED is the default across [[semanticCurate]],
+    * [[semDeDup]], and the incremental variants; unbounded (the exact
+    * classic SemDeDup candidates) is the `maxClusterSize = Int.MaxValue`
+    * opt-in. Mirrors [[Dedup.DefaultCosineBucketCap]].
+    */
+  val DefaultSemClusterCap = 4096
+
+  /** The `extraBits` sign bits of exact integer plane dots for one
+    * quantized vector — the split signature ingredient shared by every
+    * bounded SemDeDup path (ONE definition, so each path and its oracle
+    * replay the identical key). Products ≤ 2^47, sums ≤ 2^53: exact long
+    * arithmetic end-to-end.
+    */
+  private def splitSig(qCol: Column, dims: Int, extraBits: Int, seed: Long,
+      scale: Int): Column = {
+    val pq = quantizedPlanes(extraBits, dims, seed, scale)
+    def dot(p: Seq[Long]): Column =
+      aggregate(zip_with(qCol, typedLit(p), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+    (0 until extraBits).map(j =>
+      when(dot(pq(j)) >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** The refined pair key: `cid·2^(extraBits+1) + isSplit·2^extraBits +
+    * sig`, so split and unsplit keyspaces never collide and the pair step
+    * stays ONE hash equi-join.
+    */
+  private def refinedCid(cidCol: Column, occCol: Column, sig: Column,
+      maxClusterSize: Int, extraBits: Int): Column = {
+    val shiftMul = 1L << (extraBits + 1)
+    val half = 1L << extraBits
+    when(occCol <= maxClusterSize, cidCol * shiftMul)
+      .otherwise(cidCol * shiftMul + half + sig)
+  }
+
+  /** Embedding dimensionality for the split planes: the caller's explicit
+    * value, or (dims = 0) one bounded `head(1)` over the already-
+    * materialized quantized frame — never a corpus scan. An empty frame
+    * yields 1: with no rows there are no pairs, so any plane set is
+    * vacuously correct.
+    */
+  private def resolveDims(quantized: DataFrame, qColName: String,
+      dims: Int): Int =
+    if (dims > 0) dims
+    else quantized.select(size(col(qColName)).cast("int"))
+      .head(1).headOption.map(_.getInt(0)).getOrElse(1)
+
+  /** [[semDeDup]] with an EXPLICIT occupancy cap — the q46b answer applied
     * to SemDeDup's Σ|cluster|² pair work, the sf3 density gate's one
     * watch-item: a cluster whose occupancy exceeds `maxClusterSize`
     * re-buckets ONE level deeper by the sign bits of `extraBits` integer
     * dot products between the QUANTIZED vector and [[quantizedPlanes]]
     * (exact long arithmetic end-to-end — products ≤ 2^47, sums ≤ 2^53 —
-    * so any engine replays the split bit-for-bit). The refined key packs
-    * `cid·2^(extraBits+1) + isSplit·2^extraBits + sig`, so split and
-    * unsplit keyspaces never collide and the pair step stays ONE hash
-    * equi-join; pair work in a split cluster shrinks up to
-    * ~4^extraBits-fold. Recall inside a split cluster: a near-dup pair
-    * survives iff it also agrees on every extra plane — the standard
-    * (1 − θ/π) per-plane LSH acceptance; exact duplicates always survive
-    * (identical vectors share every sign). Under-cap clusters keep
-    * EXACTLY [[semDeDup]]'s candidates. Output cluster ids are the
-    * ORIGINAL cids — the split key exists only inside the pair step.
+    * so any engine replays the split bit-for-bit). Pair work in a split
+    * cluster shrinks up to ~4^extraBits-fold. Recall inside a split
+    * cluster: a near-dup pair survives iff it also agrees on every extra
+    * plane — the standard (1 − θ/π) per-plane LSH acceptance; exact
+    * duplicates always survive (identical vectors share every sign).
+    * Under-cap clusters keep EXACTLY the classic candidates. Output
+    * cluster ids are the ORIGINAL cids — the split key exists only inside
+    * the pair step.
+    *
+    * Since round 13 this is a thin delegate: [[semanticCurate]] (and so
+    * [[semDeDup]]) run the SAME bounded pair step by default; this entry
+    * point remains for callers pinning an explicit cap (q101b).
     */
   def semDeDupBounded(df: DataFrame, idCol: String, embCol: String,
       dims: Int, k: Int, iters: Int, tau: Double, maxClusterSize: Int,
       extraBits: Int = 3, seed: Long = 101L,
-      scale: Int = QuantScale): DataFrame = {
-    require(maxClusterSize > 0 && extraBits > 0 && extraBits < 20)
-    val assigned = kmeansQuantized(df, idCol, embCol, k, iters, scale)
-    val pq = quantizedPlanes(extraBits, dims, seed, scale)
-    val shiftMul = 1L << (extraBits + 1)
-    val half = 1L << extraBits
-    // occupancy via a map-side-combinable aggregate broadcast back (≤ k
-    // tiny rows) — same non-window discipline as the LSH occupancy probe
-    val occ = broadcast(assigned.groupBy("cid")
-      .agg(count(lit(1)).as("__occ")))
-    def dot(p: Seq[Long]): Column =
-      aggregate(zip_with(col("q"), typedLit(p), (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x)
-    val sig = (0 until extraBits).map(j =>
-      when(dot(pq(j)) >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val refined = assigned.join(occ, Seq("cid"))
-      .withColumn("__rcid",
-        when(col("__occ") <= maxClusterSize, col("cid") * shiftMul)
-          .otherwise(col("cid") * shiftMul + half + sig))
-      .drop("__occ")
-    val a = refined.select(col(idCol).as("id_a"), col("q").as("qa"),
-      col("__rcid"))
-    val b = refined.select(col(idCol).as("id_b"), col("q").as("qb"),
-      col("__rcid"))
-    val dropped = a.join(b, Seq("__rcid"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(graft.functions.VectorFunctions.cosineOfQuantized(
-        col("qa"), col("qb")) >= tau)
-      .select(col("id_b")).distinct()
-    assigned.select(col(idCol), col("cid"))
-      .join(dropped, col(idCol) === col("id_b"), "left_anti")
+      scale: Int = QuantScale): DataFrame =
+    semanticCurate(df, idCol, embCol, k, iters, tau, dropFrac = 0.0,
+      scale, maxClusterSize, extraBits, seed, dims)
       .select(col(idCol), col("cid"))
-  }
 
   /** The combined semantic curation pass — ONE k-means, then SemDeDup's
     * within-cluster near-dup drop, then the SSL-prototypes outlier gate
@@ -276,19 +305,50 @@ object Cluster {
     * distance). Running the stages through one shared assignment halves
     * the corpus scans versus chaining [[semDeDup]] + [[semanticPrune]].
     * Returns surviving (idCol, cid, dist).
+    *
+    * BOUNDED occupancy by default (round 13 — the sf3 density gate's
+    * answer made the default, same lifecycle as the cosine LSH cap): a
+    * cluster past `maxClusterSize` re-buckets one level deeper by
+    * [[splitSig]]'s exact integer plane signs before the pair join, so
+    * pair work per key is capped at maxClusterSize² instead of growing
+    * with the hottest cluster's density². Under-cap clusters keep EXACTLY
+    * the classic candidates, and `maxClusterSize = Int.MaxValue` opts out
+    * entirely (that path builds the PLAIN cid pair key — no occupancy
+    * probe, no planes, the pre-round-13 plan verbatim). `dims` (needed
+    * only for the split planes) defaults to a bounded head(1) inference
+    * over the materialized quantized frame.
     */
   def semanticCurate(df: DataFrame, idCol: String, embCol: String,
       k: Int, iters: Int, tau: Double, dropFrac: Double,
-      scale: Int = QuantScale): DataFrame = {
+      scale: Int = QuantScale,
+      maxClusterSize: Int = DefaultSemClusterCap, extraBits: Int = 3,
+      splitSeed: Long = 101L, dims: Int = 0): DataFrame = {
+    require(maxClusterSize > 0 && extraBits > 0 && extraBits < 20)
     // already materialized, so the three reads below (two join sides + the
     // survivor base) re-serve its blocks instead of re-running k-means
     val assigned = kmeansQuantized(df, idCol, embCol, k, iters, scale)
-    val a = assigned.select(col(idCol).as("id_a"), col("q").as("qa"), col("cid"))
-    val b = assigned.select(col(idCol).as("id_b"), col("q").as("qb"), col("cid"))
+    val keyed =
+      if (maxClusterSize == Int.MaxValue)
+        assigned.withColumn("__rcid", col("cid"))
+      else {
+        val d = resolveDims(assigned, "q", dims)
+        // occupancy via a map-side-combinable aggregate broadcast back
+        // (≤ k tiny rows) — same non-window discipline as the LSH
+        // occupancy probe
+        val occ = broadcast(assigned.groupBy("cid")
+          .agg(count(lit(1)).as("__occ")))
+        assigned.join(occ, Seq("cid"))
+          .withColumn("__rcid", refinedCid(col("cid"), col("__occ"),
+            splitSig(col("q"), d, extraBits, splitSeed, scale),
+            maxClusterSize, extraBits))
+          .drop("__occ")
+      }
+    val a = keyed.select(col(idCol).as("id_a"), col("q").as("qa"), col("__rcid"))
+    val b = keyed.select(col(idCol).as("id_b"), col("q").as("qb"), col("__rcid"))
     // fused codegen'd dot+norms per pair (CosineLongQuantized) — the HOF
     // form here was the whole suite's hottest loop (~Σ|cluster|² pairs ×
     // dims interpreted evals); numerics identical, zero-norm → 0.0 < tau
-    val dropped = a.join(b, Seq("cid"))
+    val dropped = a.join(b, Seq("__rcid"))
       .filter(col("id_a") < col("id_b"))
       .filter(graft.functions.VectorFunctions.cosineOfQuantized(
         col("qa"), col("qb")) >= tau)
@@ -311,11 +371,14 @@ object Cluster {
     */
   def incrementalSemDeDup(corpus: DataFrame, batch: DataFrame,
       idCol: String, embCol: String, k: Int, iters: Int, tau: Double,
-      scale: Int = QuantScale): DataFrame = {
+      scale: Int = QuantScale,
+      maxClusterSize: Int = DefaultSemClusterCap, extraBits: Int = 3,
+      splitSeed: Long = 101L, dims: Int = 0): DataFrame = {
     val model = fitCentroids(corpus, idCol, embCol, k, iters, scale)
     incrementalSemDeDupStored(
       assignStored(corpus, idCol, embCol, model, scale),
-      batch, idCol, embCol, model, tau, scale)
+      batch, idCol, embCol, model, tau, scale,
+      maxClusterSize, extraBits, splitSeed, dims)
   }
 
   /** Incremental SemDeDup from STORED state — the production arrival path
@@ -343,10 +406,22 @@ object Cluster {
     * batch doc is dropped when any co-clustered corpus member or lower-id
     * co-clustered batch mate sits at cosine ≥ `tau`. Returns surviving
     * batch (idCol, cid).
+    *
+    * BOUNDED occupancy by default (round 13): the arrival path has the
+    * same Σ|cluster ∩ relevant|² exposure as the one-shot form — a dense
+    * cluster that keeps receiving near-template arrivals would otherwise
+    * grow the per-batch join superlinearly. Occupancy is counted over the
+    * NEIGHBOR side (pruned corpus + batch — exactly the rows entering the
+    * pair join); over-cap clusters re-bucket both sides by [[splitSig]]'s
+    * plane signs, so a batch doc still meets every co-bucketed neighbor.
+    * `maxClusterSize = Int.MaxValue` opts into the classic plan verbatim.
     */
   def incrementalSemDeDupStored(assignments: DataFrame, batch: DataFrame,
       idCol: String, embCol: String, centroidsDf: DataFrame, tau: Double,
-      scale: Int = QuantScale): DataFrame = {
+      scale: Int = QuantScale,
+      maxClusterSize: Int = DefaultSemClusterCap, extraBits: Int = 3,
+      splitSeed: Long = 101L, dims: Int = 0): DataFrame = {
+    require(maxClusterSize > 0 && extraBits > 0 && extraBits < 20)
     // materialize the assigned batch ONCE: it feeds three consumers (the
     // cid-collect action, the neighbors union, the join probe side), and
     // without this each consumer re-reads and re-quantizes the batch —
@@ -370,9 +445,26 @@ object Cluster {
         lit(true).as("is_corpus"))
       .unionByName(batchA.select(col(idCol).as("id_a"), col("q").as("qa"),
         col("cid"), lit(false).as("is_corpus")))
-    val dropped = neighbors.join(
-        batchA.select(col(idCol).as("id_b"), col("q").as("qb"), col("cid")),
-        Seq("cid"))
+    val batchB = batchA.select(col(idCol).as("id_b"), col("q").as("qb"),
+      col("cid"))
+    val (aSide, bSide, pairKey) =
+      if (maxClusterSize == Int.MaxValue) (neighbors, batchB, "cid")
+      else {
+        val d = resolveDims(batchA, "q", dims)
+        // occupancy over the NEIGHBOR side — the rows that actually enter
+        // the pair join (pruned corpus + batch); every batch cid appears
+        // there by construction, so both inner joins below are total
+        val occ = broadcast(neighbors.groupBy("cid")
+          .agg(count(lit(1)).as("__occ")))
+        def keyed(side: DataFrame, qName: String) =
+          side.join(occ, Seq("cid"))
+            .withColumn("__rcid", refinedCid(col("cid"), col("__occ"),
+              splitSig(col(qName), d, extraBits, splitSeed, scale),
+              maxClusterSize, extraBits))
+            .drop("__occ", "cid")
+        (keyed(neighbors, "qa"), keyed(batchB, "qb"), "__rcid")
+      }
+    val dropped = aSide.join(bSide, Seq(pairKey))
       .filter(col("is_corpus") || col("id_a") < col("id_b"))
       .filter(graft.functions.VectorFunctions.cosineOfQuantized(
         col("qa"), col("qb")) >= tau)

@@ -99,6 +99,77 @@ class ClusterSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("semanticCurate: bounded DEFAULT ≡ explicit unbounded when no " +
+    "cluster exceeds the cap; a forced split never drops more and still " +
+    "resolves exact dups") {
+    val rng = new scala.util.Random(23)
+    val dom = Array.fill(8)(1.0 + rng.nextGaussian() * 0.01)
+    val hot = (0 until 40).flatMap { i =>
+      val v = dom.map(x => (x + rng.nextGaussian() * 0.001).toFloat).toSeq
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, v)) // exact dup mate
+    }
+    val cold = (1000 until 1015).map(i =>
+      (i.toLong, Seq.fill(8)(rng.nextGaussian().toFloat)))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+    def kept(got: org.apache.spark.sql.DataFrame): Set[Long] =
+      got.select("vec_id").as[Long].collect().toSet
+    // DEFAULT (cap 4096, inferred dims) vs explicit unbounded opt-in:
+    // no cluster here reaches the cap, so the results must be IDENTICAL
+    val dflt = kept(Cluster.semanticCurate(df, "vec_id", "embedding",
+      k = 3, iters = 2, tau = 0.95, dropFrac = 0.2))
+    val unbounded = kept(Cluster.semanticCurate(df, "vec_id", "embedding",
+      k = 3, iters = 2, tau = 0.95, dropFrac = 0.2,
+      maxClusterSize = Int.MaxValue))
+    assert(dflt == unbounded)
+    // forced split (cap 20): exact-dup mates still resolve through the
+    // split (identical vectors share every plane sign). The DEDUP stage
+    // can only retain more survivors; the downstream cume_dist gate sees
+    // a (possibly) different survivor set, so compare the dedup stage
+    // alone via semDeDup
+    val plainDedup = kept(Cluster.semDeDup(df, "vec_id", "embedding",
+      k = 3, iters = 2, tau = 0.95, maxClusterSize = Int.MaxValue))
+    val splitDedup = kept(Cluster.semDeDup(df, "vec_id", "embedding",
+      k = 3, iters = 2, tau = 0.95, maxClusterSize = 20))
+    for (i <- 0 until 40)
+      assert(!splitDedup.contains(i.toLong * 2 + 1) ||
+        !splitDedup.contains(i.toLong * 2),
+        s"exact-dup pair $i survived whole through the split")
+    assert(plainDedup.subsetOf(splitDedup))
+  }
+
+  test("incrementalSemDeDupStored: bounded DEFAULT ≡ explicit unbounded " +
+    "under the cap; a forced split still drops batch docs identical to " +
+    "corpus members") {
+    val rng = new scala.util.Random(31)
+    val dom = Array.fill(8)(1.0 + rng.nextGaussian() * 0.01)
+    val corpusRows = (0 until 50).map { i =>
+      (i.toLong, dom.map(x => (x + rng.nextGaussian() * 0.001).toFloat).toSeq)
+    }
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    // batch: EXACT copies of corpus 0..9 (must drop under any split) plus
+    // ten scattered new directions (must survive)
+    val batch = ((0 until 10).map(i => (100L + i, corpusRows(i)._2)) ++
+      (0 until 10).map(i =>
+        (200L + i, Seq.tabulate(8)(j =>
+          (if (j == i % 8) -1.0f else 0.01f * i))))).toDF("vec_id", "embedding")
+    def run(cap: Int): Set[Long] =
+      Cluster.incrementalSemDeDup(corpus, batch, "vec_id", "embedding",
+        k = 2, iters = 2, tau = 0.95, maxClusterSize = cap)
+        .select("vec_id").as[Long].collect().toSet
+    // default cap vs explicit unbounded: nothing splits at 60 rows
+    val dflt = Cluster.incrementalSemDeDup(corpus, batch, "vec_id",
+        "embedding", k = 2, iters = 2, tau = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(dflt == run(Int.MaxValue))
+    // forced split (cap 8, hot cluster ~60 members): the exact-copy batch
+    // docs share every plane sign with their corpus twin → still dropped
+    val split = run(8)
+    for (i <- 0 until 10)
+      assert(!split.contains(100L + i), s"exact corpus copy ${100 + i} survived")
+    // unbounded drops are a superset: the split only retains more
+    assert(run(Int.MaxValue).subsetOf(split))
+  }
+
   test("semanticPrune drops the farthest fraction per cluster") {
     // one cluster around (0,0) with an outlier at (0.5,0.5); k=1, drop 25%
     // of 4 points → exactly the single farthest point goes
