@@ -130,8 +130,9 @@ object Relational {
 
   /** Skew-salted equi join: when a handful of hot keys dominate, a plain
     * shuffle join puts an entire hot key in one task. Salting splits every
-    * left key into `saltFactor` sub-keys (deterministically, by hashing the
-    * whole row) and replicates each RIGHT row `saltFactor` times, so a hot
+    * left key into `saltFactor` sub-keys (deterministically, hashing the
+    * keys plus up to 8 hash-safe spread columns — see [[saltSpreadCols]])
+    * and replicates each RIGHT row `saltFactor` times, so a hot
     * key spreads over `saltFactor` tasks. Result is row-identical to the
     * unsalted inner join. AQE's skew handling covers sort-merge joins
     * post-hoc; explicit salting remains the tool when the skew is known and
@@ -141,10 +142,31 @@ object Relational {
       saltFactor: Int): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(saltSpreadCols(left, keys): _*), lit(saltFactor))
+        .cast("int"))
     val saltedRight = right.crossJoin(
       right.sparkSession.range(saltFactor).select(col("id").cast("int").as("__salt")))
     saltedLeft.join(saltedRight, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Salt-hash input columns shared by [[saltedJoin]] and
+    * [[adaptiveSaltedJoin]]: the key columns plus up to 8 more HASH-SAFE
+    * columns for row-spreading entropy — skipping unhashable types
+    * (MapType, directly or nested) instead of letting `xxhash64` throw,
+    * and capping the per-row hash cost on wide frames. Degenerate worst
+    * case (all spread columns equal within a key) collapses to one
+    * replica: un-spread skew, never wrong rows.
+    */
+  private def saltSpreadCols(left: DataFrame, keys: Seq[String]): Seq[Column] = {
+    def hashSafe(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ArrayType(e, _) => hashSafe(e)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashSafe(f.dataType))
+      case _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    }
+    keys.map(col) ++ left.schema.fields
+      .filter(f => !keys.contains(f.name) && hashSafe(f.dataType))
+      .take(8).map(f => col(f.name))
   }
 
   // separator for the composite hot-key probe string; a key value
@@ -224,20 +246,9 @@ object Relational {
     // SOME map tasks — reducers that already fetched the old output then
     // see a row joined twice or dropped (Spark only rolls back whole
     // stages for round-robin repartition, not nondeterministic SQL
-    // expressions). So: hash the key columns plus up to 8 more HASH-SAFE
-    // columns for row-spreading entropy — skipping unhashable types
-    // (MapType) instead of throwing, and capping the per-row hash cost on
-    // wide frames. Degenerate worst case (all spread columns equal within
-    // a key) collapses to one replica: un-spread skew, never wrong rows.
-    def hashSafe(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case org.apache.spark.sql.types.ArrayType(e, _) => hashSafe(e)
-      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashSafe(f.dataType))
-      case _: org.apache.spark.sql.types.MapType => false
-      case _ => true
-    }
-    val spreadCols = keys.map(col) ++ left.schema.fields
-      .filter(f => !keys.contains(f.name) && hashSafe(f.dataType))
-      .take(8).map(f => col(f.name))
+    // expressions). Spread-column choice (hash-safe filter + 8-col cap)
+    // is shared with [[saltedJoin]] — see [[saltSpreadCols]].
+    val spreadCols = saltSpreadCols(left, keys)
     val lf = left.withColumn("__hotkey", hotKeyOf(keys))
       .join(hotDf, Seq("__hotkey"), "left")
       .withColumn("__salt", pmod(xxhash64(spreadCols: _*),

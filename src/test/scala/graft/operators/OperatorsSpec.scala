@@ -917,6 +917,23 @@ class ScaleStrategySpec extends graft.SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedJoin with a MapType left column: hash-safe spread skips it " +
+    "(no AnalysisException), rows still identical to the plain join") {
+    // pre-round-13 saltedJoin hashed ALL left columns — a MapType column
+    // made xxhash64 throw at analysis; it must now be skipped, mirroring
+    // adaptiveSaltedJoin's hash-safe filter
+    val left = Seq((1, "a"), (1, "b"), (2, "c"))
+      .toDF("k", "lv")
+      .withColumn("m", map(col("lv"), col("k")))
+    val right = Seq((1, "X"), (2, "Y")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val salted = Relational.saltedJoin(left, right, Seq("k"), saltFactor = 4)
+      .select("k", "lv", "rv")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain)
+  }
+
   test("saltPlan: only keys over the row budget are salted, factor sized " +
     "to the excess — cold keys are NOT in the plan (un-replicated)") {
     // 900 rows on key 7, 40 on key 3, a smattering of singletons
