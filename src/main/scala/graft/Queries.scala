@@ -745,6 +745,45 @@ object Queries {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // Multimodal: REAL INTER-FRAME codec decode — QuickTime Animation
+    // ("rle ", 24-bit), a published codec whose delta frames carry only
+    // changed line bands and copy every other line from the PREVIOUS
+    // frame. The engine must run the sample tables, the RLE entropy
+    // layer, AND the temporal composite chain to reproduce each frame's
+    // full raster; the oracle replays the expected rasters directly from
+    // the band-fill formulas (frame i shows delta bands 1..i over the
+    // base fill), so a stateless or fake decode cannot match. This is
+    // the extractFrameBytes→codec seam exercised by a real temporal
+    // codec; H.264-class entropy decoding remains the documented
+    // deployment dependency.
+    "q40j_interframe_video_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val w = 8 + (id % 9).toInt
+        val h = 8
+        val nf = 2 + (id % 4).toInt
+        def base(x: Int, y: Int): Int =
+          ((x * 31 + y * 7 + id * 13) % 16777216).toInt
+        def dfill(x: Int, y: Int, j: Int): Int =
+          ((x * 17 + y * 29 + j * 101 + id * 7) % 16777216).toInt
+        val cur = Array.tabulate(w * h)(i => base(i % w, i / w))
+        val rasters = Seq.newBuilder[Array[Int]]
+        rasters += cur.clone()
+        for (j <- 1 until nf) {
+          for (y <- (j - 1) * 2 until j * 2; x <- 0 until w)
+            cur(y * w + x) = dfill(x, y, j)
+          rasters += cur.clone()
+        }
+        MultiModal.MediaRow(id, "video", "video/mp4",
+          MultiModal.encodeQtRleVideo(w, h, rasters.result(),
+            samplesPerChunk = 3))
+      })
+      MultiModal.extractFramePixels(media).toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // Dedup (near): embedding-cosine near-dup pairs, LSH-bucketed candidates
     // + exact cosine threshold (oracle replays planes/buckets/cosine).
     // maxBucketSize = Int.MaxValue pins the UNBOUNDED special case the
@@ -4018,6 +4057,57 @@ object Queries {
         |  CAST(t.ts AS BIGINT) AS sum_rgb, hs.ahash, 'png' AS format
         |FROM d JOIN tot t USING (media_id, frame_idx)
         |  JOIN hs USING (media_id, frame_idx)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // q40j: the INTER-FRAME replay — frame i's expected raster is the
+    // base fill with delta bands 1..i applied (bands are disjoint 2-row
+    // strips, so the composite is directly computable per pixel without
+    // sequential state); sums/hash bits then run the q40f machinery. The
+    // engine reaches the same numbers only through the real RLE decode +
+    // temporal composite chain.
+    "q40j_interframe_video_pixels" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(8 + doc_id % 9 AS INTEGER) AS w,
+        |    CAST(8 AS INTEGER) AS h,
+        |    2 + doc_id % 4 AS nf
+        |  FROM documents
+        |), f AS (
+        |  SELECT media_id, w, h, nf, unnest(range(0, nf)) AS frame_idx FROM p
+        |), xs AS (
+        |  SELECT media_id, w, h, nf, frame_idx, unnest(range(0, w)) AS x FROM f
+        |), px AS (
+        |  SELECT media_id, w, h, nf, frame_idx, x, unnest(range(0, h)) AS y
+        |  FROM xs
+        |), v AS (
+        |  SELECT media_id, w, h, frame_idx, x, y,
+        |    CASE WHEN (y // 2 + 1) <= LEAST(frame_idx, nf - 1)
+        |      THEN (x*17 + y*29 + (y // 2 + 1)*101 + media_id*7) % 16777216
+        |      ELSE (x*31 + y*7 + media_id*13) % 16777216 END AS val
+        |  FROM px
+        |), lum AS (
+        |  SELECT media_id, frame_idx,
+        |    (val // 65536) % 256 + (val // 256) % 256 + val % 256 AS l,
+        |    (y * 8 // h) * 8 + (x * 8 // w) AS k
+        |  FROM v
+        |), cells AS (
+        |  SELECT media_id, frame_idx, k, SUM(l) AS cs, COUNT(*) AS cc
+        |  FROM lum GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT media_id, frame_idx, SUM(l) AS ts, COUNT(*) AS ta
+        |  FROM lum GROUP BY 1, 2
+        |), hs AS (
+        |  SELECT c.media_id, c.frame_idx,
+        |    string_agg(CASE WHEN c.cs * t.ta > t.ts * c.cc
+        |      THEN '1' ELSE '0' END, '' ORDER BY c.k) AS ahash
+        |  FROM cells c JOIN tot t USING (media_id, frame_idx)
+        |  GROUP BY c.media_id, c.frame_idx
+        |)
+        |SELECT p.media_id, CAST(t.frame_idx AS BIGINT) AS frame_idx,
+        |  p.w AS width, p.h AS height,
+        |  CAST(t.ts AS BIGINT) AS sum_rgb, hs.ahash, 'rle' AS format
+        |FROM p JOIN tot t USING (media_id)
+        |  JOIN hs ON hs.media_id = t.media_id AND hs.frame_idx = t.frame_idx
         |ORDER BY media_id, frame_idx""".stripMargin,
 
     // q40h: per-frame replay of the count/size/byte formulas the fixture

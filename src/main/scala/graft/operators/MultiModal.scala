@@ -541,9 +541,19 @@ object MultiModal {
       sum_rgb: Long, ahash: String, format: String)
 
   private def pixelFeaturesOf(id: Long, img: java.awt.image.BufferedImage,
-      format: String): PixelFeatures = {
-    val w = img.getWidth
-    val h = img.getHeight
+      format: String): PixelFeatures =
+    pixelFeaturesOfRaster(id, img.getWidth, img.getHeight,
+      (x, y) => img.getRGB(x, y), format)
+
+  /** The shared feature accumulation over any pixel source — ImageIO
+    * rasters and codec-decoded int rasters run the IDENTICAL arithmetic,
+    * so a frame decoded by the RLE path hashes exactly like the same
+    * raster decoded from a PNG. `rgbAt` returns packed RGB; only the low
+    * 24 bits participate (alpha ignored, matching BufferedImage.getRGB
+    * usage).
+    */
+  private def pixelFeaturesOfRaster(id: Long, w: Int, h: Int,
+      rgbAt: (Int, Int) => Int, format: String): PixelFeatures = {
     val cellSum = new Array[Long](64)
     val cellCnt = new Array[Long](64)
     var total = 0L
@@ -552,7 +562,7 @@ object MultiModal {
       val iy = y * 8 / h
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = rgbAt(x, y)
         val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
         val k = iy * 8 + x * 8 / w
         cellSum(k) += lum
@@ -856,15 +866,18 @@ object MultiModal {
       case _: Mp4ParseError | _: IndexOutOfBoundsException => None
     }
 
-  /** Per-frame PIXEL features for image-codec video (PNG/MJPEG-style
-    * intra-only MP4, stsd fourcc "png "/"jpeg"): the sample tables
-    * resolve each frame's byte range ([[videoFrameRanges]]), JDK ImageIO
-    * decodes the frame's raster, and each frame emits the same
-    * integer-exact pixel features as the still-image path — REAL
-    * compressed-video frame decode with zero codec dependencies.
-    * Inter-frame codecs (avc1/hvc1) decline per frame (ImageIO doesn't
-    * recognize the NAL payload) and emit visible stub rows; an
-    * undecodable CONTAINER emits one `frame_idx = -1` marker row.
+  /** Per-frame PIXEL features for decodable-codec video: the sample
+    * tables resolve each frame's byte range ([[videoFrameRanges]]), the
+    * codec named by `stsd` picks the decoder — intra-only image codecs
+    * ("png "/"jpeg") through JDK ImageIO per frame, and the QT Animation
+    * INTER-FRAME codec ("rle ") through the stateful
+    * [[decodeQtRleSample]] composite (delta frames reference the
+    * previous raster — true temporal prediction, decoded with zero codec
+    * dependencies). Every decoded frame emits the same integer-exact
+    * pixel features as the still-image path. Entropy-coded inter-frame
+    * codecs (avc1/hvc1) decline per frame (no JVM decoder) and emit
+    * visible stub rows; an undecodable CONTAINER emits one
+    * `frame_idx = -1` marker row.
     */
   final case class FramePixels(media_id: Long, frame_idx: Long, width: Int,
       height: Int, sum_rgb: Long, ahash: String, format: String)
@@ -873,6 +886,34 @@ object MultiModal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       videoFrameRanges(r.content) match {
+        case Some(ranges) if videoFrameCodec(r.content).contains("rle ") =>
+          // INTER-FRAME path (QT Animation): frames decode STATEFULLY in
+          // sample order — each delta composites onto the previous
+          // raster, so the iterator is consumed sequentially (flatMap
+          // guarantees that) with one w·h int raster of state per video,
+          // never per frame. Track dims come from the moov header.
+          decodeVideo(r.content).filter(v => v.width > 0 && v.height > 0) match {
+            case Some(info) =>
+              val (w, h) = (info.width, info.height)
+              var prev = new Array[Int](w * h)
+              ranges.iterator.zipWithIndex.map { case ((off, sz), i) =>
+                val sample = java.util.Arrays.copyOfRange(
+                  r.content, off.toInt, off.toInt + sz)
+                decodeQtRleSample(prev, sample, w, h) match {
+                  case Some(ras) =>
+                    prev = ras
+                    val p = pixelFeaturesOfRaster(r.media_id, w, h,
+                      (x, y) => ras(y * w + x), "rle")
+                    FramePixels(r.media_id, i.toLong, w, h,
+                      p.sum_rgb, p.ahash, p.format)
+                  case None => // malformed sample: visible stub, state kept
+                    FramePixels(r.media_id, i.toLong, 0, 0, 0L, "", "stub")
+                }
+              }
+            case None =>
+              Iterator.single(
+                FramePixels(r.media_id, -1L, 0, 0, 0L, "", "stub"))
+          }
         case Some(ranges) => ranges.iterator.zipWithIndex.map {
           case ((off, sz), i) =>
             val frame = java.util.Arrays.copyOfRange(
@@ -1005,6 +1046,198 @@ object MultiModal {
     require(moov.length == probe.length, "moov size must be offset-invariant")
     val mdat = box("mdat", frames.fold(Array.emptyByteArray)(_ ++ _))
     ftyp ++ moov ++ mdat
+  }
+
+  // ------------------------------- inter-frame codec: QuickTime RLE
+
+  /** Decode one QuickTime Animation ("rle ", 24-bit) sample onto the
+    * previous frame's raster — a REAL, published INTER-FRAME codec
+    * (QuickTime File Format specification, "Animation" video sample
+    * data; long decodable by every major player) that needs no codec
+    * dependency: plain byte-level RLE plus temporal line copying.
+    *
+    * Sample layout: `chunkSize(4) header(2)`; header bit 0x0008 marks a
+    * PARTIAL update (delta frame) and is followed by
+    * `startLine(2) pad(2) nLines(2) pad(2)` — only those lines change,
+    * every other line copies from the PREVIOUS frame (genuine temporal
+    * prediction, the same class of dependency avc1/hvc1 add entropy
+    * coding on top of). Each updated line: a 1-byte skip code (0 ends
+    * the sample's RLE data; otherwise start `skip−1` pixels in), then
+    * signed RLE codes — 0 = read another skip byte (advance `skip−1`
+    * more pixels), −1 = end of line, n>0 = n literal RGB pixels,
+    * n<−1 = one RGB pixel repeated −n times.
+    *
+    * Returns the full composited raster (packed 0xRRGGBB, row-major), or
+    * None for malformed samples (bad chunk size, out-of-bounds line or
+    * pixel writes, truncated stream) — callers emit the visible stub row
+    * and keep the previous state, never fabricated pixels. `prev` is
+    * NEVER mutated (the returned raster is a fresh copy), so a failed
+    * frame leaves the caller's state consistent.
+    */
+  def decodeQtRleSample(prev: Array[Int], bytes: Array[Byte],
+      w: Int, h: Int): Option[Array[Int]] = {
+    require(prev.length == w * h, "prev raster must be w*h")
+    try {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      val chunkSize = buf.getInt()
+      if (chunkSize < 6 || chunkSize > bytes.length) return None
+      val header = buf.getShort() & 0xffff
+      var line = 0
+      var nLines = h
+      if ((header & 0x0008) != 0) {
+        line = buf.getShort() & 0xffff; buf.getShort()
+        nLines = buf.getShort() & 0xffff; buf.getShort()
+      }
+      if (line + nLines > h) return None
+      val out = prev.clone() // temporal copy-through for untouched lines
+      var linesLeft = nLines
+      var done = linesLeft == 0
+      while (!done) {
+        val skip0 = buf.get() & 0xff
+        if (skip0 == 0) done = true
+        else {
+          if (linesLeft == 0) return None // more lines than declared
+          var px = skip0 - 1
+          var eol = false
+          while (!eol) {
+            val code = buf.get().toInt // signed
+            if (code == 0) px += (buf.get() & 0xff) - 1
+            else if (code == -1) eol = true
+            else if (code > 0) {
+              var i = 0
+              while (i < code) {
+                if (px < 0 || px >= w) return None
+                val r = buf.get() & 0xff
+                val g = buf.get() & 0xff
+                val b = buf.get() & 0xff
+                out(line * w + px) = (r << 16) | (g << 8) | b
+                px += 1; i += 1
+              }
+            } else {
+              val r = buf.get() & 0xff
+              val g = buf.get() & 0xff
+              val b = buf.get() & 0xff
+              val pix = (r << 16) | (g << 8) | b
+              var i = code // −2..−128: repeat −code times
+              while (i < 0) {
+                if (px < 0 || px >= w) return None
+                out(line * w + px) = pix
+                px += 1; i += 1
+              }
+            }
+          }
+          line += 1
+          linesLeft -= 1
+          if (linesLeft == 0) {
+            // trailing 0 skip byte is optional in the wild; consume it
+            // if present so chunk accounting stays aligned
+            if (buf.hasRemaining && bytes(buf.position()) == 0) buf.get()
+            done = true
+          }
+        }
+      }
+      Some(out)
+    } catch {
+      case _: java.nio.BufferUnderflowException => None
+      case _: IndexOutOfBoundsException => None
+    }
+  }
+
+  /** Encode one raster as a QT RLE sample: a KEYFRAME (all lines) when
+    * `prev` is None, else a DELTA frame carrying only the contiguous band
+    * of changed lines (header 0x0008 + start/count — the spec's partial-
+    * update form). Within a line, repeat runs ≥ 3 emit the repeat code
+    * and literals chunk at ≤ 127 — so the decoder's literal, repeat, and
+    * skip paths are all exercised by real fixtures. Encoder and decoder
+    * are independent walks of the published layout; the round-trip
+    * cross-checks both (same discipline as encodeMp4Frames vs
+    * videoFrameRanges).
+    */
+  def encodeQtRleSample(prev: Option[Array[Int]], cur: Array[Int],
+      w: Int, h: Int): Array[Byte] = {
+    require(cur.length == w * h, "raster must be w*h")
+    prev.foreach(p => require(p.length == w * h, "prev raster must be w*h"))
+    val body = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = body.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def rowEq(p: Array[Int], y: Int): Boolean = {
+      var x = 0
+      while (x < w && p(y * w + x) == cur(y * w + x)) x += 1
+      x == w
+    }
+    val (start, n) = prev match {
+      case Some(p) =>
+        var lo = 0
+        while (lo < h && rowEq(p, lo)) lo += 1
+        if (lo == h) (0, 0) // nothing changed: header-only delta
+        else {
+          var hi = h - 1
+          while (hi > lo && rowEq(p, hi)) hi -= 1
+          (lo, hi - lo + 1)
+        }
+      case None => (0, h)
+    }
+    val partial = prev.isDefined
+    u16(if (partial) 0x0008 else 0x0000)
+    if (partial) { u16(start); u16(0); u16(n); u16(0) }
+    var y = start
+    while (y < start + n) {
+      u8(1) // start at pixel 0
+      var x = 0
+      while (x < w) {
+        val v = cur(y * w + x)
+        var run = 1
+        while (x + run < w && cur(y * w + x + run) == v && run < 127)
+          run += 1
+        if (run >= 3) {
+          u8(-run) // repeat code
+          u8(v >> 16); u8(v >> 8); u8(v)
+          x += run
+        } else {
+          // literal chunk: scan forward until a ≥3 repeat run starts or
+          // the 127-pixel code limit; always carries ≥ 1 pixel
+          var scan = x + 1
+          var stop = false
+          while (!stop && scan < w && scan - x < 127) {
+            val lv = cur(y * w + scan)
+            var r = 1
+            while (scan + r < w && cur(y * w + scan + r) == lv && r < 3)
+              r += 1
+            if (r >= 3) stop = true else scan += 1
+          }
+          u8(scan - x)
+          var i = x
+          while (i < scan) {
+            val lv = cur(y * w + i)
+            u8(lv >> 16); u8(lv >> 8); u8(lv)
+            i += 1
+          }
+          x = scan
+        }
+      }
+      u8(0xff) // end of line (−1)
+      y += 1
+    }
+    u8(0) // terminating skip byte
+    val payload = body.toByteArray
+    val outBuf = java.nio.ByteBuffer.allocate(4 + payload.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    outBuf.putInt(4 + payload.length).put(payload)
+    outBuf.array()
+  }
+
+  /** Deterministic "rle "-coded MP4: rasters → QT RLE samples (first a
+    * keyframe, the rest line-band deltas) → [[encodeMp4Frames]] container
+    * with stsd fourcc "rle " — the fixture half of the inter-frame
+    * round-trip that [[extractFramePixels]] decodes statefully.
+    */
+  def encodeQtRleVideo(w: Int, h: Int, rasters: Seq[Array[Int]],
+      samplesPerChunk: Int = 3): Array[Byte] = {
+    val samples = rasters.zipWithIndex.map { case (r, i) =>
+      encodeQtRleSample(if (i == 0) None else Some(rasters(i - 1)), r, w, h)
+    }
+    encodeMp4Frames(w, h, samples, samplesPerChunk, codec = "rle ")
   }
 
   /** Build a synthetic media table from any text table (documents stand in

@@ -10,32 +10,47 @@ import graft.operators.Relational
   * operator keys; remaining work = candidates minus ledger via an
   * outer-merge anti join).
   *
-  * Spark-native: a small parquet table of (operator_key, run_id, done_at);
-  * `remaining` is a broadcast-able left_anti join. Appends are idempotent in
-  * effect because resume always re-derives the pending set from the distinct
-  * keys — duplicate marks are harmless and never read back except through
-  * the anti join.
+  * Spark-native: a small versioned table of (operator_key, run_id,
+  * done_at); `remaining` is a broadcast-able left_anti join. Appends are
+  * idempotent in effect because resume always re-derives the pending set
+  * from the distinct keys — duplicate marks are harmless and never read
+  * back except through the anti join.
+  *
+  * COMMITS THROUGH [[graft.sources.VersionedLake]] (round 13 — the r12
+  * group-commit question answered for the ledger): a plain parquet
+  * append exposes a torn window (some part-files visible before job
+  * commit finishes, and object-store renames aren't atomic), in which a
+  * crash leaves a PARTIAL mark batch — never wrong results (a missing
+  * mark only re-queues work the idempotent writers absorb), but a
+  * silently split batch re-runs completed work on every resume until
+  * someone notices. The versioned append is a pure metadata union with
+  * an atomic manifest flip: a crash mid-commit leaves the previous
+  * version intact and the whole batch either visible or not
+  * (all-or-nothing, crash-interleaving pinned in ProgressLedgerSpec).
   */
 final case class ProgressLedger(spark: SparkSession, path: String) {
+  import graft.sources.VersionedLake
 
-  def exists: Boolean =
-    new org.apache.hadoop.fs.Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration).exists(new org.apache.hadoop.fs.Path(path))
+  def exists: Boolean = VersionedLake.versions(spark, path).nonEmpty
 
-  /** All recorded keys (empty DataFrame when no ledger has been written). */
+  /** All recorded keys (empty when no ledger has been committed). */
   def done: Option[DataFrame] =
-    if (exists) Some(spark.read.parquet(path)) else None
+    if (exists) Some(VersionedLake.read(spark, path)) else None
 
-  /** Mark a batch of keys complete. `doneAt` is an explicit parameter so
-    * runs stay deterministic (the reference stamps now() internally).
+  /** Mark a batch of keys complete — ONE atomic versioned append per
+    * batch. `doneAt` is an explicit parameter so runs stay deterministic
+    * (the reference stamps now() internally).
     */
   def markDone(keys: DataFrame, keyCol: String, runId: String,
-      doneAt: java.sql.Timestamp): Unit =
-    keys.select(col(keyCol).cast("string").as("operator_key"))
-      .distinct()
-      .withColumn("run_id", lit(runId))
-      .withColumn("done_at", lit(doneAt))
-      .write.mode("append").parquet(path)
+      doneAt: java.sql.Timestamp): Unit = {
+    VersionedLake.commit(
+      keys.select(col(keyCol).cast("string").as("operator_key"))
+        .distinct()
+        .withColumn("run_id", lit(runId))
+        .withColumn("done_at", lit(doneAt)),
+      path, mode = "append")
+    ()
+  }
 
   /** Work remaining = candidates − ledger (left_anti on the key). */
   def remaining(candidates: DataFrame, keyCol: String): DataFrame = {

@@ -752,6 +752,74 @@ class MultiModalSpec extends SparkSpec {
     assert(got(2) == MultiModal.PixelFeatures(3L, 0, 0, 0L, "", "stub"))
   }
 
+  test("QT RLE inter-frame codec: keyframe + line-band deltas round-trip " +
+    "pixel-exact; temporal compositing is real (deltas carry only changed " +
+    "lines); repeat/literal/skip decoder paths all hold") {
+    import spark.implicits._
+    val (w, h) = (11, 8)
+    def base(x: Int, y: Int) = (x * 31 + y * 7 + 5) & 0xffffff
+    val f0 = Array.tabulate(w * h)(i => base(i % w, i / w))
+    // delta 1: rows 2-3 become a constant color (exercises repeat codes)
+    val f1 = f0.clone()
+    for (y <- 2 to 3; x <- 0 until w) f1(y * w + x) = 0x123456
+    // delta 2: row 5 gets per-pixel values (exercises literal codes)
+    val f2 = f1.clone()
+    for (x <- 0 until w) f2(5 * w + x) = (x * 1013) & 0xffffff
+    val rasters = Seq(f0, f1, f2)
+    // the delta samples must be SMALLER than the keyframe: proof the
+    // encoder really emits partial updates, not keyframes in disguise
+    val samples = rasters.zipWithIndex.map { case (r, i) =>
+      MultiModal.encodeQtRleSample(
+        if (i == 0) None else Some(rasters(i - 1)), r, w, h)
+    }
+    assert(samples(1).length < samples(0).length)
+    assert(samples(2).length < samples(0).length)
+    // raw sample-level decode chain reproduces every raster exactly
+    var st = new Array[Int](w * h)
+    for ((s, i) <- samples.zipWithIndex) {
+      st = MultiModal.decodeQtRleSample(st, s, w, h).get
+      assert(st.sameElements(rasters(i)), s"frame $i raster mismatch")
+    }
+    // decoder robustness: spec features the encoder may not emit —
+    // a skip-coded line (skip byte 4 = start 3 pixels in) and a
+    // mid-line skip via code 0
+    val handBody = Array[Byte](0, 0x08, 0, 2, 0, 0, 0, 1, 0, 0, // delta row 2
+      4, // skip 3 pixels
+      2, 1, 2, 3, 4, 5, 6, // two literal pixels
+      0, 3, // code 0: skip 2 more
+      -4, 9, 9, 9, // repeat x4
+      -1, 0) // end line, end sample
+    val hand = java.nio.ByteBuffer.allocate(4 + handBody.length)
+      .putInt(4 + handBody.length).put(handBody).array()
+    val prevH = Array.fill(w * h)(0x111111)
+    val got = MultiModal.decodeQtRleSample(prevH, hand, w, h).get
+    val want = prevH.clone()
+    want(2 * w + 3) = 0x010203; want(2 * w + 4) = 0x040506
+    for (x <- 7 until 11) want(2 * w + x) = 0x090909
+    assert(got.sameElements(want))
+    // truncated / oversized-claim samples degrade to None, state intact
+    assert(MultiModal.decodeQtRleSample(prevH, samples(0).take(10), w, h).isEmpty)
+    assert(prevH.forall(_ == 0x111111))
+    // full distributed path: container round-trip through the sample
+    // tables, stateful per-video decode, features ≡ an independent
+    // pixel replay
+    val mp4 = MultiModal.encodeQtRleVideo(w, h, rasters, samplesPerChunk = 2)
+    assert(MultiModal.videoFrameCodec(mp4).contains("rle "))
+    val rows = MultiModal.extractFramePixels(spark.createDataset(Seq(
+      MultiModal.MediaRow(3L, "video", "video/mp4", mp4))))
+      .collect().sortBy(_.frame_idx)
+    assert(rows.length == 3 && rows.forall(_.format == "rle"))
+    for ((r, i) <- rasters.zipWithIndex) {
+      val sum = r.map(v => ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff))
+        .foldLeft(0L)(_ + _)
+      assert(rows(i).sum_rgb == sum, s"frame $i sum")
+      assert(rows(i).width == w && rows(i).height == h)
+    }
+    // frames 0 and 1 differ only in rows 2-3 — their hashes must differ
+    // (the delta really landed) while frame 2 ≠ frame 1 in row 5
+    assert(rows(0).sum_rgb != rows(1).sum_rgb || rows(0).ahash != rows(1).ahash)
+  }
+
   test("decodeRaster: declared dimensions are checked header-only before " +
     "pixel allocation — an over-cap image degrades to None, under-cap " +
     "decodes") {

@@ -21,6 +21,30 @@ class ProgressLedgerSpec extends SparkSpec {
     ledger.markDone(Seq("w2", "w4").toDF("op"), "op", "run-2", doneAt)
     assert(ledger.remaining(candidates, "op").count() == 0)
   }
+
+  test("crash mid-append cannot tear a mark batch: data files without a " +
+    "published manifest stay invisible, resume sees the previous version") {
+    val root = Files.createTempDirectory("ledger").toString + "/p"
+    val ledger = ProgressLedger(spark, root)
+    val candidates = Seq("w1", "w2", "w3").toDF("op")
+    val doneAt = java.sql.Timestamp.valueOf("2026-08-12 00:00:00")
+    ledger.markDone(Seq("w1").toDF("op"), "op", "run-1", doneAt)
+    assert(ledger.remaining(candidates, "op").count() == 2)
+    // simulate the crash window: a later markDone died AFTER writing its
+    // version-directory data files but BEFORE publishing the manifest —
+    // exactly where a plain parquet append would surface a torn batch
+    Seq("w2").toDF("op").select(col("op").as("operator_key"))
+      .withColumn("run_id", lit("run-died"))
+      .withColumn("done_at", lit(doneAt))
+      .write.parquet(s"$root/_data/v99")
+    // the orphaned files are INVISIBLE: w2 still pending, w1 still done
+    assert(ledger.remaining(candidates, "op")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("w2", "w3"))
+    // and the next successful markDone proceeds normally past the orphan
+    ledger.markDone(Seq("w2").toDF("op"), "op", "run-2", doneAt)
+    assert(ledger.remaining(candidates, "op")
+      .collect().map(_.getString(0)).toSeq == Seq("w3"))
+  }
 }
 
 class AuditListenerSpec extends SparkSpec {

@@ -1,11 +1,14 @@
 #!/usr/bin/env python3
 """BENCH_SF3 mode: the density-family sf3 probe as a GATED number.
 
-Runs ONLY the density-sensitive dedup/cluster queries
-(q33/q34/q46b/q50/q50b/q101) against the 30x organic fixture
-(tools/make_sf3_dedup.py — superlinear near-dup FAMILY growth, see its
-docstring), ratios each against the committed sf1 record, and fails
-loudly past the gate.
+Runs ONLY the density-sensitive dedup/cluster queries — the LSH/simhash
+pair generators (q33/q34/q46b), duplicate clustering (q50/q50b), and
+since round 13 the full SemDeDup family including the curation and
+arrival paths (q101/q101b/q106/q106b/q108/q108b/q111, which share the
+same within-cluster pair-work exposure) — against the 30x organic
+fixture (tools/make_sf3_dedup.py — superlinear near-dup FAMILY growth,
+see its docstring), ratios each against the committed sf1 record, and
+fails loudly past the gate.
 
 Gate rationale: sf3 is 3x sf1's rows, but its near-dup families carry
 6x the intra-family pairs (size-4 families vs size-2) — so honest
@@ -13,6 +16,16 @@ pair-bounded implementations land ~3-6x sf1 wall, and anything past 10x
 means the operator's cost grew with a power of density it shouldn't
 have (unbounded bucket occupancy, all-pairs candidate generation).
 Queries under MIN_SECS at sf3 are exempt (jitter, not scaling).
+
+Fixture choice matters (the round-7 lesson, BENCH_NOTES "Round 7"):
+EXACT-replica fixtures are adversarial for dedup — every doc gains
+N-1 identical copies, so candidate pairs grow ~N^2x and any honest
+pair-bounded operator looks superlinear on output volume alone. The
+ORGANIC generator used here grows near-dup FAMILIES the way a crawl
+corpus does (a few genuine mates per family, the rest distinct
+content), so the gated ratio measures scaling behavior, not replica
+amplification. Do not swap in a replicated fixture without re-deriving
+the gate.
 
 Usage:
     python3 tools/bench_sf3_dedup.py [--ref BENCH_SF1_rNN.json]
@@ -32,7 +45,13 @@ MIN_SECS = 2.0
 QUERIES = ["q33_minhash_pairs", "q34_simhash_pairs",
            "q46b_cosine_dedup_bounded", "q50_dup_clusters",
            "q50b_dup_clusters_distributed", "q101_semdedup",
-           "q101b_semdedup_bounded"]
+           "q101b_semdedup_bounded",
+           # round 13: curation + arrival paths share the Sum|cluster|^2
+           # exposure; bounded occupancy is their default — gate them too
+           "q106_semantic_curate", "q106b_semantic_curate_bounded",
+           "q108_incremental_semdedup",
+           "q108b_incremental_semdedup_bounded",
+           "q111_incremental_semdedup_stored"]
 
 
 def last_json_line(path):

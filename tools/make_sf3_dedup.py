@@ -18,8 +18,17 @@ Embeddings follow the same design (i % 10 == 1 -> cosine ~0.99 mate,
 else fresh random direction at a resampled norm).
 
 Only documents + embeddings are written: the gated queries
-(q33/q34/q46b/q50/q101) read nothing else. Driver-side tooling only;
-writes to /tmp, never used for correctness oracles.
+(q33/q34/q46b/q50/q101-family) read nothing else. Driver-side tooling
+only; writes to /tmp, never used for correctness oracles.
+
+WHY ORGANIC, NOT REPLICATED (the round-7 lesson, BENCH_NOTES "Round
+7"): an exact-replica fixture is adversarial for dedup — every doc
+gains N-1 identical copies, candidate pairs grow ~N^2x, and an honest
+pair-bounded operator looks superlinear purely from output volume. A
+density gate run on replicas measures replica amplification, not the
+operator. This generator instead grows near-dup FAMILIES organically
+(3 genuine mates + 26 distinct-content replicas per base doc), the
+shape a real crawl corpus has; keep it that way.
 
 Usage: python3 tools/make_sf3_dedup.py [outdir]  (default /tmp/graft_sf3_dedup)
 """
