@@ -91,6 +91,36 @@ class PlanShapeSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p111).isDefined, p111)
   }
 
+  test("q106b bounded curate: the occupancy probe rides a BROADCAST join " +
+    "(never a window over cid), the pair step stays a hash equi-join") {
+    // the refinement exists to tame skew — funneling rows through a
+    // cid-window (≤ k partitions, hot cluster in ONE task) would
+    // reintroduce exactly the skew it bounds; the ≤k-row occupancy
+    // aggregate must come back as a broadcast
+    val plan = planOf(q("q106b_semantic_curate_bounded"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    // the DEDUP stage alone (no cume_dist gate, which is a window by
+    // design) must be window-free: occupancy is an aggregate+broadcast,
+    // never a count-over-cid window
+    val dedupOnly = planOf(graft.operators.Cluster.semDeDup(
+      graft.sources.Lake.table(spark, sfDir, "embeddings"),
+      "vec_id", "embedding", k = 4, iters = 1, tau = 0.45,
+      maxClusterSize = 100))
+    assert(!dedupOnly.contains("Window"), dedupOnly)
+    assert(dedupOnly.contains("BroadcastHashJoin"), dedupOnly)
+    assert(!dedupOnly.contains("CartesianProduct"), dedupOnly)
+  }
+
+  test("q108b bounded arrival path: broadcast occupancy + hash equi-join " +
+    "pair step, no cartesian") {
+    val plan = planOf(q("q108b_incremental_semdedup_bounded"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q105 stored-model assignment is one map-only scan (no shuffle, no join)") {
     val df = q("q105_kmeans_assign_stored")
     // drop the final orderBy the driver compare needs; the assignment
