@@ -231,6 +231,33 @@ object Cluster {
     */
   val DefaultSemClusterCap = 4096
 
+  /** Over-cap clusters split on the most recent bounded SemDeDup-family
+    * run in this JVM (−1 before any run) — the same observability the
+    * advisor asked of the cosine LSH default ([[Dedup.lastOversizedBucketSplits]]):
+    * bounded occupancy trades dense-cluster recall for bounded pair work,
+    * and a caller (or spec) can now see whether any cluster actually
+    * split instead of silently getting the trade. Also logged per run.
+    * The probe is one aggregate over the already-materialized assignment
+    * (≤ k rows) — driver cost is k counters.
+    */
+  private val oversizedSplits = new java.util.concurrent.atomic.AtomicLong(-1L)
+  def lastOversizedClusterSplits: Long = oversizedSplits.get()
+
+  private def recordSplits(assignedOrNeighbors: DataFrame,
+      maxClusterSize: Int, extraBits: Int): Unit = {
+    val splits =
+      if (maxClusterSize == Int.MaxValue) 0L
+      else assignedOrNeighbors.groupBy("cid").agg(count(lit(1)).as("__occ"))
+        .filter(col("__occ") > maxClusterSize).count()
+    oversizedSplits.set(splits)
+    if (splits > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"semDeDup: $splits cluster(s) over occupancy cap $maxClusterSize " +
+          s"re-bucketed $extraBits plane bit(s) deeper (reduced near-dup " +
+          "recall inside those clusters; maxClusterSize = Int.MaxValue " +
+          "opts out)")
+  }
+
   /** The `extraBits` sign bits of exact integer plane dots for one
     * quantized vector — the split signature ingredient shared by every
     * bounded SemDeDup path (ONE definition, so each path and its oracle
@@ -327,6 +354,7 @@ object Cluster {
     // already materialized, so the three reads below (two join sides + the
     // survivor base) re-serve its blocks instead of re-running k-means
     val assigned = kmeansQuantized(df, idCol, embCol, k, iters, scale)
+    recordSplits(assigned, maxClusterSize, extraBits)
     val keyed =
       if (maxClusterSize == Int.MaxValue)
         assigned.withColumn("__rcid", col("cid"))
@@ -447,6 +475,7 @@ object Cluster {
         col("cid"), lit(false).as("is_corpus")))
     val batchB = batchA.select(col(idCol).as("id_b"), col("q").as("qb"),
       col("cid"))
+    recordSplits(neighbors, maxClusterSize, extraBits)
     val (aSide, bSide, pairKey) =
       if (maxClusterSize == Int.MaxValue) (neighbors, batchB, "cid")
       else {

@@ -117,6 +117,8 @@ class ClusterSpec extends SparkSpec {
     // no cluster here reaches the cap, so the results must be IDENTICAL
     val dflt = kept(Cluster.semanticCurate(df, "vec_id", "embedding",
       k = 3, iters = 2, tau = 0.95, dropFrac = 0.2))
+    // the split metric is observable: nothing split under the 4096 default
+    assert(Cluster.lastOversizedClusterSplits == 0L)
     val unbounded = kept(Cluster.semanticCurate(df, "vec_id", "embedding",
       k = 3, iters = 2, tau = 0.95, dropFrac = 0.2,
       maxClusterSize = Int.MaxValue))
@@ -130,6 +132,8 @@ class ClusterSpec extends SparkSpec {
       k = 3, iters = 2, tau = 0.95, maxClusterSize = Int.MaxValue))
     val splitDedup = kept(Cluster.semDeDup(df, "vec_id", "embedding",
       k = 3, iters = 2, tau = 0.95, maxClusterSize = 20))
+    // ...and the forced split is REPORTED, never silent
+    assert(Cluster.lastOversizedClusterSplits >= 1L)
     for (i <- 0 until 40)
       assert(!splitDedup.contains(i.toLong * 2 + 1) ||
         !splitDedup.contains(i.toLong * 2),
