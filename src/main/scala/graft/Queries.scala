@@ -1421,6 +1421,69 @@ object Queries {
       s.read.parquet(snapshotPath).orderBy(col("user_id"))
     }),
 
+    // STREAMING near-dup dedup (beyond-reference §2.9): the q81 arrival
+    // path as a LIVE stream — documents arrive in three mtime-ordered
+    // chunk files (chunk = doc_id % 3, one micro-batch each via
+    // maxFilesPerTrigger=1), every batch LSH-joins against the stored
+    // index only, and survivors + the batch's index rows commit as ONE
+    // atomic VersionedLake group version per batch (exactly-once; the
+    // applied-marker makes replays idempotent). Drop rule = keep-lowest-
+    // id among ARRIVED docs; the oracle replays it from the full pair
+    // set with batch(a) <= batch(b) as the arrival predicate.
+    "q116_stream_dedup" -> ((s, dir) => {
+      val tmp = freshScratchDir("graft_q116")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      for (c <- 0 until 3) {
+        docs.filter(col("doc_id") % 3 === c).coalesce(1)
+          .write.mode("append").parquet(s"$tmp/in")
+        stampFreshMtimes(s"$tmp/in", 1000000000000L + c * 60000L)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      graft.streaming.Incremental.withStreamPolicy(stream,
+        s.read.parquet(s"$tmp/in").count()) {
+        val q = graft.flows.StreamingDedup.writer(stream, "doc_id", "text",
+          s"$tmp/state", s"$tmp/ckpt", jaccardThreshold = 0.5).start()
+        try q.awaitTermination() finally q.stop()
+      }
+      graft.flows.StreamingDedup.survivors(s, s"$tmp/state")
+        .orderBy(col("doc_id"))
+    }),
+
+    // q116 THROUGH FAILURE: the stream is killed as soon as the first
+    // micro-batch commits (two chunks still pending) and resumed from
+    // the checkpoint — the survivor table must STILL hash-match the same
+    // oracle. The group-committed applied-marker is what makes a batch
+    // replayed across the kill idempotent (committed-but-not-
+    // checkpointed => short-circuit, nothing double-appends).
+    "q116b_stream_dedup_resume" -> ((s, dir) => {
+      val tmp = freshScratchDir("graft_q116b")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      for (c <- 0 until 3) {
+        docs.filter(col("doc_id") % 3 === c).coalesce(1)
+          .write.mode("append").parquet(s"$tmp/in")
+        stampFreshMtimes(s"$tmp/in", 1000000000000L + c * 60000L)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      def dedup() = graft.flows.StreamingDedup.writer(stream, "doc_id",
+        "text", s"$tmp/state", s"$tmp/ckpt", jaccardThreshold = 0.5)
+      graft.streaming.Incremental.withStreamPolicy(stream,
+        s.read.parquet(s"$tmp/in").count()) {
+        val q1 = dedup().start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (q1.recentProgress.isEmpty && q1.isActive &&
+            System.nanoTime() < deadline) Thread.sleep(10)
+        } finally q1.stop()
+        q1.awaitTermination()
+        val q2 = dedup().start()
+        try q2.awaitTermination() finally q2.stop()
+      }
+      graft.flows.StreamingDedup.survivors(s, s"$tmp/state")
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signal: fraction of word 2-/3-grams that
     // repeat within the document. Pure per-row array math (slice+zip, no
     // explode, no shuffle); integer counts + one IEEE division replay
@@ -2449,6 +2512,26 @@ object Queries {
     s"""WITH $minHashPairsCtes
        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** q116/q116b's oracle: the streaming keep-lowest-id-among-ARRIVED rule
+    * replayed from the full pair set — a doc is dropped iff a lower-id
+    * near-dup mate (jaccard ≥ 0.5 over the same hashed-shingle sets the
+    * engine compares) arrived in an earlier or the same micro-batch,
+    * where batch = doc_id % 3 is exactly the fixture's chunk assignment.
+    * Docs under the shingle threshold never pair and always survive.
+    * Identical for the straight run and the kill-and-resume run: crash
+    * recovery must be output-invisible.
+    */
+  private def q116Oracle: String =
+    s"""WITH $minHashPairsCtes,
+       |drp AS (
+       |  SELECT DISTINCT p.id_b FROM pairs p
+       |  WHERE p.jaccard >= 0.5 AND (p.id_a % 3) <= (p.id_b % 3)
+       |)
+       |SELECT d.doc_id, d.doc_id % 3 AS batch_id
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT id_b FROM drp)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** q81's oracle: the full pair set restricted to pairs touching the
     * "new batch" (doc_id % 5 = 0) — incremental indexing with identical
@@ -3859,6 +3942,12 @@ object Queries {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // q116/q116b: streaming keep-lowest-id-among-arrived dedup; the
+    // resume variant shares the oracle — crash recovery must be
+    // output-invisible.
+    "q116_stream_dedup" -> q116Oracle,
+    "q116b_stream_dedup_resume" -> q116Oracle,
 
     // q115 shares the same oracle as q114/q68: a kill + checkpoint-resume
     // must land the identical final snapshot (exactly-once through

@@ -398,6 +398,25 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val (newHashed, newBanded) = minHashIndexPortable(newDocs, idCol, textCol,
       shingleN, numHashes, bands)
+    // release only the NEW batch's index — the old index is caller-owned
+    // (a stored table or a cache the caller reuses across batches)
+    materializeAndRelease(
+      minHashIncrementalPairsFromIndexes(oldHashed, oldBanded,
+        newHashed, newBanded),
+      newHashed, newBanded)
+  }
+
+  /** The LAZY pair plan of the arrival step, over PREBUILT index frames —
+    * split out so a streaming caller ([[graft.flows.StreamingDedup]]) can
+    * build the batch's (hashed, banded) once, compute pairs, AND append
+    * the same frames to the stored index in one atomic group commit.
+    * Candidates = new-batch band rows against (old ∪ new) band rows —
+    * never old-vs-old (those were each other's batches' work) — so
+    * per-batch cost is bounded by the batch's bucket occupancies.
+    */
+  def minHashIncrementalPairsFromIndexes(
+      oldHashed: DataFrame, oldBanded: DataFrame,
+      newHashed: DataFrame, newBanded: DataFrame): DataFrame = {
     val allBanded = oldBanded.unionByName(newBanded)
     val candidates = newBanded
       .select(col("band"), col("bucket"), col("id").as("id_n"))
@@ -407,11 +426,7 @@ object Dedup {
       .select(least(col("id_n"), col("id_o")).as("id_a"),
         greatest(col("id_n"), col("id_o")).as("id_b"))
       .distinct()
-    // release only the NEW batch's index — the old index is caller-owned
-    // (a stored table or a cache the caller reuses across batches)
-    materializeAndRelease(
-      jaccardOverHashed(candidates, oldHashed.unionByName(newHashed)),
-      newHashed, newBanded)
+    jaccardOverHashed(candidates, oldHashed.unionByName(newHashed))
   }
 
   /** Connected components over a near-dup pair graph — the step that turns
