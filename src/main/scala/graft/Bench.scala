@@ -136,7 +136,7 @@ object Bench {
     // inside lifecycle jitter.
     val streamingQs = Seq("q112_stream_sessionize",
       "q113_stream_interval_join", "q114_stream_cdc",
-      "q115_stream_cdc_resume")
+      "q115_stream_cdc_resume", "q116_stream_dedup")
     val floorDir = sys.env.getOrElse("SPARK_GRAFT_FLOOR_DIR",
       "/root/testdata/sf0.001")
     val medByName = results.collect { case (n, _, m) if m >= 0 => n -> m }.toMap

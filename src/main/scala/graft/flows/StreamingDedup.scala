@@ -38,6 +38,13 @@ import graft.sources.VersionedLake
   * the thing a deployment would additionally bucket by (band, bucket) so
   * the per-batch join prunes to touched buckets — same layout note as
   * DedupIndex.
+  *
+  * Retention: each micro-batch publishes one group version (append mode
+  * is a metadata union — no data rewrite), so a long-running stream
+  * accrues manifests, not data copies. Reclaim old manifests with
+  * [[VersionedLake.vacuumGroup]] on whatever cadence the deployment
+  * keeps for time travel; the applied-marker only ever needs the LATEST
+  * version, so any `keepFrom ≤ latest` is safe for the dedup itself.
   */
 object StreamingDedup {
 

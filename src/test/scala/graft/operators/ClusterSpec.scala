@@ -174,6 +174,18 @@ class ClusterSpec extends SparkSpec {
     assert(run(Int.MaxValue).subsetOf(split))
   }
 
+  test("bounded semDeDup on a single-row corpus: dims inference finds no " +
+    "pairs to build, result is the row itself") {
+    // exercises resolveDims' head(1) path (and the k=1 degenerate case)
+    // through the bounded DEFAULT — an empty/tiny corpus must not crash
+    // on plane construction
+    val df = emb(7L -> Seq(1.0f, 0.5f))
+    val kept = Cluster.semDeDup(df, "vec_id", "embedding",
+        k = 1, iters = 1, tau = 0.9)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(kept == Seq(7L))
+  }
+
   test("semanticPrune drops the farthest fraction per cluster") {
     // one cluster around (0,0) with an outlier at (0.5,0.5); k=1, drop 25%
     // of 4 points → exactly the single farthest point goes

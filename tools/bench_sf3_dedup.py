@@ -51,7 +51,10 @@ QUERIES = ["q33_minhash_pairs", "q34_simhash_pairs",
            "q106_semantic_curate", "q106b_semantic_curate_bounded",
            "q108_incremental_semdedup",
            "q108b_incremental_semdedup_bounded",
-           "q111_incremental_semdedup_stored"]
+           "q111_incremental_semdedup_stored",
+           # round 13: streaming arrival dedup — same pair-density
+           # exposure as q81/q33, plus the per-batch group-commit cost
+           "q116_stream_dedup"]
 
 
 def last_json_line(path):
