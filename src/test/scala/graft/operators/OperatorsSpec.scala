@@ -820,6 +820,18 @@ class MultiModalSpec extends SparkSpec {
     assert(rows(0).sum_rgb != rows(1).sum_rgb || rows(0).ahash != rows(1).ahash)
   }
 
+  test("QT RLE: an unchanged frame encodes as a header-only delta and " +
+    "decodes to an exact copy of the previous raster") {
+    val (w, h) = (6, 4)
+    val f = Array.tabulate(w * h)(i => (i * 777) & 0xffffff)
+    val delta = MultiModal.encodeQtRleSample(Some(f), f, w, h)
+    // keyframe carries every pixel; the no-change delta is just headers
+    assert(delta.length < MultiModal.encodeQtRleSample(None, f, w, h).length / 2)
+    val got = MultiModal.decodeQtRleSample(f, delta, w, h).get
+    assert(got.sameElements(f))
+    assert(!(got eq f)) // fresh copy, caller state never aliased
+  }
+
   test("decodeRaster: declared dimensions are checked header-only before " +
     "pixel allocation — an over-cap image degrades to None, under-cap " +
     "decodes") {
