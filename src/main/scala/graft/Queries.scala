@@ -2164,8 +2164,15 @@ object Queries {
     // single-pass form TrainingCorpus uses (stage 3b). Equals q101's drop
     // then q102's gate restricted to the remaining members.
     "q106_semantic_curate" -> ((s, dir) => {
+      // maxClusterSize pinned to the UNBOUNDED special case (mirroring
+      // q101/q46): this oracle replays the CLASSIC pair join on plain
+      // cid, so the query must not ride the engine's moving bounded
+      // default — a fixture dense enough to cross the default cap would
+      // otherwise hash-mismatch and be misread as an engine bug. The
+      // bounded default is oracle-proven by q106b's forced split.
       graft.operators.Cluster.semanticCurate(t(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 4, iters = 3, tau = 0.45, dropFrac = 0.2)
+          "vec_id", "embedding", k = 4, iters = 3, tau = 0.45, dropFrac = 0.2,
+          maxClusterSize = Int.MaxValue)
         .orderBy(col("vec_id"))
     }),
 
@@ -2198,10 +2205,13 @@ object Queries {
     // analog of q81's incremental MinHash).
     "q108_incremental_semdedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // unbounded pinned for oracle exactness (see q106's note); the
+      // bounded arrival path is oracle-proven by q108b's forced split
       graft.operators.Cluster.incrementalSemDeDup(
           emb.filter(col("vec_id") % 5 =!= 0),
           emb.filter(col("vec_id") % 5 === 0),
-          "vec_id", "embedding", k = 4, iters = 3, tau = 0.45)
+          "vec_id", "embedding", k = 4, iters = 3, tau = 0.45,
+          maxClusterSize = Int.MaxValue)
         .orderBy(col("vec_id"))
     }),
 
@@ -2324,12 +2334,14 @@ object Queries {
       val assignments = VersionedLake.readTable(s, root, "assignments",
         Some(v),
         schemaDDL = "vec_id BIGINT, q ARRAY<BIGINT>, dist BIGINT, cid BIGINT")
+      // unbounded pinned for oracle exactness (see q106's note); the
+      // bounded arrival path is oracle-proven by q108b's forced split
       Cluster.incrementalSemDeDupStored(
           assignments,
           emb.filter(col("vec_id") % 5 === 0),
           "vec_id", "embedding",
           VersionedLake.readTable(s, root, "centroids", Some(v)),
-          tau = 0.45)
+          tau = 0.45, maxClusterSize = Int.MaxValue)
         .orderBy(col("vec_id"))
     })
   )

@@ -243,19 +243,31 @@ object Cluster {
   private val oversizedSplits = new java.util.concurrent.atomic.AtomicLong(-1L)
   def lastOversizedClusterSplits: Long = oversizedSplits.get()
 
-  private def recordSplits(assignedOrNeighbors: DataFrame,
-      maxClusterSize: Int, extraBits: Int): Unit = {
-    val splits =
-      if (maxClusterSize == Int.MaxValue) 0L
-      else assignedOrNeighbors.groupBy("cid").agg(count(lit(1)).as("__occ"))
-        .filter(col("__occ") > maxClusterSize).count()
-    oversizedSplits.set(splits)
+  /** ONE occupancy pass serving both consumers: the ≤ k-row per-cid
+    * aggregate is collected (k is centroid-scale — the same bound the
+    * k-means driver state already carries), the split metric and its log
+    * line derive from the collected rows, and the SAME rows come back as
+    * a broadcast local relation for the refinement join. Before round 13
+    * the probe and the plan each ran their own aggregate — on the arrival
+    * path that re-evaluated the un-persisted neighbors union (pruned
+    * corpus + batch) a whole extra time per batch.
+    */
+  private def occupancyBroadcast(assignedOrNeighbors: DataFrame,
+      maxClusterSize: Int, extraBits: Int): DataFrame = {
+    val agg = assignedOrNeighbors.groupBy("cid")
+      .agg(count(lit(1)).as("__occ"))
+    val rows = agg.collect()
+    val occIdx = agg.schema.fieldIndex("__occ")
+    val splits = rows.count(_.getLong(occIdx) > maxClusterSize.toLong)
+    oversizedSplits.set(splits.toLong)
     if (splits > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"semDeDup: $splits cluster(s) over occupancy cap $maxClusterSize " +
           s"re-bucketed $extraBits plane bit(s) deeper (reduced near-dup " +
           "recall inside those clusters; maxClusterSize = Int.MaxValue " +
           "opts out)")
+    broadcast(assignedOrNeighbors.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), agg.schema))
   }
 
   /** The `extraBits` sign bits of exact integer plane dots for one
@@ -354,17 +366,15 @@ object Cluster {
     // already materialized, so the three reads below (two join sides + the
     // survivor base) re-serve its blocks instead of re-running k-means
     val assigned = kmeansQuantized(df, idCol, embCol, k, iters, scale)
-    recordSplits(assigned, maxClusterSize, extraBits)
     val keyed =
-      if (maxClusterSize == Int.MaxValue)
+      if (maxClusterSize == Int.MaxValue) {
+        oversizedSplits.set(0L)
         assigned.withColumn("__rcid", col("cid"))
-      else {
+      } else {
         val d = resolveDims(assigned, "q", dims)
-        // occupancy via a map-side-combinable aggregate broadcast back
-        // (≤ k tiny rows) — same non-window discipline as the LSH
-        // occupancy probe
-        val occ = broadcast(assigned.groupBy("cid")
-          .agg(count(lit(1)).as("__occ")))
+        // ONE occupancy pass, collected then re-broadcast (≤ k tiny
+        // rows) — same non-window discipline as the LSH occupancy probe
+        val occ = occupancyBroadcast(assigned, maxClusterSize, extraBits)
         assigned.join(occ, Seq("cid"))
           .withColumn("__rcid", refinedCid(col("cid"), col("__occ"),
             splitSig(col("q"), d, extraBits, splitSeed, scale),
@@ -475,16 +485,18 @@ object Cluster {
         col("cid"), lit(false).as("is_corpus")))
     val batchB = batchA.select(col(idCol).as("id_b"), col("q").as("qb"),
       col("cid"))
-    recordSplits(neighbors, maxClusterSize, extraBits)
     val (aSide, bSide, pairKey) =
-      if (maxClusterSize == Int.MaxValue) (neighbors, batchB, "cid")
-      else {
+      if (maxClusterSize == Int.MaxValue) {
+        oversizedSplits.set(0L)
+        (neighbors, batchB, "cid")
+      } else {
         val d = resolveDims(batchA, "q", dims)
         // occupancy over the NEIGHBOR side — the rows that actually enter
         // the pair join (pruned corpus + batch); every batch cid appears
-        // there by construction, so both inner joins below are total
-        val occ = broadcast(neighbors.groupBy("cid")
-          .agg(count(lit(1)).as("__occ")))
+        // there by construction, so both inner joins below are total.
+        // ONE pass: collected then re-broadcast, so the un-persisted
+        // neighbors union isn't aggregated a second time per batch
+        val occ = occupancyBroadcast(neighbors, maxClusterSize, extraBits)
         def keyed(side: DataFrame, qName: String) =
           side.join(occ, Seq("cid"))
             .withColumn("__rcid", refinedCid(col("cid"), col("__occ"),

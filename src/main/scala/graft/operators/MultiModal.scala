@@ -693,6 +693,21 @@ object MultiModal {
     * `mdat`.
     */
   def videoFrameRanges(bytes: Array[Byte]): Option[Seq[(Long, Int)]] =
+    videoSampleTable(bytes).map(_.ranges)
+
+  /** Everything the per-frame decode fan-out needs from ONE box walk:
+    * codec fourcc (None when stsd is absent/short — the ranges are still
+    * the ranges), tkhd presentation dims (0×0 when tkhd is absent/short),
+    * and the frame byte ranges. [[extractFramePixels]] dispatches per ROW,
+    * so re-walking the container per fact (ranges, then codec, then dims
+    * for the stateful path) would double or triple the metadata-parse
+    * cost of a 100 TB media sweep; [[videoFrameRanges]] and
+    * [[videoFrameCodec]] remain the public single-fact views.
+    */
+  private final case class VideoSampleTable(codec: Option[String],
+      width: Int, height: Int, ranges: Seq[(Long, Int)])
+
+  private def videoSampleTable(bytes: Array[Byte]): Option[VideoSampleTable] =
     try {
       val buf = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.BIG_ENDIAN)
@@ -700,7 +715,8 @@ object MultiModal {
       val (moovS, moovE) = findBox(top, "moov")
         .getOrElse(throw new Mp4ParseError("no moov box"))
       val moov = mp4Children(buf, moovS, moovE)
-      val stbl = moov.collect { case ("trak", s, e) => mp4Children(buf, s, e) }
+      val (stbl, vkids) = moov
+        .collect { case ("trak", s, e) => mp4Children(buf, s, e) }
         .flatMap { kids =>
           val mdia = findBox(kids, "mdia").map { case (ms, me) =>
             mp4Children(buf, ms, me) }
@@ -713,8 +729,23 @@ object MultiModal {
           else mdia.flatMap(findBox(_, "minf"))
             .map { case (s, e) => mp4Children(buf, s, e) }
             .flatMap(findBox(_, "stbl"))
-            .map { case (s, e) => mp4Children(buf, s, e) }
+            .map { case (s, e) => (mp4Children(buf, s, e), kids) }
         }.headOption.getOrElse(throw new Mp4ParseError("no vide stbl"))
+      // codec + dims are OPTIONAL side facts of the same walk: their
+      // absence (or a short box) must not fail the ranges — that keeps
+      // this parse exactly as permissive as the pre-round-13
+      // videoFrameRanges, which never looked at stsd or tkhd
+      val codec = findBox(stbl, "stsd").flatMap { case (sdS, sdE) =>
+        if (sdE - sdS < 8 || buf.getInt(sdS + 4) < 1) None
+        else try mp4Children(buf, sdS + 8, sdE).headOption.map(_._1)
+        catch { case _: Mp4ParseError => None }
+      }
+      val (width, height) = findBox(vkids, "tkhd").map { case (tkS, tkE) =>
+        val ver = buf.get(tkS) & 0xff
+        val off = if (ver == 1) 88 else 76
+        if (tkE - tkS < off + 8) (0, 0)
+        else (buf.getInt(tkS + off) >>> 16, buf.getInt(tkS + off + 4) >>> 16)
+      }.getOrElse((0, 0))
 
       // stsz: ver/flags, uniform sample_size (0 = per-entry table), count
       val (szS, szE) = findBox(stbl, "stsz")
@@ -790,7 +821,7 @@ object MultiModal {
       if (sample < nSamples)
         throw new Mp4ParseError(
           s"sample table ends at $sample of $nSamples (missing chunks)")
-      Some(out.result())
+      Some(VideoSampleTable(codec, width, height, out.result()))
     } catch {
       case _: Mp4ParseError | _: IndexOutOfBoundsException => None
     }
@@ -885,36 +916,36 @@ object MultiModal {
   def extractFramePixels(media: Dataset[MediaRow]): Dataset[FramePixels] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
-      videoFrameRanges(r.content) match {
-        case Some(ranges) if videoFrameCodec(r.content).contains("rle ") =>
+      // ONE container walk per row: codec, dims and ranges come out of
+      // the same videoSampleTable parse (per-row dispatch on a media
+      // sweep must not pay a box walk per FACT)
+      videoSampleTable(r.content) match {
+        case Some(tbl) if tbl.codec.contains("rle ") =>
           // INTER-FRAME path (QT Animation): frames decode STATEFULLY in
           // sample order — each delta composites onto the previous
           // raster, so the iterator is consumed sequentially (flatMap
           // guarantees that) with one w·h int raster of state per video,
-          // never per frame. Track dims come from the moov header.
-          decodeVideo(r.content).filter(v => v.width > 0 && v.height > 0) match {
-            case Some(info) =>
-              val (w, h) = (info.width, info.height)
-              var prev = new Array[Int](w * h)
-              ranges.iterator.zipWithIndex.map { case ((off, sz), i) =>
-                val sample = java.util.Arrays.copyOfRange(
-                  r.content, off.toInt, off.toInt + sz)
-                decodeQtRleSample(prev, sample, w, h) match {
-                  case Some(ras) =>
-                    prev = ras
-                    val p = pixelFeaturesOfRaster(r.media_id, w, h,
-                      (x, y) => ras(y * w + x), "rle")
-                    FramePixels(r.media_id, i.toLong, w, h,
-                      p.sum_rgb, p.ahash, p.format)
-                  case None => // malformed sample: visible stub, state kept
-                    FramePixels(r.media_id, i.toLong, 0, 0, 0L, "", "stub")
-                }
+          // never per frame. Track dims come from the same walk's tkhd.
+          if (tbl.width > 0 && tbl.height > 0) {
+            val (w, h) = (tbl.width, tbl.height)
+            var prev = new Array[Int](w * h)
+            tbl.ranges.iterator.zipWithIndex.map { case ((off, sz), i) =>
+              val sample = java.util.Arrays.copyOfRange(
+                r.content, off.toInt, off.toInt + sz)
+              decodeQtRleSample(prev, sample, w, h) match {
+                case Some(ras) =>
+                  prev = ras
+                  val p = pixelFeaturesOfRaster(r.media_id, w, h,
+                    (x, y) => ras(y * w + x), "rle")
+                  FramePixels(r.media_id, i.toLong, w, h,
+                    p.sum_rgb, p.ahash, p.format)
+                case None => // malformed sample: visible stub, state kept
+                  FramePixels(r.media_id, i.toLong, 0, 0, 0L, "", "stub")
               }
-            case None =>
-              Iterator.single(
-                FramePixels(r.media_id, -1L, 0, 0, 0L, "", "stub"))
-          }
-        case Some(ranges) => ranges.iterator.zipWithIndex.map {
+            }
+          } else Iterator.single(
+            FramePixels(r.media_id, -1L, 0, 0, 0L, "", "stub"))
+        case Some(tbl) => tbl.ranges.iterator.zipWithIndex.map {
           case ((off, sz), i) =>
             val frame = java.util.Arrays.copyOfRange(
               r.content, off.toInt, off.toInt + sz)

@@ -406,6 +406,33 @@ object VersionedLake {
     readFiles(spark, table, files, mergeSchema, schemaDDL)
   }
 
+  /** Union read over EVERY committed version's file list (distinct
+    * paths) — for MONOTONE, duplicate-tolerant, append-only tables (a
+    * progress ledger, an audit trail), NOT a general time-travel read
+    * (on an overwrite table it would resurrect replaced data).
+    *
+    * Why it exists: the append-mode concurrency contract lets two racing
+    * appends each chain from the same base, so the LATER manifest omits
+    * the earlier racer's files — a latest-version read silently loses
+    * that batch. A union-over-all-manifests read is immune: every
+    * committed batch's files appear in at least its OWN manifest, and a
+    * duplicate-tolerant consumer doesn't care that serial chains list
+    * the carried files many times over. Per-batch crash atomicity is
+    * unchanged (uncommitted `_data` dirs are in no manifest). Corollary
+    * for vacuum: don't vacuum such a table past an unmerged fork —
+    * vacuum keeps only files referenced by manifests ≥ `keepFrom`.
+    */
+  def readAllVersions(spark: SparkSession, table: String,
+      mergeSchema: Boolean = true, schemaDDL: String = null,
+      manifestStore: Option[ManifestStore] = None): DataFrame = {
+    val store = storeFor(spark, table, manifestStore)
+    val vs = store.committedVersions()
+    require(vs.nonEmpty, s"no committed versions at $table")
+    val files = vs.flatMap(v => manifestFiles(store, table, v)).distinct
+    require(files.nonEmpty, s"no files across versions $vs at $table")
+    readFiles(spark, table, files, mergeSchema, schemaDDL)
+  }
+
   /** Read an explicit manifest file list rooted at `root`, grouping by
     * per-version data directory and anchoring each group's read at its own
     * basePath: partitioned commits nest files under col=value dirs, and

@@ -27,15 +27,61 @@ import graft.operators.Relational
   * an atomic manifest flip: a crash mid-commit leaves the previous
   * version intact and the whole batch either visible or not
   * (all-or-nothing, crash-interleaving pinned in ProgressLedgerSpec).
+  *
+  * Reads are [[graft.sources.VersionedLake.readAllVersions]] — the union
+  * of EVERY committed version's files, which the ledger's monotone,
+  * duplicate-tolerant semantics make exactly right: two pipelines racing
+  * `markDone` on a shared ledger may each chain their append from the
+  * same base (the lake's documented append race — the later manifest
+  * omits the earlier racer's files), and a latest-version read would
+  * silently lose a batch of marks and re-queue its completed work on
+  * every resume; the union read sees every committed batch regardless of
+  * chain forks. The one operational corollary: never vacuum a ledger
+  * path past an unmerged fork.
+  *
+  * LEGACY COMPATIBILITY: a ledger written before the versioned commit
+  * (plain parquet part-files directly under `path`) keeps counting —
+  * those files are unioned into every read, and `exists` sees them. The
+  * underscore-prefixed `_manifests`/`_data` dirs are invisible to the
+  * plain read (Spark hides `_*` paths), so the two layouts coexist at
+  * one path with no migration step.
   */
 final case class ProgressLedger(spark: SparkSession, path: String) {
   import graft.sources.VersionedLake
 
-  def exists: Boolean = VersionedLake.versions(spark, path).nonEmpty
+  def exists: Boolean =
+    VersionedLake.versions(spark, path).nonEmpty || legacyFiles.nonEmpty
 
-  /** All recorded keys (empty when no ledger has been committed). */
-  def done: Option[DataFrame] =
-    if (exists) Some(VersionedLake.read(spark, path)) else None
+  // plain parquet part-files directly under path — the pre-versioned
+  // layout; Spark's `_`/`.`-hidden rule means reading them never sees the
+  // manifest machinery, and the lake read never lists them
+  private def legacyFiles: Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+  }
+
+  /** All recorded keys (empty when no ledger has been committed):
+    * all-versions union plus any legacy plain-parquet marks.
+    */
+  def done: Option[DataFrame] = {
+    val versioned =
+      if (VersionedLake.versions(spark, path).nonEmpty)
+        Some(VersionedLake.readAllVersions(spark, path))
+      else None
+    val legacy = {
+      val lf = legacyFiles
+      if (lf.nonEmpty) Some(spark.read.parquet(lf: _*)) else None
+    }
+    (versioned, legacy) match {
+      case (Some(v), Some(l)) => Some(v.unionByName(l, allowMissingColumns = true))
+      case (v, l) => v.orElse(l)
+    }
+  }
 
   /** Mark a batch of keys complete — ONE atomic versioned append per
     * batch. `doneAt` is an explicit parameter so runs stay deterministic

@@ -45,6 +45,62 @@ class ProgressLedgerSpec extends SparkSpec {
     assert(ledger.remaining(candidates, "op")
       .collect().map(_.getString(0)).toSeq == Seq("w3"))
   }
+
+  test("a pre-versioned plain-parquet ledger keeps counting: legacy marks " +
+    "are read, and new versioned marks coexist at the same path") {
+    val root = Files.createTempDirectory("ledger").toString + "/p"
+    val doneAt = java.sql.Timestamp.valueOf("2026-08-12 00:00:00")
+    // the pre-round-13 layout: plain parquet part-files directly at path
+    Seq("w1").toDF("op").select(col("op").as("operator_key"))
+      .withColumn("run_id", lit("legacy-run"))
+      .withColumn("done_at", lit(doneAt))
+      .write.parquet(root)
+    val ledger = ProgressLedger(spark, root)
+    val candidates = Seq("w1", "w2", "w3").toDF("op")
+    // an upgrade must NOT re-queue legacy-completed work
+    assert(ledger.exists)
+    assert(ledger.remaining(candidates, "op")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("w2", "w3"))
+    // new marks commit versioned; both layouts read together
+    ledger.markDone(Seq("w2").toDF("op"), "op", "run-2", doneAt)
+    assert(ledger.remaining(candidates, "op")
+      .collect().map(_.getString(0)).toSeq == Seq("w3"))
+  }
+
+  test("racing appends that fork the version chain lose no marks: reads " +
+    "union EVERY committed manifest, not just the latest") {
+    import graft.sources.VersionedLake
+    val root = Files.createTempDirectory("ledger").toString + "/p"
+    val ledger = ProgressLedger(spark, root)
+    val candidates = Seq("w1", "w2", "w3", "w4").toDF("op")
+    val doneAt = java.sql.Timestamp.valueOf("2026-08-12 00:00:00")
+    ledger.markDone(Seq("w1").toDF("op"), "op", "run-1", doneAt) // v1 {w1}
+    ledger.markDone(Seq("w2").toDF("op"), "op", "run-2", doneAt) // v2 {w1,w2}
+    // simulate the documented append race: a second pipeline claimed v3
+    // while still seeing v1 as latest, so ITS manifest carries v1's files
+    // plus its own — omitting v2's w2 batch entirely
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val store = new graft.sources.HadoopManifestStore(fs, root)
+    Seq("w3").toDF("op").select(col("op").as("operator_key"))
+      .withColumn("run_id", lit("run-racer"))
+      .withColumn("done_at", lit(doneAt))
+      .write.parquet(s"$root/_data/v3")
+    val racerFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_data/v3"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(n => s"_data/v3/$n").sorted
+    val v1Files = "\"([^\"]+)\"".r
+      .findAllMatchIn(new String(store.readManifest(1), "UTF-8"))
+      .map(_.group(1)).filter(_.startsWith("_data/")).toSeq
+    val manifest = (v1Files ++ racerFiles)
+      .map(p => "\"" + p + "\"").mkString("{\"version\":3,\"files\":[", ",", "]}")
+    assert(store.tryClaim(3))
+    assert(store.publish(3, manifest.getBytes("UTF-8")))
+    // latest manifest (v3) omits w2 — the union read must still see it
+    assert(VersionedLake.versions(spark, root).last == 3L)
+    assert(ledger.remaining(candidates, "op")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("w4"))
+  }
 }
 
 class AuditListenerSpec extends SparkSpec {
