@@ -491,6 +491,13 @@ object MultiModal {
 
   // ------------------------------------------- pixel / sample level
 
+  /** One ceiling for every untrusted-dimension raster allocation in this
+    * module (ImageIO decode AND the QT RLE composite state): 64 MP ≈
+    * 256 MB ARGB, far above any real fixture, far below a task-killing
+    * allocation. Declared dims past it degrade to the stub row.
+    */
+  val MaxRasterPixels: Long = 64L * 1024 * 1024
+
   /** REAL full-raster image decode via JDK ImageIO (PNG/GIF/BMP lossless,
     * JPEG lossy): the pixel-level complement of the header-only
     * [[decodeImage]]. Returns the raster plus the reader's format name;
@@ -506,7 +513,7 @@ object MultiModal {
     * 256 MB ARGB, far above any real fixture) return None like any other
     * undecodable input.
     */
-  def decodeRaster(bytes: Array[Byte], maxPixels: Long = 64L * 1024 * 1024):
+  def decodeRaster(bytes: Array[Byte], maxPixels: Long = MaxRasterPixels):
       Option[(java.awt.image.BufferedImage, String)] = {
     val in = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
@@ -707,33 +714,43 @@ object MultiModal {
   private final case class VideoSampleTable(codec: Option[String],
       width: Int, height: Int, ranges: Seq[(Long, Int)])
 
+  /** The `vide`-handler track's stbl children plus that trak's own
+    * children — ONE resolution of the visual sample table shared by
+    * [[videoSampleTable]] and [[videoFrameCodec]] (hand-rolled copies of
+    * this walk would silently diverge on the next leniency fix). Throws
+    * [[Mp4ParseError]] when no vide trak carries an stbl.
+    */
+  private def videoVideStbl(buf: java.nio.ByteBuffer, bytes: Array[Byte]):
+      (Seq[(String, Int, Int)], Seq[(String, Int, Int)]) = {
+    val top = mp4Children(buf, 0, bytes.length)
+    val (moovS, moovE) = findBox(top, "moov")
+      .getOrElse(throw new Mp4ParseError("no moov box"))
+    mp4Children(buf, moovS, moovE)
+      .collect { case ("trak", s, e) => mp4Children(buf, s, e) }
+      .flatMap { kids =>
+        val mdia = findBox(kids, "mdia").map { case (ms, me) =>
+          mp4Children(buf, ms, me) }
+        val handler = mdia.flatMap(findBox(_, "hdlr")).map { case (hs, he) =>
+          if (he - hs < 12) throw new Mp4ParseError("short hdlr")
+          new String(Array(buf.get(hs + 8), buf.get(hs + 9),
+            buf.get(hs + 10), buf.get(hs + 11)), "US-ASCII")
+        }
+        if (!handler.contains("vide")) None
+        else mdia.flatMap(findBox(_, "minf"))
+          .map { case (s, e) => mp4Children(buf, s, e) }
+          .flatMap(findBox(_, "stbl"))
+          .map { case (s, e) => (mp4Children(buf, s, e), kids) }
+      }.headOption.getOrElse(throw new Mp4ParseError("no vide stbl"))
+  }
+
   private def videoSampleTable(bytes: Array[Byte]): Option[VideoSampleTable] =
     try {
       val buf = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.BIG_ENDIAN)
-      val top = mp4Children(buf, 0, bytes.length)
-      val (moovS, moovE) = findBox(top, "moov")
-        .getOrElse(throw new Mp4ParseError("no moov box"))
-      val moov = mp4Children(buf, moovS, moovE)
-      val (stbl, vkids) = moov
-        .collect { case ("trak", s, e) => mp4Children(buf, s, e) }
-        .flatMap { kids =>
-          val mdia = findBox(kids, "mdia").map { case (ms, me) =>
-            mp4Children(buf, ms, me) }
-          val handler = mdia.flatMap(findBox(_, "hdlr")).map { case (hs, he) =>
-            if (he - hs < 12) throw new Mp4ParseError("short hdlr")
-            new String(Array(buf.get(hs + 8), buf.get(hs + 9),
-              buf.get(hs + 10), buf.get(hs + 11)), "US-ASCII")
-          }
-          if (!handler.contains("vide")) None
-          else mdia.flatMap(findBox(_, "minf"))
-            .map { case (s, e) => mp4Children(buf, s, e) }
-            .flatMap(findBox(_, "stbl"))
-            .map { case (s, e) => (mp4Children(buf, s, e), kids) }
-        }.headOption.getOrElse(throw new Mp4ParseError("no vide stbl"))
+      val (stbl, vkids) = videoVideStbl(buf, bytes)
       // codec + dims are OPTIONAL side facts of the same walk: their
-      // absence (or a short box) must not fail the ranges — that keeps
-      // this parse exactly as permissive as the pre-round-13
+      // absence (or a short/truncated box) must not fail the ranges —
+      // that keeps this parse exactly as permissive as the pre-round-13
       // videoFrameRanges, which never looked at stsd or tkhd
       val codec = findBox(stbl, "stsd").flatMap { case (sdS, sdE) =>
         if (sdE - sdS < 8 || buf.getInt(sdS + 4) < 1) None
@@ -741,10 +758,13 @@ object MultiModal {
         catch { case _: Mp4ParseError => None }
       }
       val (width, height) = findBox(vkids, "tkhd").map { case (tkS, tkE) =>
-        val ver = buf.get(tkS) & 0xff
-        val off = if (ver == 1) 88 else 76
-        if (tkE - tkS < off + 8) (0, 0)
-        else (buf.getInt(tkS + off) >>> 16, buf.getInt(tkS + off + 4) >>> 16)
+        if (tkE - tkS < 1) (0, 0) // empty tkhd: dims unknown, ranges intact
+        else {
+          val ver = buf.get(tkS) & 0xff
+          val off = if (ver == 1) 88 else 76
+          if (tkE - tkS < off + 8) (0, 0)
+          else (buf.getInt(tkS + off) >>> 16, buf.getInt(tkS + off + 4) >>> 16)
+        }
       }.getOrElse((0, 0))
 
       // stsz: ver/flags, uniform sample_size (0 = per-entry table), count
@@ -867,25 +887,7 @@ object MultiModal {
     try {
       val buf = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.BIG_ENDIAN)
-      val top = mp4Children(buf, 0, bytes.length)
-      val (moovS, moovE) = findBox(top, "moov")
-        .getOrElse(throw new Mp4ParseError("no moov box"))
-      val stbl = mp4Children(buf, moovS, moovE)
-        .collect { case ("trak", s, e) => mp4Children(buf, s, e) }
-        .flatMap { kids =>
-          val mdia = findBox(kids, "mdia").map { case (ms, me) =>
-            mp4Children(buf, ms, me) }
-          val handler = mdia.flatMap(findBox(_, "hdlr")).map { case (hs, he) =>
-            if (he - hs < 12) throw new Mp4ParseError("short hdlr")
-            new String(Array(buf.get(hs + 8), buf.get(hs + 9),
-              buf.get(hs + 10), buf.get(hs + 11)), "US-ASCII")
-          }
-          if (!handler.contains("vide")) None
-          else mdia.flatMap(findBox(_, "minf"))
-            .map { case (s, e) => mp4Children(buf, s, e) }
-            .flatMap(findBox(_, "stbl"))
-            .map { case (s, e) => mp4Children(buf, s, e) }
-        }.headOption.getOrElse(throw new Mp4ParseError("no vide stbl"))
+      val (stbl, _) = videoVideStbl(buf, bytes)
       val (sdS, sdE) = findBox(stbl, "stsd")
         .getOrElse(throw new Mp4ParseError("no stsd"))
       // stsd: ver/flags(4) entry_count(4), then sample-entry boxes — the
@@ -925,8 +927,17 @@ object MultiModal {
           // sample order — each delta composites onto the previous
           // raster, so the iterator is consumed sequentially (flatMap
           // guarantees that) with one w·h int raster of state per video,
-          // never per frame. Track dims come from the same walk's tkhd.
-          if (tbl.width > 0 && tbl.height > 0) {
+          // never per frame. Track dims come from the same walk's tkhd —
+          // the frame decode needs dims + the sample table, not ftyp/mvhd
+          // duration metadata (deliberately more permissive than round
+          // 13's first cut, which also demanded a decodable ftyp/mvhd
+          // header). Untrusted-dims guard, same rationale as
+          // decodeRaster's: crafted tkhd dims must degrade to the stub
+          // marker, never allocate w·h·4 unbounded (Int overflow in
+          // w*h would throw NegativeArraySizeException — an uncaught
+          // task-killer — and huge-but-valid dims would OOM per row).
+          if (tbl.width > 0 && tbl.height > 0 &&
+            tbl.width.toLong * tbl.height.toLong <= MaxRasterPixels) {
             val (w, h) = (tbl.width, tbl.height)
             var prev = new Array[Int](w * h)
             tbl.ranges.iterator.zipWithIndex.map { case ((off, sz), i) =>

@@ -424,13 +424,27 @@ object VersionedLake {
     */
   def readAllVersions(spark: SparkSession, table: String,
       mergeSchema: Boolean = true, schemaDDL: String = null,
-      manifestStore: Option[ManifestStore] = None): DataFrame = {
+      manifestStore: Option[ManifestStore] = None): DataFrame =
+    tryReadAllVersions(spark, table, mergeSchema, schemaDDL, manifestStore)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed versions at $table"))
+
+  /** [[readAllVersions]] tolerating an uncommitted table (None) — ONE
+    * manifest-directory listing answers both "does it exist" and "read
+    * it", so a per-micro-batch resume poll doesn't pay a second LIST on
+    * an object store just to pre-check emptiness.
+    */
+  def tryReadAllVersions(spark: SparkSession, table: String,
+      mergeSchema: Boolean = true, schemaDDL: String = null,
+      manifestStore: Option[ManifestStore] = None): Option[DataFrame] = {
     val store = storeFor(spark, table, manifestStore)
     val vs = store.committedVersions()
-    require(vs.nonEmpty, s"no committed versions at $table")
-    val files = vs.flatMap(v => manifestFiles(store, table, v)).distinct
-    require(files.nonEmpty, s"no files across versions $vs at $table")
-    readFiles(spark, table, files, mergeSchema, schemaDDL)
+    if (vs.isEmpty) None
+    else {
+      val files = vs.flatMap(v => manifestFiles(store, table, v)).distinct
+      require(files.nonEmpty, s"no files across versions $vs at $table")
+      Some(readFiles(spark, table, files, mergeSchema, schemaDDL))
+    }
   }
 
   /** Read an explicit manifest file list rooted at `root`, grouping by

@@ -66,13 +66,12 @@ final case class ProgressLedger(spark: SparkSession, path: String) {
   }
 
   /** All recorded keys (empty when no ledger has been committed):
-    * all-versions union plus any legacy plain-parquet marks.
+    * all-versions union plus any legacy plain-parquet marks. One
+    * manifest listing + one path listing per call — this runs on every
+    * resume poll, so it must not pre-check existence with extra LISTs.
     */
   def done: Option[DataFrame] = {
-    val versioned =
-      if (VersionedLake.versions(spark, path).nonEmpty)
-        Some(VersionedLake.readAllVersions(spark, path))
-      else None
+    val versioned = VersionedLake.tryReadAllVersions(spark, path)
     val legacy = {
       val lf = legacyFiles
       if (lf.nonEmpty) Some(spark.read.parquet(lf: _*)) else None

@@ -832,6 +832,30 @@ class MultiModalSpec extends SparkSpec {
     assert(!(got eq f)) // fresh copy, caller state never aliased
   }
 
+  test("rle video with crafted huge tkhd dims degrades to the stub " +
+    "marker — w*h Int overflow or an OOM-scale raster must never kill " +
+    "the task") {
+    import spark.implicits._
+    val (w, h) = (6, 4)
+    val rasters = Seq(Array.tabulate(w * h)(i => i & 0xffffff),
+      Array.tabulate(w * h)(i => (i + 7) & 0xffffff))
+    val mp4 = MultiModal.encodeQtRleVideo(w, h, rasters)
+    // declare 46341x46341 in the v0 tkhd (46341^2 overflows Int — the
+    // allocation would throw NegativeArraySizeException uncaught)
+    val payload = mp4.indexOfSlice("tkhd".getBytes("US-ASCII")) + 4
+    assert(payload > 4)
+    def put(off: Int, v: Int): Unit = {
+      mp4(off) = (v >> 24).toByte; mp4(off + 1) = (v >> 16).toByte
+      mp4(off + 2) = (v >> 8).toByte; mp4(off + 3) = v.toByte
+    }
+    put(payload + 76, 46341 << 16)
+    put(payload + 80, 46341 << 16)
+    val rows = MultiModal.extractFramePixels(spark.createDataset(Seq(
+      MultiModal.MediaRow(9L, "video", "video/mp4", mp4)))).collect()
+    assert(rows.length == 1 && rows.head.frame_idx == -1L &&
+      rows.head.format == "stub")
+  }
+
   test("decodeRaster: declared dimensions are checked header-only before " +
     "pixel allocation — an over-cap image degrades to None, under-cap " +
     "decodes") {
