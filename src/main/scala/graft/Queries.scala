@@ -1484,6 +1484,84 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING SEMANTIC dedup (beyond-reference §2.9): the q111 arrival
+    // path as a LIVE stream — the semantic twin of q116, completing the
+    // batch/incremental/streaming × (lexical, semantic) grid. Setup fits
+    // the centroid model on the corpus (vec_id % 5 <> 0) and commits
+    // model + assignments as group v1; embeddings then arrive in three
+    // mtime-ordered chunks (chunk = vec_id % 3, one micro-batch each),
+    // every batch assigns map-only against the STORED centroids, drops
+    // against co-clustered stored neighbors (corpus + all earlier
+    // arrivals — arrival order outranks id order across batches, id
+    // order breaks same-batch ties), and survivors + the batch's
+    // assignment rows + the replay marker commit as ONE atomic group
+    // version with the centroids CARRIED forward (no model rewrite).
+    // maxClusterSize pinned unbounded for oracle exactness (the q106
+    // note); the bounded default is the engine-side contract.
+    "q117_stream_semdedup" -> ((s, dir) => {
+      val tmp = freshScratchDir("graft_q117")
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.flows.StreamingSemDeDup.setup(
+        emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+        s"$tmp/state", k = 4, iters = 3)
+      val arriving = emb.filter(col("vec_id") % 5 === 0)
+      for (c <- 0 until 3) {
+        arriving.filter(col("vec_id") % 3 === c).coalesce(1)
+          .write.mode("append").parquet(s"$tmp/in")
+        stampFreshMtimes(s"$tmp/in", 1000000000000L + c * 60000L)
+      }
+      val stream = s.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      graft.streaming.Incremental.withStreamPolicy(stream,
+        s.read.parquet(s"$tmp/in").count()) {
+        val q = graft.flows.StreamingSemDeDup.writer(stream, "vec_id",
+          "embedding", s"$tmp/state", s"$tmp/ckpt", tau = 0.45,
+          maxClusterSize = Int.MaxValue).start()
+        try q.awaitTermination() finally q.stop()
+      }
+      graft.flows.StreamingSemDeDup.survivors(s, s"$tmp/state")
+        .orderBy(col("vec_id"))
+    }),
+
+    // q117 THROUGH FAILURE: killed as soon as the first micro-batch
+    // commits, resumed from the checkpoint — the survivor table must
+    // STILL hash-match the same oracle. The carried-centroids group
+    // commit plus the applied-marker short-circuit is what makes the
+    // replay idempotent (a replay past the marker would find its own
+    // assignment rows and drop the whole batch against itself).
+    "q117b_stream_semdedup_resume" -> ((s, dir) => {
+      val tmp = freshScratchDir("graft_q117b")
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.flows.StreamingSemDeDup.setup(
+        emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+        s"$tmp/state", k = 4, iters = 3)
+      val arriving = emb.filter(col("vec_id") % 5 === 0)
+      for (c <- 0 until 3) {
+        arriving.filter(col("vec_id") % 3 === c).coalesce(1)
+          .write.mode("append").parquet(s"$tmp/in")
+        stampFreshMtimes(s"$tmp/in", 1000000000000L + c * 60000L)
+      }
+      val stream = s.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      def dedup() = graft.flows.StreamingSemDeDup.writer(stream, "vec_id",
+        "embedding", s"$tmp/state", s"$tmp/ckpt", tau = 0.45,
+        maxClusterSize = Int.MaxValue)
+      graft.streaming.Incremental.withStreamPolicy(stream,
+        s.read.parquet(s"$tmp/in").count()) {
+        val q1 = dedup().start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (q1.recentProgress.isEmpty && q1.isActive &&
+            System.nanoTime() < deadline) Thread.sleep(10)
+        } finally q1.stop()
+        q1.awaitTermination()
+        val q2 = dedup().start()
+        try q2.awaitTermination() finally q2.stop()
+      }
+      graft.flows.StreamingSemDeDup.survivors(s, s"$tmp/state")
+        .orderBy(col("vec_id"))
+    }),
+
     // Gopher-style repetition signal: fraction of word 2-/3-grams that
     // repeat within the document. Pure per-row array math (slice+zip, no
     // explode, no shuffle); integer counts + one IEEE division replay
@@ -2448,6 +2526,43 @@ object Queries {
          |        / (a.nrm * b.nrm) >= 0.45
          |)
          |SELECT vec_id, cid FROM ba WHERE vec_id NOT IN (SELECT id_b FROM drp)
+         |ORDER BY vec_id""".stripMargin
+
+  /** q117/q117b's shared oracle: q108's fit/assign replay with the
+    * STREAMING arrival predicate — a stream doc (vec_id % 5 = 0, batch =
+    * vec_id % 3) drops against any co-clustered cosine-≥-τ neighbor that
+    * is corpus, arrived in an EARLIER batch (arrival order outranks id
+    * order), or is a lower-id SAME-batch mate. Identical for the straight
+    * run and the kill-and-resume run: crash recovery must be
+    * output-invisible.
+    */
+  private lazy val streamingSemDedupOracle: String =
+    kmeansCtesSql(k = 4, iters = 3, dims = 64,
+      scale = 1 << 20, fitWhere = "vec_id % 5 <> 0") +
+      s""",
+         |af AS (${assignCteSql("e", "c2", 64)}),
+         |nn AS (
+         |  SELECT vec_id, cid, q,
+         |    sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS DOUBLE)) AS nrm
+         |  FROM af
+         |),
+         |ba AS (SELECT * FROM nn WHERE vec_id % 5 = 0),
+         |nb AS (
+         |  SELECT vec_id, cid, q, nrm, TRUE AS is_corpus FROM nn WHERE vec_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT vec_id, cid, q, nrm, FALSE AS is_corpus FROM ba
+         |),
+         |drp AS (
+         |  SELECT DISTINCT b.vec_id AS id_b
+         |  FROM nb a JOIN ba b ON a.cid = b.cid AND (a.is_corpus
+         |    OR a.vec_id % 3 < b.vec_id % 3
+         |    OR (a.vec_id % 3 = b.vec_id % 3 AND a.vec_id < b.vec_id))
+         |  WHERE a.nrm > 0 AND b.nrm > 0
+         |    AND CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
+         |        / (a.nrm * b.nrm) >= 0.45
+         |)
+         |SELECT vec_id, vec_id % 3 AS batch_id FROM ba
+         |WHERE vec_id NOT IN (SELECT id_b FROM drp)
          |ORDER BY vec_id""".stripMargin
 
   /** One nearest-centroid assignment of `src` rows against centroid CTE
@@ -3960,6 +4075,12 @@ object Queries {
     // output-invisible.
     "q116_stream_dedup" -> q116Oracle,
     "q116b_stream_dedup_resume" -> q116Oracle,
+
+    // q117/q117b: streaming semantic dedup (stored model, carried
+    // centroids, per-batch group commits); the resume variant shares the
+    // oracle — crash recovery must be output-invisible.
+    "q117_stream_semdedup" -> streamingSemDedupOracle,
+    "q117b_stream_semdedup_resume" -> streamingSemDedupOracle,
 
     // q115 shares the same oracle as q114/q68: a kill + checkpoint-resume
     // must land the identical final snapshot (exactly-once through

@@ -1,0 +1,132 @@
+package graft.flows
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.operators.Cluster
+import graft.sources.VersionedLake
+
+/** STREAMING semantic dedup — the SemDeDup arrival path
+  * (`Cluster.incrementalSemDeDupStored`, q111) as a continuously running
+  * stream with EXACTLY-ONCE output: the semantic twin of
+  * [[StreamingDedup]]'s MinHash pipeline, completing the symmetry
+  * batch / incremental / streaming × (lexical, semantic). Embeddings
+  * arrive, each micro-batch is assigned against the ONE stored centroid
+  * model (fit once at [[setup]] — the production shape: models retrain
+  * on a cadence, not per batch), compared only to co-clustered stored
+  * neighbors, and survivors + the batch's assignment rows land together.
+  *
+  * Drop rule (keep-first-arrival, mirroring q116's keep-lowest-id-among-
+  * ARRIVED): a batch doc is dropped iff some co-clustered doc at cosine ≥
+  * `tau` is in the STORED assignments (the setup corpus or ANY earlier
+  * batch — arrival order outranks id order across batches) or is a
+  * lower-id mate in the SAME batch. Dropped docs still append their
+  * assignment rows — same discipline as the MinHash stream's
+  * dropped-doc-still-indexes: near-dup status must not depend on whether
+  * an intermediate mate survived.
+  *
+  * Exactly-once: each micro-batch commits `assignments` (append),
+  * `survivors` (append), `applied` (overwrite, the batch id) and CARRIES
+  * `centroids` forward as ONE [[VersionedLake]] group version — the
+  * carry re-lists the fitted model's files in the new manifest for free,
+  * no data rewrite. A batch replayed after a crash (committed but not
+  * yet checkpointed) short-circuits on the `applied` marker; without the
+  * marker a replay would find its OWN rows in `assignments` and drop the
+  * whole batch against itself.
+  *
+  * Scale shape per batch: one k-row centroid read, one map-only batch
+  * assign (no shuffle — the q105 pin), one assignments read partition-
+  * pruned to the batch's ≤ k cids (the cid-partitioned layout turns
+  * per-batch corpus I/O into directory reads), one bounded-occupancy
+  * pair join. Per-batch cost is corpus-size-independent apart from the
+  * pruned read — the same contract q111's oracle checks in one shot.
+  */
+object StreamingSemDeDup {
+
+  private val markerSchema =
+    StructType(Seq(StructField("batch_id", LongType, nullable = false)))
+
+  private def marker(spark: SparkSession, batchId: Long): DataFrame =
+    spark.createDataFrame(java.util.List.of(Row(batchId)), markerSchema)
+
+  /** Fit the centroid model on the initial corpus and commit model +
+    * corpus assignments + the replay marker as group version 1. Must run
+    * once before the stream starts; the stream never refits.
+    */
+  def setup(corpus: DataFrame, idCol: String, embCol: String, root: String,
+      k: Int, iters: Int, scale: Int = Cluster.QuantScale): Unit = {
+    val spark = corpus.sparkSession
+    require(VersionedLake.versions(spark, root).isEmpty,
+      s"streaming sem-dedup state already exists at $root")
+    val gc = VersionedLake.beginGroupCommit(spark, root)
+    gc.write("centroids",
+      Cluster.fitCentroids(corpus, idCol, embCol, k, iters, scale))
+    gc.write("assignments",
+      Cluster.assignStored(corpus, idCol, embCol,
+        gc.readStaged("centroids"), scale),
+      partitionBy = Seq("cid"))
+    gc.write("applied", marker(spark, -1L))
+    gc.publish()
+    ()
+  }
+
+  /** Build the writer (caller starts it; AvailableNow trigger). `docs`
+    * must be a STREAMING frame carrying `idCol` (integral) + `embCol`
+    * (numeric array); [[setup]] must have committed v1 at `root`.
+    */
+  def writer(docs: DataFrame, idCol: String, embCol: String,
+      root: String, checkpoint: String, tau: Double,
+      scale: Int = Cluster.QuantScale,
+      maxClusterSize: Int = Cluster.DefaultSemClusterCap): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, idCol, embCol, root, tau, scale,
+          maxClusterSize)
+      }
+
+  /** One micro-batch: idempotence check → model + pruned-neighbor read →
+    * semantic drop rule → atomic group commit. Public for spec-level
+    * direct driving; the streaming writer is a thin shell over this.
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, idCol: String,
+      embCol: String, root: String, tau: Double, scale: Int,
+      maxClusterSize: Int): Unit = {
+    val spark = batch.sparkSession
+    // replay short-circuit: the marker committed ATOMICALLY with the data,
+    // so "applied says done" ⟺ "this batch's assignment rows are visible"
+    // — and a replay past the marker would dedup the batch against itself
+    val lastApplied =
+      VersionedLake.readTable(spark, root, "applied").head().getLong(0)
+    if (batchId <= lastApplied) return
+    // one version resolve for every read in the batch (group consistency)
+    val v = VersionedLake.versions(spark, root).last
+    val centroids = VersionedLake.readTable(spark, root, "centroids", Some(v))
+    // explicit schema: partition-column inference would read cid back as
+    // INT and break the long contract downstream (same note as q111)
+    val assignments = VersionedLake.readTable(spark, root, "assignments",
+      Some(v),
+      schemaDDL = s"$idCol BIGINT, q ARRAY<BIGINT>, dist BIGINT, cid BIGINT")
+    val survivors = Cluster.incrementalSemDeDupStored(assignments, batch,
+        idCol, embCol, centroids, tau, scale, maxClusterSize)
+      .select(col(idCol), lit(batchId).as("batch_id"))
+    val gc = VersionedLake.beginGroupCommit(spark, root)
+    gc.carry("centroids")
+    gc.write("assignments",
+      Cluster.assignStored(batch, idCol, embCol, centroids, scale),
+      mode = "append", partitionBy = Seq("cid"))
+    gc.write("survivors", survivors, mode = "append")
+    gc.write("applied", marker(spark, batchId))
+    gc.publish()
+    ()
+  }
+
+  /** The deduped output after the stream drains: (idCol, batch_id) per
+    * surviving document, read from the latest committed group version.
+    */
+  def survivors(spark: SparkSession, root: String): DataFrame =
+    VersionedLake.readTable(spark, root, "survivors")
+}

@@ -559,6 +559,25 @@ object VersionedLake {
       staged(table) = carried ++ newFiles
     }
 
+    /** Carry `table` forward UNCHANGED from the previous group version —
+      * stages its prior file list verbatim, no data write. A group
+      * manifest lists ONLY staged tables, so a commit that changes a
+      * subset must carry the rest or they silently vanish from the new
+      * version (the streaming arrival flows carry their fitted model
+      * this way: centroids commit once, every batch re-lists them for
+      * free).
+      */
+    def carry(table: String): Unit = {
+      require(!published, "group already published")
+      require(!staged.contains(table), s"table $table already staged in v$version")
+      val prev = prevVersion.getOrElse(throw new IllegalArgumentException(
+        s"no previous version at $root to carry $table from"))
+      staged(table) = groupManifestFiles(store, root, prev).getOrElse(table,
+        throw new IllegalArgumentException(
+          s"table $table not present in v$prev of $root"))
+      ()
+    }
+
     /** Read a table staged in THIS commit (pre-publish). */
     def readStaged(table: String, mergeSchema: Boolean = true): DataFrame = {
       val files = staged.getOrElse(table, throw new IllegalArgumentException(

@@ -1,0 +1,81 @@
+package graft.flows
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.VersionedLake
+
+class StreamingSemDeDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // four well-separated directions plus near-copies: cosine between a
+  // base vector and its +tail copy is ~1, across bases ~0
+  private def vec(base: Int, jitter: Int): Array[Float] = {
+    val v = new Array[Float](8)
+    v(base) = 1000f
+    v((base + 4) % 8) = jitter.toFloat
+    v
+  }
+
+  test("setup + applyBatch: corpus and earlier arrivals drop later ones " +
+    "regardless of id; same-batch ties break by id; replayed batch ids " +
+    "are no-ops and centroids carry forward untouched") {
+    val root = Files.createTempDirectory("ssem").toString + "/state"
+    // corpus: two docs on distinct axes
+    val corpus = Seq((100L, vec(0, 1)), (200L, vec(1, 1)))
+      .toDF("vec_id", "embedding")
+    StreamingSemDeDup.setup(corpus, "vec_id", "embedding", root,
+      k = 2, iters = 2)
+    val centroidsV1 = VersionedLake.readTable(spark, root, "centroids")
+      .collect().map(_.toString).sorted.toSeq
+    // batch 0: doc 50 ≈ corpus 100 (drops though 50 < 100 — corpus
+    // outranks id); doc 60 on a fresh direction survives; doc 61 ≈ 60
+    // same batch, higher id → drops
+    val b0 = Seq((50L, vec(0, 2)), (60L, vec(2, 1)), (61L, vec(2, 2)))
+      .toDF("vec_id", "embedding")
+    StreamingSemDeDup.applyBatch(b0, 0L, "vec_id", "embedding", root,
+      tau = 0.9, scale = graft.operators.Cluster.QuantScale,
+      maxClusterSize = Int.MaxValue)
+    // batch 1: doc 10 ≈ doc 60 — LOWER id but LATER arrival → drops
+    // (arrival order outranks id order across batches)
+    val b1 = Seq((10L, vec(2, 3)), (70L, vec(3, 1)))
+      .toDF("vec_id", "embedding")
+    StreamingSemDeDup.applyBatch(b1, 1L, "vec_id", "embedding", root,
+      tau = 0.9, scale = graft.operators.Cluster.QuantScale,
+      maxClusterSize = Int.MaxValue)
+    def got() = StreamingSemDeDup.survivors(spark, root)
+      .select("vec_id", "batch_id").as[(Long, Long)].collect().toSet
+    assert(got() == Set((60L, 0L), (70L, 1L)))
+    val vAfter = VersionedLake.versions(spark, root).last
+    // replaying either batch changes nothing (the q117b crash path)
+    StreamingSemDeDup.applyBatch(b0, 0L, "vec_id", "embedding", root,
+      tau = 0.9, scale = graft.operators.Cluster.QuantScale,
+      maxClusterSize = Int.MaxValue)
+    StreamingSemDeDup.applyBatch(b1, 1L, "vec_id", "embedding", root,
+      tau = 0.9, scale = graft.operators.Cluster.QuantScale,
+      maxClusterSize = Int.MaxValue)
+    assert(got() == Set((60L, 0L), (70L, 1L)))
+    assert(VersionedLake.versions(spark, root).last == vAfter)
+    // dropped docs still indexed: 61 dropped in batch 0, yet a later ≈61
+    // arrival must still drop against it — and every arrival's assignment
+    // row is present exactly once
+    val assigned = VersionedLake.readTable(spark, root, "assignments",
+      schemaDDL = "vec_id BIGINT, q ARRAY<BIGINT>, dist BIGINT, cid BIGINT")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(assigned.sorted == Seq(10L, 50L, 60L, 61L, 70L, 100L, 200L))
+    // the carried centroid table is bit-identical to v1's across batches
+    assert(VersionedLake.readTable(spark, root, "centroids")
+      .collect().map(_.toString).sorted.toSeq == centroidsV1)
+  }
+
+  test("setup refuses a root that already has committed state") {
+    val root = Files.createTempDirectory("ssem2").toString + "/state"
+    val corpus = Seq((1L, vec(0, 1))).toDF("vec_id", "embedding")
+    StreamingSemDeDup.setup(corpus, "vec_id", "embedding", root, 1, 1)
+    intercept[IllegalArgumentException] {
+      StreamingSemDeDup.setup(corpus, "vec_id", "embedding", root, 1, 1)
+    }
+  }
+}

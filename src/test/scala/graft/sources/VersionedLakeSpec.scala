@@ -352,6 +352,33 @@ class VersionedLakeSpec extends SparkSpec {
       VersionedLake.readTable(spark, root, "dim", Some(1L)))
   }
 
+  test("group commit carry: an unchanged table re-lists in the new " +
+    "version with no data write; unknown tables and first versions " +
+    "refuse loudly") {
+    val root = Files.createTempDirectory("vlakec").toString
+    // no previous version yet: nothing to carry from
+    val gc0 = VersionedLake.beginGroupCommit(spark, root)
+    intercept[IllegalArgumentException](gc0.carry("model"))
+    gc0.write("model", Seq((0L, "m")).toDF("cid", "m"))
+    gc0.write("rows", Seq((1L, 1.0)).toDF("id", "x"))
+    assert(gc0.publish() == 1L)
+    // v2 changes rows, carries model — the manifest must still list it
+    val gc1 = VersionedLake.beginGroupCommit(spark, root)
+    gc1.carry("model")
+    intercept[IllegalArgumentException](gc1.carry("nope")) // not in v1
+    gc1.write("rows", Seq((2L, 2.0)).toDF("id", "x"), mode = "append")
+    assert(gc1.publish() == 2L)
+    assert(VersionedLake.readTable(spark, root, "model").count() == 1)
+    assert(VersionedLake.readTable(spark, root, "rows").count() == 2)
+    // the carried listing points at v1's files — no duplicate data dirs
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/model/_data/v2")))
+    // and vacuuming to keepFrom=2 must SPARE the carried v1 model files
+    VersionedLake.vacuumGroup(spark, root, keepFrom = 2L)
+    assert(VersionedLake.readTable(spark, root, "model").count() == 1)
+  }
+
   test("manifest round-trips partition VALUES containing commas/brackets " +
     "(escapePathName leaves them raw) on both single tables and groups") {
     import org.apache.spark.sql.functions.col

@@ -54,7 +54,11 @@ QUERIES = ["q33_minhash_pairs", "q34_simhash_pairs",
            "q111_incremental_semdedup_stored",
            # round 13: streaming arrival dedup — same pair-density
            # exposure as q81/q33, plus the per-batch group-commit cost
-           "q116_stream_dedup"]
+           "q116_stream_dedup",
+           # round 13: streaming SEMANTIC dedup — per-batch within-cluster
+           # pair work (unbounded pinned for oracle exactness, so this row
+           # is a density reference like q101/q106/q111)
+           "q117_stream_semdedup"]
 
 
 def last_json_line(path):
