@@ -136,7 +136,9 @@ object Bench {
     // inside lifecycle jitter.
     val streamingQs = Seq("q112_stream_sessionize",
       "q113_stream_interval_join", "q114_stream_cdc",
-      "q115_stream_cdc_resume", "q116_stream_dedup")
+      "q115_stream_cdc_resume", "q116_stream_dedup",
+      "q116b_stream_dedup_resume", "q117_stream_semdedup",
+      "q117b_stream_semdedup_resume")
     val floorDir = sys.env.getOrElse("SPARK_GRAFT_FLOOR_DIR",
       "/root/testdata/sf0.001")
     val medByName = results.collect { case (n, _, m) if m >= 0 => n -> m }.toMap

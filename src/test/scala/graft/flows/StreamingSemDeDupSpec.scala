@@ -70,6 +70,43 @@ class StreamingSemDeDupSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq == centroidsV1)
   }
 
+  test("bounded occupancy through the streaming path: a roomy cap lands " +
+    "the unbounded survivor set with 0 splits; a tight cap records its " +
+    "splits and still commits every assignment row exactly once") {
+    import graft.operators.Cluster
+    def drive(root: String, cap: Int): Unit = {
+      val corpus = Seq((100L, vec(0, 1)), (200L, vec(1, 1)))
+        .toDF("vec_id", "embedding")
+      StreamingSemDeDup.setup(corpus, "vec_id", "embedding", root,
+        k = 2, iters = 2)
+      val b0 = Seq((50L, vec(0, 2)), (60L, vec(2, 1)), (61L, vec(2, 2)))
+        .toDF("vec_id", "embedding")
+      StreamingSemDeDup.applyBatch(b0, 0L, "vec_id", "embedding", root,
+        tau = 0.9, scale = Cluster.QuantScale, maxClusterSize = cap)
+    }
+    // roomy cap: no cluster exceeds it, so the refined key degenerates to
+    // cid and the survivor set is the unbounded one (the main test's b0)
+    val roomy = Files.createTempDirectory("ssemb1").toString + "/state"
+    drive(roomy, cap = 100)
+    assert(Cluster.lastOversizedClusterSplits == 0L)
+    assert(StreamingSemDeDup.survivors(spark, roomy)
+      .select("vec_id").as[Long].collect().toSet == Set(60L))
+    // tight cap: every multi-member cluster re-buckets (corpus 100 +
+    // arrival 50 share one; arrivals 60/61 another) — the split metric
+    // must say so, and the group commit must stay consistent: every
+    // arrival indexed exactly once, survivors ⊆ batch
+    val tight = Files.createTempDirectory("ssemb2").toString + "/state"
+    drive(tight, cap = 1)
+    assert(Cluster.lastOversizedClusterSplits >= 1L)
+    val assigned = VersionedLake.readTable(spark, tight, "assignments",
+      schemaDDL = "vec_id BIGINT, q ARRAY<BIGINT>, dist BIGINT, cid BIGINT")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(assigned.sorted == Seq(50L, 60L, 61L, 100L, 200L))
+    val surv = StreamingSemDeDup.survivors(spark, tight)
+      .select("vec_id").as[Long].collect().toSet
+    assert(surv.subsetOf(Set(50L, 60L, 61L)) && surv.contains(60L))
+  }
+
   test("setup refuses a root that already has committed state") {
     val root = Files.createTempDirectory("ssem2").toString + "/state"
     val corpus = Seq((1L, vec(0, 1))).toDF("vec_id", "embedding")
