@@ -2421,6 +2421,29 @@ object Queries {
           VersionedLake.readTable(s, root, "centroids", Some(v)),
           tau = 0.45, maxClusterSize = Int.MaxValue)
         .orderBy(col("vec_id"))
+    }),
+
+    // Substring-level duplication profile (ExactSubstr census, Lee et al.
+    // 2022): fraction of each document covered by 8-token windows that
+    // reoccur anywhere in the corpus. Grams shuffle as 8-byte hashes, the
+    // census partial-aggregates before its exchange, spans merge per-doc
+    // (gaps-and-islands); the oracle replays the windows as strings —
+    // same equivalence classes unless xxhash64 collides (2^-64/pair).
+    "q118_substring_dup_spans" -> ((s, dir) => {
+      Dedup.substringDupProfile(t(s, dir, "documents"), "doc_id", "text",
+          k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // The rewrite half: strip every duplicated 8-token span, keeping each
+    // gram's canonical first occurrence (min (doc_id, pos)) so shared text
+    // survives exactly once corpus-wide. Document text never shuffles —
+    // spans collapse to one interval array per doc and the splice is
+    // row-local filter-with-index.
+    "q118b_substring_strip" -> ((s, dir) => {
+      Dedup.stripDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, keepCanonical = true)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4829,6 +4852,102 @@ object Queries {
         |  FROM c CROSS JOIN q
         |)
         |SELECT vec_id, round(cos, 6) AS cosine FROM s
-        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+
+    // q118 replays the ExactSubstr census with the window STRINGS as the
+    // dup key (the engine ships xxhash64 of the same strings — identical
+    // equivalence classes barring a 2^-64 collision), then the same
+    // gaps-and-islands merge: starts p < q share a span iff q − p ≤ 8.
+    "q118_substring_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        |), d AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt FROM w
+        |  ) WHERE cnt >= 2
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM d
+        |), grp AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+        |  FROM isl
+        |), spans AS (
+        |  SELECT doc_id, isl_id, min(pos) AS s, max(pos) + 7 AS e,
+        |    count(*) AS wins
+        |  FROM grp GROUP BY doc_id, isl_id
+        |), per_doc AS (
+        |  SELECT doc_id, CAST(sum(wins) AS BIGINT) AS dup_windows,
+        |    CAST(count(*) AS BIGINT) AS dup_spans,
+        |    CAST(sum(e - s + 1) AS BIGINT) AS covered_tokens
+        |  FROM spans GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  coalesce(dup_windows, 0) AS dup_windows,
+        |  coalesce(dup_spans, 0) AS dup_spans,
+        |  coalesce(covered_tokens, 0) AS covered_tokens,
+        |  CASE WHEN len(toks) > 0
+        |    THEN CAST(coalesce(covered_tokens, 0) AS DOUBLE) / len(toks)
+        |    ELSE 0.0 END AS dup_coverage
+        |FROM t LEFT JOIN per_doc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q118b replays the rewrite: removable = every occurrence of a
+    // duplicated 8-gram EXCEPT the canonical first (min (doc_id, pos) —
+    // row_number over that order), spans merge as in q118, covered
+    // positions delete, survivors rejoin with single spaces.
+    "q118b_substring_strip" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        |), r AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt,
+        |      row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |    FROM w
+        |  ) WHERE cnt >= 2 AND rn > 1
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM r
+        |), grp AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+        |  FROM isl
+        |), spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        |  FROM grp GROUP BY doc_id, isl_id
+        |), cov AS (
+        |  SELECT doc_id, u.p AS pos
+        |  FROM spans, unnest(generate_series(s, e)) AS u(p)
+        |), tok AS (
+        |  SELECT doc_id, i - 1 AS pos, toks[i] AS tk
+        |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+        |), agg AS (
+        |  SELECT tok.doc_id,
+        |    string_agg(tok.tk, ' ' ORDER BY tok.pos) AS clean_text
+        |  FROM tok LEFT JOIN cov
+        |    ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |  WHERE cov.pos IS NULL
+        |  GROUP BY tok.doc_id
+        |), rem AS (
+        |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS removed_tokens
+        |  FROM spans GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  coalesce(rem.removed_tokens, 0) AS removed_tokens,
+        |  coalesce(agg.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN rem USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -820,4 +820,143 @@ object Dedup {
       .select(col(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  // ---- exact substring-span duplication (suffix-array re-expressed) ----
+
+  /** Every duplicated k-token window occurrence in the corpus: rows of
+    * (idCol, `__pos` 0-based token offset, `__is_canon`) where the window's
+    * k-gram occurs ≥ 2 times corpus-wide (across documents OR repeated
+    * within one) and `__is_canon` marks the single canonical first
+    * occurrence (minimum (id, pos)). The shared candidate step of the
+    * ExactSubstr method (Lee et al. 2022, arXiv:2107.06499), re-expressed
+    * shuffle-bounded: the paper's suffix array is a single-machine
+    * structure, but its OUTPUT — "which k-token windows reoccur" — is
+    * exactly a census over window fingerprints, which a shared-nothing
+    * engine computes as one map-side-combinable aggregation.
+    *
+    * Scale shape: grams travel as (8-byte xxhash64, id, int pos) rows —
+    * O(corpus tokens) of fixed width, never gram strings (a 2^-64
+    * per-pair collision marking one extra span is the accepted trade, as
+    * in [[decontaminate]]). The census side collapses via partial
+    * aggregation BEFORE its exchange (distinct grams per partition, not
+    * occurrences), and the verdict applies as one hash equi-join that AQE
+    * can skew-split if a boilerplate gram goes hot — deliberately NOT a
+    * window over the gram hash, which would funnel a hot gram's every
+    * occurrence into one task (see [[refineOversizedBuckets]] for the same
+    * reasoning). The gram pass runs twice (census build + join probe);
+    * at corpus scale a second columnar scan beats caching O(tokens) rows.
+    */
+  private def duplicatedWindows(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"substring windows need k >= 2 tokens, got $k")
+    def grams = df.select(col(idCol),
+        posexplode(TextFunctions.wordNgrams(col(textCol), k))
+          .as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos"), xxhash64(col("__g")).as("__gh"))
+    val census = grams.groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol), col("__pos"))).as("__canon"))
+      .filter(col("__cnt") >= 2)
+      .select(col("__gh"), col("__canon"))
+    grams.join(census, Seq("__gh"))
+      .select(col(idCol), col("__pos"),
+        (col("__canon")(idCol) === col(idCol) &&
+          col("__canon")("__pos") === col("__pos")).as("__is_canon"))
+  }
+
+  /** Merge duplicated-window starts into maximal covered spans per
+    * document (gaps-and-islands): window starts p, q (p < q) belong to one
+    * span iff q − p ≤ k, i.e. their k-token covers [p, p+k−1], [q, q+k−1]
+    * overlap or touch, so each island covers exactly
+    * [min(pos), max(pos)+k−1] with no interior hole. Rows in: only
+    * DUPLICATED window starts (the skew-safe census already filtered);
+    * the per-document window sort is bounded by document length.
+    */
+  private def mergeWindowSpans(wins: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    wins
+      .withColumn("__brk",
+        when(col("__pos") - lag(col("__pos"), 1).over(byDoc) <= k, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("__isl", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + lit(k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("windows"))
+  }
+
+  /** Per-document duplicated-substring profile: how much of each document
+    * is covered by k-token windows that reoccur anywhere in the corpus.
+    * Columns: n_tokens, dup_windows (duplicated window starts), dup_spans
+    * (maximal merged spans), covered_tokens (union size of their covers),
+    * dup_coverage (covered/n_tokens). The measurement half of
+    * substring-level dedup — a corpus curator gates on coverage (a doc
+    * that is 80% reoccurring text is boilerplate or a copy) before paying
+    * for the rewrite ([[stripDuplicatedSpans]]). Every document appears,
+    * zeros when nothing reoccurs.
+    */
+  def substringDupProfile(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val wins = duplicatedWindows(df, idCol, textCol, k)
+      .select(col(idCol), col("__pos"))
+    val perDoc = mergeWindowSpans(wins, idCol, k)
+      .groupBy(col(idCol))
+      .agg(sum(col("windows")).as("dup_windows"),
+        count(lit(1)).as("dup_spans"),
+        sum(col("span_end") - col("span_start") + lit(1))
+          .as("covered_tokens"))
+    df.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("dup_windows", "dup_spans", "covered_tokens"))
+      .withColumn("dup_coverage",
+        when(col("n_tokens") > 0,
+          col("covered_tokens").cast("double") /
+            col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Substring-level dedup rewrite (ExactSubstr, Lee et al. 2022): delete
+    * every token covered by a duplicated k-token window, keeping (by
+    * default) the canonical first occurrence — min (id, pos) — of each
+    * gram intact, so shared text survives exactly once corpus-wide;
+    * `keepCanonical = false` strips every occurrence (the paper's
+    * remove-all variant). Returns one row per input document:
+    * (idCol, n_tokens, removed_tokens, clean_text), where clean_text is
+    * the surviving tokens rejoined with single spaces (whitespace runs
+    * normalize — the tokenizer's contract, same as every chunker here).
+    *
+    * Scale shape: spans collapse to ONE interval-array row per affected
+    * document (intervals per doc ≤ doc length / k), the rewrite applies
+    * row-locally — filter-with-index over the token array against the
+    * interval array — so document TEXT never enters a shuffle; the only
+    * wide plans are the census (partial-agg'd) and the doc-keyed span
+    * merge. The splice lambda is interpreted (HOF), but it runs once per
+    * document against O(spans) intervals — string building dominates, as
+    * in [[TextFunctions.chunkByTokens]].
+    */
+  def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, keepCanonical: Boolean = true): DataFrame = {
+    val winsAll = duplicatedWindows(df, idCol, textCol, k)
+    val wins = (if (keepCanonical) winsAll.filter(!col("__is_canon"))
+      else winsAll).select(col(idCol), col("__pos"))
+    val intervals = mergeWindowSpans(wins, idCol, k)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+          struct(col("span_start"), col("span_end")))).as("__iv"),
+        sum(col("span_end") - col("span_start") + lit(1))
+          .as("removed_tokens"))
+    val toks = TextFunctions.tokens(col(textCol))
+    df.join(intervals, Seq(idCol), "left")
+      .select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        when(col("__iv").isNull, array_join(toks, " "))
+          .otherwise(array_join(
+            filter(toks, (_, i) => !exists(col("__iv"),
+              iv => i >= iv("span_start") && i <= iv("span_end"))),
+            " ")).as("clean_text"))
+  }
 }

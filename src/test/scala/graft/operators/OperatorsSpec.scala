@@ -409,6 +409,113 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def profile(df: org.apache.spark.sql.DataFrame, k: Int) =
+    Dedup.substringDupProfile(df, "doc_id", "text", k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))))
+      .toMap
+
+  private def strip(df: org.apache.spark.sql.DataFrame, k: Int,
+      keepCanonical: Boolean) =
+    Dedup.stripDuplicatedSpans(df, "doc_id", "text", k, keepCanonical)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+
+  test("profile: a cross-doc shared k-gram covers exactly its window in " +
+    "both docs; untouched docs report zeros") {
+    val df = Seq(
+      (1L, "a b c d e f"),   // "b c d" shared with doc 2 at pos 1
+      (2L, "x b c d y"),
+      (3L, "nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val p = profile(df, 3)
+    // (n_tokens, dup_windows, dup_spans, covered_tokens, coverage)
+    assert(p(1L) == ((6L, 1L, 1L, 3L, 0.5)))
+    assert(p(2L) == ((5L, 1L, 1L, 3L, 0.6)))
+    assert(p(3L) == ((5L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("profile: overlapping duplicated windows merge into one span; " +
+    "adjacent windows (gap == k) merge too; gap > k stays two spans") {
+    val df = Seq(
+      (3L, "p q r s"),    // dup 2-gram starts {0,1}: one span [0,2]
+      (4L, "p q r t"),
+      (7L, "u v w x"),    // dup starts {0,2}, gap == k: one span [0,3]
+      (8L, "u v a w x")   // dup starts {0,3}, gap > k: [0,1] and [3,4]
+    ).toDF("doc_id", "text")
+    val p = profile(df, 2)
+    assert(p(3L) == ((4L, 2L, 1L, 3L, 0.75)))
+    assert(p(7L) == ((4L, 2L, 1L, 4L, 1.0)))
+    assert(p(8L) == ((5L, 2L, 2L, 4L, 0.8)))
+  }
+
+  test("profile: a within-doc repeat is duplication (count >= 2 in one " +
+    "doc); docs shorter than k never enter the census") {
+    val df = Seq(
+      (5L, "m n z m n"),  // "m n" at 0 and 3: two spans, 4 covered
+      (6L, "q")
+    ).toDF("doc_id", "text")
+    val p = profile(df, 2)
+    assert(p(5L) == ((5L, 2L, 2L, 4L, 0.8)))
+    assert(p(6L) == ((1L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("strip keepCanonical: the min-(doc,pos) occurrence survives intact, " +
+    "every other occurrence loses the span; within-doc repeats keep the " +
+    "first; short docs pass through token-normalized") {
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x  b c d  y"),    // doubled spaces: output normalizes
+      (5L, "m n z m n"),
+      (6L, "q")
+    ).toDF("doc_id", "text")
+    val s = strip(df, 3, keepCanonical = true)
+    assert(s(1L) == ((6L, 0L, "a b c d e f"))) // canonical for "b c d"
+    assert(s(2L) == ((5L, 3L, "x y")))
+    val s2 = strip(df, 2, keepCanonical = true)
+    assert(s2(5L) == ((5L, 2L, "m n z")))      // second "m n" stripped
+    assert(s2(6L) == ((1L, 0L, "q")))
+  }
+
+  test("strip keepCanonical=false removes every occurrence, canonical " +
+    "included; a fully-covered doc becomes the empty string") {
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x b c d y"),
+      (7L, "u v w x"),
+      (8L, "u v w x")        // exact dup of 7: both fully covered
+    ).toDF("doc_id", "text")
+    val s = strip(df, 3, keepCanonical = false)
+    assert(s(1L) == ((6L, 3L, "a e f")))
+    assert(s(2L) == ((5L, 3L, "x y")))
+    assert(s(7L) == ((4L, 4L, "")))
+    assert(s(8L) == ((4L, 4L, "")))
+  }
+
+  test("profile and strip agree: removed_tokens under keepCanonical=false " +
+    "equals the profile's covered_tokens on the fixture corpus") {
+    val docs = graft.sources.Lake.table(spark, sfDir, "documents")
+      .filter(col("doc_id") < 120)
+    val p = Dedup.substringDupProfile(docs, "doc_id", "text", 8)
+      .select("doc_id", "covered_tokens").as[(Long, Long)].collect().toMap
+    val s = Dedup.stripDuplicatedSpans(docs, "doc_id", "text", 8,
+        keepCanonical = false)
+      .select("doc_id", "removed_tokens").as[(Long, Long)].collect().toMap
+    assert(p.keySet == s.keySet && p.nonEmpty)
+    assert(p.forall { case (id, cov) => s(id) == cov })
+    // and the canonical-keeping variant never removes MORE than strip-all
+    val sc = Dedup.stripDuplicatedSpans(docs, "doc_id", "text", 8,
+        keepCanonical = true)
+      .select("doc_id", "removed_tokens").as[(Long, Long)].collect().toMap
+    assert(sc.forall { case (id, rem) => rem <= p(id) })
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
