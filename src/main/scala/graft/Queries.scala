@@ -2444,6 +2444,24 @@ object Queries {
       Dedup.stripDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
           k = 8, keepCanonical = true)
         .orderBy(col("doc_id"))
+    }),
+
+    // Product-quantization ANN (Jégou et al. 2011): fit m=4 per-subspace
+    // codebooks (ONE fused aggregate per iteration — k·(dims+m) cells, the
+    // cost of a single k-means pass), encode every vector as 4 codes
+    // (64-fold compression), ADC top-20 for vec 0 via a driver-computed
+    // m×k lookup table. Integer-exact end to end on the floor(x·2^20)
+    // grid, so the oracle replays fit, codes, and distances bit-for-bit.
+    "q119_pq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = Similarity.pqFitCodebooks(emb, "vec_id", "embedding",
+        dims = 64, m = 4, k = 4, iters = 3)
+      val encoded = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      val qq = emb.filter(col("vec_id") === 0)
+        .select(graft.operators.Cluster.quantizeFloor(col("embedding"))
+          .as("q"))
+        .head.getSeq[Long](0).toArray
+      Similarity.pqAdcTopK(encoded, "vec_id", books, qq, n = 20)
     })
   )
 
@@ -2592,6 +2610,58 @@ object Queries {
     * `cents` — the argmin-with-lowest-cid-tie-break shape shared by the
     * fit iterations and q108's final full-corpus assignment.
     */
+  /** q119's oracle chain: per subspace s, an independent k-means replay
+    * over the sliced quantized vectors (same init / assign / floored-mean
+    * update CTEs as [[kmeansCtesSql]], sd dims instead of 64), then the
+    * ADC machinery — per-subspace lookup tables `l{s}` of exact integer
+    * squared distances from vec 0's sub-vector to the FINAL sub-centroids,
+    * and final assigns `s{s}a{iters}` carrying each vector's code.
+    */
+  private def pqCtesSql(m: Int, k: Int, iters: Int, dims: Int,
+      scale: Int): String = {
+    val sd = dims / m
+    val sb = new StringBuilder
+    sb.append(
+      s"""e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS q
+         |  FROM embeddings
+         |)""".stripMargin)
+    for (s <- 0 until m) {
+      sb.append(
+        s""",
+           |s$s AS (SELECT vec_id, q[${s * sd + 1}:${(s + 1) * sd}] AS q FROM e),
+           |s${s}c0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q
+           |  FROM (SELECT vec_id, q FROM s$s ORDER BY vec_id LIMIT $k)
+           |)""".stripMargin)
+      for (it <- 1 to iters) {
+        sb.append(
+          s""",
+             |s${s}a$it AS (${assignCteSql(s"s$s", s"s${s}c${it - 1}", sd)})""".stripMargin)
+        if (it < iters) {
+          sb.append(
+            s""",
+               |s${s}c$it AS (
+               |  SELECT p.cid, COALESCE(n.q, p.q) AS q FROM s${s}c${it - 1} p LEFT JOIN (
+               |    SELECT cid, list(s ORDER BY d) AS q FROM (
+               |      SELECT cid, d, CAST(floor(CAST(sum(q[d]) AS DOUBLE) / count(*)) AS BIGINT) AS s
+               |      FROM s${s}a$it CROSS JOIN range(1, ${sd + 1}) t(d)
+               |      GROUP BY cid, d) GROUP BY cid) n USING (cid)
+               |)""".stripMargin)
+        }
+      }
+      sb.append(
+        s""",
+           |qv$s AS (SELECT q FROM s$s WHERE vec_id = 0),
+           |l$s AS (
+           |  SELECT c.cid, CAST(list_sum(list_transform(range(1, ${sd + 1}),
+           |    i -> (v.q[i] - c.q[i]) * (v.q[i] - c.q[i]))) AS BIGINT) AS d
+           |  FROM s${s}c${iters - 1} c CROSS JOIN qv$s v
+           |)""".stripMargin)
+    }
+    "WITH " + sb.toString
+  }
+
   private def assignCteSql(src: String, cents: String, dims: Int): String =
     s"""
        |  SELECT vec_id, q, cid FROM (
@@ -4948,6 +5018,21 @@ object Queries {
         |  coalesce(rem.removed_tokens, 0) AS removed_tokens,
         |  coalesce(agg.clean_text, '') AS clean_text
         |FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN rem USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q119 replays the full PQ pipeline — 4 independent 16-dim k-means
+    // fits over the sliced integer grid, final-centroid codes, vec 0's
+    // ADC lookup tables — and ranks by the same exact integer distance.
+    "q119_pq_ann" -> (pqCtesSql(m = 4, k = 4, iters = 3, dims = 64,
+      scale = 1 << 20) +
+      """
+        |SELECT f0.vec_id,
+        |  CAST(l0.d + l1.d + l2.d + l3.d AS BIGINT) AS adc_dist
+        |FROM s0a3 f0
+        |JOIN s1a3 f1 USING (vec_id) JOIN s2a3 f2 USING (vec_id)
+        |JOIN s3a3 f3 USING (vec_id)
+        |JOIN l0 ON f0.cid = l0.cid JOIN l1 ON f1.cid = l1.cid
+        |JOIN l2 ON f2.cid = l2.cid JOIN l3 ON f3.cid = l3.cid
+        |ORDER BY adc_dist, f0.vec_id LIMIT 20""".stripMargin)
   )
 }

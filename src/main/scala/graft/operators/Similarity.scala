@@ -143,4 +143,172 @@ object Similarity {
     corpus.withColumn("ivf_cell",
       greatest(sims: _*).getField("cell"))
   }
+
+  // ---- product quantization (PQ + ADC search) ---------------------------
+  //
+  // The third ANN tier (Jégou/Douze/Schmid 2011, "Product Quantization for
+  // Nearest Neighbor Search", IEEE TPAMI 33(1)): split each vector into m
+  // subspaces, k-means each subspace into k sub-centroids, store every
+  // vector as m small codes (m bytes for k ≤ 256 — a 64-dim float vector
+  // compresses 256 B → 4 B at m = 4). Search is ADC: one m×k lookup table
+  // of exact query→sub-centroid distances, then each candidate costs m
+  // table lookups + adds instead of a dims-length scan. At 100 TB this is
+  // the tier where the CODES fit in cluster memory when the vectors never
+  // could; compose with [[withIvfCell]] for IVF-PQ (coarse cell prune,
+  // PQ-coded residual scan). All math runs on the engine's integer
+  // quantization grid (floor(x·2^20), [[Cluster.quantizeFloor]]) so fit,
+  // codes, and ADC distances are exact integers any engine replays.
+
+  /** Nearest sub-centroid as struct(d, cid) — exact integer squared
+    * distance, ties to the lowest cid via struct-least; a null `d`
+    * (malformed slice) fails loudly downstream, mirroring
+    * `Cluster.checkedField`'s contract.
+    */
+  private def pqAssignStruct(qSub: Column, book: Array[Array[Long]]): Column =
+    if (book.length == 1)
+      struct(VectorFunctions.sqDistToLit(qSub, book(0).toSeq).as("d"),
+        lit(0L).as("cid"))
+    else least(book.zipWithIndex.map { case (c, j) =>
+      struct(VectorFunctions.sqDistToLit(qSub, c.toSeq).as("d"),
+        lit(j.toLong).as("cid"))
+    }.toSeq: _*)
+
+  private def pqChecked(a: Column, field: String): Column =
+    when(a.getField("d").isNull, raise_error(lit(
+      "Similarity.pq: malformed embedding (null, null element, or length " +
+        "mismatch with dims)")))
+      .otherwise(a.getField(field))
+
+  /** The 0-based sub-vector of subspace `s` (sd dims each) as a slice of
+    * the quantized array — evaluated where it's used; never materialized.
+    */
+  private def subVec(q: Column, s: Int, sd: Int): Column =
+    slice(q, s * sd + 1, sd)
+
+  /** The fused PQ fit loop on an already-quantized, persisted frame:
+    * lowest-k-ids init (each init vector contributes ALL its sub-vectors —
+    * deterministic total order, same convention as `Cluster.fitOnQuantized`),
+    * then `iters − 1` floor(sum/count) updates. ONE aggregate per
+    * iteration covers every subspace — m·k·(dims/m + 1) conditional cells
+    * = k·(dims + m) driver longs, the same order as a single full-vector
+    * k-means iteration — so PQ training never pays m passes over the
+    * corpus. Empty sub-cluster keeps its previous sub-centroid.
+    */
+  private def pqFitOnQuantized(quant: DataFrame, idCol: String, dims: Int,
+      m: Int, k: Int, iters: Int): Array[Array[Array[Long]]] = {
+    val sd = dims / m
+    val init = quant.orderBy(col(idCol).asc).limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(init.length == k, s"need at least $k vectors, got ${init.length}")
+    require(init.forall(_.length == dims),
+      s"init vectors must have $dims dims")
+    var books: Array[Array[Array[Long]]] =
+      Array.tabulate(m)(s => init.map(_.slice(s * sd, (s + 1) * sd)))
+    for (_ <- 1 until iters) {
+      val withCids = quant.select(col("q") +: (0 until m).map(s =>
+        pqChecked(pqAssignStruct(subVec(col("q"), s, sd), books(s)), "cid")
+          .as(s"__c$s")): _*)
+      val aggs = for {
+        s <- 0 until m; j <- 0 until k; cell <- -1 until sd
+      } yield {
+        val hit = col(s"__c$s") === lit(j.toLong)
+        if (cell < 0) sum(when(hit, 1L).otherwise(0L)).as(s"n_${s}_$j")
+        else sum(when(hit, col("q").getItem(s * sd + cell)))
+          .as(s"v_${s}_${j}_$cell")
+      }
+      val row = withCids.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val w = sd + 1 // cells per (s, j): count + sd sums
+      books = Array.tabulate(m) { s =>
+        Array.tabulate(k) { j =>
+          val base = (s * k + j) * w
+          val n = row.getLong(base)
+          if (n == 0L) books(s)(j) // empty: keep previous
+          else Array.tabulate(sd)(d =>
+            math.floor(row.getLong(base + 1 + d).toDouble / n).toLong)
+        }
+      }
+    }
+    books
+  }
+
+  private def collectBooks(codebooks: DataFrame): Array[Array[Array[Long]]] = {
+    val rows = codebooks.select(col("sub"), col("cid"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    require(rows.nonEmpty, "empty codebook table")
+    val m = rows.map(_._1).max.toInt + 1
+    val k = rows.map(_._2).max.toInt + 1
+    require(rows.length == m * k,
+      s"codebooks must be dense over sub 0..${m - 1} × cid 0..${k - 1}")
+    val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
+    Array.tabulate(m)(s => Array.tabulate(k)(j => byKey((s.toLong, j.toLong))))
+  }
+
+  /** PQ codebooks as a lake-ready frame: (sub, cid, q) — m·k rows, q of
+    * dims/m longs. The fit/encode split is the production shape (mirror of
+    * `Cluster.fitCentroids`): fit on a sample, store the codebooks, then
+    * [[pqEncode]] any corpus or arrival batch with a map-only scan.
+    */
+  def pqFitCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, k: Int, iters: Int,
+      scale: Int = Cluster.QuantScale): DataFrame = {
+    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    require(k > 0 && iters > 0, s"k and iters must be positive, got $k/$iters")
+    val quant = df.select(col(idCol),
+      Cluster.quantizeFloor(col(vecCol), scale).as("q")).persist()
+    try {
+      val books = pqFitOnQuantized(quant, idCol, dims, m, k, iters)
+      val spark = df.sparkSession
+      import spark.implicits._
+      (for { s <- 0 until m; j <- 0 until k }
+        yield (s.toLong, j.toLong, books(s)(j).toSeq))
+        .toDF("sub", "cid", "q")
+    } finally quant.unpersist(blocking = false)
+  }
+
+  /** Encode every vector as its m sub-centroid codes: (idCol, codes
+    * array<bigint> of length m). Map-only — the codebooks collect to
+    * m·k·(dims/m) literals (bounded model read, broadcast-shaped) and each
+    * row evaluates m exact-integer argmins; no shuffle, no iteration. The
+    * codes column is what a 100 TB deployment stores and scans: dims/m
+    * compression per code, exact ADC replay forever after.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, scale: Int = Cluster.QuantScale): DataFrame = {
+    val books = collectBooks(codebooks)
+    val sd = books(0)(0).length
+    val q = Cluster.quantizeFloor(col(vecCol), scale)
+    df.select(col(idCol), array(books.indices.map(s =>
+      pqChecked(pqAssignStruct(subVec(q, s, sd), books(s)), "cid")): _*)
+      .as("codes"))
+  }
+
+  /** ADC top-n over PQ codes: the query's m×k lookup table of exact
+    * integer sub-distances is computed driver-side from the collected
+    * codebooks (m·k longs), and each candidate's approximate distance is
+    * m array-literal lookups + adds — never a dims-length scan, never a
+    * join. orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    * n-heaps). `queryQuant` is the query vector on the same quantization
+    * grid as the codebooks (e.g. `Cluster.quantizeFloor` of its floats).
+    */
+  def pqAdcTopK(encoded: DataFrame, idCol: String, codebooks: DataFrame,
+      queryQuant: Array[Long], n: Int): DataFrame = {
+    val books = collectBooks(codebooks)
+    val m = books.length
+    val sd = books(0)(0).length
+    require(queryQuant.length == m * sd,
+      s"query has ${queryQuant.length} dims, codebooks expect ${m * sd}")
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+    val lut: Array[Array[Long]] = Array.tabulate(m) { s =>
+      val qs = queryQuant.slice(s * sd, (s + 1) * sd)
+      books(s).map(c => sq(qs, c))
+    }
+    val adc = (0 until m).map { s =>
+      element_at(array(lut(s).map(lit(_)): _*),
+        col("codes").getItem(s).cast("int") + 1)
+    }.reduce(_ + _)
+    encoded.select(col(idCol), adc.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(n)
+  }
 }

@@ -573,6 +573,86 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Q = graft.operators.Cluster.QuantScale.toLong // 2^20
+  private def df4(rows: (Long, Seq[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("two exact clusters per subspace: codebooks converge to the " +
+    "vectors themselves, codes identify the cluster, ADC distances are " +
+    "the exact quantized squared distances") {
+    val a = Seq(1f, 1f, 0f, 0f); val b = Seq(0f, 0f, 1f, 1f)
+    val df = df4(0L -> a, 1L -> b, 2L -> a, 3L -> b)
+    val books = Similarity.pqFitCodebooks(df, "vec_id", "embedding",
+      dims = 4, m = 2, k = 2, iters = 3)
+    val bk = books.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    assert(bk.size == 4) // dense m*k rows
+    assert(bk((0L, 0L)) == Seq(Q, Q) && bk((0L, 1L)) == Seq(0L, 0L))
+    assert(bk((1L, 0L)) == Seq(0L, 0L) && bk((1L, 1L)) == Seq(Q, Q))
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(0L) == Seq(0L, 0L) && codes(2L) == Seq(0L, 0L))
+    assert(codes(1L) == Seq(1L, 1L) && codes(3L) == Seq(1L, 1L))
+    val qq = Array(Q, Q, 0L, 0L) // query = vector a on the grid
+    val top = Similarity.pqAdcTopK(
+      Similarity.pqEncode(df, "vec_id", "embedding", books),
+      "vec_id", books, qq, n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // a-copies at distance 0 first, b-copies at exactly 4*Q^2
+    assert(top == Seq((0L, 0L), (2L, 0L), (1L, 4 * Q * Q), (3L, 4 * Q * Q)))
+  }
+
+  test("an identical-vector corpus ties every assignment to cid 0; the " +
+    "empty sub-cluster keeps its previous centroid and the codebook " +
+    "stays dense") {
+    val v = Seq(1f, 0f, 1f, 0f)
+    val df = df4(0L -> v, 1L -> v, 2L -> v, 3L -> v)
+    val books = Similarity.pqFitCodebooks(df, "vec_id", "embedding",
+      dims = 4, m = 2, k = 2, iters = 3)
+    assert(books.count() == 4)
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", books)
+      .collect().map(_.getSeq[Long](1)).toSeq
+    assert(codes.forall(_ == Seq(0L, 0L)))
+  }
+
+  test("a malformed embedding fails loudly at encode instead of coding " +
+    "arbitrarily") {
+    val df = Seq((0L, Seq(1f, 1f, 0f, 0f)), (1L, Seq(0f, 0f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+      .union(Seq((2L, null.asInstanceOf[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    val books = Similarity.pqFitCodebooks(
+      df.filter(col("vec_id") < 2), "vec_id", "embedding",
+      dims = 4, m = 2, k = 2, iters = 2)
+    val e = intercept[Exception] {
+      Similarity.pqEncode(df, "vec_id", "embedding", books).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("malformed")
+      || e.getCause != null && e.getCause.getMessage.contains("malformed"))
+  }
+
+  test("fixture corpus: codebook shape, code domain, and a " +
+    "TakeOrderedAndProject ADC plan (per-partition heaps, no global sort)") {
+    val emb = graft.sources.Lake.table(spark, sfDir, "embeddings")
+    val books = Similarity.pqFitCodebooks(emb, "vec_id", "embedding",
+      dims = 64, m = 4, k = 4, iters = 2)
+    val rows = books.collect()
+    assert(rows.length == 16 && rows.forall(_.getSeq[Long](2).length == 16))
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    val codes = enc.collect().map(_.getSeq[Long](1))
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 4)))
+    val query = Array.fill(64)(0L)
+    val top = Similarity.pqAdcTopK(enc, "vec_id", books, query, n = 10)
+    assert(top.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    val ds = top.collect().map(_.getLong(1)).toSeq
+    assert(ds.length == 10 && ds == ds.sorted && ds.forall(_ >= 0))
+  }
+}
+
 class JsonNormalizeSpec extends SparkSpec {
   import spark.implicits._
 

@@ -58,7 +58,12 @@ QUERIES = ["q33_minhash_pairs", "q34_simhash_pairs",
            # round 13: streaming SEMANTIC dedup — per-batch within-cluster
            # pair work (unbounded pinned for oracle exactness, so this row
            # is a density reference like q101/q106/q111)
-           "q117_stream_semdedup"]
+           "q117_stream_semdedup",
+           # round 13: substring-span dedup — the census is count-bounded
+           # (a denser corpus only grows per-gram occurrence counts
+           # linearly), but the verdict join's output rows grow with dup
+           # density, so it earns a gate row like q33
+           "q118_substring_dup_spans", "q118b_substring_strip"]
 
 
 def last_json_line(path):
