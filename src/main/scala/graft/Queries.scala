@@ -4930,7 +4930,8 @@ object Queries {
     // gaps-and-islands merge: starts p < q share a span iff q − p ≤ 8.
     "q118_substring_dup_spans" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |  SELECT doc_id, coalesce(regexp_extract_all(trim(text), '\S+'),
+        |    CAST([] AS VARCHAR[])) AS toks
         |  FROM documents
         |), w AS (
         |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS g
@@ -4974,7 +4975,8 @@ object Queries {
     // positions delete, survivors rejoin with single spaces.
     "q118b_substring_strip" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |  SELECT doc_id, coalesce(regexp_extract_all(trim(text), '\S+'),
+        |    CAST([] AS VARCHAR[])) AS toks
         |  FROM documents
         |), w AS (
         |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS g

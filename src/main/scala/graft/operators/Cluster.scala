@@ -49,9 +49,11 @@ object Cluster {
 
   /** Nearest centroid for a quantized vector against literal centroids as a
     * struct(d, cid); ties break to the lowest cid via lexicographic
-    * struct-min. `d` is the exact integer squared distance.
+    * struct-min. `d` is the exact integer squared distance. Shared with the
+    * PQ tier ([[Similarity.pqEncode]]) — ONE definition of the argmin
+    * kernel, so a tie-break or null-contract change applies everywhere.
     */
-  private def assignStruct(q: Column, centroids: Array[Array[Long]]): Column =
+  private[operators] def assignStruct(q: Column, centroids: Array[Array[Long]]): Column =
     if (centroids.length == 1)
       struct(sqDist(q, centroids(0)).as("d"), lit(0L).as("cid"))
     else least(centroids.zipWithIndex.map { case (c, j) =>

@@ -908,7 +908,10 @@ object Dedup {
         sum(col("span_end") - col("span_start") + lit(1))
           .as("covered_tokens"))
     df.select(col(idCol),
-        TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+        // NULL text = empty document (0 tokens), NOT size(NULL) = -1 —
+        // the oracle-replayable contract shared with the strip rewrite
+        size(coalesce(TextFunctions.tokens(col(textCol)),
+          array().cast("array<string>"))).cast("bigint").as("n_tokens"))
       .join(perDoc, Seq(idCol), "left")
       .na.fill(0L, Seq("dup_windows", "dup_spans", "covered_tokens"))
       .withColumn("dup_coverage",
@@ -948,14 +951,19 @@ object Dedup {
           struct(col("span_start"), col("span_end")))).as("__iv"),
         sum(col("span_end") - col("span_start") + lit(1))
           .as("removed_tokens"))
-    val toks = TextFunctions.tokens(col(textCol))
+    // tokenize ONCE per row (trim + regex split is the expensive part of
+    // this projection) and coalesce NULL text to an empty token array, so
+    // a NULL-text document reads as an empty one: n_tokens 0, clean_text
+    // "" — the same contract the oracle replays
     df.join(intervals, Seq(idCol), "left")
+      .withColumn("__toks", coalesce(TextFunctions.tokens(col(textCol)),
+        array().cast("array<string>")))
       .select(col(idCol),
-        TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+        size(col("__toks")).cast("bigint").as("n_tokens"),
         coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
-        when(col("__iv").isNull, array_join(toks, " "))
+        when(col("__iv").isNull, array_join(col("__toks"), " "))
           .otherwise(array_join(
-            filter(toks, (_, i) => !exists(col("__iv"),
+            filter(col("__toks"), (_, i) => !exists(col("__iv"),
               iv => i >= iv("span_start") && i <= iv("span_end"))),
             " ")).as("clean_text"))
   }

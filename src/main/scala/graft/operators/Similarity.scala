@@ -159,25 +159,23 @@ object Similarity {
   // quantization grid (floor(x·2^20), [[Cluster.quantizeFloor]]) so fit,
   // codes, and ADC distances are exact integers any engine replays.
 
-  /** Nearest sub-centroid as struct(d, cid) — exact integer squared
-    * distance, ties to the lowest cid via struct-least; a null `d`
-    * (malformed slice) fails loudly downstream, mirroring
-    * `Cluster.checkedField`'s contract.
+  /** Sub-centroid argmin cid with the loud malformed-vector contract:
+    * the argmin kernel is [[Cluster.assignStruct]] (ONE definition of the
+    * tie-break and distance math engine-wide); a null distance (null
+    * vector/element, slice shorter than sd) OR a total length ≠ dims
+    * raises instead of coding arbitrarily. The explicit size check
+    * matters because slices FORGIVE overlong vectors — a 65-dim vector
+    * sliced into 4×16 would silently drop its tail otherwise.
     */
-  private def pqAssignStruct(qSub: Column, book: Array[Array[Long]]): Column =
-    if (book.length == 1)
-      struct(VectorFunctions.sqDistToLit(qSub, book(0).toSeq).as("d"),
-        lit(0L).as("cid"))
-    else least(book.zipWithIndex.map { case (c, j) =>
-      struct(VectorFunctions.sqDistToLit(qSub, c.toSeq).as("d"),
-        lit(j.toLong).as("cid"))
-    }.toSeq: _*)
-
-  private def pqChecked(a: Column, field: String): Column =
-    when(a.getField("d").isNull, raise_error(lit(
-      "Similarity.pq: malformed embedding (null, null element, or length " +
-        "mismatch with dims)")))
-      .otherwise(a.getField(field))
+  private def pqCheckedCid(q: Column, s: Int, sd: Int, dims: Int,
+      book: Array[Array[Long]]): Column = {
+    val a = Cluster.assignStruct(subVec(q, s, sd), book)
+    when(a.getField("d").isNull || size(q) =!= lit(dims),
+      raise_error(lit(
+        "Similarity.pq: malformed embedding (null, null element, or " +
+          s"length != $dims dims)")))
+      .otherwise(a.getField("cid"))
+  }
 
   /** The 0-based sub-vector of subspace `s` (sd dims each) as a slice of
     * the quantized array — evaluated where it's used; never materialized.
@@ -206,8 +204,7 @@ object Similarity {
       Array.tabulate(m)(s => init.map(_.slice(s * sd, (s + 1) * sd)))
     for (_ <- 1 until iters) {
       val withCids = quant.select(col("q") +: (0 until m).map(s =>
-        pqChecked(pqAssignStruct(subVec(col("q"), s, sd), books(s)), "cid")
-          .as(s"__c$s")): _*)
+        pqCheckedCid(col("q"), s, sd, dims, books(s)).as(s"__c$s")): _*)
       val aggs = for {
         s <- 0 until m; j <- 0 until k; cell <- -1 until sd
       } yield {
@@ -237,9 +234,12 @@ object Similarity {
     require(rows.nonEmpty, "empty codebook table")
     val m = rows.map(_._1).max.toInt + 1
     val k = rows.map(_._2).max.toInt + 1
-    require(rows.length == m * k,
-      s"codebooks must be dense over sub 0..${m - 1} × cid 0..${k - 1}")
     val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
+    // distinct-key check (NOT raw row count, which a duplicate row could
+    // balance against a missing one): every (sub, cid) pair exactly once
+    require(byKey.size == m * k && rows.length == m * k,
+      s"codebooks must be dense over sub 0..${m - 1} × cid 0..${k - 1}, " +
+        s"each (sub, cid) exactly once")
     Array.tabulate(m)(s => Array.tabulate(k)(j => byKey((s.toLong, j.toLong))))
   }
 
@@ -276,9 +276,10 @@ object Similarity {
       codebooks: DataFrame, scale: Int = Cluster.QuantScale): DataFrame = {
     val books = collectBooks(codebooks)
     val sd = books(0)(0).length
+    val dims = books.length * sd
     val q = Cluster.quantizeFloor(col(vecCol), scale)
     df.select(col(idCol), array(books.indices.map(s =>
-      pqChecked(pqAssignStruct(subVec(q, s, sd), books(s)), "cid")): _*)
+      pqCheckedCid(q, s, sd, dims, books(s))): _*)
       .as("codes"))
   }
 

@@ -497,6 +497,17 @@ class SubstringDedupSpec extends SparkSpec {
     assert(s(8L) == ((4L, 4L, "")))
   }
 
+  test("NULL text reads as an empty document on both paths: zero counts, " +
+    "empty rewrite — never size(NULL) = -1 or a NULL clean_text") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"),
+      (9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val p = profile(df, 2)
+    assert(p(9L) == ((0L, 0L, 0L, 0L, 0.0)))
+    val s = strip(df, 2, keepCanonical = false)
+    assert(s(9L) == ((0L, 0L, "")))
+    assert(s(1L) == ((4L, 4L, ""))) // exact dups: both fully covered
+  }
+
   test("profile and strip agree: removed_tokens under keepCanonical=false " +
     "equals the profile's covered_tokens on the fixture corpus") {
     val docs = graft.sources.Lake.table(spark, sfDir, "documents")
@@ -632,6 +643,14 @@ class PqSpec extends SparkSpec {
     }
     assert(e.getMessage != null && e.getMessage.contains("malformed")
       || e.getCause != null && e.getCause.getMessage.contains("malformed"))
+    // OVERLONG vectors must fail too: slices would silently drop the
+    // tail dims otherwise (a 5-dim vector encodes as its first 4)
+    val long = Seq((3L, Seq(1f, 1f, 0f, 0f, 9f))).toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Similarity.pqEncode(long, "vec_id", "embedding", books).collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("malformed")
+      || e2.getCause != null && e2.getCause.getMessage.contains("malformed"))
   }
 
   test("fixture corpus: codebook shape, code domain, and a " +
