@@ -2462,6 +2462,26 @@ object Queries {
           .as("q"))
         .head.getSeq[Long](0).toArray
       Similarity.pqAdcTopK(encoded, "vec_id", books, qq, n = 20)
+    }),
+
+    // IVF-PQ — the composition that makes PQ a 100 TB index (IVFADC,
+    // Jégou et al. 2011 §IV): coarse k-means cells prune the scan to
+    // nprobe partitions, codes store each vector's RESIDUAL against its
+    // cell, and the ADC table is built per probed cell from the query's
+    // residual. Exact integers end to end; the oracle replays the coarse
+    // chain, the residuals, all four sub-codebook chains, the probe
+    // ranking, and the per-cell lookup tables.
+    "q119b_ivfpq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (coarse, books, encoded) = Similarity.ivfPqIndex(emb, "vec_id",
+        "embedding", dims = 64, coarseK = 4, coarseIters = 2,
+        m = 4, k = 4, iters = 2)
+      val qq = emb.filter(col("vec_id") === 0)
+        .select(graft.operators.Cluster.quantizeFloor(col("embedding"))
+          .as("q"))
+        .head.getSeq[Long](0).toArray
+      Similarity.ivfPqTopK(encoded, "vec_id", coarse, books, qq,
+        nprobe = 2, n = 20)
     })
   )
 
@@ -2660,6 +2680,82 @@ object Queries {
            |)""".stripMargin)
     }
     "WITH " + sb.toString
+  }
+
+  /** q119b's oracle: the coarse k-means chain (cc*), per-vector integer
+    * residuals against the final coarse centroids, one PQ chain per
+    * subspace over the SLICED residuals (r{s}*), the probe ranking (qd →
+    * probe), per-probed-cell query residuals (qres) and lookup tables
+    * (l{s}), and the final per-cell ADC join. Shares [[assignCteSql]]
+    * with every other k-means replay.
+    */
+  private def ivfPqCtesSql(coarseK: Int, coarseIters: Int, m: Int, k: Int,
+      iters: Int, dims: Int, scale: Int, nprobe: Int): String = {
+    val sd = dims / m
+    def updateCte(name: String, prev: String, asg: String, d: Int): String =
+      s"""$name AS (
+         |  SELECT p.cid, COALESCE(n.q, p.q) AS q FROM $prev p LEFT JOIN (
+         |    SELECT cid, list(s ORDER BY d) AS q FROM (
+         |      SELECT cid, d, CAST(floor(CAST(sum(q[d]) AS DOUBLE) / count(*)) AS BIGINT) AS s
+         |      FROM $asg CROSS JOIN range(1, ${d + 1}) t(d)
+         |      GROUP BY cid, d) GROUP BY cid) n USING (cid)
+         |)""".stripMargin
+    def initCte(name: String, src: String, kk: Int): String =
+      s"""$name AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q
+         |  FROM (SELECT vec_id, q FROM $src ORDER BY vec_id LIMIT $kk)
+         |)""".stripMargin
+    val parts = scala.collection.mutable.ListBuffer(
+      s"""e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS q
+         |  FROM embeddings
+         |)""".stripMargin,
+      initCte("cc0", "e", coarseK))
+    for (it <- 1 to coarseIters) {
+      parts += s"cca$it AS (${assignCteSql("e", s"cc${it - 1}", dims)})"
+      if (it < coarseIters)
+        parts += updateCte(s"cc$it", s"cc${it - 1}", s"cca$it", dims)
+    }
+    val fcc = s"cc${coarseIters - 1}"
+    parts +=
+      s"""res AS (
+         |  SELECT a.vec_id, a.cid AS cell,
+         |    list_transform(range(1, ${dims + 1}), i -> a.q[i] - c.q[i]) AS q
+         |  FROM cca$coarseIters a JOIN $fcc c ON a.cid = c.cid
+         |)""".stripMargin
+    for (s <- 0 until m) {
+      parts += s"r$s AS (SELECT vec_id, q[${s * sd + 1}:${(s + 1) * sd}] AS q FROM res)"
+      parts += initCte(s"r${s}c0", s"r$s", k)
+      for (it <- 1 to iters) {
+        parts += s"r${s}a$it AS (${assignCteSql(s"r$s", s"r${s}c${it - 1}", sd)})"
+        if (it < iters)
+          parts += updateCte(s"r${s}c$it", s"r${s}c${it - 1}", s"r${s}a$it", sd)
+      }
+    }
+    parts += "qrow AS (SELECT q FROM e WHERE vec_id = 0)"
+    parts +=
+      s"""qd AS (
+         |  SELECT c.cid AS cell, list_sum(list_transform(range(1, ${dims + 1}),
+         |    i -> (v.q[i] - c.q[i]) * (v.q[i] - c.q[i]))) AS d
+         |  FROM $fcc c CROSS JOIN qrow v
+         |)""".stripMargin
+    parts += s"probe AS (SELECT cell FROM qd ORDER BY d, cell LIMIT $nprobe)"
+    parts +=
+      s"""qres AS (
+         |  SELECT c.cid AS cell, list_transform(range(1, ${dims + 1}), i -> v.q[i] - c.q[i]) AS q
+         |  FROM $fcc c CROSS JOIN qrow v
+         |  WHERE c.cid IN (SELECT cell FROM probe)
+         |)""".stripMargin
+    for (s <- 0 until m) {
+      val off = s * sd
+      parts +=
+        s"""l$s AS (
+           |  SELECT r.cell, b.cid, CAST(list_sum(list_transform(range(1, ${sd + 1}),
+           |    i -> (r.q[i + $off] - b.q[i]) * (r.q[i + $off] - b.q[i]))) AS BIGINT) AS d
+           |  FROM qres r CROSS JOIN r${s}c${iters - 1} b
+           |)""".stripMargin
+    }
+    "WITH " + parts.mkString(",\n")
   }
 
   private def assignCteSql(src: String, cents: String, dims: Int): String =
@@ -5035,6 +5131,24 @@ object Queries {
         |JOIN s3a3 f3 USING (vec_id)
         |JOIN l0 ON f0.cid = l0.cid JOIN l1 ON f1.cid = l1.cid
         |JOIN l2 ON f2.cid = l2.cid JOIN l3 ON f3.cid = l3.cid
+        |ORDER BY adc_dist, f0.vec_id LIMIT 20""".stripMargin),
+
+    // q119b replays IVF-PQ end to end: coarse chain, residual encode,
+    // probe ranking, per-cell lookup tables, per-cell ADC join.
+    "q119b_ivfpq_ann" -> (ivfPqCtesSql(coarseK = 4, coarseIters = 2,
+      m = 4, k = 4, iters = 2, dims = 64, scale = 1 << 20, nprobe = 2) +
+      """
+        |SELECT f0.vec_id, a.cell,
+        |  CAST(l0.d + l1.d + l2.d + l3.d AS BIGINT) AS adc_dist
+        |FROM r0a2 f0
+        |JOIN r1a2 f1 USING (vec_id) JOIN r2a2 f2 USING (vec_id)
+        |JOIN r3a2 f3 USING (vec_id)
+        |JOIN (SELECT vec_id, cell FROM res) a USING (vec_id)
+        |JOIN l0 ON l0.cell = a.cell AND l0.cid = f0.cid
+        |JOIN l1 ON l1.cell = a.cell AND l1.cid = f1.cid
+        |JOIN l2 ON l2.cell = a.cell AND l2.cid = f2.cid
+        |JOIN l3 ON l3.cell = a.cell AND l3.cid = f3.cid
+        |WHERE a.cell IN (SELECT cell FROM probe)
         |ORDER BY adc_dist, f0.vec_id LIMIT 20""".stripMargin)
   )
 }

@@ -275,12 +275,19 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, scale: Int = Cluster.QuantScale): DataFrame = {
     val books = collectBooks(codebooks)
+    df.select(col(idCol),
+      pqCodesExpr(Cluster.quantizeFloor(col(vecCol), scale), books,
+        books.length * books(0)(0).length).as("codes"))
+  }
+
+  /** The m-code array for an already-quantized vector column against
+    * collected codebooks — the shared encode kernel of [[pqEncode]]
+    * (grid-quantized floats) and [[ivfPqIndex]] (integer residuals).
+    */
+  private def pqCodesExpr(q: Column, books: Array[Array[Array[Long]]],
+      dims: Int): Column = {
     val sd = books(0)(0).length
-    val dims = books.length * sd
-    val q = Cluster.quantizeFloor(col(vecCol), scale)
-    df.select(col(idCol), array(books.indices.map(s =>
-      pqCheckedCid(q, s, sd, dims, books(s))): _*)
-      .as("codes"))
+    array(books.indices.map(s => pqCheckedCid(q, s, sd, dims, books(s))): _*)
   }
 
   /** ADC top-n over PQ codes: the query's m×k lookup table of exact
@@ -309,6 +316,105 @@ object Similarity {
         col("codes").getItem(s).cast("int") + 1)
     }.reduce(_ + _)
     encoded.select(col(idCol), adc.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(n)
+  }
+
+  // ---- IVF-PQ: cell-pruned, residual-encoded ADC -------------------------
+
+  /** IVF-PQ index build (Jégou et al. 2011 §IV, IVFADC): coarse-quantize
+    * with stored k-means centroids ([[Cluster.fitCentroids]] /
+    * [[Cluster.assignStored]] — the engine's exact integer grid), then
+    * PQ-encode each vector's RESIDUAL (q − its coarse centroid) so the
+    * codebooks model what the coarse quantizer missed. Returns
+    * (coarseCentroids (cid, q), codebooks (sub, cid, q), encoded
+    * (idCol, cell, codes)) — all three lake-ready. At 100 TB the encoded
+    * frame IS the index: partition it by cell and a query reads nprobe
+    * partitions of m-byte codes — scan size independent of vector dims
+    * and of the unprobed cells.
+    */
+  def ivfPqIndex(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      coarseK: Int, coarseIters: Int, m: Int, k: Int, iters: Int,
+      scale: Int = Cluster.QuantScale): (DataFrame, DataFrame, DataFrame) = {
+    val coarse = Cluster.fitCentroids(df, idCol, vecCol, coarseK,
+      coarseIters, scale)
+    // residual per row via ONE broadcast join with the k-row model —
+    // zip_with is an interpreted HOF, but it's one integer subtract per
+    // dim per row; the alternative (coarseK chained whens over literal
+    // arrays) grows the plan with k for no gain. Persisted: the PQ fit
+    // iterates over it and the encode reads it once more.
+    val residuals = Cluster.assignStored(df, idCol, vecCol, coarse, scale)
+      .join(broadcast(coarse.select(col("cid"),
+        col("q").as("__cq"))), Seq("cid"))
+      .select(col(idCol), col("cid").as("cell"),
+        zip_with(col("q"), col("__cq"), (a, b) => a - b).as("q"))
+      .persist()
+    try {
+      val books = pqFitOnQuantized(
+        residuals.select(col(idCol), col("q")), idCol, dims, m, k, iters)
+      val spark = df.sparkSession
+      import spark.implicits._
+      val codebooks = (for { s <- 0 until m; j <- 0 until k }
+        yield (s.toLong, j.toLong, books(s)(j).toSeq))
+        .toDF("sub", "cid", "q")
+      val encoded = Dedup.materializeAndRelease(
+        residuals.select(col(idCol), col("cell"),
+          pqCodesExpr(col("q"), books, dims).as("codes")),
+        residuals)
+      (coarse, codebooks, encoded)
+    } catch {
+      case e: Throwable => residuals.unpersist(blocking = false); throw e
+    }
+  }
+
+  /** IVF-PQ ADC search: rank the coarse centroids by exact distance to the
+    * query (coarseK driver-side integer ops), keep `nprobe` cells, and
+    * scan ONLY those cells' codes — each probed cell gets its own lookup
+    * table built from the query's residual against THAT cell, so the
+    * scored distance is exactly ‖(query − cell) − codebook[codes]‖² on the
+    * grid. The scan applies as one `isin` filter (partition-prunable when
+    * the encoded frame is stored cell-partitioned) + a chained per-cell
+    * ADC expression, compiled to TakeOrderedAndProject.
+    */
+  def ivfPqTopK(encoded: DataFrame, idCol: String, coarseCentroids: DataFrame,
+      codebooks: DataFrame, queryQuant: Array[Long], nprobe: Int,
+      n: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val books = collectBooks(codebooks)
+    val m = books.length
+    val sd = books(0)(0).length
+    require(queryQuant.length == m * sd,
+      s"query has ${queryQuant.length} dims, codebooks expect ${m * sd}")
+    val cents = coarseCentroids.select(col("cid"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    require(cents.nonEmpty, "empty coarse centroid table")
+    require(cents.values.forall(_.length == m * sd),
+      s"coarse centroids must have ${m * sd} dims")
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+    val probed = cents.toSeq
+      .map { case (cid, c) => (sq(queryQuant, c), cid) }
+      .sorted.take(math.min(nprobe, cents.size)).map(_._2)
+    // per probed cell: the query residual's m×k exact lookup table
+    val luts: Seq[(Long, Array[Array[Long]])] = probed.map { cell =>
+      val res = queryQuant.zip(cents(cell)).map { case (x, c) => x - c }
+      cell -> Array.tabulate(m) { s =>
+        val qs = res.slice(s * sd, (s + 1) * sd)
+        books(s).map(c => sq(qs, c))
+      }
+    }
+    def cellAdc(lut: Array[Array[Long]]): Column =
+      (0 until m).map { s =>
+        element_at(array(lut(s).map(lit(_)): _*),
+          col("codes").getItem(s).cast("int") + 1)
+      }.reduce(_ + _)
+    val adc = luts.tail.foldLeft(
+      when(col("cell") === lit(luts.head._1), cellAdc(luts.head._2))) {
+      case (acc, (cell, lut)) =>
+        acc.when(col("cell") === lit(cell), cellAdc(lut))
+    }
+    encoded.filter(col("cell").isin(probed: _*))
+      .select(col(idCol), col("cell"), adc.as("adc_dist"))
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(n)
   }

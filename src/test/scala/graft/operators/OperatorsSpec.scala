@@ -670,6 +670,54 @@ class PqSpec extends SparkSpec {
     val ds = top.collect().map(_.getLong(1)).toSeq
     assert(ds.length == 10 && ds == ds.sorted && ds.forall(_ >= 0))
   }
+
+  test("IVF-PQ: identical-member cells give zero residuals everywhere — " +
+    "nprobe=1 scans only the query's cell, nprobe=2 scores the far cell " +
+    "at exactly the query-to-centroid grid distance") {
+    val a = Seq(11f, 10f, 10f, 10f); val b = Seq(-11f, -10f, -10f, -10f)
+    val df = df4(0L -> a, 1L -> b, 2L -> a, 3L -> b)
+    val (coarse, books, encoded) = Similarity.ivfPqIndex(df, "vec_id",
+      "embedding", dims = 4, coarseK = 2, coarseIters = 2,
+      m = 2, k = 2, iters = 2)
+    // identical members per cell: centroids are the vectors, residuals 0,
+    // so every sub-codebook is all-zero and every code is 0
+    val enc = encoded.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    assert(enc.forall(_._3 == Seq(0L, 0L)))
+    val cells = enc.map(e => e._1 -> e._2).toMap
+    assert(cells(0L) == cells(2L) && cells(1L) == cells(3L)
+      && cells(0L) != cells(1L))
+    val qq = Array(11L * Q, 10L * Q, 10L * Q, 10L * Q)
+    val one = Similarity.ivfPqTopK(encoded, "vec_id", coarse, books, qq,
+      nprobe = 1, n = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(one == Seq((0L, 0L), (2L, 0L))) // only the query's cell scanned
+    val two = Similarity.ivfPqTopK(encoded, "vec_id", coarse, books, qq,
+      nprobe = 2, n = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // far-cell rows: residual codes are 0, so ADC = ||query − far cell||²
+    // = (22² + 3·20²)·Q² = 1684·Q² exactly
+    val far = 1684L * Q * Q
+    assert(two == Seq((0L, 0L), (2L, 0L), (1L, far), (3L, far)))
+  }
+
+  test("IVF-PQ fixture run: dense codebooks, every result row from a " +
+    "probed cell, TakeOrderedAndProject plan") {
+    val emb = graft.sources.Lake.table(spark, sfDir, "embeddings")
+    val (coarse, books, encoded) = Similarity.ivfPqIndex(emb, "vec_id",
+      "embedding", dims = 64, coarseK = 4, coarseIters = 2,
+      m = 4, k = 4, iters = 2)
+    assert(books.count() == 16 && coarse.count() == 4)
+    val qq = Array.fill(64)(0L)
+    val top = Similarity.ivfPqTopK(encoded, "vec_id", coarse, books, qq,
+      nprobe = 2, n = 15)
+    assert(top.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    val rows = top.collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.length == 15 && rows.map(_._1).distinct.length <= 2)
+    val ds = rows.map(_._2).toSeq
+    assert(ds == ds.sorted && ds.forall(_ >= 0))
+  }
 }
 
 class JsonNormalizeSpec extends SparkSpec {
