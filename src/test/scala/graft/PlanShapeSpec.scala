@@ -233,8 +233,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("no query in the suite plans a CartesianProduct") {
-    // suite-wide guard: an accidental unkeyed join anywhere in the 81
-    // queries would scale quadratically. Plans are inspected WITHOUT
+    // suite-wide guard: an accidental unkeyed join anywhere in the query
+    // inventory would scale quadratically. Plans are inspected WITHOUT
     // executing (q64/q65/q80 have write side effects; skipping count()
     // leaves AQE unfinalized, which is fine for join-node inspection).
     Queries.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
