@@ -2521,6 +2521,32 @@ object Queries {
     * previous centroid). Every intermediate is exact integer math (sums
     * < 2^53), so DuckDB replays the Spark run bit-for-bit.
     */
+  /** The shared k-means-replay init CTE: the k lowest-id vectors of
+    * `src`, cids 0..k−1 — ONE definition for every oracle chain
+    * ([[kmeansCtesSql]], [[pqCtesSql]], [[ivfPqCtesSql]]), mirroring the
+    * engine's `Cluster.fitOnQuantized` init.
+    */
+  private def kmInitCteSql(name: String, src: String, k: Int): String =
+    s"""$name AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q
+       |  FROM (SELECT vec_id, q FROM $src ORDER BY vec_id LIMIT $k)
+       |)""".stripMargin
+
+  /** The shared floored-mean centroid-update CTE (empty cluster keeps its
+    * previous centroid via the LEFT JOIN + COALESCE) — the oracle twin of
+    * `Cluster.fitOnQuantized`'s update step, one definition for every
+    * replay chain so a convention fix can never diverge the oracles.
+    */
+  private def kmUpdateCteSql(name: String, prev: String, asg: String,
+      dims: Int): String =
+    s"""$name AS (
+       |  SELECT p.cid, COALESCE(n.q, p.q) AS q FROM $prev p LEFT JOIN (
+       |    SELECT cid, list(s ORDER BY d) AS q FROM (
+       |      SELECT cid, d, CAST(floor(CAST(sum(q[d]) AS DOUBLE) / count(*)) AS BIGINT) AS s
+       |      FROM $asg CROSS JOIN range(1, ${dims + 1}) t(d)
+       |      GROUP BY cid, d) GROUP BY cid) n USING (cid)
+       |)""".stripMargin
+
   private def kmeansCtesSql(k: Int, iters: Int, dims: Int, scale: Int,
       fitWhere: String = ""): String = {
     val fitSrc = if (fitWhere.isEmpty) "e" else "ef"
@@ -2532,27 +2558,13 @@ object Queries {
          |)""".stripMargin)
     if (fitWhere.nonEmpty)
       sb.append(s",\nef AS (SELECT * FROM e WHERE $fitWhere)")
-    sb.append(
-      s""",
-         |c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q
-         |  FROM (SELECT vec_id, q FROM $fitSrc ORDER BY vec_id LIMIT $k)
-         |)""".stripMargin)
+    sb.append(",\n" + kmInitCteSql("c0", fitSrc, k))
     for (it <- 1 to iters) {
       sb.append(
         s""",
            |a$it AS (${assignCteSql(fitSrc, s"c${it - 1}", dims)})""".stripMargin)
-      if (it < iters) {
-        sb.append(
-          s""",
-             |c$it AS (
-             |  SELECT p.cid, COALESCE(n.q, p.q) AS q FROM c${it - 1} p LEFT JOIN (
-             |    SELECT cid, list(s ORDER BY d) AS q FROM (
-             |      SELECT cid, d, CAST(floor(CAST(sum(q[d]) AS DOUBLE) / count(*)) AS BIGINT) AS s
-             |      FROM a$it CROSS JOIN range(1, ${dims + 1}) t(d)
-             |      GROUP BY cid, d) GROUP BY cid) n USING (cid)
-             |)""".stripMargin)
-      }
+      if (it < iters)
+        sb.append(",\n" + kmUpdateCteSql(s"c$it", s"c${it - 1}", s"a$it", dims))
     }
     "WITH " + sb.toString
   }
@@ -2650,25 +2662,14 @@ object Queries {
       sb.append(
         s""",
            |s$s AS (SELECT vec_id, q[${s * sd + 1}:${(s + 1) * sd}] AS q FROM e),
-           |s${s}c0 AS (
-           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q
-           |  FROM (SELECT vec_id, q FROM s$s ORDER BY vec_id LIMIT $k)
-           |)""".stripMargin)
+           |""".stripMargin + kmInitCteSql(s"s${s}c0", s"s$s", k))
       for (it <- 1 to iters) {
         sb.append(
           s""",
              |s${s}a$it AS (${assignCteSql(s"s$s", s"s${s}c${it - 1}", sd)})""".stripMargin)
-        if (it < iters) {
-          sb.append(
-            s""",
-               |s${s}c$it AS (
-               |  SELECT p.cid, COALESCE(n.q, p.q) AS q FROM s${s}c${it - 1} p LEFT JOIN (
-               |    SELECT cid, list(s ORDER BY d) AS q FROM (
-               |      SELECT cid, d, CAST(floor(CAST(sum(q[d]) AS DOUBLE) / count(*)) AS BIGINT) AS s
-               |      FROM s${s}a$it CROSS JOIN range(1, ${sd + 1}) t(d)
-               |      GROUP BY cid, d) GROUP BY cid) n USING (cid)
-               |)""".stripMargin)
-        }
+        if (it < iters)
+          sb.append(",\n" + kmUpdateCteSql(s"s${s}c$it", s"s${s}c${it - 1}",
+            s"s${s}a$it", sd))
       }
       sb.append(
         s""",
@@ -2692,29 +2693,16 @@ object Queries {
   private def ivfPqCtesSql(coarseK: Int, coarseIters: Int, m: Int, k: Int,
       iters: Int, dims: Int, scale: Int, nprobe: Int): String = {
     val sd = dims / m
-    def updateCte(name: String, prev: String, asg: String, d: Int): String =
-      s"""$name AS (
-         |  SELECT p.cid, COALESCE(n.q, p.q) AS q FROM $prev p LEFT JOIN (
-         |    SELECT cid, list(s ORDER BY d) AS q FROM (
-         |      SELECT cid, d, CAST(floor(CAST(sum(q[d]) AS DOUBLE) / count(*)) AS BIGINT) AS s
-         |      FROM $asg CROSS JOIN range(1, ${d + 1}) t(d)
-         |      GROUP BY cid, d) GROUP BY cid) n USING (cid)
-         |)""".stripMargin
-    def initCte(name: String, src: String, kk: Int): String =
-      s"""$name AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q
-         |  FROM (SELECT vec_id, q FROM $src ORDER BY vec_id LIMIT $kk)
-         |)""".stripMargin
     val parts = scala.collection.mutable.ListBuffer(
       s"""e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS q
          |  FROM embeddings
          |)""".stripMargin,
-      initCte("cc0", "e", coarseK))
+      kmInitCteSql("cc0", "e", coarseK))
     for (it <- 1 to coarseIters) {
       parts += s"cca$it AS (${assignCteSql("e", s"cc${it - 1}", dims)})"
       if (it < coarseIters)
-        parts += updateCte(s"cc$it", s"cc${it - 1}", s"cca$it", dims)
+        parts += kmUpdateCteSql(s"cc$it", s"cc${it - 1}", s"cca$it", dims)
     }
     val fcc = s"cc${coarseIters - 1}"
     parts +=
@@ -2725,11 +2713,12 @@ object Queries {
          |)""".stripMargin
     for (s <- 0 until m) {
       parts += s"r$s AS (SELECT vec_id, q[${s * sd + 1}:${(s + 1) * sd}] AS q FROM res)"
-      parts += initCte(s"r${s}c0", s"r$s", k)
+      parts += kmInitCteSql(s"r${s}c0", s"r$s", k)
       for (it <- 1 to iters) {
         parts += s"r${s}a$it AS (${assignCteSql(s"r$s", s"r${s}c${it - 1}", sd)})"
         if (it < iters)
-          parts += updateCte(s"r${s}c$it", s"r${s}c${it - 1}", s"r${s}a$it", sd)
+          parts += kmUpdateCteSql(s"r${s}c$it", s"r${s}c${it - 1}",
+            s"r${s}a$it", sd)
       }
     }
     parts += "qrow AS (SELECT q FROM e WHERE vec_id = 0)"

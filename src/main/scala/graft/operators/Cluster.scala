@@ -73,7 +73,7 @@ object Cluster {
         "with the centroid dims)")))
       .otherwise(a.getField(field))
 
-  private def assignExpr(q: Column, centroids: Array[Array[Long]]): Column =
+  private[operators] def assignExpr(q: Column, centroids: Array[Array[Long]]): Column =
     checkedField(assignStruct(q, centroids), "cid")
 
   /** One-shot cache lifecycle — shared with [[Dedup.materializeAndRelease]]:
@@ -85,9 +85,12 @@ object Cluster {
 
   /** The iteration loop on an already-quantized, persisted frame: lowest-k
     * init, `iters − 1` floor(sum/count) updates. Returns the FINAL
-    * centroids (the model — k·dims longs of driver state).
+    * centroids (the model — k·dims longs of driver state). Shared with
+    * [[Similarity.ivfPqIndex]], whose coarse quantizer fits on the SAME
+    * persisted quant frame its residuals then read — one quantize pass
+    * for the whole index build.
     */
-  private def fitOnQuantized(quant: DataFrame, idCol: String,
+  private[operators] def fitOnQuantized(quant: DataFrame, idCol: String,
       k: Int, iters: Int): Array[Array[Long]] = {
     val dims = quant.select(size(col("q"))).limit(1).collect() match {
       case Array(r) => r.getInt(0)

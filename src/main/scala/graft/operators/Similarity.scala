@@ -305,19 +305,47 @@ object Similarity {
     val sd = books(0)(0).length
     require(queryQuant.length == m * sd,
       s"query has ${queryQuant.length} dims, codebooks expect ${m * sd}")
-    def sq(a: Array[Long], b: Array[Long]): Long =
-      a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
-    val lut: Array[Array[Long]] = Array.tabulate(m) { s =>
-      val qs = queryQuant.slice(s * sd, (s + 1) * sd)
-      books(s).map(c => sq(qs, c))
-    }
-    val adc = (0 until m).map { s =>
-      element_at(array(lut(s).map(lit(_)): _*),
-        col("codes").getItem(s).cast("int") + 1)
-    }.reduce(_ + _)
-    encoded.select(col(idCol), adc.as("adc_dist"))
+    encoded.select(col(idCol),
+        adcDistExpr(adcLut(queryQuant, books), col("codes")).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(n)
+  }
+
+  /** Exact integer squared distance between two grid vectors —
+    * driver-side mirror of `SqDistToLit`, shared by every PQ/IVF-PQ
+    * lookup-table build.
+    */
+  private def sqLong(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+
+  /** The query's m×k ADC lookup table against one codebook set. */
+  private def adcLut(query: Array[Long],
+      books: Array[Array[Array[Long]]]): Array[Array[Long]] = {
+    val sd = books(0)(0).length
+    Array.tabulate(books.length) { s =>
+      val qs = query.slice(s * sd, (s + 1) * sd)
+      books(s).map(c => sqLong(qs, c))
+    }
+  }
+
+  /** The per-candidate ADC distance: m array-literal lookups + adds —
+    * ONE definition shared by [[pqAdcTopK]] and [[ivfPqTopK]]. A code
+    * outside the codebook range (stale or mismatched codebooks) must
+    * FAIL LOUDLY with the engine's own message in EVERY session config:
+    * under ANSI (Spark 4's default) a bare `element_at` throws a generic
+    * index error, but with ANSI off it returns null — which sorts FIRST
+    * ascending and would silently top the result. `try_element_at`
+    * normalizes both worlds to null, and the guard raises.
+    */
+  private def adcDistExpr(lut: Array[Array[Long]], codes: Column): Column = {
+    val raw = lut.indices.map { s =>
+      try_element_at(array(lut(s).map(lit(_)): _*),
+        codes.getItem(s).cast("int") + 1)
+    }.reduce(_ + _)
+    when(raw.isNull, raise_error(lit(
+      "Similarity.pq: code outside the codebook range (stale or " +
+        "mismatched codebooks?)")))
+      .otherwise(raw)
   }
 
   // ---- IVF-PQ: cell-pruned, residual-encoded ADC -------------------------
@@ -336,34 +364,57 @@ object Similarity {
   def ivfPqIndex(df: DataFrame, idCol: String, vecCol: String, dims: Int,
       coarseK: Int, coarseIters: Int, m: Int, k: Int, iters: Int,
       scale: Int = Cluster.QuantScale): (DataFrame, DataFrame, DataFrame) = {
-    val coarse = Cluster.fitCentroids(df, idCol, vecCol, coarseK,
-      coarseIters, scale)
-    // residual per row via ONE broadcast join with the k-row model —
-    // zip_with is an interpreted HOF, but it's one integer subtract per
-    // dim per row; the alternative (coarseK chained whens over literal
-    // arrays) grows the plan with k for no gain. Persisted: the PQ fit
-    // iterates over it and the encode reads it once more.
-    val residuals = Cluster.assignStored(df, idCol, vecCol, coarse, scale)
-      .join(broadcast(coarse.select(col("cid"),
-        col("q").as("__cq"))), Seq("cid"))
-      .select(col(idCol), col("cid").as("cell"),
-        zip_with(col("q"), col("__cq"), (a, b) => a - b).as("q"))
-      .persist()
+    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    require(coarseK > 0 && coarseIters > 0 && k > 0 && iters > 0,
+      s"coarseK/coarseIters/k/iters must be positive, " +
+        s"got $coarseK/$coarseIters/$k/$iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // ONE quantize pass for the whole build: the coarse fit iterates on
+    // this persisted frame and the residual derivation reads it once
+    // more — fitCentroids + assignStored would each quantize and scan
+    // the corpus again, doubling the dominant cost at the 100 TB target
+    val quant = df.select(col(idCol),
+      Cluster.quantizeFloor(col(vecCol), scale).as("q")).persist()
+    val residuals =
+      try {
+        val cents = Cluster.fitOnQuantized(quant, idCol, coarseK,
+          coarseIters)
+        val coarse = cents.zipWithIndex
+          .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq.toDF("cid", "q")
+        // residual per row via ONE broadcast join with the k-row model —
+        // zip_with is an interpreted HOF, but it's one integer subtract
+        // per dim per row; the alternative (coarseK chained whens over
+        // literal arrays) grows the plan with k for no gain. Persisted:
+        // the PQ fit iterates over it and the encode reads it once more.
+        val r = quant
+          .withColumn("cell", Cluster.assignExpr(col("q"), cents))
+          .join(broadcast(coarse.select(col("cid").as("cell"),
+            col("q").as("__cq"))), Seq("cell"))
+          .select(col(idCol), col("cell"),
+            zip_with(col("q"), col("__cq"), (a, b) => a - b).as("q"))
+          .persist()
+        (coarse, r)
+      } catch {
+        case e: Throwable => quant.unpersist(blocking = false); throw e
+      }
+    val (coarse, res) = residuals
     try {
       val books = pqFitOnQuantized(
-        residuals.select(col(idCol), col("q")), idCol, dims, m, k, iters)
-      val spark = df.sparkSession
-      import spark.implicits._
+        res.select(col(idCol), col("q")), idCol, dims, m, k, iters)
       val codebooks = (for { s <- 0 until m; j <- 0 until k }
         yield (s.toLong, j.toLong, books(s)(j).toSeq))
         .toDF("sub", "cid", "q")
       val encoded = Dedup.materializeAndRelease(
-        residuals.select(col(idCol), col("cell"),
+        res.select(col(idCol), col("cell"),
           pqCodesExpr(col("q"), books, dims).as("codes")),
-        residuals)
+        res, quant)
       (coarse, codebooks, encoded)
     } catch {
-      case e: Throwable => residuals.unpersist(blocking = false); throw e
+      case e: Throwable =>
+        res.unpersist(blocking = false)
+        quant.unpersist(blocking = false)
+        throw e
     }
   }
 
@@ -385,33 +436,29 @@ object Similarity {
     val sd = books(0)(0).length
     require(queryQuant.length == m * sd,
       s"query has ${queryQuant.length} dims, codebooks expect ${m * sd}")
-    val cents = coarseCentroids.select(col("cid"), col("q")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-    require(cents.nonEmpty, "empty coarse centroid table")
+    val rows = coarseCentroids.select(col("cid"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    require(rows.nonEmpty, "empty coarse centroid table")
+    // duplicate cids (e.g. two model snapshots appended into one table)
+    // would silently resolve to an arbitrary row per cid — refuse
+    require(rows.map(_._1).distinct.length == rows.length,
+      "coarse centroid table has duplicate cids (two model snapshots?)")
+    val cents = rows.toMap
     require(cents.values.forall(_.length == m * sd),
       s"coarse centroids must have ${m * sd} dims")
-    def sq(a: Array[Long], b: Array[Long]): Long =
-      a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
     val probed = cents.toSeq
-      .map { case (cid, c) => (sq(queryQuant, c), cid) }
+      .map { case (cid, c) => (sqLong(queryQuant, c), cid) }
       .sorted.take(math.min(nprobe, cents.size)).map(_._2)
     // per probed cell: the query residual's m×k exact lookup table
     val luts: Seq[(Long, Array[Array[Long]])] = probed.map { cell =>
       val res = queryQuant.zip(cents(cell)).map { case (x, c) => x - c }
-      cell -> Array.tabulate(m) { s =>
-        val qs = res.slice(s * sd, (s + 1) * sd)
-        books(s).map(c => sq(qs, c))
-      }
+      cell -> adcLut(res, books)
     }
-    def cellAdc(lut: Array[Array[Long]]): Column =
-      (0 until m).map { s =>
-        element_at(array(lut(s).map(lit(_)): _*),
-          col("codes").getItem(s).cast("int") + 1)
-      }.reduce(_ + _)
     val adc = luts.tail.foldLeft(
-      when(col("cell") === lit(luts.head._1), cellAdc(luts.head._2))) {
+      when(col("cell") === lit(luts.head._1),
+        adcDistExpr(luts.head._2, col("codes")))) {
       case (acc, (cell, lut)) =>
-        acc.when(col("cell") === lit(cell), cellAdc(lut))
+        acc.when(col("cell") === lit(cell), adcDistExpr(lut, col("codes")))
     }
     encoded.filter(col("cell").isin(probed: _*))
       .select(col(idCol), col("cell"), adc.as("adc_dist"))

@@ -701,6 +701,40 @@ class PqSpec extends SparkSpec {
     assert(two == Seq((0L, 0L), (2L, 0L), (1L, far), (3L, far)))
   }
 
+  test("mismatched model state fails loudly: a code outside the codebook " +
+    "range raises instead of null-sorting first; a coarse table with " +
+    "duplicate cids is refused; a dims not divisible by m is refused") {
+    val a = Seq(1f, 1f, 0f, 0f); val b = Seq(0f, 0f, 1f, 1f)
+    val df = df4(0L -> a, 1L -> b)
+    val books = Similarity.pqFitCodebooks(df, "vec_id", "embedding",
+      dims = 4, m = 2, k = 2, iters = 2)
+    // an encoded frame from a BIGGER codebook (stale lake read): code 5
+    // indexes past the k=2 lookup table — must raise, not rank first
+    val staleEncoded = Seq((7L, Seq(1L, 5L))).toDF("vec_id", "codes")
+    val e = intercept[Exception] {
+      Similarity.pqAdcTopK(staleEncoded, "vec_id", books,
+        Array(Q, Q, 0L, 0L), n = 5).collect()
+    }
+    assert((e.getMessage != null && e.getMessage.contains("codebook range"))
+      || (e.getCause != null && e.getCause.getMessage.contains("codebook range")))
+    // duplicate coarse cids (two model snapshots in one table) refused
+    val (coarse, bk, enc) = Similarity.ivfPqIndex(df4(0L -> a, 1L -> b,
+      2L -> a, 3L -> b), "vec_id", "embedding", dims = 4, coarseK = 2,
+      coarseIters = 2, m = 2, k = 2, iters = 2)
+    val doubled = coarse.union(coarse)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(enc, "vec_id", doubled, bk,
+        Array(Q, Q, 0L, 0L), nprobe = 1, n = 5)
+    }
+    assert(e2.getMessage.contains("duplicate cids"))
+    // dims % m != 0 refused at build time (slices would drop the tail)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndex(df, "vec_id", "embedding", dims = 4,
+        coarseK = 2, coarseIters = 2, m = 3, k = 2, iters = 2)
+    }
+    assert(e3.getMessage.contains("must divide"))
+  }
+
   test("IVF-PQ fixture run: dense codebooks, every result row from a " +
     "probed cell, TakeOrderedAndProject plan") {
     val emb = graft.sources.Lake.table(spark, sfDir, "embeddings")
