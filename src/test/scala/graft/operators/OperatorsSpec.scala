@@ -497,6 +497,20 @@ class SubstringDedupSpec extends SparkSpec {
     assert(s(8L) == ((4L, 4L, "")))
   }
 
+  test("a single-document corpus still dedups against itself: the " +
+    "canonical first occurrence survives, the later repeat is spliced " +
+    "out even when kept and removed spans touch") {
+    val df = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    // k=3 grams: [a b c](0) [b c a](1) [c a b](2) [a b c](3) — only
+    // "a b c" repeats; canonical (1,0), removable {3} → span [3,5]
+    val p = profile(df, 3)
+    assert(p(1L) == ((6L, 2L, 1L, 6L, 1.0))) // both starts merge: [0,5]
+    val s = strip(df, 3, keepCanonical = true)
+    assert(s(1L) == ((6L, 3L, "a b c")))
+    val sAll = strip(df, 3, keepCanonical = false)
+    assert(sAll(1L) == ((6L, 6L, "")))
+  }
+
   test("NULL text reads as an empty document on both paths: zero counts, " +
     "empty rewrite — never size(NULL) = -1 or a NULL clean_text") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d"),
@@ -699,6 +713,16 @@ class PqSpec extends SparkSpec {
     // = (22² + 3·20²)·Q² = 1684·Q² exactly
     val far = 1684L * Q * Q
     assert(two == Seq((0L, 0L), (2L, 0L), (1L, far), (3L, far)))
+  }
+
+  test("a corpus smaller than k refuses to fit with a clear message " +
+    "instead of a short codebook") {
+    val df = df4(0L -> Seq(1f, 1f, 0f, 0f))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqFitCodebooks(df, "vec_id", "embedding",
+        dims = 4, m = 2, k = 2, iters = 2)
+    }
+    assert(e.getMessage.contains("need at least"))
   }
 
   test("mismatched model state fails loudly: a code outside the codebook " +
