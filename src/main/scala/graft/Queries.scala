@@ -2435,11 +2435,12 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
-    // The rewrite half: strip every duplicated 8-token span, keeping each
-    // gram's canonical first occurrence (min (doc_id, pos)) so shared text
-    // survives exactly once corpus-wide. Document text never shuffles —
-    // spans collapse to one interval array per doc and the splice is
-    // row-local filter-with-index.
+    // The rewrite half: strip every duplicated 8-token span, excluding
+    // each gram's canonical first occurrence (min (doc_id, pos)) from the
+    // removable set (window-level retention — an overlapping OTHER gram's
+    // removable span can still take tokens from it). Document text never
+    // shuffles — spans collapse to one interval array per doc and the
+    // splice is row-local filter-with-index.
     "q118b_substring_strip" -> ((s, dir) => {
       Dedup.stripDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
           k = 8, keepCanonical = true)

@@ -96,12 +96,17 @@ object Cluster {
       case Array(r) => r.getInt(0)
       case _ => throw new IllegalArgumentException("empty corpus")
     }
-    // init: the k lowest-id vectors (deterministic total order)
-    var centroids: Array[Array[Long]] = quant.orderBy(col(idCol).asc)
-      .limit(k).collect()
-      .map(_.getSeq[Long](1).toArray)
-    require(centroids.length == k,
-      s"need at least $k vectors, got ${centroids.length}")
+    // init: the k lowest-id vectors (deterministic total order); a NULL
+    // among them gets the branded malformed-embedding error instead of a
+    // raw driver NPE (executor-side rows hit checkedField's guard)
+    val initRows = quant.orderBy(col(idCol).asc).limit(k).collect()
+    require(initRows.length == k,
+      s"need at least $k vectors, got ${initRows.length}")
+    var centroids: Array[Array[Long]] = initRows.map { r =>
+      require(!r.isNullAt(1), "Cluster: malformed embedding (null) among " +
+        "the k lowest-id init vectors")
+      r.getSeq[Long](1).toArray
+    }
     for (it <- 1 until iters) {
       // one k-row aggregate: count + per-dimension long sums (map-side
       // combinable; k·(dims+1) cells reach the driver)

@@ -847,21 +847,30 @@ object Dedup {
     * at corpus scale a second columnar scan beats caching O(tokens) rows.
     */
   private def duplicatedWindows(df: DataFrame, idCol: String,
-      textCol: String, k: Int): DataFrame = {
+      textCol: String, k: Int, needCanon: Boolean): DataFrame = {
     require(k >= 2, s"substring windows need k >= 2 tokens, got $k")
     def grams = df.select(col(idCol),
         posexplode(TextFunctions.wordNgrams(col(textCol), k))
           .as(Seq("__pos", "__g")))
       .select(col(idCol), col("__pos"), xxhash64(col("__g")).as("__gh"))
+    // the census groupBy is this operator's hottest exchange (one row per
+    // gram occurrence corpus-wide): the min-struct canonical tracker only
+    // rides it when the caller (the strip rewrite) actually needs it —
+    // the profile path carries count-only aggregate state
+    val aggCols = count(lit(1)).as("__cnt") +:
+      (if (needCanon)
+        Seq(min(struct(col(idCol), col("__pos"))).as("__canon"))
+      else Nil)
     val census = grams.groupBy(col("__gh"))
-      .agg(count(lit(1)).as("__cnt"),
-        min(struct(col(idCol), col("__pos"))).as("__canon"))
+      .agg(aggCols.head, aggCols.tail: _*)
       .filter(col("__cnt") >= 2)
-      .select(col("__gh"), col("__canon"))
-    grams.join(census, Seq("__gh"))
-      .select(col(idCol), col("__pos"),
+      .drop("__cnt")
+    val joined = grams.join(census, Seq("__gh"))
+    if (needCanon)
+      joined.select(col(idCol), col("__pos"),
         (col("__canon")(idCol) === col(idCol) &&
           col("__canon")("__pos") === col("__pos")).as("__is_canon"))
+    else joined.select(col(idCol), col("__pos"))
   }
 
   /** Merge duplicated-window starts into maximal covered spans per
@@ -899,8 +908,7 @@ object Dedup {
     */
   def substringDupProfile(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val wins = duplicatedWindows(df, idCol, textCol, k)
-      .select(col(idCol), col("__pos"))
+    val wins = duplicatedWindows(df, idCol, textCol, k, needCanon = false)
     val perDoc = mergeWindowSpans(wins, idCol, k)
       .groupBy(col(idCol))
       .agg(sum(col("windows")).as("dup_windows"),
@@ -922,11 +930,16 @@ object Dedup {
   }
 
   /** Substring-level dedup rewrite (ExactSubstr, Lee et al. 2022): delete
-    * every token covered by a duplicated k-token window, keeping (by
-    * default) the canonical first occurrence — min (id, pos) — of each
-    * gram intact, so shared text survives exactly once corpus-wide;
-    * `keepCanonical = false` strips every occurrence (the paper's
-    * remove-all variant). Returns one row per input document:
+    * every token covered by a duplicated k-token window, excluding (by
+    * default) each gram's canonical first occurrence — min (id, pos) —
+    * from the removable set; `keepCanonical = false` strips every
+    * occurrence (the paper's remove-all variant). Canonical retention is
+    * window-level, NOT a corpus-wide text guarantee: a canonical window
+    * can still lose tokens to a DIFFERENT gram's removable span
+    * overlapping it (e.g. "q r s" canonical in doc A while doc A's
+    * "p q r" occurrence is removable — the splice deletes q,r there
+    * regardless), the same behavior as the paper's span semantics.
+    * Returns one row per input document:
     * (idCol, n_tokens, removed_tokens, clean_text), where clean_text is
     * the surviving tokens rejoined with single spaces (whitespace runs
     * normalize — the tokenizer's contract, same as every chunker here).
@@ -942,7 +955,8 @@ object Dedup {
     */
   def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int, keepCanonical: Boolean = true): DataFrame = {
-    val winsAll = duplicatedWindows(df, idCol, textCol, k)
+    val winsAll = duplicatedWindows(df, idCol, textCol, k,
+      needCanon = keepCanonical)
     val wins = (if (keepCanonical) winsAll.filter(!col("__is_canon"))
       else winsAll).select(col(idCol), col("__pos"))
     val intervals = mergeWindowSpans(wins, idCol, k)

@@ -195,9 +195,17 @@ object Similarity {
   private def pqFitOnQuantized(quant: DataFrame, idCol: String, dims: Int,
       m: Int, k: Int, iters: Int): Array[Array[Array[Long]]] = {
     val sd = dims / m
-    val init = quant.orderBy(col(idCol).asc).limit(k).collect()
-      .map(_.getSeq[Long](1).toArray)
-    require(init.length == k, s"need at least $k vectors, got ${init.length}")
+    val initRows = quant.orderBy(col(idCol).asc).limit(k).collect()
+    require(initRows.length == k,
+      s"need at least $k vectors, got ${initRows.length}")
+    val init = initRows.map { r =>
+      // brand the error here too: a NULL among the k lowest-id vectors
+      // would otherwise surface as a raw driver NPE instead of the
+      // malformed-embedding contract every executor-side path raises
+      require(!r.isNullAt(1), "Similarity.pq: malformed embedding (null) " +
+        "among the k lowest-id init vectors")
+      r.getSeq[Long](1).toArray
+    }
     require(init.forall(_.length == dims),
       s"init vectors must have $dims dims")
     var books: Array[Array[Array[Long]]] =
@@ -240,6 +248,11 @@ object Similarity {
     require(byKey.size == m * k && rows.length == m * k,
       s"codebooks must be dense over sub 0..${m - 1} × cid 0..${k - 1}, " +
         s"each (sub, cid) exactly once")
+    // uniform sub-vector length: the driver-side LUT build (sqLong's zip)
+    // would silently TRUNCATE a short centroid to the common prefix —
+    // wrong distances with no error — where the encode path raises
+    require(rows.forall(_._3.length == rows.head._3.length),
+      "codebook sub-centroids must all have the same length")
     Array.tabulate(m)(s => Array.tabulate(k)(j => byKey((s.toLong, j.toLong))))
   }
 
@@ -256,13 +269,21 @@ object Similarity {
     val quant = df.select(col(idCol),
       Cluster.quantizeFloor(col(vecCol), scale).as("q")).persist()
     try {
-      val books = pqFitOnQuantized(quant, idCol, dims, m, k, iters)
-      val spark = df.sparkSession
-      import spark.implicits._
-      (for { s <- 0 until m; j <- 0 until k }
-        yield (s.toLong, j.toLong, books(s)(j).toSeq))
-        .toDF("sub", "cid", "q")
+      booksToDf(df.sparkSession,
+        pqFitOnQuantized(quant, idCol, dims, m, k, iters))
     } finally quant.unpersist(blocking = false)
+  }
+
+  /** The lake shape of a codebook set — ONE definition (shared by
+    * [[pqFitCodebooks]] and [[ivfPqIndex]]) so the schema can never
+    * desync between the two build paths.
+    */
+  private def booksToDf(spark: org.apache.spark.sql.SparkSession,
+      books: Array[Array[Array[Long]]]): DataFrame = {
+    import spark.implicits._
+    (for { s <- books.indices; j <- books(s).indices }
+      yield (s.toLong, j.toLong, books(s)(j).toSeq))
+      .toDF("sub", "cid", "q")
   }
 
   /** Encode every vector as its m sub-centroid codes: (idCol, codes
@@ -342,7 +363,12 @@ object Similarity {
       try_element_at(array(lut(s).map(lit(_)): _*),
         codes.getItem(s).cast("int") + 1)
     }.reduce(_ + _)
-    when(raw.isNull, raise_error(lit(
+    // negative codes must be guarded EXPLICITLY: try_element_at reads a
+    // negative index from the END of the array, so a corrupted code ≤ −2
+    // would score against an arbitrary LUT entry without ever going null
+    val negative = lut.indices.map(s => codes.getItem(s) < 0)
+      .reduce(_ || _)
+    when(raw.isNull || negative, raise_error(lit(
       "Similarity.pq: code outside the codebook range (stale or " +
         "mismatched codebooks?)")))
       .otherwise(raw)
@@ -402,9 +428,7 @@ object Similarity {
     try {
       val books = pqFitOnQuantized(
         res.select(col(idCol), col("q")), idCol, dims, m, k, iters)
-      val codebooks = (for { s <- 0 until m; j <- 0 until k }
-        yield (s.toLong, j.toLong, books(s)(j).toSeq))
-        .toDF("sub", "cid", "q")
+      val codebooks = booksToDf(spark, books)
       val encoded = Dedup.materializeAndRelease(
         res.select(col(idCol), col("cell"),
           pqCodesExpr(col("q"), books, dims).as("codes")),

@@ -522,6 +522,20 @@ class SubstringDedupSpec extends SparkSpec {
     assert(s(1L) == ((4L, 4L, ""))) // exact dups: both fully covered
   }
 
+  test("canonical retention is WINDOW-level, not a corpus-wide text " +
+    "guarantee: an overlapping other gram's removable span can take " +
+    "tokens from a canonical window (the documented span semantics)") {
+    val df = Seq((0L, "q r s"), (1L, "p q r s"), (2L, "p q r t"))
+      .toDF("doc_id", "text")
+    // k=3 dups: "p q r" canonical (1,0) removable (2,0); "q r s"
+    // canonical (0,0) removable (1,1). Doc 1's removable span [1,3]
+    // overlaps its CANONICAL "p q r" window [0,2] and takes q,r.
+    val s = strip(df, 3, keepCanonical = true)
+    assert(s(0L) == ((3L, 0L, "q r s")))
+    assert(s(1L) == ((4L, 3L, "p")))
+    assert(s(2L) == ((4L, 3L, "t")))
+  }
+
   test("profile and strip agree: removed_tokens under keepCanonical=false " +
     "equals the profile's covered_tokens on the fixture corpus") {
     val docs = graft.sources.Lake.table(spark, sfDir, "documents")
@@ -741,6 +755,16 @@ class PqSpec extends SparkSpec {
     }
     assert((e.getMessage != null && e.getMessage.contains("codebook range"))
       || (e.getCause != null && e.getCause.getMessage.contains("codebook range")))
+    // NEGATIVE codes must raise too: try_element_at reads a negative
+    // index from the END of the array, so without the explicit guard a
+    // code of -2 would score against an arbitrary LUT entry silently
+    val negEncoded = Seq((8L, Seq(0L, -2L))).toDF("vec_id", "codes")
+    val eNeg = intercept[Exception] {
+      Similarity.pqAdcTopK(negEncoded, "vec_id", books,
+        Array(Q, Q, 0L, 0L), n = 5).collect()
+    }
+    assert((eNeg.getMessage != null && eNeg.getMessage.contains("codebook range"))
+      || (eNeg.getCause != null && eNeg.getCause.getMessage.contains("codebook range")))
     // duplicate coarse cids (two model snapshots in one table) refused
     val (coarse, bk, enc) = Similarity.ivfPqIndex(df4(0L -> a, 1L -> b,
       2L -> a, 3L -> b), "vec_id", "embedding", dims = 4, coarseK = 2,
