@@ -134,20 +134,38 @@ object Bench {
     // per_row = median(sfDir) − floor, clamped at 0; a future change that
     // grows per_row is a state-sizing regression even if the total hides
     // inside lifecycle jitter.
-    val streamingQs = Seq("q112_stream_sessionize",
-      "q113_stream_interval_join", "q114_stream_cdc",
-      "q115_stream_cdc_resume", "q116_stream_dedup",
-      "q116b_stream_dedup_resume", "q117_stream_semdedup",
-      "q117b_stream_semdedup_resume")
+    // each probe is gated on the table ITS query actually reads from the
+    // floor fixture (not just events.parquet), and any probe that can't
+    // run lands in streaming_floor_skipped — a partial floor map is
+    // distinguishable from a complete one in the artifact.
+    val streamingQs: Seq[(String, String)] = Seq(
+      "q112_stream_sessionize" -> "events",
+      "q113_stream_interval_join" -> "events",
+      "q114_stream_cdc" -> "events",
+      "q115_stream_cdc_resume" -> "events",
+      "q116_stream_dedup" -> "documents",
+      "q116b_stream_dedup_resume" -> "documents",
+      "q116c_stream_dedup_retention" -> "documents",
+      "q117_stream_semdedup" -> "embeddings",
+      "q117b_stream_semdedup_resume" -> "embeddings",
+      "q117c_stream_semdedup_retention" -> "embeddings")
     val floorDir = sys.env.getOrElse("SPARK_GRAFT_FLOOR_DIR",
       "/root/testdata/sf0.001")
     val medByName = results.collect { case (n, _, m) if m >= 0 => n -> m }.toMap
+    val floorSkipped = scala.collection.mutable.ListBuffer.empty[String]
     val floorMap: Seq[(String, Double, Double)] =
-      if (only.nonEmpty || !new java.io.File(s"$floorDir/events.parquet").exists())
-        Seq.empty
-      else streamingQs.flatMap { name =>
-        SparkEntry.queries.get(name).zip(medByName.get(name)).flatMap {
-          case (fn, med) =>
+      if (only.nonEmpty) Seq.empty
+      else streamingQs.flatMap { case (name, table) =>
+        if (!new java.io.File(s"$floorDir/$table.parquet").exists()) {
+          System.err.println(
+            s"[bench] floor probe $name skipped: no $table.parquet in $floorDir")
+          floorSkipped += name
+          None
+        } else SparkEntry.queries.get(name).zip(medByName.get(name)) match {
+          case None =>
+            floorSkipped += name // query missing or failed in the main loop
+            None
+          case Some((fn, med)) =>
             try {
               val ts = (1 to 2).map { _ =>
                 System.gc()
@@ -159,6 +177,7 @@ object Bench {
               Some((name, floor, math.max(0.0, med - floor)))
             } catch { case e: Throwable =>
               System.err.println(s"[bench] floor probe $name failed: ${e.getMessage}")
+              floorSkipped += name
               None
             }
         }
@@ -170,6 +189,8 @@ object Bench {
       .mkString("{", ",", "}")
     val perRowJson = floorMap.map { case (n, _, pr) => s"\"$n\":$pr" }
       .mkString("{", ",", "}")
+    val floorSkippedJson = floorSkipped.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
 
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -183,7 +204,7 @@ object Bench {
     // both iteration knobs recorded: sub-1.5s queries run up to
     // iters+extra_sub_sec_iters, so the artifact states the actual
     // methodology instead of implying min-of-iters for every query
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","value_median":$totalMed,"calib_sec":$calibSec,"calib_ref_sec":${Bench.CalibRefSec},"host_factor":$hostFactor,"normalized_value":$normalized,"iters":$timedIters,"extra_sub_sec_iters":$extraIters,"emitter":"bench","queries":$qs,"queries_median":$qsMed,"streaming_floor":$floorJson,"streaming_per_row":$perRowJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","value_median":$totalMed,"calib_sec":$calibSec,"calib_ref_sec":${Bench.CalibRefSec},"host_factor":$hostFactor,"normalized_value":$normalized,"iters":$timedIters,"extra_sub_sec_iters":$extraIters,"emitter":"bench","queries":$qs,"queries_median":$qsMed,"streaming_floor":$floorJson,"streaming_per_row":$perRowJson,"streaming_floor_skipped":$floorSkippedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // Persist the FULL per-query timing map to a file as well: the driver
     // captures a bounded stdout tail, and a truncated tail silently drops

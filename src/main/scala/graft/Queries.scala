@@ -1484,6 +1484,43 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // q116 THROUGH RETENTION + FAILURE: retainEvery=1 compacts + vacuums
+    // the whole state group after EVERY applied batch (the r14 retention
+    // knob — one size-targeted file set, older versions reclaimed), the
+    // stream is killed after the first batch's commit+compaction, and
+    // the resume must land the SAME oracle: the compacted index is
+    // row-identical state, the CARRIED applied-marker still short-
+    // circuits the replay, and later batches dedup correctly against
+    // compacted-and-vacuumed history.
+    "q116c_stream_dedup_retention" -> ((s, dir) => {
+      val tmp = freshScratchDir("graft_q116c")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      for (c <- 0 until 3) {
+        docs.filter(col("doc_id") % 3 === c).coalesce(1)
+          .write.mode("append").parquet(s"$tmp/in")
+        stampFreshMtimes(s"$tmp/in", 1000000000000L + c * 60000L)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      def dedup() = graft.flows.StreamingDedup.writer(stream, "doc_id",
+        "text", s"$tmp/state", s"$tmp/ckpt", jaccardThreshold = 0.5,
+        retainEvery = 1)
+      graft.streaming.Incremental.withStreamPolicy(stream,
+        s.read.parquet(s"$tmp/in").count()) {
+        val q1 = dedup().start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (q1.recentProgress.isEmpty && q1.isActive &&
+            System.nanoTime() < deadline) Thread.sleep(10)
+        } finally q1.stop()
+        q1.awaitTermination()
+        val q2 = dedup().start()
+        try q2.awaitTermination() finally q2.stop()
+      }
+      graft.flows.StreamingDedup.survivors(s, s"$tmp/state")
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING SEMANTIC dedup (beyond-reference §2.9): the q111 arrival
     // path as a LIVE stream — the semantic twin of q116, completing the
     // batch/incremental/streaming × (lexical, semantic) grid. Setup fits
@@ -1546,6 +1583,45 @@ object Queries {
       def dedup() = graft.flows.StreamingSemDeDup.writer(stream, "vec_id",
         "embedding", s"$tmp/state", s"$tmp/ckpt", tau = 0.45,
         maxClusterSize = Int.MaxValue)
+      graft.streaming.Incremental.withStreamPolicy(stream,
+        s.read.parquet(s"$tmp/in").count()) {
+        val q1 = dedup().start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (q1.recentProgress.isEmpty && q1.isActive &&
+            System.nanoTime() < deadline) Thread.sleep(10)
+        } finally q1.stop()
+        q1.awaitTermination()
+        val q2 = dedup().start()
+        try q2.awaitTermination() finally q2.stop()
+      }
+      graft.flows.StreamingSemDeDup.survivors(s, s"$tmp/state")
+        .orderBy(col("vec_id"))
+    }),
+
+    // q117 THROUGH RETENTION + FAILURE: the semantic twin of q116c —
+    // retainEvery=1 compacts assignments/survivors (keeping the cid-
+    // partitioned layout), CARRIES centroids + applied, and vacuums
+    // older versions after every applied batch; killed after the first
+    // batch, resumed, same oracle. Proves the fitted model survives
+    // carry-through-compaction bit-identically.
+    "q117c_stream_semdedup_retention" -> ((s, dir) => {
+      val tmp = freshScratchDir("graft_q117c")
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.flows.StreamingSemDeDup.setup(
+        emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+        s"$tmp/state", k = 4, iters = 3)
+      val arriving = emb.filter(col("vec_id") % 5 === 0)
+      for (c <- 0 until 3) {
+        arriving.filter(col("vec_id") % 3 === c).coalesce(1)
+          .write.mode("append").parquet(s"$tmp/in")
+        stampFreshMtimes(s"$tmp/in", 1000000000000L + c * 60000L)
+      }
+      val stream = s.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      def dedup() = graft.flows.StreamingSemDeDup.writer(stream, "vec_id",
+        "embedding", s"$tmp/state", s"$tmp/ckpt", tau = 0.45,
+        maxClusterSize = Int.MaxValue, retainEvery = 1)
       graft.streaming.Incremental.withStreamPolicy(stream,
         s.read.parquet(s"$tmp/in").count()) {
         val q1 = dedup().start()
@@ -4254,12 +4330,17 @@ object Queries {
     // output-invisible.
     "q116_stream_dedup" -> q116Oracle,
     "q116b_stream_dedup_resume" -> q116Oracle,
+    // q116c: retention (compact+vacuum every batch) + kill-and-resume
+    // must land the identical survivor table — same oracle by design
+    "q116c_stream_dedup_retention" -> q116Oracle,
 
     // q117/q117b: streaming semantic dedup (stored model, carried
     // centroids, per-batch group commits); the resume variant shares the
     // oracle — crash recovery must be output-invisible.
     "q117_stream_semdedup" -> streamingSemDedupOracle,
     "q117b_stream_semdedup_resume" -> streamingSemDedupOracle,
+    // q117c: retention with carried model + kill-and-resume, same oracle
+    "q117c_stream_semdedup_retention" -> streamingSemDedupOracle,
 
     // q115 shares the same oracle as q114/q68: a kill + checkpoint-resume
     // must land the identical final snapshot (exactly-once through

@@ -1,6 +1,6 @@
 package graft.flows
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
@@ -41,53 +41,76 @@ import graft.sources.VersionedLake
   *
   * Retention: each micro-batch publishes one group version (append mode
   * is a metadata union — no data rewrite), so a long-running stream
-  * accrues manifests, not data copies. Reclaim old manifests with
-  * [[VersionedLake.vacuumGroup]] on whatever cadence the deployment
-  * keeps for time travel; the applied-marker only ever needs the LATEST
-  * version, so any `keepFrom ≤ latest` is safe for the dedup itself.
+  * accrues O(batches) manifests AND O(batches) small parquet files. The
+  * opt-in `retainEvery` knob bounds both IN the flow: every N applied
+  * batches, [[compactState]] group-commits a size-targeted rewrite of
+  * `hashed`/`banded`/`survivors` (the q90 sizing rule,
+  * [[LakeWriter.compactionFileCount]]), CARRIES the `applied` marker so
+  * crash-replay short-circuiting is unaffected, and
+  * [[VersionedLake.vacuumGroup]]s everything older — state row-identical
+  * before and after, so a resume across a compaction boundary replays to
+  * the same survivors (spec-pinned). Readers pinned to a vacuumed
+  * version fail loudly (`version not in …`); pick a cadence longer than
+  * any time-travel window the deployment keeps.
   */
 object StreamingDedup {
 
   /** Build the writer (caller starts it; AvailableNow trigger). `docs`
     * must be a STREAMING frame carrying `idCol` (integral) + `textCol`.
+    *
+    * `retainEvery` > 0 runs [[compactState]] after every N-th APPLIED
+    * batch (batch ids are sequential per checkpoint, so the cadence is
+    * deterministic; a batch replayed across a crash skips both the
+    * apply and the compaction). Best-effort maintenance: a kill between
+    * the batch commit and its compaction loses only that compaction —
+    * the next cadence slot compacts the backlog wholesale.
     */
   def writer(docs: DataFrame, idCol: String, textCol: String,
       root: String, checkpoint: String, jaccardThreshold: Double,
       shingleN: Int = 3, numHashes: Int = 16,
-      bands: Int = 4): DataStreamWriter[Row] =
+      bands: Int = 4, retainEvery: Int = 0,
+      retainTargetBytes: Long = 64L * 1024 * 1024): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, idCol, textCol, root,
+        val applied = applyBatch(batch, batchId, idCol, textCol, root,
           jaccardThreshold, shingleN, numHashes, bands)
+        if (applied && retainEvery > 0 && (batchId + 1) % retainEvery == 0)
+          compactState(batch.sparkSession, root, retainTargetBytes)
+        ()
       }
 
   /** One micro-batch: idempotence check → index read → LSH pairs →
     * survivors → atomic group commit. Public for spec-level direct
-    * driving; the streaming writer is a thin shell over this.
+    * driving; the streaming writer is a thin shell over this. Returns
+    * true iff the batch applied (false = replay short-circuit).
     */
   def applyBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, root: String, jaccardThreshold: Double,
-      shingleN: Int, numHashes: Int, bands: Int): Unit = {
+      shingleN: Int, numHashes: Int, bands: Int): Boolean = {
     val spark = batch.sparkSession
-    val versions = VersionedLake.versions(spark, root)
+    // resolve the version ONCE and pin every read in the batch to it:
+    // group consistency even if another committer raced us (the flow is
+    // single-writer by contract, but the reads shouldn't rely on that)
+    val v = VersionedLake.versions(spark, root).lastOption
     // replay short-circuit: the marker committed ATOMICALLY with the data,
     // so "applied says done" ⟺ "this batch's rows are fully visible"
-    val lastApplied =
-      if (versions.isEmpty) -1L
-      else VersionedLake.readTable(spark, root, "applied")
-        .head().getLong(0)
-    if (batchId <= lastApplied) return
+    val lastApplied = v.fold(-1L)(vv =>
+      VersionedLake.readTable(spark, root, "applied", Some(vv))
+        .head().getLong(0))
+    if (batchId <= lastApplied) return false
     val docs = batch.select(col(idCol).cast("long").as("__doc_id"),
       col(textCol).as("__text"))
     val (nh, nb) = Dedup.minHashIndexPortable(docs, "__doc_id", "__text",
       shingleN, numHashes, bands)
     try {
-      val (oldHashed, oldBanded) =
-        if (versions.isEmpty) (nh.limit(0), nb.limit(0))
-        else (VersionedLake.readTable(spark, root, "hashed"),
-          VersionedLake.readTable(spark, root, "banded"))
+      val (oldHashed, oldBanded) = v match {
+        case None => (nh.limit(0), nb.limit(0))
+        case Some(vv) =>
+          (VersionedLake.readTable(spark, root, "hashed", Some(vv)),
+            VersionedLake.readTable(spark, root, "banded", Some(vv)))
+      }
       val dropped = Dedup.minHashIncrementalPairsFromIndexes(
           oldHashed, oldBanded, nh, nb)
         .filter(col("jaccard") >= jaccardThreshold)
@@ -106,9 +129,24 @@ object StreamingDedup {
               org.apache.spark.sql.types.LongType, nullable = false)))),
         mode = "overwrite")
       gc.publish()
-      ()
+      true
     } finally { nh.unpersist(); nb.unpersist(); () }
   }
+
+  /** Retention pass: group-commit a size-targeted compaction of every
+    * accrued table (`hashed`/`banded`/`survivors` rewritten; `applied`
+    * CARRIED so the crash-replay short-circuit is untouched), then
+    * vacuum every older version. State is row-identical across the
+    * pass — only the file layout changes — so the drop rule, the
+    * oracle, and a checkpoint resume are all unaffected. SINGLE-WRITER:
+    * call from the stream's own foreachBatch (the writer does) or while
+    * the stream is stopped; a concurrent batch commit racing this
+    * rewrite would be overwritten. Returns the compacted version.
+    */
+  def compactState(spark: SparkSession, root: String,
+      targetBytes: Long = 64L * 1024 * 1024): Long =
+    StreamingRetention.compactState(spark, root, targetBytes,
+      carryTables = Set("applied"))
 
   /** The deduped output after the stream drains: (idCol, batch_id) per
     * surviving document, read from the latest committed group version.

@@ -42,6 +42,12 @@ import graft.sources.VersionedLake
   * per-batch corpus I/O into directory reads), one bounded-occupancy
   * pair join. Per-batch cost is corpus-size-independent apart from the
   * pruned read — the same contract q111's oracle checks in one shot.
+  *
+  * Retention: same story as [[StreamingDedup]] — one group version per
+  * micro-batch accrues O(batches) manifests and small files; the opt-in
+  * `retainEvery` knob runs [[compactState]] on a deterministic cadence
+  * (compacted `assignments`/`survivors`, carried `centroids`/`applied`,
+  * older versions vacuumed; row-identical state, resume-safe).
   */
 object StreamingSemDeDup {
 
@@ -75,35 +81,48 @@ object StreamingSemDeDup {
   /** Build the writer (caller starts it; AvailableNow trigger). `docs`
     * must be a STREAMING frame carrying `idCol` (integral) + `embCol`
     * (numeric array); [[setup]] must have committed v1 at `root`.
+    *
+    * `retainEvery` > 0 runs [[compactState]] after every N-th APPLIED
+    * batch — same contract as [[StreamingDedup.writer]]: deterministic
+    * cadence on the sequential batch ids, skipped on crash-replays,
+    * best-effort (a kill between batch commit and compaction defers the
+    * compaction to the next cadence slot).
     */
   def writer(docs: DataFrame, idCol: String, embCol: String,
       root: String, checkpoint: String, tau: Double,
       scale: Int = Cluster.QuantScale,
-      maxClusterSize: Int = Cluster.DefaultSemClusterCap): DataStreamWriter[Row] =
+      maxClusterSize: Int = Cluster.DefaultSemClusterCap,
+      retainEvery: Int = 0,
+      retainTargetBytes: Long = 64L * 1024 * 1024): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, idCol, embCol, root, tau, scale,
-          maxClusterSize)
+        val applied = applyBatch(batch, batchId, idCol, embCol, root, tau,
+          scale, maxClusterSize)
+        if (applied && retainEvery > 0 && (batchId + 1) % retainEvery == 0)
+          compactState(batch.sparkSession, root, retainTargetBytes)
+        ()
       }
 
   /** One micro-batch: idempotence check → model + pruned-neighbor read →
     * semantic drop rule → atomic group commit. Public for spec-level
     * direct driving; the streaming writer is a thin shell over this.
+    * Returns true iff the batch applied (false = replay short-circuit).
     */
   def applyBatch(batch: DataFrame, batchId: Long, idCol: String,
       embCol: String, root: String, tau: Double, scale: Int,
-      maxClusterSize: Int): Unit = {
+      maxClusterSize: Int): Boolean = {
     val spark = batch.sparkSession
+    // one version resolve for EVERY read in the batch, marker included
+    // (group consistency)
+    val v = VersionedLake.versions(spark, root).last
     // replay short-circuit: the marker committed ATOMICALLY with the data,
     // so "applied says done" ⟺ "this batch's assignment rows are visible"
     // — and a replay past the marker would dedup the batch against itself
-    val lastApplied =
-      VersionedLake.readTable(spark, root, "applied").head().getLong(0)
-    if (batchId <= lastApplied) return
-    // one version resolve for every read in the batch (group consistency)
-    val v = VersionedLake.versions(spark, root).last
+    val lastApplied = VersionedLake.readTable(spark, root, "applied",
+      Some(v)).head().getLong(0)
+    if (batchId <= lastApplied) return false
     val centroids = VersionedLake.readTable(spark, root, "centroids", Some(v))
     // explicit schema: partition-column inference would read cid back as
     // INT and break the long contract downstream (same note as q111)
@@ -121,8 +140,22 @@ object StreamingSemDeDup {
     gc.write("survivors", survivors, mode = "append")
     gc.write("applied", marker(spark, batchId))
     gc.publish()
-    ()
+    true
   }
+
+  /** Retention pass ([[StreamingRetention.compactState]]): rewrites the
+    * accrued `assignments` (keeping the cid-partitioned pruned-read
+    * layout) and `survivors` into size-targeted files, CARRIES the
+    * fitted `centroids` model and the `applied` replay marker, then
+    * vacuums every older version. Row-identical state; single-writer
+    * contract (call from foreachBatch or with the stream stopped).
+    * Returns the compacted version.
+    */
+  def compactState(spark: SparkSession, root: String,
+      targetBytes: Long = 64L * 1024 * 1024): Long =
+    StreamingRetention.compactState(spark, root, targetBytes,
+      carryTables = Set("applied", "centroids"),
+      partitioned = Map("assignments" -> Seq("cid")))
 
   /** The deduped output after the stream drains: (idCol, batch_id) per
     * surviving document, read from the latest committed group version.

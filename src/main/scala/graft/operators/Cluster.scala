@@ -249,6 +249,11 @@ object Cluster {
     * split instead of silently getting the trade. Also logged per run.
     * The probe is one aggregate over the already-materialized assignment
     * (≤ k rows) — driver cost is k counters.
+    *
+    * CONTRACT: JVM-global last-write-wins (same as
+    * [[Dedup.lastOversizedBucketSplits]]) — read right after the run it
+    * should describe, from the same thread; under concurrent runs the
+    * per-run log line is the attributable record.
     */
   private val oversizedSplits = new java.util.concurrent.atomic.AtomicLong(-1L)
   def lastOversizedClusterSplits: Long = oversizedSplits.get()

@@ -586,6 +586,13 @@ object Dedup {
     * split, instead of silently getting reduced dense-bucket recall. Also
     * logged per run. Driver-side only: the probe is an aggregate over the
     * already-persisted bucketed frame, ≤ 2^numPlanes rows.
+    *
+    * CONTRACT: JVM-global last-write-wins, like `lastProgress` on a Spark
+    * stream — read it right after the run it should describe, from the
+    * same thread. Concurrent bounded runs in one session each publish
+    * their own count and the reader gets whichever finished last; a
+    * deployment needing per-run attribution under concurrency should
+    * keep the per-run log line (also emitted) instead.
     */
   private val oversizedSplits = new java.util.concurrent.atomic.AtomicLong(-1L)
   def lastOversizedBucketSplits: Long = oversizedSplits.get()
@@ -846,6 +853,46 @@ object Dedup {
     * reasoning). The gram pass runs twice (census build + join probe);
     * at corpus scale a second columnar scan beats caching O(tokens) rows.
     */
+  /** Census-pressure stats of the most recent substring-dedup run in
+    * this JVM whose census has EXECUTED (None before any run, or while
+    * the last-built plan hasn't run yet): (gram occurrences emitted
+    * corpus-wide, distinct grams, census rows surviving the ≥2 filter).
+    * The same observability the bounded-occupancy family has
+    * ([[lastOversizedBucketSplits]]): the census posexplodes one row per
+    * token position corpus-wide by design, and a 100× run should SEE
+    * that volume (and how hard the ≥2 filter cuts it) before it hurts,
+    * not infer it. Zero extra passes — the metrics ride the census
+    * aggregation itself as an observed node (post-partial-agg, so the
+    * observation sees one row per distinct gram, not per occurrence).
+    *
+    * CONTRACT: JVM-global last-write-wins, same as
+    * [[lastOversizedBucketSplits]] — read right after the run it should
+    * describe; under concurrent runs the reader gets whichever query
+    * registered last. Results land via Spark's async listener bus a
+    * moment after the action returns, so a just-finished query may need
+    * a beat (poll, or accept None) before the stats appear.
+    */
+  def lastSubstringCensusStats: Option[SubstringCensusStats] =
+    Option(censusObservation.get).flatMap { obs =>
+      // non-blocking: only read once the observed query has completed
+      // (obs.get would block forever on a plan that was never executed)
+      if (!obs.future.isCompleted) None
+      else {
+        val m = obs.get
+        Some(SubstringCensusStats(
+          gramOccurrences = m("gram_occurrences").asInstanceOf[Long],
+          distinctGrams = m("distinct_grams").asInstanceOf[Long],
+          censusSurvivors = m("census_survivors").asInstanceOf[Long]))
+      }
+    }
+
+  final case class SubstringCensusStats(gramOccurrences: Long,
+      distinctGrams: Long, censusSurvivors: Long)
+
+  private val censusObservation =
+    new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.Observation]()
+
   private def duplicatedWindows(df: DataFrame, idCol: String,
       textCol: String, k: Int, needCanon: Boolean): DataFrame = {
     require(k >= 2, s"substring windows need k >= 2 tokens, got $k")
@@ -861,8 +908,18 @@ object Dedup {
       (if (needCanon)
         Seq(min(struct(col(idCol), col("__pos"))).as("__canon"))
       else Nil)
+    val obs = org.apache.spark.sql.Observation()
+    censusObservation.set(obs)
     val census = grams.groupBy(col("__gh"))
       .agg(aggCols.head, aggCols.tail: _*)
+      // observe BEFORE the ≥2 filter: Σ__cnt = occurrences emitted,
+      // count = distinct grams, the conditional sum = survivors — all
+      // three census-pressure numbers from one already-aggregated node
+      .observe(obs,
+        sum(col("__cnt")).as("gram_occurrences"),
+        count(lit(1)).as("distinct_grams"),
+        sum(when(col("__cnt") >= 2, 1L).otherwise(0L))
+          .as("census_survivors"))
       .filter(col("__cnt") >= 2)
       .drop("__cnt")
     val joined = grams.join(census, Seq("__gh"))

@@ -4,14 +4,21 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video travel as opaque `binary` columns
-  * with typed metadata beside them. The Spark-side plumbing — schema,
-  * partition-preserving batch iteration, deterministic feature rows — is
-  * real. IMAGE decode is real too: JDK `javax.imageio` reads PNG/JPEG/GIF/
-  * BMP headers with zero external dependencies ([[decodeImage]]). Audio and
-  * video decode stays STUBBED (`decodeStub` — no codec libraries in this
-  * container) with a deterministic fake derived from the bytes so tests are
-  * reproducible; the `format` column says which path produced each row
-  * ("png"/"jpeg"/… = real decode, "stub" = fallback).
+  * with typed metadata beside them. Decode is REAL across all three
+  * modalities, pure JVM, zero codec dependencies: images via JDK
+  * `javax.imageio` header reads ([[decodeImage]]) plus full-raster pixel
+  * decode ([[decodeRaster]]); audio via JDK `javax.sound.sampled` headers
+  * ([[decodeAudio]]) and sample statistics ([[decodeAudioSampleStats]]);
+  * video via a from-scratch ISO-BMFF box parser ([[decodeVideo]]), raw
+  * uncompressed frame extraction ([[extractFrameBytes]]) and a QuickTime
+  * Animation ("rle ") entropy decoder with stateful inter-frame temporal
+  * compositing ([[extractFramePixels]] / `decodeQtRleFrame`). What remains
+  * a deployment seam is H.264-class entropy decode — the
+  * `extractFrameBytes`/`extractFramePixels` dispatch is where a JNI codec
+  * binding would slot in, proven by two shipped codec classes (raw + RLE).
+  * [[decodeStub]] survives only as the visible fallback for payloads no
+  * kernel recognizes (`format = "stub"`, never silent) and for modalities
+  * a caller didn't ask decoded.
   *
   * Scale notes: `mapPartitions` over a `Dataset[MediaRow]` keeps the decode
   * batch-shaped (one iterator per partition ≈ one Arrow batch per task in a
@@ -119,6 +126,11 @@ object MultiModal {
           math.min(info.nFrames, Int.MaxValue).toInt, info.brand)
         case None => decodeStub(r)
       }
+    // audio INTENTIONALLY routes to the stub here: this dispatch feeds
+    // q40's image/video-shaped feature schema (width/height/frames), which
+    // audio doesn't have — the real audio path is [[decodeAudio]] /
+    // [[decodeAudioSampleStats]] with its own (rate, channels, frames)
+    // schema, oracle-checked by the dedicated audio queries (q40c/q40g).
     case _ => decodeStub(r)
   }
 

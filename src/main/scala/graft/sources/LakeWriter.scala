@@ -160,14 +160,22 @@ object LakeWriter {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
       outPath: String, targetBytes: Long): Int = {
-    require(targetBytes > 0, "targetBytes must be positive")
     val fs = new org.apache.hadoop.fs.Path(inPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val nFiles = compactionFileCount(totalBytes, targetBytes)
     spark.read.parquet(inPath)
       .repartition(nFiles)
       .write.mode("overwrite").parquet(outPath)
     nFiles
+  }
+
+  /** The compaction sizing rule (shared with the versioned-lake retention
+    * path in the streaming dedup flows): how many output files a rewrite
+    * of `totalBytes` should target so each lands close to `targetBytes`.
+    */
+  def compactionFileCount(totalBytes: Long, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
   }
 }

@@ -650,6 +650,40 @@ object VersionedLake {
     readFiles(spark, root, files, mergeSchema, schemaDDL)
   }
 
+  /** Member tables of the group manifest at `version` (default: latest).
+    * Maintenance jobs use this to discover which tables a retention pass
+    * must rewrite or carry — a group manifest lists ONLY staged tables,
+    * so a compacting commit that misses one drops it from the version.
+    */
+  def tables(spark: SparkSession, root: String,
+      version: Option[Long] = None,
+      manifestStore: Option[ManifestStore] = None): Seq[String] = {
+    val store = storeFor(spark, root, manifestStore)
+    val vs = store.committedVersions()
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs at $root")
+    groupManifestFiles(store, root, v).keys.toSeq.sorted
+  }
+
+  /** Absolute data-file paths of one member table at a version (default:
+    * latest) — what a retention pass stats to size its compaction rewrite
+    * (file COUNT and BYTES without reading any data).
+    */
+  def tableFiles(spark: SparkSession, root: String, table: String,
+      version: Option[Long] = None,
+      manifestStore: Option[ManifestStore] = None): Seq[String] = {
+    val store = storeFor(spark, root, manifestStore)
+    val vs = store.committedVersions()
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs at $root")
+    groupManifestFiles(store, root, v).getOrElse(table,
+      throw new java.io.FileNotFoundException(
+        s"table $table not in group v$v at $root"))
+      .map(rel => new Path(root, rel).toString)
+  }
+
   /** Group analog of [[vacuum]]: delete member-table data files referenced
     * by NO group manifest ≥ `keepFrom`, plus older manifests and expired
     * crashed claims. Same in-flight protection as the single-table vacuum

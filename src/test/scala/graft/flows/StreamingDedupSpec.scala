@@ -50,6 +50,71 @@ class StreamingDedupSpec extends SparkSpec {
     assert(idxIds == Set(10L, 11L, 20L, 5L, 30L))
   }
 
+  test("retention: compactState is row-identical (same survivors + index " +
+    "as an uncompacted run, drop rule intact across the boundary), bounds " +
+    "the file count, and vacuumed versions fail loudly when pinned") {
+    def drive(root: String, compactAfterEach: Boolean): Unit = {
+      val batches = Seq(
+        Seq((10L, base), (11L, "completely different words entirely")),
+        Seq((20L, base + " extra"), (5L, base + " tail")),
+        Seq((30L, base + " more extra")))
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        StreamingDedup.applyBatch(rows.toDF("doc_id", "text"), i.toLong,
+          "doc_id", "text", root, jaccardThreshold = 0.5, shingleN = 3,
+          numHashes = 16, bands = 4)
+        if (compactAfterEach) StreamingDedup.compactState(spark, root)
+      }
+    }
+    val plain = Files.createTempDirectory("sdedup_p").toString + "/state"
+    val tight = Files.createTempDirectory("sdedup_c").toString + "/state"
+    drive(plain, compactAfterEach = false)
+    drive(tight, compactAfterEach = true)
+    def survivorsOf(root: String) = StreamingDedup.survivors(spark, root)
+      .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+    def indexIdsOf(root: String) =
+      VersionedLake.readTable(spark, root, "hashed")
+        .select("id").as[Long].collect().toSet
+    // (a) state is row-identical: compacting after EVERY batch (so every
+    // later batch deduped against compacted state) lands the exact same
+    // survivors and index as never compacting
+    assert(survivorsOf(tight) == survivorsOf(plain))
+    assert(indexIdsOf(tight) == indexIdsOf(plain))
+    // resume across the compaction boundary: a crash-replayed batch id
+    // still short-circuits on the CARRIED marker…
+    val vAfter = VersionedLake.versions(spark, tight).last
+    assert(!StreamingDedup.applyBatch(
+      Seq((30L, base + " more extra")).toDF("doc_id", "text"), 2L,
+      "doc_id", "text", tight, 0.5, 3, 16, 4))
+    assert(VersionedLake.versions(spark, tight).last == vAfter)
+    // …and a genuinely new near-dup arrival still drops against the
+    // compacted index (the stored state really is the same state)
+    assert(StreamingDedup.applyBatch(
+      Seq((40L, base + " yet more")).toDF("doc_id", "text"), 3L,
+      "doc_id", "text", tight, 0.5, 3, 16, 4))
+    assert(survivorsOf(tight) == survivorsOf(plain))
+    // (b) file count bounded: the compacted root holds ONE size-targeted
+    // file per table (hashed/banded/survivors) plus the carried marker —
+    // the uncompacted root accrues per-batch files beyond that. Count
+    // from the last pre-append compaction point: recompact now.
+    StreamingDedup.compactState(spark, tight)
+    def parquetCount(root: String): Int = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try it.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally it.close()
+    }
+    assert(parquetCount(tight) == 4,
+      s"expected 4 compacted files, got ${parquetCount(tight)}")
+    assert(parquetCount(plain) > parquetCount(tight))
+    // (c) vacuum really reclaimed history: only the compacted version
+    // remains, and a reader pinned to a vacuumed version fails loudly
+    val vs = VersionedLake.versions(spark, tight)
+    assert(vs.size == 1)
+    val ex = intercept[IllegalArgumentException] {
+      VersionedLake.readTable(spark, tight, "hashed", Some(1L))
+    }
+    assert(ex.getMessage.contains("version 1 not in"))
+  }
+
   test("short docs (< shingleN tokens) pass through as survivors without " +
     "entering the index") {
     val root = Files.createTempDirectory("sdedup_short").toString + "/state"

@@ -107,6 +107,83 @@ class StreamingSemDeDupSpec extends SparkSpec {
     assert(surv.subsetOf(Set(50L, 60L, 61L)) && surv.contains(60L))
   }
 
+  test("retention: compactState carries the model bit-identically, keeps " +
+    "the cid-partitioned assignment layout and the drop rule across the " +
+    "boundary, bounds files, and vacuumed versions fail loudly") {
+    def drive(root: String, compactAfterEach: Boolean): Unit = {
+      val corpus = Seq((100L, vec(0, 1)), (200L, vec(1, 1)))
+        .toDF("vec_id", "embedding")
+      StreamingSemDeDup.setup(corpus, "vec_id", "embedding", root,
+        k = 2, iters = 2)
+      val batches = Seq(
+        Seq((50L, vec(0, 2)), (60L, vec(2, 1)), (61L, vec(2, 2))),
+        Seq((10L, vec(2, 3)), (70L, vec(3, 1))))
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        StreamingSemDeDup.applyBatch(rows.toDF("vec_id", "embedding"),
+          i.toLong, "vec_id", "embedding", root, tau = 0.9,
+          scale = graft.operators.Cluster.QuantScale,
+          maxClusterSize = Int.MaxValue)
+        if (compactAfterEach) StreamingSemDeDup.compactState(spark, root)
+      }
+    }
+    val plain = Files.createTempDirectory("ssem_p").toString + "/state"
+    val tight = Files.createTempDirectory("ssem_c").toString + "/state"
+    drive(plain, compactAfterEach = false)
+    drive(tight, compactAfterEach = true)
+    // (a) row-identical state: batch 1 deduped against COMPACTED batch-0
+    // state lands the same survivors (10 drops against stored 60)
+    def survivorsOf(root: String) = StreamingSemDeDup.survivors(spark, root)
+      .select("vec_id", "batch_id").as[(Long, Long)].collect().toSet
+    assert(survivorsOf(tight) == survivorsOf(plain))
+    assert(survivorsOf(tight) == Set((60L, 0L), (70L, 1L)))
+    // the carried centroid model is bit-identical to the uncompacted one
+    // (fitCentroids is deterministic, so cross-root comparison holds)
+    def centroidsOf(root: String) =
+      VersionedLake.readTable(spark, root, "centroids")
+        .collect().map(_.toString).sorted.toSeq
+    assert(centroidsOf(tight) == centroidsOf(plain))
+    // assignments survive the rewrite with the typed read AND the
+    // Hive cid=… layout intact (partition dirs present on disk)
+    val assigned = VersionedLake.readTable(spark, tight, "assignments",
+      schemaDDL = "vec_id BIGINT, q ARRAY<BIGINT>, dist BIGINT, cid BIGINT")
+    assert(assigned.select("vec_id").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 50L, 60L, 61L, 70L, 100L, 200L))
+    val cidDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(tight))
+    try assert(cidDirs.anyMatch(p =>
+      p.getFileName.toString.startsWith("cid=")))
+    finally cidDirs.close()
+    // replay across the compaction boundary short-circuits on the
+    // carried marker; a new near-dup arrival still drops
+    val vAfter = VersionedLake.versions(spark, tight).last
+    assert(!StreamingSemDeDup.applyBatch(
+      Seq((10L, vec(2, 3)), (70L, vec(3, 1))).toDF("vec_id", "embedding"),
+      1L, "vec_id", "embedding", tight, 0.9,
+      graft.operators.Cluster.QuantScale, Int.MaxValue))
+    assert(VersionedLake.versions(spark, tight).last == vAfter)
+    assert(StreamingSemDeDup.applyBatch(
+      Seq((90L, vec(3, 2))).toDF("vec_id", "embedding"),
+      2L, "vec_id", "embedding", tight, 0.9,
+      graft.operators.Cluster.QuantScale, Int.MaxValue))
+    assert(survivorsOf(tight) == Set((60L, 0L), (70L, 1L))) // 90 ≈ 70 drops
+    // (b)+(c) bounded files and loud vacuumed-version reads
+    StreamingSemDeDup.compactState(spark, tight)
+    assert(VersionedLake.versions(spark, tight).size == 1)
+    def parquetCount(root: String): Int = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try it.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally it.close()
+    }
+    // centroids 1 (carried) + applied 1 (carried) + survivors 1 +
+    // assignments ≤ one file per occupied cid partition
+    assert(parquetCount(tight) <= 3 + 4,
+      s"expected ≤7 compacted files, got ${parquetCount(tight)}")
+    assert(parquetCount(plain) > parquetCount(tight))
+    val ex = intercept[IllegalArgumentException] {
+      VersionedLake.readTable(spark, tight, "assignments", Some(1L))
+    }
+    assert(ex.getMessage.contains("version 1 not in"))
+  }
+
   test("setup refuses a root that already has committed state") {
     val root = Files.createTempDirectory("ssem2").toString + "/state"
     val corpus = Seq((1L, vec(0, 1))).toDF("vec_id", "embedding")

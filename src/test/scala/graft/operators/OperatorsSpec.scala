@@ -465,6 +465,26 @@ class SubstringDedupSpec extends SparkSpec {
     assert(p(6L) == ((1L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("census-pressure stats ride the run: occurrences, distinct grams " +
+    "and >=2 survivors are observable after execution, at zero extra scans") {
+    val df = Seq(
+      (1L, "a b c d e f"),   // 4 k=3 gram starts
+      (2L, "x b c d y"),     // 3 starts, shares "b c d" with doc 1
+      (3L, "nothing shared here at all")  // 3 starts, all unique
+    ).toDF("doc_id", "text")
+    profile(df, 3) // the collect IS the action the observation rides
+    // observation results land via an async listener a moment after the
+    // action returns — poll briefly instead of asserting instantly
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var st = Dedup.lastSubstringCensusStats
+    while (st.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(10); st = Dedup.lastSubstringCensusStats
+    }
+    // 10 gram occurrences corpus-wide; 9 distinct ("b c d" shared);
+    // exactly 1 census row survives the >=2 filter
+    assert(st.contains(Dedup.SubstringCensusStats(10L, 9L, 1L)))
+  }
+
   test("strip keepCanonical: the min-(doc,pos) occurrence survives intact, " +
     "every other occurrence loses the span; within-doc repeats keep the " +
     "first; short docs pass through token-normalized") {

@@ -67,6 +67,54 @@ class ProgressLedgerSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("w3"))
   }
 
+  test("legacy → versioned migration through a TORN manifest: a crashed " +
+    "commit's claim + data + unrenamed tmp manifest stays invisible, " +
+    "resume sees exactly legacy ∪ committed, and the next append skips " +
+    "the burned claim number") {
+    import graft.sources.VersionedLake
+    val root = Files.createTempDirectory("ledger").toString + "/p"
+    val doneAt = java.sql.Timestamp.valueOf("2026-08-12 00:00:00")
+    // phase 1 — the pre-versioned layout: legacy plain parquet marks w1
+    Seq("w1").toDF("op").select(col("op").as("operator_key"))
+      .withColumn("run_id", lit("legacy-run"))
+      .withColumn("done_at", lit(doneAt))
+      .write.parquet(root)
+    val ledger = ProgressLedger(spark, root)
+    // phase 2 — versioned appends begin at the same path: v1 marks w2
+    ledger.markDone(Seq("w2").toDF("op"), "op", "run-2", doneAt)
+    // phase 3 — a commit CRASHES at the most-torn point: version claimed,
+    // data files written, manifest bytes staged as v2.json.tmp, but the
+    // atomic rename (the ONLY visibility event) never happened
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val store = new graft.sources.HadoopManifestStore(fs, root)
+    assert(store.tryClaim(2))
+    Seq("w3").toDF("op").select(col("op").as("operator_key"))
+      .withColumn("run_id", lit("run-died"))
+      .withColumn("done_at", lit(doneAt))
+      .write.parquet(s"$root/_data/v2")
+    val tornFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_data/v2"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(n => "\"_data/v2/" + n + "\"").sorted
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_manifests/v2.json.tmp"),
+      tornFiles.mkString("{\"version\":2,\"files\":[", ",", "]}")
+        .getBytes("UTF-8"))
+    // resume sees EXACTLY the committed union: legacy w1 + versioned w2;
+    // the torn w3 is invisible (tmp manifest is not a committed version)
+    assert(VersionedLake.versions(spark, root) == Seq(1L))
+    val candidates = Seq("w1", "w2", "w3", "w4").toDF("op")
+    assert(ledger.exists)
+    assert(ledger.remaining(candidates, "op")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("w3", "w4"))
+    // phase 4 — the next successful append SKIPS the burned claim (v2
+    // stays a tombstone) and the re-queued w3 completes normally
+    ledger.markDone(Seq("w3").toDF("op"), "op", "run-3", doneAt)
+    assert(VersionedLake.versions(spark, root) == Seq(1L, 3L))
+    assert(ledger.remaining(candidates, "op")
+      .collect().map(_.getString(0)).toSeq == Seq("w4"))
+  }
+
   test("racing appends that fork the version chain lose no marks: reads " +
     "union EVERY committed manifest, not just the latest") {
     import graft.sources.VersionedLake

@@ -8,18 +8,29 @@ number the moment it lands.
 
 Usage:
     python3 tools/bench_sf1.py [--ref BENCH_LAST.json] [--round N]
-                               [--fixture /tmp/graft_sf1] [--gate 15.0]
+                               [--fixture /tmp/graft_sf1] [--gate 12.0]
+                               [--per-row-gate 15.0]
 
-Writes BENCH_SF1_r{N}.json: {sf01, sf1, ratios, gate, violations, totals}.
+Writes BENCH_SF1_r{N}.json: {sf01, sf1, ratios, gate, violations, totals,
+streaming per-row split + its own gate}.
 
-Gate rationale (from the recorded probes, BENCH_NOTES rounds 7-10): the
-organic-10x decade lands a median per-query ratio ~1.5x and a worst ~10x
-(pool-saturating per-row kernels: image decode, quality regex, shingling).
-15x leaves ~50% headroom over the recorded worst; anything beyond it has
-historically meant superlinear work (the round-7 replica-amplified pair
-explosions), which is exactly what the gate exists to catch.
-Queries under MIN_SECS at sf1 are exempt: a 0.1->1.6s swing is scheduler
-jitter, not scaling.
+Gate rationale (from the recorded probes, BENCH_NOTES rounds 7-13): the
+organic-10x decade lands a median per-query ratio ~1.5-1.9x and a worst
+~9-10x (pool-saturating per-row kernels: image decode, quality regex,
+shingling). The wall gate started at 15x; round 14 tightened it to 12x
+after the worst observed ratio held <=10.2x for four consecutive rounds —
+anything beyond it has historically meant superlinear work (the round-7
+replica-amplified pair explosions), which is exactly what the gate exists
+to catch. Queries under MIN_SECS at sf1 are exempt: a 0.1->1.6s swing is
+scheduler jitter, not scaling.
+
+Streaming per-row gate (round 14): the streaming queries' wall is 50-90%
+fixed micro-batch lifecycle floor (measured per run, `streaming_floor` in
+the bench JSON), so a state-store misconfiguration could regress the
+per-row half several-fold while hiding inside the wall gate. This mode now
+ALSO gates sf1 per-row <= 15x sf0.1 per-row (per-row = median - floor,
+both measured on the same host/run), exempting per-row halves under
+PER_ROW_MIN_SECS at sf1 where lifecycle jitter dominates the subtraction.
 """
 import argparse
 import json
@@ -30,6 +41,8 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MIN_SECS = 2.0  # sf1 wall below this can't meaningfully violate the gate
+PER_ROW_MIN_SECS = 1.0   # sf1 per-row below this is subtraction jitter
+PER_ROW_EPS = 0.05       # denominator floor: sf0.1 per-row can clamp to ~0
 
 
 def last_json_line(path):
@@ -72,7 +85,9 @@ def main():
                     help="sf0.1 per-query record to ratio against")
     ap.add_argument("--round", type=int, default=None)
     ap.add_argument("--fixture", default="/tmp/graft_sf1")
-    ap.add_argument("--gate", type=float, default=15.0)
+    ap.add_argument("--gate", type=float, default=12.0)
+    ap.add_argument("--per-row-gate", type=float, default=15.0,
+                    dest="per_row_gate")
     args = ap.parse_args()
 
     ref = last_json_line(args.ref)
@@ -90,6 +105,23 @@ def main():
             violations.append({"query": q, "sf01": round(t0, 3),
                                "sf1": round(t1, 3), "ratio": round(r, 2)})
 
+    # streaming per-row gate: both runs carry a same-host floor split;
+    # ratio the per-row halves. A query probed in only one run (skipped
+    # floor, new query) gets no ratio but IS surfaced via the skipped
+    # lists recorded below.
+    pr_ratios, pr_violations = {}, []
+    ref_pr = ref.get("streaming_per_row", {})
+    for q, p1 in sorted(sf1.get("streaming_per_row", {}).items()):
+        p0 = ref_pr.get(q)
+        if p0 is None:
+            continue
+        r = p1 / max(p0, PER_ROW_EPS)
+        pr_ratios[q] = round(r, 2)
+        if r > args.per_row_gate and p1 >= PER_ROW_MIN_SECS:
+            pr_violations.append({"query": q, "sf01_per_row": round(p0, 3),
+                                  "sf1_per_row": round(p1, 3),
+                                  "ratio": round(r, 2)})
+
     rnd = args.round if args.round is not None else next_round()
     out = {
         "metric": "sf1_scale_probe", "unit": "ratio", "emitter": "bench_sf1",
@@ -105,6 +137,14 @@ def main():
         "worst": sorted(ratios.items(), key=lambda kv: -kv[1])[:10],
         "failed_at_sf1": sf1.get("failed", []),
         "violations": violations,
+        "per_row_gate": args.per_row_gate, "per_row_min_secs": PER_ROW_MIN_SECS,
+        "streaming_per_row_sf01": {k: round(v, 3) for k, v in sorted(ref_pr.items())},
+        "streaming_per_row_sf1": {k: round(v, 3) for k, v in
+                                  sorted(sf1.get("streaming_per_row", {}).items())},
+        "streaming_per_row_ratios": pr_ratios,
+        "streaming_floor_skipped_sf01": ref.get("streaming_floor_skipped", []),
+        "streaming_floor_skipped_sf1": sf1.get("streaming_floor_skipped", []),
+        "per_row_violations": pr_violations,
         "queries_sf1": {k: round(v, 3) for k, v in sorted(sf1["queries"].items())},
     }
     path = os.path.join(REPO, f"BENCH_SF1_r{rnd:02d}.json")
@@ -121,7 +161,14 @@ def main():
         for v in violations:
             print(f"  {v['query']}: {v['sf01']}s -> {v['sf1']}s = {v['ratio']}x")
         sys.exit(1)
-    print("[bench_sf1] gate clean")
+    if pr_violations:
+        print(f"[bench_sf1] STREAMING PER-ROW GATE VIOLATIONS "
+              f"(> {args.per_row_gate}x):")
+        for v in pr_violations:
+            print(f"  {v['query']}: {v['sf01_per_row']}s -> "
+                  f"{v['sf1_per_row']}s = {v['ratio']}x")
+        sys.exit(1)
+    print("[bench_sf1] gate clean (wall + streaming per-row)")
 
 
 if __name__ == "__main__":
