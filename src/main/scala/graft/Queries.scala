@@ -2559,6 +2559,28 @@ object Queries {
         .head.getSeq[Long](0).toArray
       Similarity.ivfPqTopK(encoded, "vec_id", coarse, books, qq,
         nprobe = 2, n = 20)
+    }),
+
+    // IVFADC-R (Jégou et al. 2011 §V-A): the production completion of
+    // q119b — short-list the top-c ADC candidates, re-rank them by EXACT
+    // integer distance against the stored quantized vectors (read c full
+    // vectors, not the corpus — the broadcast-candidates join), return
+    // the exact top-n. Same grid end to end, so the oracle replays the
+    // short-list AND the re-rank; c > n so the re-rank genuinely
+    // reorders past the ADC approximation instead of rubber-stamping it.
+    "q119c_ivfpq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (coarse, books, encoded) = Similarity.ivfPqIndex(emb, "vec_id",
+        "embedding", dims = 64, coarseK = 4, coarseIters = 2,
+        m = 4, k = 4, iters = 2)
+      val quant = emb.select(col("vec_id"),
+        graft.operators.Cluster.quantizeFloor(col("embedding")).as("q"))
+      val qq = emb.filter(col("vec_id") === 0)
+        .select(graft.operators.Cluster.quantizeFloor(col("embedding"))
+          .as("q"))
+        .head.getSeq[Long](0).toArray
+      Similarity.ivfPqTopKRerank(encoded, quant, "vec_id", coarse, books,
+        qq, nprobe = 2, c = 50, n = 20)
     })
   )
 
@@ -5220,6 +5242,33 @@ object Queries {
         |JOIN l2 ON l2.cell = a.cell AND l2.cid = f2.cid
         |JOIN l3 ON l3.cell = a.cell AND l3.cid = f3.cid
         |WHERE a.cell IN (SELECT cell FROM probe)
-        |ORDER BY adc_dist, f0.vec_id LIMIT 20""".stripMargin)
+        |ORDER BY adc_dist, f0.vec_id LIMIT 20""".stripMargin),
+
+    // q119c replays IVFADC-R: the q119b ADC body becomes a top-c
+    // short-list CTE, then the re-rank joins the survivors back to the
+    // quantized vectors (e) and scores exact integer distance to the
+    // query row (qrow) — same ORDER BY discipline, final top-n.
+    "q119c_ivfpq_rerank" -> (ivfPqCtesSql(coarseK = 4, coarseIters = 2,
+      m = 4, k = 4, iters = 2, dims = 64, scale = 1 << 20, nprobe = 2) +
+      """,
+        |adc AS (
+        |  SELECT f0.vec_id, a.cell,
+        |    CAST(l0.d + l1.d + l2.d + l3.d AS BIGINT) AS adc_dist
+        |  FROM r0a2 f0
+        |  JOIN r1a2 f1 USING (vec_id) JOIN r2a2 f2 USING (vec_id)
+        |  JOIN r3a2 f3 USING (vec_id)
+        |  JOIN (SELECT vec_id, cell FROM res) a USING (vec_id)
+        |  JOIN l0 ON l0.cell = a.cell AND l0.cid = f0.cid
+        |  JOIN l1 ON l1.cell = a.cell AND l1.cid = f1.cid
+        |  JOIN l2 ON l2.cell = a.cell AND l2.cid = f2.cid
+        |  JOIN l3 ON l3.cell = a.cell AND l3.cid = f3.cid
+        |  WHERE a.cell IN (SELECT cell FROM probe)
+        |  ORDER BY adc_dist, f0.vec_id LIMIT 50
+        |)
+        |SELECT a.vec_id, a.cell, a.adc_dist,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> (e.q[i] - v.q[i]) * (e.q[i] - v.q[i]))) AS BIGINT) AS exact_dist
+        |FROM adc a JOIN e ON e.vec_id = a.vec_id CROSS JOIN qrow v
+        |ORDER BY exact_dist, a.vec_id LIMIT 20""".stripMargin)
   )
 }

@@ -489,4 +489,35 @@ object Similarity {
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(n)
   }
+
+  /** IVF-PQ with exact re-ranking (IVFADC-R, Jégou et al. 2011 §V-A):
+    * [[ivfPqTopK]] returns ADC-APPROXIMATE distances — fine for recall,
+    * but production ANN short-lists the top-`c` ADC candidates and
+    * re-ranks them by EXACT distance against the stored quantized
+    * vectors, buying back the quantization error for the price of
+    * reading c full vectors (c ≪ corpus — the codes already pruned the
+    * rest). `quant` is the (idCol, `q` array<bigint>) frame on the same
+    * grid as `queryQuant` (the column a deployment stores beside the
+    * codes; [[graft.operators.Cluster.quantizeFloor]] builds it).
+    *
+    * Scale shape: the c-row ADC short-list BROADCASTS into the quant
+    * join (the corpus side never shuffles — one scan, hash-probed by c
+    * ids), the exact distance is the codegen'd SqDistToLit kernel, and
+    * the final top-n compiles to TakeOrderedAndProject. Integer-exact
+    * end to end, so the DuckDB oracle replays short-list AND re-rank
+    * bit-for-bit (q119c).
+    */
+  def ivfPqTopKRerank(encoded: DataFrame, quant: DataFrame, idCol: String,
+      coarseCentroids: DataFrame, codebooks: DataFrame,
+      queryQuant: Array[Long], nprobe: Int, c: Int, n: Int): DataFrame = {
+    require(c >= n, s"re-rank short-list c=$c must be >= n=$n")
+    val adcTop = ivfPqTopK(encoded, idCol, coarseCentroids, codebooks,
+      queryQuant, nprobe, c)
+    quant.join(broadcast(adcTop), Seq(idCol))
+      .select(col(idCol), col("cell"), col("adc_dist"),
+        graft.functions.VectorFunctions.sqDistToLit(col("q"),
+          queryQuant.toSeq).as("exact_dist"))
+      .orderBy(col("exact_dist").asc, col(idCol).asc)
+      .limit(n)
+  }
 }

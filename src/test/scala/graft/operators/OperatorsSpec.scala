@@ -749,6 +749,37 @@ class PqSpec extends SparkSpec {
     assert(two == Seq((0L, 0L), (2L, 0L), (1L, far), (3L, far)))
   }
 
+  test("IVFADC-R: exact re-rank genuinely reorders the ADC short-list — " +
+    "candidates that TIE on ADC (k=1 codebook, shared code) come back in " +
+    "true exact-distance order, and c < n refuses") {
+    // one coarse cell, one PQ centroid per subspace: every candidate
+    // shares code [0,0], so ADC distance is a constant and the raw
+    // top-k falls back to id order — maximally wrong for ranking
+    val df = df4(1L -> Seq(10f, 10f, 10f, 10f), 2L -> Seq(1f, 1f, 1f, 1f),
+      3L -> Seq(4f, 4f, 4f, 4f))
+    val (coarse, books, encoded) = Similarity.ivfPqIndex(df, "vec_id",
+      "embedding", dims = 4, coarseK = 1, coarseIters = 1,
+      m = 2, k = 1, iters = 2)
+    val quant = df.select(col("vec_id"),
+      graft.operators.Cluster.quantizeFloor(col("embedding")).as("q"))
+    val qq = Array(0L, 0L, 0L, 0L)
+    val adc = Similarity.ivfPqTopK(encoded, "vec_id", coarse, books, qq,
+      nprobe = 1, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(adc.map(_._1) == Seq(1L, 2L, 3L)) // tie → id order
+    assert(adc.map(_._2).distinct.size == 1)
+    val rr = Similarity.ivfPqTopKRerank(encoded, quant, "vec_id", coarse,
+      books, qq, nprobe = 1, c = 3, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // true order by exact quantized distance: 2 (4Q²) < 3 (64Q²) < 1 (400Q²)
+    assert(rr.map(_._1) == Seq(2L, 3L, 1L))
+    assert(rr.map(_._2) == Seq(4L * Q * Q, 64L * Q * Q, 400L * Q * Q))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKRerank(encoded, quant, "vec_id", coarse, books,
+        qq, nprobe = 1, c = 2, n = 3)
+    }
+  }
+
   test("a corpus smaller than k refuses to fit with a clear message " +
     "instead of a short codebook") {
     val df = df4(0L -> Seq(1f, 1f, 0f, 0f))
