@@ -82,6 +82,66 @@ object Bench {
     }
     System.err.println(f"[bench] calibration $calibSec%8.3f s (blackhole ${blackhole.get()}%d)")
 
+    // ---- streaming lifecycle-floor measurement (round 13; round 14
+    // moved it HERE, before the timed loop) ----
+    // The streaming queries' wall is dominated by a fixed micro-batch
+    // lifecycle floor that masks per-row regressions; measure the floor
+    // directly by running the SAME queries against the smallest fixture
+    // (sf0.001: row work negligible, lifecycle is not). Measured EARLY —
+    // right after warmup + calibration — because a 25-minute 140-query
+    // run degrades the end-of-run environment (host co-tenancy, JVM
+    // state) enough to inflate an end-positioned probe ~3x past the very
+    // medians it is subtracted from (observed in the first r14 run:
+    // floor 6.8 s vs a 2.5 s sfDir median for the same query). Each
+    // probe is gated on the table ITS query actually reads, takes one
+    // untimed floor-fixture warmup plus min-of-2, and any probe that
+    // can't run lands in streaming_floor_skipped — a partial floor map
+    // is distinguishable from a complete one. per_row = median(sfDir) −
+    // floor (clamped at 0) is derived after the timed loop below.
+    val streamingQs: Seq[(String, String)] = Seq(
+      "q112_stream_sessionize" -> "events",
+      "q113_stream_interval_join" -> "events",
+      "q114_stream_cdc" -> "events",
+      "q115_stream_cdc_resume" -> "events",
+      "q116_stream_dedup" -> "documents",
+      "q116b_stream_dedup_resume" -> "documents",
+      "q116c_stream_dedup_retention" -> "documents",
+      "q117_stream_semdedup" -> "embeddings",
+      "q117b_stream_semdedup_resume" -> "embeddings",
+      "q117c_stream_semdedup_retention" -> "embeddings")
+    val floorDir = sys.env.getOrElse("SPARK_GRAFT_FLOOR_DIR",
+      "/root/testdata/sf0.001")
+    val floorSkipped = scala.collection.mutable.ListBuffer.empty[String]
+    val floorRaw: Seq[(String, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else streamingQs.flatMap { case (name, table) =>
+        if (!new java.io.File(s"$floorDir/$table.parquet").exists()) {
+          System.err.println(
+            s"[bench] floor probe $name skipped: no $table.parquet in $floorDir")
+          floorSkipped += name
+          None
+        } else SparkEntry.queries.get(name) match {
+          case None =>
+            floorSkipped += name
+            None
+          case Some(fn) =>
+            try {
+              fn(spark, floorDir).count() // untimed floor-fixture warmup
+              val ts = (1 to 2).map { _ =>
+                System.gc()
+                val t0 = System.nanoTime()
+                fn(spark, floorDir).count()
+                (System.nanoTime() - t0) / 1e9
+              }
+              Some((name, ts.min))
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] floor probe $name failed: ${e.getMessage}")
+              floorSkipped += name
+              None
+            }
+        }
+      }
+
     // A failed query must not masquerade as a fast one: report its timing as
     // -1 and list it under "failed" so regressions are visible in the JSON.
     // Each query is timed `timedIters` times (default 3); the MIN is
@@ -124,64 +184,18 @@ object Bench {
       System.err.println(f"[bench] $name%-22s $reportedMin%8.2f s (median $reportedMed%8.2f)")
       (name, reportedMin, reportedMed)
     }
-    // ---- streaming lifecycle-floor split (round 13) ----
-    // q112–q115 cost 2.3–2.5 s at sf0.1 dominated by query start/stop, a
-    // fixed floor that masks per-row regressions (state-store sizing,
-    // watermark math) in the headline number. Same discipline as the
-    // host-factor calibration: measure the floor directly — run the SAME
-    // four queries against the smallest fixture (sf0.001: row work is
-    // negligible, the lifecycle is not) and report both components.
-    // per_row = median(sfDir) − floor, clamped at 0; a future change that
-    // grows per_row is a state-sizing regression even if the total hides
-    // inside lifecycle jitter.
-    // each probe is gated on the table ITS query actually reads from the
-    // floor fixture (not just events.parquet), and any probe that can't
-    // run lands in streaming_floor_skipped — a partial floor map is
-    // distinguishable from a complete one in the artifact.
-    val streamingQs: Seq[(String, String)] = Seq(
-      "q112_stream_sessionize" -> "events",
-      "q113_stream_interval_join" -> "events",
-      "q114_stream_cdc" -> "events",
-      "q115_stream_cdc_resume" -> "events",
-      "q116_stream_dedup" -> "documents",
-      "q116b_stream_dedup_resume" -> "documents",
-      "q116c_stream_dedup_retention" -> "documents",
-      "q117_stream_semdedup" -> "embeddings",
-      "q117b_stream_semdedup_resume" -> "embeddings",
-      "q117c_stream_semdedup_retention" -> "embeddings")
-    val floorDir = sys.env.getOrElse("SPARK_GRAFT_FLOOR_DIR",
-      "/root/testdata/sf0.001")
+    // derive the floor split now that the sfDir medians exist: per_row =
+    // median(sfDir) − floor, clamped at 0; a change that grows per_row is
+    // a state-sizing regression even if the total hides inside lifecycle
+    // jitter. A query whose median went missing (failed run) drops to the
+    // skipped list rather than reporting a floor with no split.
     val medByName = results.collect { case (n, _, m) if m >= 0 => n -> m }.toMap
-    val floorSkipped = scala.collection.mutable.ListBuffer.empty[String]
-    val floorMap: Seq[(String, Double, Double)] =
-      if (only.nonEmpty) Seq.empty
-      else streamingQs.flatMap { case (name, table) =>
-        if (!new java.io.File(s"$floorDir/$table.parquet").exists()) {
-          System.err.println(
-            s"[bench] floor probe $name skipped: no $table.parquet in $floorDir")
-          floorSkipped += name
-          None
-        } else SparkEntry.queries.get(name).zip(medByName.get(name)) match {
-          case None =>
-            floorSkipped += name // query missing or failed in the main loop
-            None
-          case Some((fn, med)) =>
-            try {
-              val ts = (1 to 2).map { _ =>
-                System.gc()
-                val t0 = System.nanoTime()
-                fn(spark, floorDir).count()
-                (System.nanoTime() - t0) / 1e9
-              }
-              val floor = ts.min
-              Some((name, floor, math.max(0.0, med - floor)))
-            } catch { case e: Throwable =>
-              System.err.println(s"[bench] floor probe $name failed: ${e.getMessage}")
-              floorSkipped += name
-              None
-            }
-        }
+    val floorMap: Seq[(String, Double, Double)] = floorRaw.flatMap {
+      case (name, floor) => medByName.get(name) match {
+        case Some(med) => Some((name, floor, math.max(0.0, med - floor)))
+        case None => floorSkipped += name; None
       }
+    }
     floorMap.foreach { case (n, fl, pr) =>
       System.err.println(f"[bench] $n%-26s lifecycle $fl%6.2f s + per-row $pr%6.2f s")
     }

@@ -55,10 +55,18 @@ QUERIES = ["q33_minhash_pairs", "q34_simhash_pairs",
            # round 13: streaming arrival dedup — same pair-density
            # exposure as q81/q33, plus the per-batch group-commit cost
            "q116_stream_dedup",
+           # round 14: retention variant — the same stream plus a
+           # compaction + vacuum group-commit after EVERY batch, so this
+           # row gates the retention pass's own density behavior (the
+           # rewrite is size-, not pair-, bound and must stay so)
+           "q116c_stream_dedup_retention",
            # round 13: streaming SEMANTIC dedup — per-batch within-cluster
            # pair work (unbounded pinned for oracle exactness, so this row
            # is a density reference like q101/q106/q111)
            "q117_stream_semdedup",
+           # round 14: semantic retention variant (carried model +
+           # cid-partitioned assignment rewrite each batch)
+           "q117c_stream_semdedup_retention",
            # round 13: substring-span dedup — the census is count-bounded
            # (a denser corpus only grows per-gram occurrence counts
            # linearly), but the verdict join's output rows grow with dup
