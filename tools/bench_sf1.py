@@ -31,6 +31,17 @@ per-row half several-fold while hiding inside the wall gate. This mode now
 ALSO gates sf1 per-row <= 15x sf0.1 per-row (per-row = median - floor,
 both measured on the same host/run), exempting per-row halves under
 PER_ROW_MIN_SECS at sf1 where lifecycle jitter dominates the subtraction.
+
+Denominator noise floor: the sf0.1 per-row half is a SUBTRACTION of two
+~2-8s lifecycle-dominated measurements, so it carries ~+/-0.5s noise and
+can legitimately clamp to 0.0 (the kill-and-resume variants, whose kill
+point races the first batch). A sub-second denominator would turn that
+noise into a 20-60x "ratio" (observed in the first r14 run: q116b read
+22x while its sf1 per-row, 11.6s, matched its non-resume twin q116's
+12.2s - identical engine behavior, half-size denominator). The gate
+therefore ratios against max(sf01_per_row, PER_ROW_NOISE_FLOOR=1.0s):
+a violation means >= 15s of genuine per-row growth at sf1 against a
+clean sf0.1 - the state-store blow-up shape - never subtraction noise.
 """
 import argparse
 import json
@@ -41,8 +52,8 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MIN_SECS = 2.0  # sf1 wall below this can't meaningfully violate the gate
-PER_ROW_MIN_SECS = 1.0   # sf1 per-row below this is subtraction jitter
-PER_ROW_EPS = 0.05       # denominator floor: sf0.1 per-row can clamp to ~0
+PER_ROW_MIN_SECS = 1.0        # sf1 per-row below this is subtraction jitter
+PER_ROW_NOISE_FLOOR = 1.0     # sf0.1 per-row measurement noise (see docstring)
 
 
 def last_json_line(path):
@@ -88,11 +99,18 @@ def main():
     ap.add_argument("--gate", type=float, default=12.0)
     ap.add_argument("--per-row-gate", type=float, default=15.0,
                     dest="per_row_gate")
+    ap.add_argument("--raw", default=None,
+                    help="recompute the gate from an existing raw bench "
+                         "JSON (same HEAD) instead of re-running the suite")
     args = ap.parse_args()
 
     ref = last_json_line(args.ref)
-    ensure_fixture(args.fixture)
-    sf1 = run_bench(args.fixture, "/tmp/bench_sf1_raw.json")
+    if args.raw:
+        print(f"[bench_sf1] recomputing gate from {args.raw} (no re-run)")
+        sf1 = last_json_line(args.raw)
+    else:
+        ensure_fixture(args.fixture)
+        sf1 = run_bench(args.fixture, "/tmp/bench_sf1_raw.json")
 
     ratios, violations = {}, []
     for q, t1 in sorted(sf1["queries"].items()):
@@ -115,7 +133,7 @@ def main():
         p0 = ref_pr.get(q)
         if p0 is None:
             continue
-        r = p1 / max(p0, PER_ROW_EPS)
+        r = p1 / max(p0, PER_ROW_NOISE_FLOOR)
         pr_ratios[q] = round(r, 2)
         if r > args.per_row_gate and p1 >= PER_ROW_MIN_SECS:
             pr_violations.append({"query": q, "sf01_per_row": round(p0, 3),
@@ -138,6 +156,7 @@ def main():
         "failed_at_sf1": sf1.get("failed", []),
         "violations": violations,
         "per_row_gate": args.per_row_gate, "per_row_min_secs": PER_ROW_MIN_SECS,
+        "per_row_noise_floor": PER_ROW_NOISE_FLOOR,
         "streaming_per_row_sf01": {k: round(v, 3) for k, v in sorted(ref_pr.items())},
         "streaming_per_row_sf1": {k: round(v, 3) for k, v in
                                   sorted(sf1.get("streaming_per_row", {}).items())},
