@@ -113,8 +113,13 @@ object Bench {
       "/root/testdata/sf0.001")
     val floorSkipped = scala.collection.mutable.ListBuffer.empty[String]
     val floorRaw: Seq[(String, Double)] =
-      if (only.nonEmpty) Seq.empty
-      else streamingQs.flatMap { case (name, table) =>
+      if (only.nonEmpty) {
+        // filtered/profiling run: no probes run at all — record every
+        // probe-eligible query as skipped so the artifact's empty floor
+        // map is visibly partial, never mistakable for a complete one
+        streamingQs.foreach { case (n, _) => floorSkipped += n }
+        Seq.empty
+      } else streamingQs.flatMap { case (name, table) =>
         if (!new java.io.File(s"$floorDir/$table.parquet").exists()) {
           System.err.println(
             s"[bench] floor probe $name skipped: no $table.parquet in $floorDir")

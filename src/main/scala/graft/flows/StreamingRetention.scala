@@ -42,14 +42,19 @@ private[flows] object StreamingRetention {
     val v = vs.last
     val f = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ONE manifest read answers table listing AND sizing for the whole
+    // pass — per-table accessor calls would re-list and re-parse the
+    // pre-compaction manifest (the cycle's largest) once per table, on
+    // every retention cadence hit
+    val filesByTable = VersionedLake.groupTableFiles(spark, root, Some(v))
     def fileCount(table: String): Int = {
-      val bytes = VersionedLake.tableFiles(spark, root, table, Some(v))
+      val bytes = filesByTable(table)
         .map(p => f.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen)
         .sum
       LakeWriter.compactionFileCount(bytes, targetBytes)
     }
     val gc = VersionedLake.beginGroupCommit(spark, root)
-    VersionedLake.tables(spark, root, Some(v)).foreach { table =>
+    filesByTable.keys.toSeq.sorted.foreach { table =>
       if (carryTables(table)) gc.carry(table)
       else {
         val pb = partitioned.getOrElse(table, Nil)

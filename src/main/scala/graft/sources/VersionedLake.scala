@@ -397,10 +397,7 @@ object VersionedLake {
       schemaDDL: String = null,
       manifestStore: Option[ManifestStore] = None): DataFrame = {
     val store = storeFor(spark, table, manifestStore)
-    val vs = store.committedVersions()
-    require(vs.nonEmpty, s"no committed versions at $table")
-    val v = version.getOrElse(vs.last)
-    require(vs.contains(v), s"version $v not in $vs at $table")
+    val v = resolveVersion(store, table, version)
     val files = manifestFiles(store, table, v)
     require(files.nonEmpty, s"version $v of $table lists no files")
     readFiles(spark, table, files, mergeSchema, schemaDDL)
@@ -639,16 +636,31 @@ object VersionedLake {
       schemaDDL: String = null,
       manifestStore: Option[ManifestStore] = None): DataFrame = {
     val store = storeFor(spark, root, manifestStore)
-    val vs = store.committedVersions()
-    require(vs.nonEmpty, s"no committed versions at $root")
-    val v = version.getOrElse(vs.last)
-    require(vs.contains(v), s"version $v not in $vs at $root")
-    val files = groupManifestFiles(store, root, v).getOrElse(table,
-      throw new java.io.FileNotFoundException(
-        s"table $table not in group v$v at $root"))
+    val v = resolveVersion(store, root, version)
+    val files = memberFiles(store, root, v, table)
     require(files.nonEmpty, s"table $table of group v$v at $root lists no files")
     readFiles(spark, root, files, mergeSchema, schemaDDL)
   }
+
+  /** Resolve a requested version against the committed list — the ONE
+    * definition of "no versions" / "version not present" (the specs
+    * assert on the `version $v not in` wording; every reader shares it).
+    */
+  private def resolveVersion(store: ManifestStore, at: String,
+      version: Option[Long]): Long = {
+    val vs = store.committedVersions()
+    require(vs.nonEmpty, s"no committed versions at $at")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs at $at")
+    v
+  }
+
+  /** One member table's file list, with the shared missing-table error. */
+  private def memberFiles(store: ManifestStore, root: String, v: Long,
+      table: String): Seq[String] =
+    groupManifestFiles(store, root, v).getOrElse(table,
+      throw new java.io.FileNotFoundException(
+        s"table $table not in group v$v at $root"))
 
   /** Member tables of the group manifest at `version` (default: latest).
     * Maintenance jobs use this to discover which tables a retention pass
@@ -659,11 +671,8 @@ object VersionedLake {
       version: Option[Long] = None,
       manifestStore: Option[ManifestStore] = None): Seq[String] = {
     val store = storeFor(spark, root, manifestStore)
-    val vs = store.committedVersions()
-    require(vs.nonEmpty, s"no committed versions at $root")
-    val v = version.getOrElse(vs.last)
-    require(vs.contains(v), s"version $v not in $vs at $root")
-    groupManifestFiles(store, root, v).keys.toSeq.sorted
+    groupManifestFiles(store, root,
+      resolveVersion(store, root, version)).keys.toSeq.sorted
   }
 
   /** Absolute data-file paths of one member table at a version (default:
@@ -674,14 +683,23 @@ object VersionedLake {
       version: Option[Long] = None,
       manifestStore: Option[ManifestStore] = None): Seq[String] = {
     val store = storeFor(spark, root, manifestStore)
-    val vs = store.committedVersions()
-    require(vs.nonEmpty, s"no committed versions at $root")
-    val v = version.getOrElse(vs.last)
-    require(vs.contains(v), s"version $v not in $vs at $root")
-    groupManifestFiles(store, root, v).getOrElse(table,
-      throw new java.io.FileNotFoundException(
-        s"table $table not in group v$v at $root"))
+    val v = resolveVersion(store, root, version)
+    memberFiles(store, root, v, table)
       .map(rel => new Path(root, rel).toString)
+  }
+
+  /** Every member table's absolute data-file paths at a version (default:
+    * latest) in ONE manifest read — the whole-group view a retention pass
+    * iterates ([[graft.flows.StreamingRetention]]); per-table calls to
+    * [[tableFiles]] would re-list and re-parse the manifest each time.
+    */
+  def groupTableFiles(spark: SparkSession, root: String,
+      version: Option[Long] = None,
+      manifestStore: Option[ManifestStore] = None): Map[String, Seq[String]] = {
+    val store = storeFor(spark, root, manifestStore)
+    groupManifestFiles(store, root, resolveVersion(store, root, version))
+      .map { case (t, fs0) =>
+        t -> fs0.map(rel => new Path(root, rel).toString) }
   }
 
   /** Group analog of [[vacuum]]: delete member-table data files referenced

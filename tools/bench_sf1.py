@@ -124,14 +124,16 @@ def main():
                                "sf1": round(t1, 3), "ratio": round(r, 2)})
 
     # streaming per-row gate: both runs carry a same-host floor split;
-    # ratio the per-row halves. A query probed in only one run (skipped
-    # floor, new query) gets no ratio but IS surfaced via the skipped
-    # lists recorded below.
-    pr_ratios, pr_violations = {}, []
+    # ratio the per-row halves. A query probed at sf1 but absent from the
+    # ref record (new query, or a pre-r14 ref without the split) cannot
+    # be ratioed — record it in streaming_per_row_unratioed and say so,
+    # instead of silently passing it through a "clean" gate.
+    pr_ratios, pr_violations, pr_unratioed = {}, [], []
     ref_pr = ref.get("streaming_per_row", {})
     for q, p1 in sorted(sf1.get("streaming_per_row", {}).items()):
         p0 = ref_pr.get(q)
         if p0 is None:
+            pr_unratioed.append(q)
             continue
         r = p1 / max(p0, PER_ROW_NOISE_FLOOR)
         pr_ratios[q] = round(r, 2)
@@ -139,6 +141,9 @@ def main():
             pr_violations.append({"query": q, "sf01_per_row": round(p0, 3),
                                   "sf1_per_row": round(p1, 3),
                                   "ratio": round(r, 2)})
+    if pr_unratioed:
+        print(f"[bench_sf1] note: no sf0.1 per-row reference for "
+              f"{pr_unratioed} - their per-row halves are NOT gated this run")
 
     rnd = args.round if args.round is not None else next_round()
     out = {
@@ -161,6 +166,7 @@ def main():
         "streaming_per_row_sf1": {k: round(v, 3) for k, v in
                                   sorted(sf1.get("streaming_per_row", {}).items())},
         "streaming_per_row_ratios": pr_ratios,
+        "streaming_per_row_unratioed": pr_unratioed,
         "streaming_floor_skipped_sf01": ref.get("streaming_floor_skipped", []),
         "streaming_floor_skipped_sf1": sf1.get("streaming_floor_skipped", []),
         "per_row_violations": pr_violations,
@@ -175,17 +181,20 @@ def main():
     if sf1.get("failed"):
         print(f"[bench_sf1] FAILED QUERIES AT SF1: {sf1['failed']}")
         sys.exit(1)
+    # print EVERY violation block before exiting: a run tripping both
+    # gates must not hide the second behind the first (the sf1 suite is
+    # too expensive to discover violations one re-run at a time)
     if violations:
         print(f"[bench_sf1] GATE VIOLATIONS (> {args.gate}x):")
         for v in violations:
             print(f"  {v['query']}: {v['sf01']}s -> {v['sf1']}s = {v['ratio']}x")
-        sys.exit(1)
     if pr_violations:
         print(f"[bench_sf1] STREAMING PER-ROW GATE VIOLATIONS "
               f"(> {args.per_row_gate}x):")
         for v in pr_violations:
             print(f"  {v['query']}: {v['sf01_per_row']}s -> "
                   f"{v['sf1_per_row']}s = {v['ratio']}x")
+    if violations or pr_violations:
         sys.exit(1)
     print("[bench_sf1] gate clean (wall + streaming per-row)")
 
