@@ -2581,6 +2581,34 @@ object Queries {
         .head.getSeq[Long](0).toArray
       Similarity.ivfPqTopKRerank(encoded, quant, "vec_id", coarse, books,
         qq, nprobe = 2, c = 50, n = 20)
+    }),
+
+    // ANN recall@k — the tuning measurement the whole PQ family exists
+    // to be judged by: |IVFADC-R top-20 ∩ exact top-20| / 20, both sides
+    // on the same integer grid so the oracle replays approximate path,
+    // exact path, AND the intersection. A deployment turns nprobe/c
+    // until this number meets its bar; here it is a recorded, replayable
+    // quantity instead of a guess.
+    "q119d_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (coarse, books, encoded) = Similarity.ivfPqIndex(emb, "vec_id",
+        "embedding", dims = 64, coarseK = 4, coarseIters = 2,
+        m = 4, k = 4, iters = 2)
+      val quant = emb.select(col("vec_id"),
+        graft.operators.Cluster.quantizeFloor(col("embedding")).as("q"))
+      val qq = emb.filter(col("vec_id") === 0)
+        .select(graft.operators.Cluster.quantizeFloor(col("embedding"))
+          .as("q"))
+        .head.getSeq[Long](0).toArray
+      val approx = Similarity.ivfPqTopKRerank(encoded, quant, "vec_id",
+        coarse, books, qq, nprobe = 2, c = 50, n = 20)
+      val exact = quant
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.sqDistToLit(col("q"), qq.toSeq)
+            .as("d"))
+        .orderBy(col("d").asc, col("vec_id").asc)
+        .limit(20)
+      Similarity.annRecallAtK(approx, exact, "vec_id", k = 20)
     })
   )
 
@@ -5269,6 +5297,42 @@ object Queries {
         |  CAST(list_sum(list_transform(range(1, 65),
         |    i -> (e.q[i] - v.q[i]) * (e.q[i] - v.q[i]))) AS BIGINT) AS exact_dist
         |FROM adc a JOIN e ON e.vec_id = a.vec_id CROSS JOIN qrow v
-        |ORDER BY exact_dist, a.vec_id LIMIT 20""".stripMargin)
+        |ORDER BY exact_dist, a.vec_id LIMIT 20""".stripMargin),
+
+    // q119d replays recall@20: the q119c chain's re-rank as CTE rr, the
+    // brute-force exact top-20 as CTE ex, then the intersection count.
+    "q119d_ann_recall" -> (ivfPqCtesSql(coarseK = 4, coarseIters = 2,
+      m = 4, k = 4, iters = 2, dims = 64, scale = 1 << 20, nprobe = 2) +
+      """,
+        |adc AS (
+        |  SELECT f0.vec_id, a.cell,
+        |    CAST(l0.d + l1.d + l2.d + l3.d AS BIGINT) AS adc_dist
+        |  FROM r0a2 f0
+        |  JOIN r1a2 f1 USING (vec_id) JOIN r2a2 f2 USING (vec_id)
+        |  JOIN r3a2 f3 USING (vec_id)
+        |  JOIN (SELECT vec_id, cell FROM res) a USING (vec_id)
+        |  JOIN l0 ON l0.cell = a.cell AND l0.cid = f0.cid
+        |  JOIN l1 ON l1.cell = a.cell AND l1.cid = f1.cid
+        |  JOIN l2 ON l2.cell = a.cell AND l2.cid = f2.cid
+        |  JOIN l3 ON l3.cell = a.cell AND l3.cid = f3.cid
+        |  WHERE a.cell IN (SELECT cell FROM probe)
+        |  ORDER BY adc_dist, f0.vec_id LIMIT 50
+        |),
+        |rr AS (
+        |  SELECT a.vec_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (e.q[i] - v.q[i]) * (e.q[i] - v.q[i]))) AS BIGINT) AS exact_dist
+        |  FROM adc a JOIN e ON e.vec_id = a.vec_id CROSS JOIN qrow v
+        |  ORDER BY exact_dist, a.vec_id LIMIT 20
+        |),
+        |ex AS (
+        |  SELECT e.vec_id
+        |  FROM e CROSS JOIN qrow v
+        |  ORDER BY list_sum(list_transform(range(1, 65),
+        |    i -> (e.q[i] - v.q[i]) * (e.q[i] - v.q[i]))), e.vec_id LIMIT 20
+        |)
+        |SELECT CAST(20 AS BIGINT) AS k, count(*) AS hits,
+        |  count(*) / 20.0 AS recall
+        |FROM rr JOIN ex USING (vec_id)""".stripMargin)
   )
 }

@@ -520,4 +520,23 @@ object Similarity {
       .orderBy(col("exact_dist").asc, col(idCol).asc)
       .limit(n)
   }
+
+  /** Recall@k of an ANN result against the exact top-k — THE number an
+    * ANN deployment tunes `nprobe`/`c` by ("measure, don't guess": a
+    * probe setting is not "good enough" until its recall says so).
+    * Both inputs are id-carrying top-k frames (k rows or fewer);
+    * returns ONE row (k, hits, recall) where hits = |approx ∩ exact|
+    * and recall = hits / k. The join is k×k — driver-trivial at any
+    * corpus scale, because both sides were already reduced by their
+    * top-k plans. Integer-exact inputs make the whole measurement
+    * oracle-replayable (q119d).
+    */
+  def annRecallAtK(approx: DataFrame, exact: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    approx.select(col(idCol)).join(exact.select(col(idCol)), Seq(idCol))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(k.toLong).as("k"), col("hits"),
+        (col("hits").cast("double") / lit(k.toDouble)).as("recall"))
+  }
 }

@@ -749,6 +749,32 @@ class PqSpec extends SparkSpec {
     assert(two == Seq((0L, 0L), (2L, 0L), (1L, far), (3L, far)))
   }
 
+  test("recall@k: nprobe=1 misses the far cell's true neighbors (recall " +
+    "0.5), nprobe=2 recovers them (recall 1.0) — the tuning number is " +
+    "computed, not guessed") {
+    val a = Seq(11f, 10f, 10f, 10f); val b = Seq(-11f, -10f, -10f, -10f)
+    val df = df4(0L -> a, 1L -> b, 2L -> a, 3L -> b)
+    val (coarse, books, encoded) = Similarity.ivfPqIndex(df, "vec_id",
+      "embedding", dims = 4, coarseK = 2, coarseIters = 2,
+      m = 2, k = 2, iters = 2)
+    val quant = df.select(col("vec_id"),
+      graft.operators.Cluster.quantizeFloor(col("embedding")).as("q"))
+    val qq = Array(11L * Q, 10L * Q, 10L * Q, 10L * Q)
+    val exact = quant.select(col("vec_id"),
+        graft.functions.VectorFunctions.sqDistToLit(col("q"), qq.toSeq)
+          .as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(4)
+    def recallAt(nprobe: Int): (Long, Long, Double) = {
+      val approx = Similarity.ivfPqTopK(encoded, "vec_id", coarse, books,
+        qq, nprobe, n = 4)
+      val r = Similarity.annRecallAtK(approx, exact, "vec_id", k = 4)
+        .head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    assert(recallAt(1) == ((4L, 2L, 0.5)))  // far cell never scanned
+    assert(recallAt(2) == ((4L, 4L, 1.0)))
+  }
+
   test("IVFADC-R: exact re-rank genuinely reorders the ADC short-list — " +
     "candidates that TIE on ADC (k=1 codebook, shared code) come back in " +
     "true exact-distance order, and c < n refuses") {
