@@ -2874,6 +2874,37 @@ object Queries {
     "WITH " + parts.mkString(",\n")
   }
 
+  /** q119c/q119d's shared tail over [[ivfPqCtesSql]]'s chain (m=4,
+    * iters=2 — the same fixed shape the q119b body joins): `adc` = the
+    * per-cell ADC join as a top-`c` short-list, `rr` = the IVFADC-R
+    * exact re-rank of that short-list down to `n`. ONE definition so a
+    * future short-list/re-rank fix can never make the two oracles
+    * silently replay different algorithms.
+    */
+  private def ivfPqRerankCtesSql(c: Int, n: Int, dims: Int): String =
+    s""",
+       |adc AS (
+       |  SELECT f0.vec_id, a.cell,
+       |    CAST(l0.d + l1.d + l2.d + l3.d AS BIGINT) AS adc_dist
+       |  FROM r0a2 f0
+       |  JOIN r1a2 f1 USING (vec_id) JOIN r2a2 f2 USING (vec_id)
+       |  JOIN r3a2 f3 USING (vec_id)
+       |  JOIN (SELECT vec_id, cell FROM res) a USING (vec_id)
+       |  JOIN l0 ON l0.cell = a.cell AND l0.cid = f0.cid
+       |  JOIN l1 ON l1.cell = a.cell AND l1.cid = f1.cid
+       |  JOIN l2 ON l2.cell = a.cell AND l2.cid = f2.cid
+       |  JOIN l3 ON l3.cell = a.cell AND l3.cid = f3.cid
+       |  WHERE a.cell IN (SELECT cell FROM probe)
+       |  ORDER BY adc_dist, f0.vec_id LIMIT $c
+       |),
+       |rr AS (
+       |  SELECT a.vec_id, a.cell, a.adc_dist,
+       |    CAST(list_sum(list_transform(range(1, ${dims + 1}),
+       |      i -> (e.q[i] - v.q[i]) * (e.q[i] - v.q[i]))) AS BIGINT) AS exact_dist
+       |  FROM adc a JOIN e ON e.vec_id = a.vec_id CROSS JOIN qrow v
+       |  ORDER BY exact_dist, a.vec_id LIMIT $n
+       |)""".stripMargin
+
   private def assignCteSql(src: String, cents: String, dims: Int): String =
     s"""
        |  SELECT vec_id, q, cid FROM (
@@ -5275,56 +5306,22 @@ object Queries {
     // q119c replays IVFADC-R: the q119b ADC body becomes a top-c
     // short-list CTE, then the re-rank joins the survivors back to the
     // quantized vectors (e) and scores exact integer distance to the
-    // query row (qrow) — same ORDER BY discipline, final top-n.
+    // query row (qrow) — same ORDER BY discipline, final top-n. The
+    // shared adc/rr tail lives in ivfPqRerankCtesSql (one definition
+    // for q119c AND q119d).
     "q119c_ivfpq_rerank" -> (ivfPqCtesSql(coarseK = 4, coarseIters = 2,
       m = 4, k = 4, iters = 2, dims = 64, scale = 1 << 20, nprobe = 2) +
-      """,
-        |adc AS (
-        |  SELECT f0.vec_id, a.cell,
-        |    CAST(l0.d + l1.d + l2.d + l3.d AS BIGINT) AS adc_dist
-        |  FROM r0a2 f0
-        |  JOIN r1a2 f1 USING (vec_id) JOIN r2a2 f2 USING (vec_id)
-        |  JOIN r3a2 f3 USING (vec_id)
-        |  JOIN (SELECT vec_id, cell FROM res) a USING (vec_id)
-        |  JOIN l0 ON l0.cell = a.cell AND l0.cid = f0.cid
-        |  JOIN l1 ON l1.cell = a.cell AND l1.cid = f1.cid
-        |  JOIN l2 ON l2.cell = a.cell AND l2.cid = f2.cid
-        |  JOIN l3 ON l3.cell = a.cell AND l3.cid = f3.cid
-        |  WHERE a.cell IN (SELECT cell FROM probe)
-        |  ORDER BY adc_dist, f0.vec_id LIMIT 50
-        |)
-        |SELECT a.vec_id, a.cell, a.adc_dist,
-        |  CAST(list_sum(list_transform(range(1, 65),
-        |    i -> (e.q[i] - v.q[i]) * (e.q[i] - v.q[i]))) AS BIGINT) AS exact_dist
-        |FROM adc a JOIN e ON e.vec_id = a.vec_id CROSS JOIN qrow v
-        |ORDER BY exact_dist, a.vec_id LIMIT 20""".stripMargin),
+      ivfPqRerankCtesSql(c = 50, n = 20, dims = 64) +
+      """
+        |SELECT vec_id, cell, adc_dist, exact_dist
+        |FROM rr ORDER BY exact_dist, vec_id""".stripMargin),
 
-    // q119d replays recall@20: the q119c chain's re-rank as CTE rr, the
+    // q119d replays recall@20: the shared short-list + re-rank tail, the
     // brute-force exact top-20 as CTE ex, then the intersection count.
     "q119d_ann_recall" -> (ivfPqCtesSql(coarseK = 4, coarseIters = 2,
       m = 4, k = 4, iters = 2, dims = 64, scale = 1 << 20, nprobe = 2) +
+      ivfPqRerankCtesSql(c = 50, n = 20, dims = 64) +
       """,
-        |adc AS (
-        |  SELECT f0.vec_id, a.cell,
-        |    CAST(l0.d + l1.d + l2.d + l3.d AS BIGINT) AS adc_dist
-        |  FROM r0a2 f0
-        |  JOIN r1a2 f1 USING (vec_id) JOIN r2a2 f2 USING (vec_id)
-        |  JOIN r3a2 f3 USING (vec_id)
-        |  JOIN (SELECT vec_id, cell FROM res) a USING (vec_id)
-        |  JOIN l0 ON l0.cell = a.cell AND l0.cid = f0.cid
-        |  JOIN l1 ON l1.cell = a.cell AND l1.cid = f1.cid
-        |  JOIN l2 ON l2.cell = a.cell AND l2.cid = f2.cid
-        |  JOIN l3 ON l3.cell = a.cell AND l3.cid = f3.cid
-        |  WHERE a.cell IN (SELECT cell FROM probe)
-        |  ORDER BY adc_dist, f0.vec_id LIMIT 50
-        |),
-        |rr AS (
-        |  SELECT a.vec_id,
-        |    CAST(list_sum(list_transform(range(1, 65),
-        |      i -> (e.q[i] - v.q[i]) * (e.q[i] - v.q[i]))) AS BIGINT) AS exact_dist
-        |  FROM adc a JOIN e ON e.vec_id = a.vec_id CROSS JOIN qrow v
-        |  ORDER BY exact_dist, a.vec_id LIMIT 20
-        |),
         |ex AS (
         |  SELECT e.vec_id
         |  FROM e CROSS JOIN qrow v

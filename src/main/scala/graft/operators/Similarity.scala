@@ -524,17 +524,20 @@ object Similarity {
   /** Recall@k of an ANN result against the exact top-k — THE number an
     * ANN deployment tunes `nprobe`/`c` by ("measure, don't guess": a
     * probe setting is not "good enough" until its recall says so).
-    * Both inputs are id-carrying top-k frames (k rows or fewer);
+    * Both inputs are id-carrying top-k frames in their own rank order;
     * returns ONE row (k, hits, recall) where hits = |approx ∩ exact|
-    * and recall = hits / k. The join is k×k — driver-trivial at any
-    * corpus scale, because both sides were already reduced by their
-    * top-k plans. Integer-exact inputs make the whole measurement
-    * oracle-replayable (q119d).
+    * and recall = hits / k. Each side is re-limited to k IN-PLAN (no
+    * extra job), so an over-long input can never manufacture recall >
+    * 1.0 — only its first k rows (its own ranking) are measured. The
+    * join is k×k — driver-trivial at any corpus scale, because both
+    * sides were already reduced by their top-k plans. Integer-exact
+    * inputs make the whole measurement oracle-replayable (q119d).
     */
   def annRecallAtK(approx: DataFrame, exact: DataFrame, idCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    approx.select(col(idCol)).join(exact.select(col(idCol)), Seq(idCol))
+    approx.limit(k).select(col(idCol))
+      .join(exact.limit(k).select(col(idCol)), Seq(idCol))
       .agg(count(lit(1)).as("hits"))
       .select(lit(k.toLong).as("k"), col("hits"),
         (col("hits").cast("double") / lit(k.toDouble)).as("recall"))
