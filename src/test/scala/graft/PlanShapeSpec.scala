@@ -50,6 +50,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q119c IVFADC-R re-rank broadcasts the c-row short-list into the " +
+    "quant join and keeps the final top-n a TakeOrderedAndProject") {
+    val plan = planOf(q("q119c_ivfpq_rerank"))
+    // the corpus-side quant frame must be PROBED by the broadcast c-row
+    // candidate list — a shuffle of the corpus here defeats the point of
+    // the code-pruned short-list at 100 TB
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q101 SemDeDup pairwise work is a hash equi-join on the cluster id") {
     // the id_a < id_b and cosine predicates must ride a cid equi-join —
     // a nested-loop here would be corpus² at scale

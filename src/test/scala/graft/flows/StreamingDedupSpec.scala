@@ -115,6 +115,47 @@ class StreamingDedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("version 1 not in"))
   }
 
+  test("a compaction that CRASHES mid-pass (version claimed, data staged, " +
+    "no manifest) is invisible: reads resolve the committed version, the " +
+    "stream keeps applying batches, and the next compaction supersedes " +
+    "the orphan by skipping its burned version number") {
+    val root = Files.createTempDirectory("sdedup_cr").toString + "/state"
+    StreamingDedup.applyBatch(
+      Seq((10L, base), (11L, "completely different words entirely"))
+        .toDF("doc_id", "text"),
+      0L, "doc_id", "text", root, 0.5, 3, 16, 4)
+    val committed = VersionedLake.versions(spark, root).last
+    // simulate the crash window of compactState: the group commit claimed
+    // the next version and staged a rewritten table, but died before the
+    // atomic manifest publish (and therefore before the vacuum)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val store = new graft.sources.HadoopManifestStore(fs, root)
+    val burned = committed + 1
+    assert(store.tryClaim(burned))
+    VersionedLake.readTable(spark, root, "hashed", Some(committed))
+      .write.parquet(s"$root/hashed/_data/v$burned")
+    // the orphan is invisible to every reader and to the stream
+    assert(VersionedLake.versions(spark, root) == Seq(committed))
+    assert(StreamingDedup.applyBatch(
+      Seq((5L, base + " tail")).toDF("doc_id", "text"),
+      1L, "doc_id", "text", root, 0.5, 3, 16, 4))
+    def got() = StreamingDedup.survivors(spark, root)
+      .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+    assert(got() == Set((10L, 0L), (11L, 0L), (5L, 1L)))
+    // the retry compaction claims PAST the burned number and lands the
+    // same row-identical state; the crashed claim's staged data survives
+    // the vacuum (in-flight TTL protection) without ever becoming visible
+    val nv = StreamingDedup.compactState(spark, root)
+    assert(nv > burned)
+    assert(VersionedLake.versions(spark, root) == Seq(nv))
+    assert(got() == Set((10L, 0L), (11L, 0L), (5L, 1L)))
+    val ex = intercept[IllegalArgumentException] {
+      VersionedLake.readTable(spark, root, "hashed", Some(burned))
+    }
+    assert(ex.getMessage.contains(s"version $burned not in"))
+  }
+
   test("short docs (< shingleN tokens) pass through as survivors without " +
     "entering the index") {
     val root = Files.createTempDirectory("sdedup_short").toString + "/state"
