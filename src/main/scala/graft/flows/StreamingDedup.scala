@@ -69,7 +69,8 @@ object StreamingDedup {
       root: String, checkpoint: String, jaccardThreshold: Double,
       shingleN: Int = 3, numHashes: Int = 16,
       bands: Int = 4, retainEvery: Int = 0,
-      retainTargetBytes: Long = 64L * 1024 * 1024): DataStreamWriter[Row] =
+      retainTargetBytes: Long = 64L * 1024 * 1024,
+      retainKeepVersions: Int = 2): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -77,7 +78,8 @@ object StreamingDedup {
         val applied = applyBatch(batch, batchId, idCol, textCol, root,
           jaccardThreshold, shingleN, numHashes, bands)
         if (applied && retainEvery > 0 && (batchId + 1) % retainEvery == 0)
-          compactState(batch.sparkSession, root, retainTargetBytes)
+          compactState(batch.sparkSession, root, retainTargetBytes,
+            retainKeepVersions)
         ()
       }
 
@@ -133,20 +135,24 @@ object StreamingDedup {
     } finally { nh.unpersist(); nb.unpersist(); () }
   }
 
-  /** Retention pass: group-commit a size-targeted compaction of every
-    * accrued table (`hashed`/`banded`/`survivors` rewritten; `applied`
-    * CARRIED so the crash-replay short-circuit is untouched), then
-    * vacuum every older version. State is row-identical across the
-    * pass — only the file layout changes — so the drop rule, the
-    * oracle, and a checkpoint resume are all unaffected. SINGLE-WRITER:
-    * call from the stream's own foreachBatch (the writer does) or while
-    * the stream is stopped; a concurrent batch commit racing this
-    * rewrite would be overwritten. Returns the compacted version.
+  /** Retention pass ([[StreamingRetention.compactState]]): group-commit
+    * an INCREMENTAL size-tiered compaction of the accrued tables
+    * (`hashed`/`banded`/`survivors` — only the small-file tail since the
+    * last pass is rewritten, already-compacted large files are carried
+    * verbatim; `applied` CARRIED wholesale so the crash-replay
+    * short-circuit is untouched), then vacuum past the
+    * `keepVersions`-deep retention horizon. State is row-identical
+    * across the pass — only the file layout changes — so the drop rule,
+    * the oracle, and a checkpoint resume are all unaffected. The publish
+    * is race-detected: a batch commit landing mid-rewrite aborts the
+    * compaction (retried next cadence) instead of being silently
+    * overwritten. Returns the latest version.
     */
   def compactState(spark: SparkSession, root: String,
-      targetBytes: Long = 64L * 1024 * 1024): Long =
+      targetBytes: Long = 64L * 1024 * 1024,
+      keepVersions: Int = 2): Long =
     StreamingRetention.compactState(spark, root, targetBytes,
-      carryTables = Set("applied"))
+      carryTables = Set("applied"), keepVersions = keepVersions)
 
   /** The deduped output after the stream drains: (idCol, batch_id) per
     * surviving document, read from the latest committed group version.

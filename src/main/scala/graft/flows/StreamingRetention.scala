@@ -1,7 +1,8 @@
 package graft.flows
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, hash, struct}
 
 import graft.sources.{LakeWriter, VersionedLake}
 
@@ -9,67 +10,149 @@ import graft.sources.{LakeWriter, VersionedLake}
   * ([[StreamingDedup]], [[StreamingSemDeDup]]): each micro-batch
   * publishes one [[VersionedLake]] group version (appends are metadata
   * unions), so a long-running stream accrues O(batches) manifests AND
-  * O(batches) small parquet files. This pass bounds both: ONE new group
-  * version rewrites every accrued table into size-targeted files (the
-  * q90 sizing rule, [[LakeWriter.compactionFileCount]]), CARRIES the
-  * tables that must not be rewritten (the `applied` replay marker, a
-  * fitted centroid model), then [[VersionedLake.vacuumGroup]]s every
-  * older version. State is row-identical across the pass — only the
-  * file layout changes — so drop rules, oracles, and checkpoint resumes
-  * are unaffected; readers pinned to a vacuumed version fail loudly
-  * (`version $v not in …`).
+  * O(batches) small parquet files. This pass bounds both, INCREMENTALLY
+  * (size-tiered, round 15): per table it bin-packs only the small-file
+  * tail accrued since the last pass into ~`targetBytes` files and CARRIES
+  * already-compacted large files (≥ targetBytes/2) verbatim in the new
+  * manifest — per-cadence I/O is O(new data since the last pass), not
+  * O(accumulated state), so a stream's lifetime compaction cost is
+  * O(state), not O(batches²). `carryTables` (the `applied` replay marker,
+  * a fitted centroid model) are re-listed wholesale; a table whose tail
+  * is ≤ 1 file is carried too (rewriting one file into one file bounds
+  * nothing). State is row-identical across the pass — only the file
+  * layout changes — so drop rules, oracles, and checkpoint resumes are
+  * unaffected.
   *
-  * SINGLE-WRITER: call from the stream's own foreachBatch (the writers
-  * do, on the `retainEvery` cadence) or while the stream is stopped; a
-  * concurrent batch commit racing this rewrite would be silently
-  * overwritten — the same external-serialization rule the append chain
-  * already carries.
+  * Vacuum keeps a RETENTION HORIZON of `keepVersions` committed versions
+  * (default 2 — the compacted version plus its predecessor), the same
+  * contract lakehouse vacuums ship: an external reader that resolved
+  * "latest" just before the pass still has its manifest (and every file
+  * it lists) intact for a full compaction cycle, instead of dying on
+  * deleted data files mid-scan. Readers pinned below the horizon fail
+  * loudly (`version $v not in …`).
+  *
+  * Concurrency: the publish is RACE-DETECTED
+  * ([[VersionedLake.GroupCommit.publishIfBaseIs]]) — if a batch commit
+  * lands (or is still in flight with a lower claim number) between this
+  * pass's state read and its publish, the compaction aborts itself
+  * (claim released, staged files swept) and retries on the next cadence,
+  * so a racing commit is never silently overwritten. The flows still
+  * call it single-writer (from their own foreachBatch); the detection
+  * turns that convention into a checked invariant.
   */
 private[flows] object StreamingRetention {
 
-  /** Compact + vacuum the group at `root`. `carryTables` are re-listed
-    * verbatim (no data rewrite); everything else is rewritten to
-    * ~`targetBytes` files, hash-distributed on `partitioned(table)`
-    * when set so a Hive-partitioned layout keeps one file per
-    * (partition value) instead of exploding to files × partitions.
-    * Returns the compacted version.
+  /** Compaction census of the last pass (per-table carried/rewritten
+    * counts) — published the same way as Dedup's census stats so a
+    * deployment can see whether the tiering engages. −1 until a pass runs
+    * in this JVM; under concurrent passes the per-run log line is the
+    * attributable record.
+    */
+  @volatile private var lastStats: Option[String] = None
+  def lastCompactionStats: Option[String] = lastStats
+
+  /** Compact + vacuum the group at `root`. Returns the latest version
+    * (the compacted one, or the pre-existing latest when the pass
+    * detected a racing commit and aborted — the caller's next cadence
+    * retries). `partitioned(table)` keeps a Hive-partitioned layout; the
+    * rewrite range-partitions on (partition cols, row hash) so a skewed
+    * partition value splits across ~targetBytes files instead of forcing
+    * one arbitrarily large file per value. `raceWindow` is a test seam
+    * running between the state rewrite and the publish (default no-op).
     */
   def compactState(spark: SparkSession, root: String, targetBytes: Long,
       carryTables: Set[String],
-      partitioned: Map[String, Seq[String]] = Map.empty): Long = {
+      partitioned: Map[String, Seq[String]] = Map.empty,
+      keepVersions: Int = 2,
+      raceWindow: () => Unit = () => ()): Long = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val vs = VersionedLake.versions(spark, root)
     require(vs.nonEmpty, s"no streaming state at $root")
     val v = vs.last
-    val f = new org.apache.hadoop.fs.Path(root)
+    val f = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // ONE manifest read answers table listing AND sizing for the whole
+    // ONE manifest read answers table listing AND tiering for the whole
     // pass — per-table accessor calls would re-list and re-parse the
     // pre-compaction manifest (the cycle's largest) once per table, on
     // every retention cadence hit
-    val filesByTable = VersionedLake.groupTableFiles(spark, root, Some(v))
-    def fileCount(table: String): Int = {
-      val bytes = filesByTable(table)
-        .map(p => f.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen)
-        .sum
-      LakeWriter.compactionFileCount(bytes, targetBytes)
-    }
+    val relByTable = VersionedLake.groupTableRelFiles(spark, root, Some(v))
+    // batched sizing: ONE recursive listing per distinct version
+    // directory instead of one getFileStatus RPC per data file — the
+    // per-file form is O(accrued files) sequential namenode/object-store
+    // calls per cadence hit, growing with exactly the small-file count
+    // this pass exists to bound
+    val rootPrefix = f.makeQualified(new Path(root)).toUri.getPath
+    val versionDirs = relByTable.values.flatten
+      .map(rel => rel.split("/").take(3).mkString("/")) // t/_data/vN
+      .toSet
+    val sizes: Map[String, Long] = versionDirs.flatMap { vd =>
+      val p = new Path(root, vd)
+      if (!f.exists(p)) Seq.empty
+      else {
+        val it = f.listFiles(p, true)
+        val b = Seq.newBuilder[(String, Long)]
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.isFile)
+            b += s.getPath.toUri.getPath.stripPrefix(rootPrefix)
+              .stripPrefix("/") -> s.getLen
+        }
+        b.result()
+      }
+    }.toMap
+    val carryThreshold = math.max(1L, targetBytes / 2)
+    val census = Seq.newBuilder[String]
     val gc = VersionedLake.beginGroupCommit(spark, root)
-    filesByTable.keys.toSeq.sorted.foreach { table =>
+    relByTable.keys.toSeq.sorted.foreach { table =>
       if (carryTables(table)) gc.carry(table)
       else {
-        val pb = partitioned.getOrElse(table, Nil)
-        val df = VersionedLake.readTable(spark, root, table, Some(v))
-        val compacted =
-          if (pb.isEmpty) df.repartition(fileCount(table))
-          // hash on the partition columns: each task holds a disjoint
-          // slice of partition values, so the write emits ≤ one file
-          // per value instead of fileCount × values
-          else df.repartition(fileCount(table), pb.map(col): _*)
-        gc.write(table, compacted, partitionBy = pb)
+        val files = relByTable(table)
+        // size tiering: a file at ≥ targetBytes/2 is a previous pass's
+        // (or an already-dense commit's) output — carry it verbatim; the
+        // sub-threshold tail is what per-batch appends accrue
+        val (large, small) = files.partition(p =>
+          sizes.getOrElse(p, 0L) >= carryThreshold)
+        if (small.size <= 1) gc.carry(table)
+        else {
+          val smallBytes = small.map(p => sizes.getOrElse(p, 0L)).sum
+          val n = LakeWriter.compactionFileCount(smallBytes, targetBytes)
+          val df = VersionedLake.readRelFiles(spark, root, small)
+          val pb = partitioned.getOrElse(table, Nil)
+          val compacted =
+            if (pb.isEmpty) df.repartition(n)
+            // range-partition on (partition cols, row hash): values sort
+            // contiguously so small values pack into shared tasks (≈ one
+            // file each), while a value larger than a range's share of
+            // targetBytes spans several consecutive ranges and splits
+            // into that many files — plain hash-on-partition-cols would
+            // emit ONE arbitrarily large file per hot value and silently
+            // unenforce targetBytes under skew
+            else df.repartitionByRange(n,
+              pb.map(col) :+ hash(struct(df.columns.map(col): _*)): _*)
+          gc.writeWithCarried(table, compacted, large, partitionBy = pb)
+          census += s"$table: carried ${large.size}, " +
+            s"rewrote ${small.size} (${smallBytes}B) -> $n"
+        }
       }
     }
-    val nv = gc.publish()
-    VersionedLake.vacuumGroup(spark, root, keepFrom = nv)
-    nv
+    raceWindow()
+    gc.publishIfBaseIs(v) match {
+      case None =>
+        lastStats = Some(s"aborted: commit raced past v$v")
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"retention at $root aborted: a commit landed past v$v during " +
+            "the rewrite; retrying next cadence")
+        VersionedLake.versions(spark, root).last
+      case Some(nv) =>
+        val stats = census.result().mkString("; ")
+        lastStats = Some(if (stats.isEmpty) "all tables carried" else stats)
+        // retention horizon: keep the last `keepVersions` committed
+        // versions (carried files in older _data dirs stay alive because
+        // kept manifests reference them — vacuum is manifest-driven)
+        val committed = VersionedLake.versions(spark, root)
+        VersionedLake.vacuumGroup(spark, root,
+          keepFrom = committed.takeRight(keepVersions).head)
+        nv
+    }
   }
 }

@@ -93,7 +93,8 @@ object StreamingSemDeDup {
       scale: Int = Cluster.QuantScale,
       maxClusterSize: Int = Cluster.DefaultSemClusterCap,
       retainEvery: Int = 0,
-      retainTargetBytes: Long = 64L * 1024 * 1024): DataStreamWriter[Row] =
+      retainTargetBytes: Long = 64L * 1024 * 1024,
+      retainKeepVersions: Int = 2): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -101,7 +102,8 @@ object StreamingSemDeDup {
         val applied = applyBatch(batch, batchId, idCol, embCol, root, tau,
           scale, maxClusterSize)
         if (applied && retainEvery > 0 && (batchId + 1) % retainEvery == 0)
-          compactState(batch.sparkSession, root, retainTargetBytes)
+          compactState(batch.sparkSession, root, retainTargetBytes,
+            retainKeepVersions)
         ()
       }
 
@@ -143,19 +145,23 @@ object StreamingSemDeDup {
     true
   }
 
-  /** Retention pass ([[StreamingRetention.compactState]]): rewrites the
-    * accrued `assignments` (keeping the cid-partitioned pruned-read
-    * layout) and `survivors` into size-targeted files, CARRIES the
-    * fitted `centroids` model and the `applied` replay marker, then
-    * vacuums every older version. Row-identical state; single-writer
-    * contract (call from foreachBatch or with the stream stopped).
-    * Returns the compacted version.
+  /** Retention pass ([[StreamingRetention.compactState]]): INCREMENTAL
+    * size-tiered rewrite of the accrued `assignments` (keeping the
+    * cid-partitioned pruned-read layout; small-file tail only, carried
+    * large files verbatim) and `survivors`, CARRIES the fitted
+    * `centroids` model and the `applied` replay marker wholesale, then
+    * vacuums past the `keepVersions`-deep retention horizon.
+    * Row-identical state; the publish is race-detected (a batch commit
+    * landing mid-rewrite aborts the pass, retried next cadence).
+    * Returns the latest version.
     */
   def compactState(spark: SparkSession, root: String,
-      targetBytes: Long = 64L * 1024 * 1024): Long =
+      targetBytes: Long = 64L * 1024 * 1024,
+      keepVersions: Int = 2): Long =
     StreamingRetention.compactState(spark, root, targetBytes,
       carryTables = Set("applied", "centroids"),
-      partitioned = Map("assignments" -> Seq("cid")))
+      partitioned = Map("assignments" -> Seq("cid")),
+      keepVersions = keepVersions)
 
   /** The deduped output after the stream drains: (idCol, batch_id) per
     * surviving document, read from the latest committed group version.

@@ -538,22 +538,102 @@ object VersionedLake {
       prevVersion: Option[Long]) {
     private val staged =
       scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    // tables whose data THIS commit wrote (vs carried) — what abort() sweeps
+    private val wroteData = scala.collection.mutable.LinkedHashSet.empty[String]
     private var published = false
+    private var aborted = false
 
     def write(table: String, df: DataFrame, mode: String = "overwrite",
         partitionBy: Seq[String] = Nil): Unit = {
-      require(!published, "group already published")
+      require(!published && !aborted, "group already published or aborted")
       require(tableNameOk(table), s"invalid group table name '$table'")
       require(!staged.contains(table), s"table $table already staged in v$version")
       require(mode == "overwrite" || mode == "append", s"unknown mode $mode")
       val newFiles = writeData(df, fs(spark, root),
         new Path(root, s"$table/_data/v$version"),
         s"$table/_data/v$version", partitionBy)
+      wroteData += table
       val carried = if (mode == "append" && prevVersion.nonEmpty)
         groupManifestFiles(store, root, prevVersion.get)
           .getOrElse(table, Seq.empty)
       else Seq.empty
       staged(table) = carried ++ newFiles
+    }
+
+    /** Stage `table` as `carriedFiles` (prior data files re-listed
+      * VERBATIM — no read, no rewrite) plus `df`'s freshly written files:
+      * the incremental-compaction primitive. A size-tiered retention pass
+      * carries the already-compacted large files of the previous version
+      * and rewrites only the small-file tail, so its I/O is O(new data
+      * since the last pass), not O(accumulated state). `carriedFiles` are
+      * manifest-relative paths and must belong to `table` (enforced) —
+      * they normally come from the previous group manifest
+      * ([[groupTableRelFiles]]); the vacuum keeps them alive because the
+      * published manifest references them, whichever `_data/v{K}`
+      * directory they live in.
+      */
+    def writeWithCarried(table: String, df: DataFrame,
+        carriedFiles: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
+      require(!published && !aborted, "group already published or aborted")
+      require(tableNameOk(table), s"invalid group table name '$table'")
+      require(!staged.contains(table), s"table $table already staged in v$version")
+      require(carriedFiles.forall(_.startsWith(s"$table/_data/")),
+        s"carried files must belong to $table (got " +
+          s"${carriedFiles.filterNot(_.startsWith(s"$table/_data/")).take(3).mkString(", ")})")
+      val newFiles = writeData(df, fs(spark, root),
+        new Path(root, s"$table/_data/v$version"),
+        s"$table/_data/v$version", partitionBy)
+      wroteData += table
+      staged(table) = carriedFiles ++ newFiles
+    }
+
+    /** Abandon the commit: best-effort delete of every `_data/v{N}`
+      * directory this commit wrote, then release the version claim so
+      * later committers (a retried compaction, the next batch) are not
+      * blocked behind a burned number. The claim delete is safe — nothing
+      * can have published this version (publish requires this object) and
+      * a future committer re-claiming the number starts from clean data
+      * directories.
+      */
+    def abort(): Unit = {
+      require(!published, "group already published")
+      if (!aborted) {
+        aborted = true
+        val f = fs(spark, root)
+        wroteData.foreach { t =>
+          f.delete(new Path(root, s"$t/_data/v$version"), true); () }
+        store.deleteClaim(version)
+      }
+    }
+
+    /** Publish ONLY if the group's latest committed version is still
+      * `base` and no younger-numbered commit is in flight — the
+      * compaction-vs-commit race detector. A maintenance pass reads state
+      * at `base`, rewrites it, and must not become the latest version if
+      * a data commit landed (or could still land with a number below
+      * ours) in between: its rewrite would silently drop that commit's
+      * rows from every latest-version read. Detection uses the claim
+      * protocol itself — any version committed past `base`, or any
+      * still-unexpired claim in `(base, version)` (a committer that
+      * claimed before us and may yet publish BELOW our number), aborts
+      * this commit (claim released, staged data swept) and returns None;
+      * the caller retries on its next cadence. Claims NEWER than ours are
+      * harmless: they carried `base`'s full manifest, so their publish
+      * supersedes our compaction without losing rows. `claimTtlMs`
+      * mirrors the vacuum heuristic — a dead claim older than the TTL is
+      * a crashed commit, not an in-flight one.
+      */
+    def publishIfBaseIs(base: Long,
+        claimTtlMs: Long = 24L * 3600 * 1000): Option[Long] = {
+      require(!published && !aborted, "group already published or aborted")
+      val committedNow = store.committedVersions()
+      val now = System.currentTimeMillis()
+      val inFlightBelow = store.claimedVersions().filter(cv =>
+        cv > base && cv < version && !committedNow.contains(cv) &&
+          store.claimModifiedAtMs(cv).exists(now - _ <= claimTtlMs))
+      if (committedNow.exists(_ > base) || inFlightBelow.nonEmpty) {
+        abort(); None
+      } else Some(publish())
     }
 
     /** Carry `table` forward UNCHANGED from the previous group version —
@@ -565,7 +645,7 @@ object VersionedLake {
       * free).
       */
     def carry(table: String): Unit = {
-      require(!published, "group already published")
+      require(!published && !aborted, "group already published or aborted")
       require(!staged.contains(table), s"table $table already staged in v$version")
       val prev = prevVersion.getOrElse(throw new IllegalArgumentException(
         s"no previous version at $root to carry $table from"))
@@ -584,7 +664,7 @@ object VersionedLake {
 
     /** Atomically publish every staged table as version [[version]]. */
     def publish(): Long = {
-      require(!published, "group already published")
+      require(!published && !aborted, "group already published or aborted")
       require(staged.nonEmpty, "publish with no staged tables")
       val body = staged.map { case (t, files) =>
         "\"" + t + "\":" + files.map(p => "\"" + jsonEscape(p) + "\"")
@@ -700,6 +780,31 @@ object VersionedLake {
     groupManifestFiles(store, root, resolveVersion(store, root, version))
       .map { case (t, fs0) =>
         t -> fs0.map(rel => new Path(root, rel).toString) }
+  }
+
+  /** [[groupTableFiles]] with MANIFEST-RELATIVE paths — what
+    * [[GroupCommit.writeWithCarried]] consumes (the manifest lists
+    * relative paths; a retention pass that carried absolute ones would
+    * publish a manifest no reader could resolve).
+    */
+  private[graft] def groupTableRelFiles(spark: SparkSession, root: String,
+      version: Option[Long] = None,
+      manifestStore: Option[ManifestStore] = None): Map[String, Seq[String]] = {
+    val store = storeFor(spark, root, manifestStore)
+    groupManifestFiles(store, root, resolveVersion(store, root, version))
+  }
+
+  /** Read an explicit SUBSET of a group's manifest-relative files — the
+    * incremental-compaction read path: a retention pass reads only the
+    * small-file tail it is about to rewrite, never the carried large
+    * files. Partition columns are recovered per version directory exactly
+    * as [[readTable]] does.
+    */
+  private[graft] def readRelFiles(spark: SparkSession, root: String,
+      files: Seq[String], mergeSchema: Boolean = true,
+      schemaDDL: String = null): DataFrame = {
+    require(files.nonEmpty, s"readRelFiles with no files at $root")
+    readFiles(spark, root, files, mergeSchema, schemaDDL)
   }
 
   /** Group analog of [[vacuum]]: delete member-table data files referenced

@@ -62,7 +62,11 @@ class StreamingDedupSpec extends SparkSpec {
         StreamingDedup.applyBatch(rows.toDF("doc_id", "text"), i.toLong,
           "doc_id", "text", root, jaccardThreshold = 0.5, shingleN = 3,
           numHashes = 16, bands = 4)
-        if (compactAfterEach) StreamingDedup.compactState(spark, root)
+        // keepVersions = 1: this test asserts the FULL reclaim shape
+        // (single surviving version); the horizon default is covered by
+        // StreamingRetentionSpec
+        if (compactAfterEach)
+          StreamingDedup.compactState(spark, root, keepVersions = 1)
       }
     }
     val plain = Files.createTempDirectory("sdedup_p").toString + "/state"
@@ -96,7 +100,7 @@ class StreamingDedupSpec extends SparkSpec {
     // file per table (hashed/banded/survivors) plus the carried marker —
     // the uncompacted root accrues per-batch files beyond that. Count
     // from the last pre-append compaction point: recompact now.
-    StreamingDedup.compactState(spark, tight)
+    StreamingDedup.compactState(spark, tight, keepVersions = 1)
     def parquetCount(root: String): Int = {
       val it = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
       try it.filter(p => p.toString.endsWith(".parquet")).count().toInt
@@ -146,7 +150,7 @@ class StreamingDedupSpec extends SparkSpec {
     // the retry compaction claims PAST the burned number and lands the
     // same row-identical state; the crashed claim's staged data survives
     // the vacuum (in-flight TTL protection) without ever becoming visible
-    val nv = StreamingDedup.compactState(spark, root)
+    val nv = StreamingDedup.compactState(spark, root, keepVersions = 1)
     assert(nv > burned)
     assert(VersionedLake.versions(spark, root) == Seq(nv))
     assert(got() == Set((10L, 0L), (11L, 0L), (5L, 1L)))

@@ -1,0 +1,164 @@
+package graft.flows
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.VersionedLake
+
+/** The round-15 retention contracts: INCREMENTAL size-tiered compaction
+  * (a second pass carries the first pass's large files verbatim instead
+  * of rewriting state wholesale), the retention HORIZON (default
+  * keepVersions = 2 keeps the prior version readable through a full
+  * compaction cycle), and the compaction-vs-commit RACE detector (a
+  * batch commit landing inside the pass's read→publish window aborts the
+  * compaction instead of being silently overwritten).
+  */
+class StreamingRetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+
+  private def applyB(root: String, batchId: Long,
+      rows: Seq[(Long, String)]): Boolean =
+    StreamingDedup.applyBatch(rows.toDF("doc_id", "text"), batchId,
+      "doc_id", "text", root, jaccardThreshold = 0.5, shingleN = 3,
+      numHashes = 16, bands = 4)
+
+  private def hashedFiles(root: String): Seq[String] =
+    VersionedLake.groupTableRelFiles(spark, root)("hashed")
+
+  private def fileLen(root: String, rel: String): Long =
+    new java.io.File(s"$root/$rel").length()
+
+  private def mtime(root: String, rel: String): Long =
+    new java.io.File(s"$root/$rel").lastModified()
+
+  test("incremental compaction: the second pass CARRIES the first pass's " +
+    "large output verbatim (same manifest path, untouched mtime) and " +
+    "rewrites only the small tail accrued since") {
+    val root = Files.createTempDirectory("sret_inc").toString + "/state"
+    // a fat first batch (6 long docs) makes the pass-1 output strictly
+    // larger than any later single-doc append, so the size tiers are
+    // unambiguous whatever the parquet footer overhead is
+    applyB(root, 0L, (10L to 15L).map(i => (i, s"$base doc$i")))
+    // pass 1: everything is below 64 MB/2 -> full rewrite, one file/table
+    StreamingDedup.compactState(spark, root)
+    val Seq(compacted) = hashedFiles(root)
+    val s = fileLen(root, compacted)
+    val m0 = mtime(root, compacted)
+    assert(s > 0)
+    // two more batches accrue a small tail beyond the compacted file
+    applyB(root, 1L, Seq((20L, base + " extra")))
+    applyB(root, 2L, Seq((30L, base + " more extra")))
+    val smalls = hashedFiles(root).filterNot(_ == compacted)
+    assert(smalls.size == 2) // one append per batch
+    assert(smalls.forall(fileLen(root, _) < s),
+      "precondition: the tail must tier below the pass-1 output")
+    // pass 2 at targetBytes = 2s: carry threshold = s, so the pass-1
+    // output tiers as LARGE (carried) and the two appends as small
+    // (bin-packed together by the engine's own sizing rule)
+    val expectTail = graft.sources.LakeWriter.compactionFileCount(
+      smalls.map(fileLen(root, _)).sum, 2 * s)
+    StreamingRetention.compactState(spark, root, targetBytes = 2 * s,
+      carryTables = Set("applied"))
+    val after = hashedFiles(root)
+    assert(after.contains(compacted),
+      s"pass-1 output $compacted was rewritten, not carried: $after")
+    assert(mtime(root, compacted) == m0,
+      "carried file's bytes were touched by the second pass")
+    assert(after.size == 1 + expectTail,
+      s"expected carried + $expectTail-file tail, got $after")
+    val nv = VersionedLake.versions(spark, root).last
+    assert(after.exists(_.startsWith(s"hashed/_data/v$nv/")),
+      "merged tail must live in the new version's data dir")
+    // state is row-identical through the tiered pass
+    assert(VersionedLake.readTable(spark, root, "hashed")
+      .select("id").as[Long].collect().toSet ==
+      ((10L to 15L).toSet + 20L + 30L))
+    // and a third pass with NO new tail is pure metadata: every hashed
+    // file carried verbatim
+    StreamingRetention.compactState(spark, root, targetBytes = 2 * s,
+      carryTables = Set("applied"))
+    assert(hashedFiles(root).toSet == after.toSet)
+    assert(StreamingRetention.lastCompactionStats.exists(
+      _ == "all tables carried"))
+  }
+
+  test("retention horizon (default keepVersions = 2): the version " +
+    "preceding the compaction stays readable — an external reader that " +
+    "resolved latest just before the pass survives it; older versions " +
+    "fail loudly") {
+    val root = Files.createTempDirectory("sret_hz").toString + "/state"
+    applyB(root, 0L, Seq((10L, base)))                       // v1
+    applyB(root, 1L, Seq((11L, "quite different words here"))) // v2
+    val vPre = VersionedLake.versions(spark, root).last
+    val nv = StreamingDedup.compactState(spark, root)        // v3, default horizon
+    assert(VersionedLake.versions(spark, root) == Seq(vPre, nv))
+    // the pre-compaction snapshot is intact: same survivors at vPre
+    assert(VersionedLake.readTable(spark, root, "survivors", Some(vPre))
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 11L))
+    // below the horizon fails with the branded error
+    val ex = intercept[IllegalArgumentException] {
+      VersionedLake.readTable(spark, root, "survivors", Some(1L))
+    }
+    assert(ex.getMessage.contains("version 1 not in"))
+  }
+
+  test("race detection: a batch commit landing between the compaction's " +
+    "state read and its publish ABORTS the compaction — no committed row " +
+    "is ever lost, the claim is released, and the next cadence compacts") {
+    val root = Files.createTempDirectory("sret_race").toString + "/state"
+    applyB(root, 0L, Seq((10L, base), (11L, "entirely different words here")))
+    val v1 = VersionedLake.versions(spark, root).last
+    // the racing commit fires inside the pass's read->publish window
+    val ret = StreamingRetention.compactState(spark, root,
+      targetBytes = 64L * 1024 * 1024, carryTables = Set("applied"),
+      raceWindow = () =>
+        assert(applyB(root, 1L, Seq((5L, base + " tail")))))
+    // the compaction aborted: latest is the RACING COMMIT's version and
+    // every committed row (batch 0 AND the raced batch 1) is visible
+    assert(ret == VersionedLake.versions(spark, root).last)
+    assert(StreamingDedup.survivors(spark, root)
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 11L, 5L))
+    assert(VersionedLake.readTable(spark, root, "hashed")
+      .select("id").as[Long].collect().toSet == Set(10L, 11L, 5L))
+    assert(StreamingRetention.lastCompactionStats.exists(
+      _.startsWith("aborted")))
+    // the aborted claim was released + staged data swept: no version
+    // number between v1 and latest is claimed, and the next cadence's
+    // compaction publishes normally with full state
+    val nv = StreamingDedup.compactState(spark, root, keepVersions = 1)
+    assert(VersionedLake.versions(spark, root) == Seq(nv))
+    assert(StreamingDedup.survivors(spark, root)
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 11L, 5L))
+  }
+
+  test("race detection: a still-in-flight LOWER-numbered claim (a slow " +
+    "commit that claimed before the pass) aborts the publish; once the " +
+    "claim expires past the TTL it no longer blocks") {
+    val root = Files.createTempDirectory("sret_claim").toString + "/state"
+    applyB(root, 0L, Seq((10L, base)))
+    val v1 = VersionedLake.versions(spark, root).last
+    // simulate a slow committer: claim the next number, publish nothing
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val store = new graft.sources.HadoopManifestStore(fs, root)
+    val slow = v1 + 1
+    assert(store.tryClaim(slow))
+    val ret = StreamingRetention.compactState(spark, root,
+      targetBytes = 64L * 1024 * 1024, carryTables = Set("applied"))
+    assert(ret == v1, "compaction must abort while the claim is in flight")
+    assert(VersionedLake.versions(spark, root) == Seq(v1))
+    // age the claim past the TTL -> it reads as a crashed commit and the
+    // pass proceeds
+    assert(new java.io.File(s"$root/_manifests/v$slow.claim")
+      .setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000))
+    val nv = StreamingRetention.compactState(spark, root,
+      targetBytes = 64L * 1024 * 1024, carryTables = Set("applied"),
+      keepVersions = 1)
+    assert(nv > slow)
+    assert(VersionedLake.versions(spark, root) == Seq(nv))
+    assert(VersionedLake.readTable(spark, root, "survivors")
+      .select("doc_id").as[Long].collect().toSet == Set(10L))
+  }
+}

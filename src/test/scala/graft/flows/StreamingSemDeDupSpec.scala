@@ -123,7 +123,10 @@ class StreamingSemDeDupSpec extends SparkSpec {
           i.toLong, "vec_id", "embedding", root, tau = 0.9,
           scale = graft.operators.Cluster.QuantScale,
           maxClusterSize = Int.MaxValue)
-        if (compactAfterEach) StreamingSemDeDup.compactState(spark, root)
+        // keepVersions = 1: this test asserts the FULL reclaim shape; the
+        // horizon default is covered by StreamingRetentionSpec
+        if (compactAfterEach)
+          StreamingSemDeDup.compactState(spark, root, keepVersions = 1)
       }
     }
     val plain = Files.createTempDirectory("ssem_p").toString + "/state"
@@ -166,7 +169,7 @@ class StreamingSemDeDupSpec extends SparkSpec {
       graft.operators.Cluster.QuantScale, Int.MaxValue))
     assert(survivorsOf(tight) == Set((60L, 0L), (70L, 1L))) // 90 ≈ 70 drops
     // (b)+(c) bounded files and loud vacuumed-version reads
-    StreamingSemDeDup.compactState(spark, tight)
+    StreamingSemDeDup.compactState(spark, tight, keepVersions = 1)
     assert(VersionedLake.versions(spark, tight).size == 1)
     def parquetCount(root: String): Int = {
       val it = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
