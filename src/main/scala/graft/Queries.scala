@@ -2609,6 +2609,69 @@ object Queries {
         .orderBy(col("d").asc, col("vec_id").asc)
         .limit(20)
       Similarity.annRecallAtK(approx, exact, "vec_id", k = 20)
+    }),
+
+    // PERSISTENT IVF-PQ index (flows/AnnIndex): the PRODUCTION ANN shape
+    // — fit once on the corpus (vec_id % 5 <> 0), STORE model + codes +
+    // quantized vectors as ONE atomic lake group, append the arrival
+    // batch (vec_id % 5 = 0) encoded MAP-ONLY against the stored model
+    // (appends never refit), then IVFADC-R-search the stored index for
+    // vec 0 — itself an arrival, so the search exercises appended codes.
+    // The oracle replays fit-on-corpus + encode-union + search:
+    // build-then-append must be value-invisible against a one-shot
+    // encode of the union over the same model.
+    "q119e_ann_index" -> ((s, dir) => {
+      val tmp = freshScratchDir("graft_q119e")
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.flows.AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", s"$tmp/index", dims = 64, coarseK = 4,
+        coarseIters = 2, m = 4, k = 4, iters = 2)
+      graft.flows.AnnIndex.append(emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", s"$tmp/index")
+      val qq = emb.filter(col("vec_id") === 0)
+        .select(graft.operators.Cluster.quantizeFloor(col("embedding"))
+          .as("q"))
+        .head.getSeq[Long](0).toArray
+      graft.flows.AnnIndex.search(s, s"$tmp/index", "vec_id", qq,
+        nprobe = 2, c = 50, n = 20)
+    }),
+
+    // Mean recall@20 over a QUERY SET — the number a deployment tunes
+    // nprobe/c by (one query's recall is an anecdote; the mean is the
+    // dial): three query vectors run the full IVFADC-R path against ONE
+    // fitted model, each is scored against its own brute-force exact
+    // top-20, and meanRecallAtK returns per-query rows plus the NULL-key
+    // summary row carrying the mean. Integer-exact end to end, so the
+    // oracle replays every per-query chain AND the mean.
+    "q119f_ann_mean_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (coarse, books, encoded) = Similarity.ivfPqIndex(emb, "vec_id",
+        "embedding", dims = 64, coarseK = 4, coarseIters = 2,
+        m = 4, k = 4, iters = 2)
+      val quant = emb.select(col("vec_id"),
+        graft.operators.Cluster.quantizeFloor(col("embedding")).as("q"))
+      val perQuery = Seq(0L, 1L, 2L).map { qid =>
+        val qq = emb.filter(col("vec_id") === qid)
+          .select(graft.operators.Cluster.quantizeFloor(col("embedding"))
+            .as("q"))
+          .head.getSeq[Long](0).toArray
+        val approx = Similarity.ivfPqTopKRerank(encoded, quant, "vec_id",
+          coarse, books, qq, nprobe = 2, c = 50, n = 20)
+          .select(lit(qid).as("query_id"), col("vec_id"))
+        val exact = quant
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.sqDistToLit(col("q"), qq.toSeq)
+              .as("d"))
+          .orderBy(col("d").asc, col("vec_id").asc)
+          .limit(20)
+          .select(lit(qid).as("query_id"), col("vec_id"))
+        (approx, exact)
+      }
+      Similarity.meanRecallAtK(
+        perQuery.map(_._1).reduce(_.unionByName(_)),
+        perQuery.map(_._2).reduce(_.unionByName(_)),
+        "vec_id", "query_id", k = 20)
+        .orderBy(col("query_id").asc_nulls_last)
     })
   )
 
@@ -2817,17 +2880,33 @@ object Queries {
     * (l{s}), and the final per-cell ADC join. Shares [[assignCteSql]]
     * with every other k-means replay.
     */
-  private def ivfPqCtesSql(coarseK: Int, coarseIters: Int, m: Int, k: Int,
-      iters: Int, dims: Int, scale: Int, nprobe: Int): String = {
+  /** The query-independent half of the IVF-PQ replay: quantize, coarse
+    * fit (optionally on the `fitWhere` subset — the persistent-index
+    * shape, where arrivals are encoded against a model they never
+    * influenced), FULL-corpus residual encode, per-subspace PQ fits over
+    * the (subset) residuals and full-corpus code assigns. The final
+    * assignment CTEs (`cca{N}`, `r{s}a{N}`) always cover EVERY vector —
+    * the downstream ADC joins read them as the stored codes.
+    */
+  private def ivfPqBaseCtes(coarseK: Int, coarseIters: Int, m: Int, k: Int,
+      iters: Int, dims: Int, scale: Int,
+      fitWhere: String = ""): Seq[String] = {
     val sd = dims / m
+    val fitE = if (fitWhere.isEmpty) "e" else "ef"
     val parts = scala.collection.mutable.ListBuffer(
       s"""e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS q
          |  FROM embeddings
-         |)""".stripMargin,
-      kmInitCteSql("cc0", "e", coarseK))
+         |)""".stripMargin)
+    if (fitWhere.nonEmpty)
+      parts += s"ef AS (SELECT * FROM e WHERE $fitWhere)"
+    parts += kmInitCteSql("cc0", fitE, coarseK)
     for (it <- 1 to coarseIters) {
-      parts += s"cca$it AS (${assignCteSql("e", s"cc${it - 1}", dims)})"
+      // fit iterations assign the FIT subset; the last assignment is the
+      // encode and always covers everything (the engine's fit/encode
+      // split: fitOnQuantized iterates, ivfPqEncode maps)
+      val src = if (it == coarseIters) "e" else fitE
+      parts += s"cca$it AS (${assignCteSql(src, s"cc${it - 1}", dims)})"
       if (it < coarseIters)
         parts += kmUpdateCteSql(s"cc$it", s"cc${it - 1}", s"cca$it", dims)
     }
@@ -2838,41 +2917,70 @@ object Queries {
          |    list_transform(range(1, ${dims + 1}), i -> a.q[i] - c.q[i]) AS q
          |  FROM cca$coarseIters a JOIN $fcc c ON a.cid = c.cid
          |)""".stripMargin
+    if (fitWhere.nonEmpty)
+      parts += s"resf AS (SELECT * FROM res WHERE $fitWhere)"
+    val fitR = if (fitWhere.isEmpty) "r" else "rf"
     for (s <- 0 until m) {
       parts += s"r$s AS (SELECT vec_id, q[${s * sd + 1}:${(s + 1) * sd}] AS q FROM res)"
-      parts += kmInitCteSql(s"r${s}c0", s"r$s", k)
+      if (fitWhere.nonEmpty)
+        parts += s"rf$s AS (SELECT vec_id, q[${s * sd + 1}:${(s + 1) * sd}] AS q FROM resf)"
+      parts += kmInitCteSql(s"r${s}c0", s"$fitR$s", k)
       for (it <- 1 to iters) {
-        parts += s"r${s}a$it AS (${assignCteSql(s"r$s", s"r${s}c${it - 1}", sd)})"
+        val src = if (it == iters) s"r$s" else s"$fitR$s"
+        parts += s"r${s}a$it AS (${assignCteSql(src, s"r${s}c${it - 1}", sd)})"
         if (it < iters)
           parts += kmUpdateCteSql(s"r${s}c$it", s"r${s}c${it - 1}",
             s"r${s}a$it", sd)
       }
     }
-    parts += "qrow AS (SELECT q FROM e WHERE vec_id = 0)"
+    parts.toSeq
+  }
+
+  /** The per-query half: the query row, its exact coarse-cell ranking,
+    * the nprobe cell set, the per-probed-cell query residuals, and the
+    * per-subspace ADC lookup tables — all CTE names suffixed so a
+    * multi-query oracle (q119f) stacks one block per query over ONE
+    * shared base chain.
+    */
+  private def ivfPqQueryCtes(queryVecId: Long, sfx: String,
+      coarseIters: Int, m: Int, iters: Int, dims: Int,
+      nprobe: Int): Seq[String] = {
+    val sd = dims / m
+    val fcc = s"cc${coarseIters - 1}"
+    val parts = scala.collection.mutable.ListBuffer(
+      s"qrow$sfx AS (SELECT q FROM e WHERE vec_id = $queryVecId)")
     parts +=
-      s"""qd AS (
+      s"""qd$sfx AS (
          |  SELECT c.cid AS cell, list_sum(list_transform(range(1, ${dims + 1}),
          |    i -> (v.q[i] - c.q[i]) * (v.q[i] - c.q[i]))) AS d
-         |  FROM $fcc c CROSS JOIN qrow v
+         |  FROM $fcc c CROSS JOIN qrow$sfx v
          |)""".stripMargin
-    parts += s"probe AS (SELECT cell FROM qd ORDER BY d, cell LIMIT $nprobe)"
+    parts += s"probe$sfx AS (SELECT cell FROM qd$sfx ORDER BY d, cell LIMIT $nprobe)"
     parts +=
-      s"""qres AS (
+      s"""qres$sfx AS (
          |  SELECT c.cid AS cell, list_transform(range(1, ${dims + 1}), i -> v.q[i] - c.q[i]) AS q
-         |  FROM $fcc c CROSS JOIN qrow v
-         |  WHERE c.cid IN (SELECT cell FROM probe)
+         |  FROM $fcc c CROSS JOIN qrow$sfx v
+         |  WHERE c.cid IN (SELECT cell FROM probe$sfx)
          |)""".stripMargin
     for (s <- 0 until m) {
       val off = s * sd
       parts +=
-        s"""l$s AS (
+        s"""l$s$sfx AS (
            |  SELECT r.cell, b.cid, CAST(list_sum(list_transform(range(1, ${sd + 1}),
            |    i -> (r.q[i + $off] - b.q[i]) * (r.q[i + $off] - b.q[i]))) AS BIGINT) AS d
-           |  FROM qres r CROSS JOIN r${s}c${iters - 1} b
+           |  FROM qres$sfx r CROSS JOIN r${s}c${iters - 1} b
            |)""".stripMargin
     }
-    "WITH " + parts.mkString(",\n")
+    parts.toSeq
   }
+
+  private def ivfPqCtesSql(coarseK: Int, coarseIters: Int, m: Int, k: Int,
+      iters: Int, dims: Int, scale: Int, nprobe: Int,
+      fitWhere: String = ""): String =
+    "WITH " + (ivfPqBaseCtes(coarseK, coarseIters, m, k, iters, dims, scale,
+      fitWhere) ++
+      ivfPqQueryCtes(0L, "", coarseIters, m, iters, dims, nprobe))
+      .mkString(",\n")
 
   /** q119c/q119d's shared tail over [[ivfPqCtesSql]]'s chain (m=4,
     * iters=2 — the same fixed shape the q119b body joins): `adc` = the
@@ -2881,27 +2989,28 @@ object Queries {
     * future short-list/re-rank fix can never make the two oracles
     * silently replay different algorithms.
     */
-  private def ivfPqRerankCtesSql(c: Int, n: Int, dims: Int): String =
+  private def ivfPqRerankCtesSql(c: Int, n: Int, dims: Int,
+      sfx: String = ""): String =
     s""",
-       |adc AS (
+       |adc$sfx AS (
        |  SELECT f0.vec_id, a.cell,
-       |    CAST(l0.d + l1.d + l2.d + l3.d AS BIGINT) AS adc_dist
+       |    CAST(l0$sfx.d + l1$sfx.d + l2$sfx.d + l3$sfx.d AS BIGINT) AS adc_dist
        |  FROM r0a2 f0
        |  JOIN r1a2 f1 USING (vec_id) JOIN r2a2 f2 USING (vec_id)
        |  JOIN r3a2 f3 USING (vec_id)
        |  JOIN (SELECT vec_id, cell FROM res) a USING (vec_id)
-       |  JOIN l0 ON l0.cell = a.cell AND l0.cid = f0.cid
-       |  JOIN l1 ON l1.cell = a.cell AND l1.cid = f1.cid
-       |  JOIN l2 ON l2.cell = a.cell AND l2.cid = f2.cid
-       |  JOIN l3 ON l3.cell = a.cell AND l3.cid = f3.cid
-       |  WHERE a.cell IN (SELECT cell FROM probe)
+       |  JOIN l0$sfx ON l0$sfx.cell = a.cell AND l0$sfx.cid = f0.cid
+       |  JOIN l1$sfx ON l1$sfx.cell = a.cell AND l1$sfx.cid = f1.cid
+       |  JOIN l2$sfx ON l2$sfx.cell = a.cell AND l2$sfx.cid = f2.cid
+       |  JOIN l3$sfx ON l3$sfx.cell = a.cell AND l3$sfx.cid = f3.cid
+       |  WHERE a.cell IN (SELECT cell FROM probe$sfx)
        |  ORDER BY adc_dist, f0.vec_id LIMIT $c
        |),
-       |rr AS (
+       |rr$sfx AS (
        |  SELECT a.vec_id, a.cell, a.adc_dist,
        |    CAST(list_sum(list_transform(range(1, ${dims + 1}),
        |      i -> (e.q[i] - v.q[i]) * (e.q[i] - v.q[i]))) AS BIGINT) AS exact_dist
-       |  FROM adc a JOIN e ON e.vec_id = a.vec_id CROSS JOIN qrow v
+       |  FROM adc$sfx a JOIN e ON e.vec_id = a.vec_id CROSS JOIN qrow$sfx v
        |  ORDER BY exact_dist, a.vec_id LIMIT $n
        |)""".stripMargin
 
@@ -5330,6 +5439,59 @@ object Queries {
         |)
         |SELECT CAST(20 AS BIGINT) AS k, count(*) AS hits,
         |  count(*) / 20.0 AS recall
-        |FROM rr JOIN ex USING (vec_id)""".stripMargin)
+        |FROM rr JOIN ex USING (vec_id)""".stripMargin),
+
+    // q119e replays the persistent index end to end: the coarse and PQ
+    // fits run over the CORPUS subset only (ef / rf* — arrivals never
+    // influence the model, exactly the append-no-refit contract), the
+    // encode assigns cover the UNION, and the short-list + re-rank tail
+    // is byte-shared with q119c — so build+append+search hash-matching
+    // this proves the stored index is value-invisible against a one-shot
+    // encode over the same model.
+    "q119e_ann_index" -> (ivfPqCtesSql(coarseK = 4, coarseIters = 2,
+      m = 4, k = 4, iters = 2, dims = 64, scale = 1 << 20, nprobe = 2,
+      fitWhere = "vec_id % 5 <> 0") +
+      ivfPqRerankCtesSql(c = 50, n = 20, dims = 64) +
+      """
+        |SELECT vec_id, cell, adc_dist, exact_dist
+        |FROM rr ORDER BY exact_dist, vec_id""".stripMargin),
+
+    // q119f replays mean recall@20 over the query set {0,1,2}: ONE
+    // shared base chain (model + codes), one suffixed query block +
+    // re-rank tail + exact top-20 per query, then per-query hits and the
+    // NULL-key mean row (CAST(sum) — DuckDB sums go HUGEINT).
+    "q119f_ann_mean_recall" -> {
+      val qids = Seq(0L, 1L, 2L)
+      val sb = new StringBuilder("WITH " + ivfPqBaseCtes(coarseK = 4,
+        coarseIters = 2, m = 4, k = 4, iters = 2, dims = 64,
+        scale = 1 << 20).mkString(",\n"))
+      qids.foreach { q =>
+        sb.append(",\n" + ivfPqQueryCtes(q, s"_$q", coarseIters = 2,
+          m = 4, iters = 2, dims = 64, nprobe = 2).mkString(",\n"))
+        sb.append(ivfPqRerankCtesSql(c = 50, n = 20, dims = 64,
+          sfx = s"_$q"))
+        sb.append(
+          s""",
+             |ex_$q AS (
+             |  SELECT e.vec_id
+             |  FROM e CROSS JOIN qrow_$q v
+             |  ORDER BY list_sum(list_transform(range(1, 65),
+             |    i -> (e.q[i] - v.q[i]) * (e.q[i] - v.q[i]))), e.vec_id LIMIT 20
+             |)""".stripMargin)
+      }
+      sb.append(
+        s""",
+           |per AS (
+           |${qids.map(q =>
+               s"  SELECT CAST($q AS BIGINT) AS query_id, count(*) AS hits " +
+                 s"FROM rr_$q JOIN ex_$q USING (vec_id)")
+             .mkString("\n  UNION ALL\n")}
+           |)
+           |SELECT query_id, CAST(20 AS BIGINT) AS k, hits, hits / 20.0 AS recall FROM per
+           |UNION ALL
+           |SELECT NULL, CAST(20 AS BIGINT), CAST(sum(hits) AS BIGINT), avg(hits / 20.0) FROM per
+           |ORDER BY query_id NULLS LAST""".stripMargin)
+      sb.toString
+    }
   )
 }

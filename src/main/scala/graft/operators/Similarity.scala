@@ -442,6 +442,44 @@ object Similarity {
     }
   }
 
+  /** Encode a batch against a STORED IVF-PQ model — the arrival path of a
+    * persistent index ([[graft.flows.AnnIndex]]): `coarseCentroids` and
+    * `codebooks` are the lake frames [[ivfPqIndex]] built; the batch is
+    * quantized, assigned to its coarse cell, residual-encoded, and
+    * PQ-coded in ONE map-only pass (both models collect to bounded driver
+    * literals — k·dims + m·k·(dims/m) longs — and the residual join
+    * broadcasts the k-row model), so per-batch cost is independent of the
+    * stored corpus size. Bit-identical to the codes [[ivfPqIndex]] itself
+    * would emit for the same rows against the same model — the append
+    * path never refits, so stored and arriving codes share one geometry.
+    * Returns (idCol, cell, codes).
+    */
+  def ivfPqEncode(df: DataFrame, idCol: String, vecCol: String,
+      coarseCentroids: DataFrame, codebooks: DataFrame,
+      scale: Int = Cluster.QuantScale): DataFrame = {
+    val books = collectBooks(codebooks)
+    val dims = books.length * books(0)(0).length
+    val rows = coarseCentroids.select(col("cid"), col("q")).collect()
+      .sortBy(_.getLong(0))
+    require(rows.nonEmpty, "empty coarse centroid table")
+    require(rows.zipWithIndex.forall { case (r, j) => r.getLong(0) == j },
+      "coarse centroid cids must be contiguous 0..k-1")
+    val cents = rows.map(_.getSeq[Long](1).toArray)
+    require(cents.forall(_.length == dims),
+      s"coarse centroids must have $dims dims")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val coarseLit = cents.zipWithIndex.toSeq
+      .map { case (c, j) => (j.toLong, c.toSeq) }.toDF("cell", "__cq")
+    df.select(col(idCol),
+        Cluster.quantizeFloor(col(vecCol), scale).as("q"))
+      .withColumn("cell", Cluster.assignExpr(col("q"), cents))
+      .join(broadcast(coarseLit), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        pqCodesExpr(zip_with(col("q"), col("__cq"), (a, b) => a - b),
+          books, dims).as("codes"))
+  }
+
   /** IVF-PQ ADC search: rank the coarse centroids by exact distance to the
     * query (coarseK driver-side integer ops), keep `nprobe` cells, and
     * scan ONLY those cells' codes — each probed cell gets its own lookup
@@ -541,5 +579,39 @@ object Similarity {
       .agg(count(lit(1)).as("hits"))
       .select(lit(k.toLong).as("k"), col("hits"),
         (col("hits").cast("double") / lit(k.toDouble)).as("recall"))
+  }
+
+  /** Mean recall@k over a QUERY SET — [[annRecallAtK]] grouped by
+    * `queryCol`: the number a deployment actually tunes `nprobe`/`c` by
+    * (one query's recall is an anecdote; the mean over hundreds is the
+    * dial). Both inputs carry (queryCol, idCol) rows — per query, its
+    * own top-k ids in its own ranking (each side is already ≤ k
+    * rows/query by construction of the per-query top-k plans, so the
+    * join is |queries|·k² at worst — driver-trivial at any corpus
+    * scale). Returns one row per query in `exact` — (queryCol, k, hits,
+    * recall), a query with no approx overlap scoring 0 via the left
+    * join — plus ONE summary row (queryCol NULL, k, total hits, MEAN of
+    * per-query recalls). `hits` clamps at k in-plan, so an over-long or
+    * duplicated input can never manufacture recall > 1 — same guard
+    * discipline as the single-query form. Integer-exact inputs make the
+    * whole measurement oracle-replayable (q119f).
+    */
+  def meanRecallAtK(approx: DataFrame, exact: DataFrame, idCol: String,
+      queryCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val hitsPerQ = approx.select(col(queryCol), col(idCol)).distinct()
+      .join(exact.select(col(queryCol), col(idCol)).distinct(),
+        Seq(queryCol, idCol))
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("__h"))
+    val per = exact.select(col(queryCol)).distinct()
+      .join(hitsPerQ, Seq(queryCol), "left")
+      .select(col(queryCol), lit(k.toLong).as("k"),
+        least(coalesce(col("__h"), lit(0L)), lit(k.toLong)).as("hits"))
+      .withColumn("recall", col("hits").cast("double") / lit(k.toDouble))
+    val mean = per.agg(sum(col("hits")).as("hits"),
+        avg(col("recall")).as("recall"))
+      .select(lit(null).cast(per.schema(queryCol).dataType).as(queryCol),
+        lit(k.toLong).as("k"), col("hits"), col("recall"))
+    per.unionByName(mean)
   }
 }

@@ -61,6 +61,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q119e stored-index search is PARTITION-PRUNED to the nprobe " +
+    "cells, broadcasts the short-list into the quant re-rank, and tops " +
+    "out in TakeOrderedAndProject") {
+    val plan = planOf(q("q119e_ann_index"))
+    // the encoded codes live cell-partitioned in the lake; the search's
+    // cell.isin(probed) must land as PartitionFilters (directory reads),
+    // not a post-scan filter over the whole corpus — the same 100 TB
+    // contract as q111's pruned assignments read
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q101 SemDeDup pairwise work is a hash equi-join on the cluster id") {
     // the id_a < id_b and cosine predicates must ride a cid equi-join —
     // a nested-loop here would be corpus² at scale

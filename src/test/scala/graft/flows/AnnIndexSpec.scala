@@ -1,0 +1,156 @@
+package graft.flows
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import graft.sources.{Lake, VersionedLake}
+
+/** The persistent IVF-PQ index contracts: build-once / append-no-refit /
+  * search-the-stored-tables, with append+search value-invisible against
+  * a one-shot encode of the union over the same model (q119e's oracle
+  * proves the same thing against DuckDB; this spec proves it intra-
+  * engine at fixture scale plus the API contracts the oracle can't see).
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def quantOf(df: org.apache.spark.sql.DataFrame,
+      vecId: Long): Array[Long] =
+    df.filter(col("vec_id") === vecId)
+      .select(graft.operators.Cluster.quantizeFloor(col("embedding")).as("q"))
+      .head.getSeq[Long](0).toArray
+
+  test("build + append + search over the stored index lands EXACTLY the " +
+    "one-shot result: model fit on the corpus, union encoded against it, " +
+    "same IVFADC-R top-n — and the appended codes are bit-identical to " +
+    "what the builder itself would emit") {
+    val root = Files.createTempDirectory("annix").toString + "/index"
+    val emb = Lake.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    AnnIndex.build(corpus, "vec_id", "embedding", root, dims = 64,
+      coarseK = 4, coarseIters = 2, m = 4, k = 4, iters = 2)
+    AnnIndex.append(batch, "vec_id", "embedding", root)
+    val qq = quantOf(emb, 0L) // vec 0 is an ARRIVAL — searches appended codes
+    val stored = AnnIndex.search(spark, root, "vec_id", qq,
+      nprobe = 2, c = 30, n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // one-shot reference: the same fit (corpus only), one map-only encode
+    // of the union, the same search — no lake round-trip
+    val (coarse, books, _) = Similarity.ivfPqIndex(corpus, "vec_id",
+      "embedding", dims = 64, coarseK = 4, coarseIters = 2,
+      m = 4, k = 4, iters = 2)
+    val encodedAll = Similarity.ivfPqEncode(emb, "vec_id", "embedding",
+      coarse, books)
+    val quantAll = emb.select(col("vec_id"),
+      graft.operators.Cluster.quantizeFloor(col("embedding")).as("q"))
+    val oneShot = Similarity.ivfPqTopKRerank(encodedAll, quantAll,
+      "vec_id", coarse, books, qq, nprobe = 2, c = 30, n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(stored == oneShot)
+    assert(stored.nonEmpty && stored.map(_._1).contains(0L),
+      "the query vector itself (an appended row) must be findable")
+    // the stored codes for the union match the encoder bit-for-bit
+    val storedCodes = VersionedLake.readTable(spark, root, "encoded",
+        schemaDDL = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getSeq[Long](1)))
+      .toSet
+    val freshCodes = encodedAll
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .toSet
+    assert(storedCodes == freshCodes)
+  }
+
+  test("append CARRIES the model (same manifest paths — no rewrite, no " +
+    "refit) and appends codes + quant as a metadata union; build refuses " +
+    "an existing root") {
+    val root = Files.createTempDirectory("annix2").toString + "/index"
+    val emb = Lake.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    AnnIndex.build(emb.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", root, dims = 64, coarseK = 2, coarseIters = 2,
+      m = 4, k = 2, iters = 2)
+    val v1 = VersionedLake.versions(spark, root).last
+    val filesBefore = VersionedLake.groupTableRelFiles(spark, root, Some(v1))
+    AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), "vec_id",
+      "embedding", root)
+    val v2 = VersionedLake.versions(spark, root).last
+    assert(v2 == v1 + 1)
+    val filesAfter = VersionedLake.groupTableRelFiles(spark, root, Some(v2))
+    // model tables: IDENTICAL file lists (carried verbatim)
+    assert(filesAfter("coarse") == filesBefore("coarse"))
+    assert(filesAfter("codebooks") == filesBefore("codebooks"))
+    // data tables: prior files still listed (append = metadata union)
+    assert(filesBefore("encoded").toSet.subsetOf(filesAfter("encoded").toSet))
+    assert(filesAfter("encoded").exists(_.contains(s"_data/v$v2")))
+    assert(filesBefore("quant").toSet.subsetOf(filesAfter("quant").toSet))
+    // every vector is searchable after the append
+    assert(VersionedLake.readTable(spark, root, "encoded",
+        schemaDDL = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
+      .count() == 60)
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.build(emb, "vec_id", "embedding", root, dims = 64,
+        coarseK = 2, coarseIters = 2, m = 4, k = 2, iters = 2)
+    }
+    assert(ex.getMessage.contains("already exists"))
+  }
+
+  test("meanRecallAtK: per-query rows + the NULL-key mean row; a query " +
+    "missing from approx scores 0; over-long/duplicated input clamps at " +
+    "recall 1.0") {
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 99L)).toDF("query_id", "vec_id")
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 7L), (3L, 8L)).toDF("query_id", "vec_id")
+    val rows = Similarity.meanRecallAtK(approx, exact, "vec_id",
+      "query_id", k = 2).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    // q1 intersects {10,11,12}∩{10,11} = 2 hits but clamps at k=2 ->
+    // recall exactly 1.0 (the duplicate 11 and the extra 12 buy nothing);
+    // q2 = 1 hit (0.5); q3 absent from approx = 0 hits (0.0)
+    assert(rows.toSeq == Seq(
+      (-1L, 2L, 3L, 0.5), // mean row: total hits 3, mean(1.0, 0.5, 0.0)
+      (1L, 2L, 2L, 1.0),
+      (2L, 2L, 1L, 0.5),
+      (3L, 2L, 0L, 0.0)))
+  }
+
+  test("meanRecallAtK splits queries that differ in recall: the mean " +
+    "sits strictly between a perfect and an imperfect query") {
+    val emb = Lake.table(spark, sfDir, "embeddings")
+    val (coarse, books, encoded) = Similarity.ivfPqIndex(emb, "vec_id",
+      "embedding", dims = 64, coarseK = 4, coarseIters = 2,
+      m = 4, k = 4, iters = 2)
+    val quant = emb.select(col("vec_id"),
+      graft.operators.Cluster.quantizeFloor(col("embedding")).as("q"))
+    // query A: full re-rank pipeline (high recall); query B: a DEGENERATE
+    // approx (nprobe=1, c=n — no re-rank slack) for the same query vector,
+    // tagged as a different query id so the two recalls can differ
+    val qq = quantOf(emb.select(col("vec_id"), col("embedding")), 0L)
+    def exactTop(qid: Long) = quant
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.sqDistToLit(col("q"), qq.toSeq)
+          .as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(20)
+      .select(lit(qid).as("query_id"), col("vec_id"))
+    val good = Similarity.ivfPqTopKRerank(encoded, quant, "vec_id",
+      coarse, books, qq, nprobe = 4, c = 100, n = 20)
+      .select(lit(1L).as("query_id"), col("vec_id"))
+    val rough = Similarity.ivfPqTopK(encoded, "vec_id", coarse, books,
+      qq, nprobe = 1, n = 20)
+      .select(lit(2L).as("query_id"), col("vec_id"))
+    val out = Similarity.meanRecallAtK(good.unionByName(rough),
+      exactTop(1L).unionByName(exactTop(2L)), "vec_id", "query_id", k = 20)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getDouble(3))).toMap
+    assert(out(1L) >= out(2L), s"re-ranked recall must dominate: $out")
+    val mean = out(-1L)
+    assert(math.abs(mean - (out(1L) + out(2L)) / 2) < 1e-12,
+      s"mean row must be the mean of per-query recalls: $out")
+  }
+}
