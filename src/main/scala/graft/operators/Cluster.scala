@@ -267,16 +267,41 @@ object Cluster {
     * path that re-evaluated the un-persisted neighbors union (pruned
     * corpus + batch) a whole extra time per batch.
     */
+  /** Hard bound on the per-cid rows the occupancy probe may pull to the
+    * driver: k scales with corpus (k ≈ N/1000 per the round-10 sizing
+    * note), so at extreme k the collected aggregate is no longer a
+    * "bounded model read". Same order as the union-find edge cap — a few
+    * hundred MB of driver rows is where collect-and-rebroadcast stops
+    * being the cheap plan anyway.
+    */
+  private[graft] var OccupancyCollectCap = 4 * 1000 * 1000
+
   private def occupancyBroadcast(assignedOrNeighbors: DataFrame,
       maxClusterSize: Int, extraBits: Int): DataFrame = {
     val agg = assignedOrNeighbors.groupBy("cid")
       .agg(count(lit(1)).as("__occ"))
-    val rows = agg.collect()
+    // cap + 1: detects overflow without ever collecting an unbounded set
+    val rows = agg.limit(OccupancyCollectCap + 1).collect()
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    if (rows.length > OccupancyCollectCap) {
+      // EXTREME-k fallback (priced, same discipline as the union-find
+      // pointer-jumping fallback): never collect per-cid rows — the split
+      // metric comes from a two-scalar aggregate and the occupancy joins
+      // in-plan, which re-evaluates the source once more and lets AQE
+      // pick the join strategy at a k where a driver broadcast is wrong
+      val splits = agg.agg(
+        sum(when(col("__occ") > maxClusterSize.toLong, 1L).otherwise(0L)))
+        .head.getLong(0)
+      oversizedSplits.set(splits)
+      log.info(s"semDeDup: occupancy probe over $OccupancyCollectCap cids " +
+        s"— using the in-plan aggregate join (splits = $splits)")
+      return agg
+    }
     val occIdx = agg.schema.fieldIndex("__occ")
     val splits = rows.count(_.getLong(occIdx) > maxClusterSize.toLong)
     oversizedSplits.set(splits.toLong)
     if (splits > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).info(
+      log.info(
         s"semDeDup: $splits cluster(s) over occupancy cap $maxClusterSize " +
           s"re-bucketed $extraBits plane bit(s) deeper (reduced near-dup " +
           "recall inside those clusters; maxClusterSize = Int.MaxValue " +

@@ -99,6 +99,32 @@ class ClusterSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("occupancy probe past the driver-collect cap falls back to the " +
+    "IN-PLAN aggregate join: same survivors, same splits metric, no " +
+    "per-cid driver collect") {
+    val rng = new scala.util.Random(31)
+    val dom = Array.fill(8)(1.0 + rng.nextGaussian() * 0.01)
+    val hot = (0 until 40).flatMap { i =>
+      val v = dom.map(x => (x + rng.nextGaussian() * 0.001).toFloat).toSeq
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, v))
+    }
+    val cold = (1000 until 1015).map(i =>
+      (i.toLong, Seq.fill(8)(rng.nextGaussian().toFloat)))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+    def run() = Cluster.semDeDupBounded(df, "vec_id", "embedding",
+      dims = 8, k = 3, iters = 2, tau = 0.95, maxClusterSize = 20)
+      .select("vec_id").as[Long].collect().toSet
+    val viaBroadcast = run()
+    val splitsBroadcast = Cluster.lastOversizedClusterSplits
+    assert(splitsBroadcast >= 1L)
+    val saved = Cluster.OccupancyCollectCap
+    Cluster.OccupancyCollectCap = 1 // 3 cids > cap -> in-plan fallback
+    try {
+      assert(run() == viaBroadcast)
+      assert(Cluster.lastOversizedClusterSplits == splitsBroadcast)
+    } finally Cluster.OccupancyCollectCap = saved
+  }
+
   test("semanticCurate: bounded DEFAULT ≡ explicit unbounded when no " +
     "cluster exceeds the cap; a forced split never drops more and still " +
     "resolves exact dups") {

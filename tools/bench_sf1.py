@@ -105,9 +105,36 @@ def main():
     args = ap.parse_args()
 
     ref = last_json_line(args.ref)
+    raw_provenance = None
     if args.raw:
         print(f"[bench_sf1] recomputing gate from {args.raw} (no re-run)")
         sf1 = last_json_line(args.raw)
+        # Provenance validation: --raw mints a ROUND artifact from a file
+        # it didn't produce, so a stale or wrong-fixture raw JSON would
+        # silently become the recorded gate verdict. Refuse a raw run on
+        # the wrong fixture, warn loudly when the per-row split is absent
+        # (the per-row gate would read as vacuously clean), and stamp the
+        # raw file's path/mtime + the recompute HEAD into the artifact so
+        # a recomputed round is always distinguishable from a fresh run.
+        raw_sf = sf1.get("sf")
+        if raw_sf != args.fixture:
+            sys.exit(f"[bench_sf1] REFUSING --raw: its sf fixture is "
+                     f"{raw_sf!r}, expected {args.fixture!r} (pass --fixture "
+                     f"to override if intentional)")
+        if not sf1.get("streaming_per_row"):
+            print("[bench_sf1] WARNING: --raw carries no streaming_per_row "
+                  "split - the per-row gate below is vacuous for this run")
+        try:
+            head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                                  capture_output=True, text=True,
+                                  check=True).stdout.strip()
+        except Exception:
+            head = None
+        raw_provenance = {
+            "raw_path": os.path.abspath(args.raw),
+            "raw_mtime": int(os.path.getmtime(args.raw)),
+            "recompute_head": head,
+        }
     else:
         ensure_fixture(args.fixture)
         sf1 = run_bench(args.fixture, "/tmp/bench_sf1_raw.json")
@@ -172,6 +199,8 @@ def main():
         "per_row_violations": pr_violations,
         "queries_sf1": {k: round(v, 3) for k, v in sorted(sf1["queries"].items())},
     }
+    if raw_provenance:
+        out["recomputed_from_raw"] = raw_provenance
     path = os.path.join(REPO, f"BENCH_SF1_r{rnd:02d}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
