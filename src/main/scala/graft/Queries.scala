@@ -1484,14 +1484,19 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
-    // q116 THROUGH RETENTION + FAILURE: retainEvery=1 compacts + vacuums
-    // the whole state group after EVERY applied batch (the r14 retention
-    // knob — one size-targeted file set, older versions reclaimed), the
-    // stream is killed after the first batch's commit+compaction, and
-    // the resume must land the SAME oracle: the compacted index is
-    // row-identical state, the CARRIED applied-marker still short-
-    // circuits the replay, and later batches dedup correctly against
-    // compacted-and-vacuumed history.
+    // q116 THROUGH RETENTION + FAILURE: retainEvery=1 runs the
+    // INCREMENTAL size-tiered compaction + horizon vacuum after EVERY
+    // applied batch (worst cadence — a deployment compacts every Nth),
+    // the stream is killed after the first batch's commit+compaction,
+    // and the resume must land the SAME oracle: tiered state is
+    // row-identical, the CARRIED applied-marker still short-circuits the
+    // replay, and later batches dedup correctly against compacted-and-
+    // vacuumed history. retainTargetBytes is pinned at 1 MiB so the
+    // fixture's state spans multiple target files and the bench measures
+    // the incremental path (carried tier + small tail) instead of
+    // degenerate single-file rewrites — per-cadence I/O is then O(new
+    // data since the last pass), the contract the sf1 per-row gate
+    // watches.
     "q116c_stream_dedup_retention" -> ((s, dir) => {
       val tmp = freshScratchDir("graft_q116c")
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1504,7 +1509,7 @@ object Queries {
         .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
       def dedup() = graft.flows.StreamingDedup.writer(stream, "doc_id",
         "text", s"$tmp/state", s"$tmp/ckpt", jaccardThreshold = 0.5,
-        retainEvery = 1)
+        retainEvery = 1, retainTargetBytes = 1L * 1024 * 1024)
       graft.streaming.Incremental.withStreamPolicy(stream,
         s.read.parquet(s"$tmp/in").count()) {
         val q1 = dedup().start()
@@ -1600,11 +1605,13 @@ object Queries {
     }),
 
     // q117 THROUGH RETENTION + FAILURE: the semantic twin of q116c —
-    // retainEvery=1 compacts assignments/survivors (keeping the cid-
-    // partitioned layout), CARRIES centroids + applied, and vacuums
-    // older versions after every applied batch; killed after the first
-    // batch, resumed, same oracle. Proves the fitted model survives
-    // carry-through-compaction bit-identically.
+    // retainEvery=1 incrementally compacts assignments/survivors
+    // (keeping the cid-partitioned layout; carried tier + small tail,
+    // 1 MiB target for the same bench-scale reason as q116c), CARRIES
+    // centroids + applied, and vacuums past the horizon after every
+    // applied batch; killed after the first batch, resumed, same
+    // oracle. Proves the fitted model survives carry-through-compaction
+    // bit-identically.
     "q117c_stream_semdedup_retention" -> ((s, dir) => {
       val tmp = freshScratchDir("graft_q117c")
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -1621,7 +1628,8 @@ object Queries {
         .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
       def dedup() = graft.flows.StreamingSemDeDup.writer(stream, "vec_id",
         "embedding", s"$tmp/state", s"$tmp/ckpt", tau = 0.45,
-        maxClusterSize = Int.MaxValue, retainEvery = 1)
+        maxClusterSize = Int.MaxValue, retainEvery = 1,
+        retainTargetBytes = 1L * 1024 * 1024)
       graft.streaming.Incremental.withStreamPolicy(stream,
         s.read.parquet(s"$tmp/in").count()) {
         val q1 = dedup().start()

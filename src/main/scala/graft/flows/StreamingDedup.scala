@@ -43,15 +43,20 @@ import graft.sources.VersionedLake
   * is a metadata union — no data rewrite), so a long-running stream
   * accrues O(batches) manifests AND O(batches) small parquet files. The
   * opt-in `retainEvery` knob bounds both IN the flow: every N applied
-  * batches, [[compactState]] group-commits a size-targeted rewrite of
-  * `hashed`/`banded`/`survivors` (the q90 sizing rule,
-  * [[LakeWriter.compactionFileCount]]), CARRIES the `applied` marker so
-  * crash-replay short-circuiting is unaffected, and
-  * [[VersionedLake.vacuumGroup]]s everything older — state row-identical
-  * before and after, so a resume across a compaction boundary replays to
-  * the same survivors (spec-pinned). Readers pinned to a vacuumed
-  * version fail loudly (`version not in …`); pick a cadence longer than
-  * any time-travel window the deployment keeps.
+  * batches, [[compactState]] group-commits an INCREMENTAL size-tiered
+  * compaction — only the small-file tail accrued since the last pass is
+  * bin-packed (the q90 sizing rule, [[LakeWriter.compactionFileCount]]);
+  * already-compacted large files are carried verbatim, so per-cadence
+  * I/O is O(new data), not O(state) — CARRIES the `applied` marker so
+  * crash-replay short-circuiting is unaffected, and vacuums past a
+  * `keepVersions`-deep horizon (default 2: an external reader that
+  * resolved "latest" just before the pass keeps a readable snapshot for
+  * a full cycle). State is row-identical before and after, so a resume
+  * across a compaction boundary replays to the same survivors
+  * (spec-pinned); a batch commit racing the pass aborts the compaction,
+  * never loses the commit. Readers pinned below the horizon fail loudly
+  * (`version not in …`); pick a cadence/horizon longer than any
+  * time-travel window the deployment keeps.
   */
 object StreamingDedup {
 

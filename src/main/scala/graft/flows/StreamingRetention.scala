@@ -1,8 +1,8 @@
 package graft.flows
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, hash, struct}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod, struct, when}
 
 import graft.sources.{LakeWriter, VersionedLake}
 
@@ -50,6 +50,43 @@ private[flows] object StreamingRetention {
     */
   @volatile private var lastStats: Option[String] = None
   def lastCompactionStats: Option[String] = lastStats
+
+  /** Skew salt for a partitioned rewrite: 0 for every row of a partition
+    * value whose small-tail bytes fit `targetBytes`; rows of a HOT value
+    * salt by row-hash into ceil(bytes/target) buckets so the write splits
+    * it into that many files. Per-value bytes are summed from the
+    * manifest-relative paths (the `col=value` directory is the value) —
+    * metadata only, no sampling job. Values whose directory names carry
+    * Spark's %-escapes, and multi-column layouts with a hot value, fall
+    * back to salt 0 with a log line (the string round-trip is not
+    * reliable there; the file is merely oversized, never wrong).
+    */
+  private def skewSalt(df: DataFrame, small: Seq[String],
+      sizes: Map[String, Long], pb: Seq[String],
+      targetBytes: Long): Column = {
+    // rel = table/_data/vN/<col=value[/...]>/file
+    val byDir = small.groupBy(_.split("/").drop(3).dropRight(1).mkString("/"))
+      .map { case (d, fs) => d -> fs.map(p => sizes.getOrElse(p, 0L)).sum }
+    val hot = byDir.filter(_._2 > targetBytes)
+    if (hot.isEmpty) return lit(0)
+    val rowHash = hash(struct(df.columns.map(col): _*))
+    hot.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (dir, bytes)) =>
+        val parts = dir.split("/").map(_.split("=", 2))
+        if (parts.length != pb.length || parts.exists(_.length != 2) ||
+          dir.contains("%")) {
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"retention: partition dir '$dir' exceeds targetBytes " +
+              s"($bytes B) but is not salt-splittable; writing oversized")
+          acc
+        } else {
+          val cond = parts.map { case Array(c, v) =>
+            col(c).cast("string") === lit(v) }.reduce(_ && _)
+          val buckets = LakeWriter.compactionFileCount(bytes, targetBytes)
+          acc.when(cond, pmod(rowHash, lit(buckets)))
+        }
+    }.otherwise(lit(0))
+  }
 
   /** Compact + vacuum the group at `root`. Returns the latest version
     * (the compacted one, or the pre-existing latest when the pass
@@ -120,15 +157,17 @@ private[flows] object StreamingRetention {
           val pb = partitioned.getOrElse(table, Nil)
           val compacted =
             if (pb.isEmpty) df.repartition(n)
-            // range-partition on (partition cols, row hash): values sort
-            // contiguously so small values pack into shared tasks (≈ one
-            // file each), while a value larger than a range's share of
-            // targetBytes spans several consecutive ranges and splits
-            // into that many files — plain hash-on-partition-cols would
-            // emit ONE arbitrarily large file per hot value and silently
-            // unenforce targetBytes under skew
-            else df.repartitionByRange(n,
-              pb.map(col) :+ hash(struct(df.columns.map(col): _*)): _*)
+            // hash on (partition cols, skew salt): one task group per
+            // partition value, so the write emits ≤ one file per value —
+            // EXCEPT values whose small-tail bytes exceed targetBytes,
+            // which salt into ceil(bytes/target) buckets so a hot value
+            // splits into target-sized files instead of one arbitrarily
+            // large one. Per-value bytes come from the manifest paths
+            // (col=value directories) — no sampling pass, unlike
+            // repartitionByRange, whose per-rewrite sampling job showed
+            // up as ~10% of q117c's wall at the worst cadence
+            else df.repartition(n,
+              pb.map(col) :+ skewSalt(df, small, sizes, pb, targetBytes): _*)
           gc.writeWithCarried(table, compacted, large, partitionBy = pb)
           census += s"$table: carried ${large.size}, " +
             s"rewrote ${small.size} (${smallBytes}B) -> $n"

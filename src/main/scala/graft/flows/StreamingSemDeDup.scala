@@ -46,8 +46,9 @@ import graft.sources.VersionedLake
   * Retention: same story as [[StreamingDedup]] — one group version per
   * micro-batch accrues O(batches) manifests and small files; the opt-in
   * `retainEvery` knob runs [[compactState]] on a deterministic cadence
-  * (compacted `assignments`/`survivors`, carried `centroids`/`applied`,
-  * older versions vacuumed; row-identical state, resume-safe).
+  * (incrementally compacted `assignments`/`survivors` — small tail only,
+  * carried large files — carried `centroids`/`applied`, horizon vacuum,
+  * race-detected publish; row-identical state, resume-safe).
   */
 object StreamingSemDeDup {
 

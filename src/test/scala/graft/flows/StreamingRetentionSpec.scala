@@ -84,6 +84,50 @@ class StreamingRetentionSpec extends SparkSpec {
       _ == "all tables carried"))
   }
 
+  test("skewed partition value: a value whose small tail exceeds " +
+    "targetBytes salt-splits into several target-sized files (manifest-" +
+    "derived, no sampling); small values keep one file each; rows " +
+    "identical") {
+    val root = Files.createTempDirectory("sret_skew").toString + "/state"
+    // hot value cid=1 (4000 fat rows), cold cid=2 (20 rows)
+    val pad = "x" * 400
+    val rows = (1 to 4000).map(i => (i.toLong, s"$pad$i", 1L)) ++
+      (1 to 20).map(i => (10000L + i, s"v$i", 2L))
+    val gc = VersionedLake.beginGroupCommit(spark, root)
+    // two staged writes would collide; stage as TWO versions so the small
+    // tail holds several files (the rewrite path needs >= 2)
+    gc.write("t", rows.take(2000).toDF("id", "payload", "cid")
+      .repartition(4), partitionBy = Seq("cid"))
+    gc.write("applied", Seq(0L).toDF("batch_id"))
+    gc.publish()
+    val gc2 = VersionedLake.beginGroupCommit(spark, root)
+    gc2.write("t", rows.drop(2000).toDF("id", "payload", "cid")
+      .repartition(4), mode = "append", partitionBy = Seq("cid"))
+    gc2.carry("applied")
+    gc2.publish()
+    val hotBytes = VersionedLake.groupTableRelFiles(spark, root)("t")
+      .filter(_.contains("cid=1"))
+      .map(rel => new java.io.File(s"$root/$rel").length()).sum
+    // target chosen so the hot value MUST split (≥ 3 buckets) and the
+    // cold value fits one file
+    val target = hotBytes / 3
+    val nv = StreamingRetention.compactState(spark, root, target,
+      carryTables = Set("applied"), partitioned = Map("t" -> Seq("cid")),
+      keepVersions = 1)
+    val after = VersionedLake.groupTableRelFiles(spark, root, Some(nv))("t")
+    val hotFiles = after.filter(_.contains("cid=1"))
+    val coldFiles = after.filter(_.contains("cid=2"))
+    assert(hotFiles.size >= 2,
+      s"hot value must salt-split into multiple files: $after")
+    assert(coldFiles.size == 1,
+      s"cold value must stay a single file: $after")
+    // rows identical through the salted rewrite
+    assert(VersionedLake.readTable(spark, root, "t",
+        schemaDDL = "id BIGINT, payload STRING, cid BIGINT")
+      .select("id").as[Long].collect().toSet ==
+      rows.map(_._1).toSet)
+  }
+
   test("retention horizon (default keepVersions = 2): the version " +
     "preceding the compaction stays readable — an external reader that " +
     "resolved latest just before the pass survives it; older versions " +
