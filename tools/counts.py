@@ -38,7 +38,8 @@ def counts():
             if f.endswith(".scala"):
                 body = open(os.path.join(d, f)).read()
                 tests += body.count('test("')
-                suites += len(re.findall(r"class \w+Spec extends", body))
+                suites += len(re.findall(
+                    r"(?<!abstract )class \w+Spec extends", body))
     return {"queries": queries, "oracles": oracles,
             "tests": tests, "suites": suites}
 
