@@ -82,11 +82,21 @@ object AnnIndex {
     * (metadata re-list). Per-batch cost is independent of the stored
     * corpus size. Returns the committed version.
     */
+  /** Latest committed version, with the branded error a typo'd root or
+    * an append-before-build deserves (a bare `.last` on the empty list
+    * would surface as an unactionable "empty.last").
+    */
+  private def latestVersion(spark: SparkSession, root: String): Long = {
+    val vs = VersionedLake.versions(spark, root)
+    require(vs.nonEmpty, s"no ANN index at $root (build it first)")
+    vs.last
+  }
+
   def append(batch: DataFrame, idCol: String, vecCol: String, root: String,
       scale: Int = Cluster.QuantScale): Long = {
     val spark = batch.sparkSession
     // one version resolve pins every read in the append (group consistency)
-    val v = VersionedLake.versions(spark, root).last
+    val v = latestVersion(spark, root)
     val coarse = VersionedLake.readTable(spark, root, "coarse", Some(v))
     val books = VersionedLake.readTable(spark, root, "codebooks", Some(v))
     val gc = VersionedLake.beginGroupCommit(spark, root)
@@ -113,7 +123,7 @@ object AnnIndex {
     */
   def search(spark: SparkSession, root: String, idCol: String,
       queryQuant: Array[Long], nprobe: Int, c: Int, n: Int): DataFrame = {
-    val v = VersionedLake.versions(spark, root).last
+    val v = latestVersion(spark, root)
     val coarse = VersionedLake.readTable(spark, root, "coarse", Some(v))
     val books = VersionedLake.readTable(spark, root, "codebooks", Some(v))
     val encoded = VersionedLake.readTable(spark, root, "encoded", Some(v),

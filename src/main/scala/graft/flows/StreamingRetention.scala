@@ -42,11 +42,12 @@ import graft.sources.{LakeWriter, VersionedLake}
   */
 private[flows] object StreamingRetention {
 
-  /** Compaction census of the last pass (per-table carried/rewritten
-    * counts) — published the same way as Dedup's census stats so a
-    * deployment can see whether the tiering engages. −1 until a pass runs
-    * in this JVM; under concurrent passes the per-run log line is the
-    * attributable record.
+  /** Compaction census of the last pass in this JVM — None until a pass
+    * runs; then either the per-table carried/rewritten counts,
+    * `"all tables carried"` (pure-metadata pass), or `"aborted: …"` (a
+    * racing commit won). Published the same way as Dedup's census stats
+    * so a deployment can see whether the tiering engages; under
+    * concurrent passes the per-run log line is the attributable record.
     */
   @volatile private var lastStats: Option[String] = None
   def lastCompactionStats: Option[String] = lastStats
@@ -56,10 +57,13 @@ private[flows] object StreamingRetention {
     * salt by row-hash into ceil(bytes/target) buckets so the write splits
     * it into that many files. Per-value bytes are summed from the
     * manifest-relative paths (the `col=value` directory is the value) —
-    * metadata only, no sampling job. Values whose directory names carry
-    * Spark's %-escapes, and multi-column layouts with a hot value, fall
-    * back to salt 0 with a log line (the string round-trip is not
-    * reliable there; the file is merely oversized, never wrong).
+    * metadata only, no sampling job. Hot dirs that parse — single- or
+    * multi-column, including the null-value `__HIVE_DEFAULT_PARTITION__`
+    * dir (matched with isNull: a `===` literal compare is null-valued for
+    * null rows and would silently skip them) — split; values whose
+    * directory names carry Spark's %-escapes fall back to salt 0 with a
+    * log line (the string round-trip is not reliable there; the file is
+    * merely oversized, never wrong).
     */
   private def skewSalt(df: DataFrame, small: Seq[String],
       sizes: Map[String, Long], pb: Seq[String],
@@ -81,7 +85,8 @@ private[flows] object StreamingRetention {
           acc
         } else {
           val cond = parts.map { case Array(c, v) =>
-            col(c).cast("string") === lit(v) }.reduce(_ && _)
+            if (v == "__HIVE_DEFAULT_PARTITION__") col(c).isNull
+            else col(c).cast("string") === lit(v) }.reduce(_ && _)
           val buckets = LakeWriter.compactionFileCount(bytes, targetBytes)
           acc.when(cond, pmod(rowHash, lit(buckets)))
         }

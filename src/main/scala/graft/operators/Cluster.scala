@@ -280,7 +280,15 @@ object Cluster {
       maxClusterSize: Int, extraBits: Int): DataFrame = {
     val agg = assignedOrNeighbors.groupBy("cid")
       .agg(count(lit(1)).as("__occ"))
-    // cap + 1: detects overflow without ever collecting an unbounded set
+    // cap + 1: detects overflow without ever collecting an unbounded set.
+    // Priced precisely: the probe ships ≤ cap+1 rows in ONE evaluation —
+    // the cheapest plan for the common under-cap case (which must not pay
+    // a second evaluation; re-running the un-persisted neighbors union
+    // was the round-13 regression this function exists to avoid). In the
+    // extreme-k OVER-cap regime the probe's shipped rows are discarded
+    // and the source evaluates twice more (metric aggregate + in-plan
+    // join) — ~3 evaluations total, acceptable where a broadcast of the
+    // per-cid relation would be the real mistake.
     val rows = agg.limit(OccupancyCollectCap + 1).collect()
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     if (rows.length > OccupancyCollectCap) {

@@ -612,6 +612,11 @@ object Similarity {
         avg(col("recall")).as("recall"))
       .select(lit(null).cast(per.schema(queryCol).dataType).as(queryCol),
         lit(k.toLong).as("k"), col("hits"), col("recall"))
+      // an EMPTY query set must return zero rows, not one all-NULL
+      // summary row (an aggregate over an empty frame still emits a row
+      // with NULL sum/avg — a caller reading the NULL-key row as "the
+      // dial" would silently propagate NULL recall downstream)
+      .filter(col("hits").isNotNull)
     per.unionByName(mean)
   }
 }

@@ -97,6 +97,16 @@ class AnnIndexSpec extends SparkSpec {
         coarseK = 2, coarseIters = 2, m = 4, k = 2, iters = 2)
     }
     assert(ex.getMessage.contains("already exists"))
+    // the inverse misuse is branded too: append/search on a missing root
+    val ex2 = intercept[IllegalArgumentException] {
+      AnnIndex.append(emb, "vec_id", "embedding", s"$root-nowhere")
+    }
+    assert(ex2.getMessage.contains("no ANN index"))
+    val ex3 = intercept[IllegalArgumentException] {
+      AnnIndex.search(spark, s"$root-nowhere", "vec_id",
+        Array.fill(64)(0L), nprobe = 1, c = 10, n = 10)
+    }
+    assert(ex3.getMessage.contains("no ANN index"))
   }
 
   test("meanRecallAtK: per-query rows + the NULL-key mean row; a query " +
@@ -118,6 +128,9 @@ class AnnIndexSpec extends SparkSpec {
       (1L, 2L, 2L, 1.0),
       (2L, 2L, 1L, 0.5),
       (3L, 2L, 0L, 0.0)))
+    // an EMPTY query set returns zero rows — not one all-NULL summary row
+    assert(Similarity.meanRecallAtK(approx, exact.limit(0), "vec_id",
+      "query_id", k = 2).count() == 0)
   }
 
   test("meanRecallAtK splits queries that differ in recall: the mean " +

@@ -128,6 +128,41 @@ class StreamingRetentionSpec extends SparkSpec {
       rows.map(_._1).toSet)
   }
 
+  test("skew salting matches the NULL partition value: a hot " +
+    "__HIVE_DEFAULT_PARTITION__ dir splits (isNull condition — a === " +
+    "literal compare would silently skip every null row)") {
+    val root = Files.createTempDirectory("sret_null").toString + "/state"
+    val pad = "x" * 400
+    val rows: Seq[(Long, String, java.lang.Long)] =
+      (1 to 4000).map(i => (i.toLong, s"$pad$i", null: java.lang.Long)) ++
+        (1 to 20).map(i => (10000L + i, s"v$i", java.lang.Long.valueOf(2L)))
+    val gc = VersionedLake.beginGroupCommit(spark, root)
+    gc.write("t", rows.take(2000).toDF("id", "payload", "cid")
+      .repartition(4), partitionBy = Seq("cid"))
+    gc.write("applied", Seq(0L).toDF("batch_id"))
+    gc.publish()
+    val gc2 = VersionedLake.beginGroupCommit(spark, root)
+    gc2.write("t", rows.drop(2000).toDF("id", "payload", "cid")
+      .repartition(4), mode = "append", partitionBy = Seq("cid"))
+    gc2.carry("applied")
+    gc2.publish()
+    val hotBytes = VersionedLake.groupTableRelFiles(spark, root)("t")
+      .filter(_.contains("__HIVE_DEFAULT_PARTITION__"))
+      .map(rel => new java.io.File(s"$root/$rel").length()).sum
+    assert(hotBytes > 0, "fixture must land a null-partition dir")
+    val nv = StreamingRetention.compactState(spark, root, hotBytes / 3,
+      carryTables = Set("applied"), partitioned = Map("t" -> Seq("cid")),
+      keepVersions = 1)
+    val after = VersionedLake.groupTableRelFiles(spark, root, Some(nv))("t")
+    assert(after.count(_.contains("__HIVE_DEFAULT_PARTITION__")) >= 2,
+      s"hot NULL value must salt-split: $after")
+    // rows (null cids included) survive the salted rewrite
+    val back = VersionedLake.readTable(spark, root, "t",
+      schemaDDL = "id BIGINT, payload STRING, cid BIGINT")
+    assert(back.count() == 4020)
+    assert(back.filter("cid IS NULL").count() == 4000)
+  }
+
   test("retention horizon (default keepVersions = 2): the version " +
     "preceding the compaction stays readable — an external reader that " +
     "resolved latest just before the pass survives it; older versions " +

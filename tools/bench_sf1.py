@@ -117,7 +117,9 @@ def main():
         # raw file's path/mtime + the recompute HEAD into the artifact so
         # a recomputed round is always distinguishable from a fresh run.
         raw_sf = sf1.get("sf")
-        if raw_sf != args.fixture:
+        # realpath both sides: a trailing slash, relative form, or symlink
+        # must not refuse a genuinely matching raw run
+        if os.path.realpath(raw_sf or "") != os.path.realpath(args.fixture):
             sys.exit(f"[bench_sf1] REFUSING --raw: its sf fixture is "
                      f"{raw_sf!r}, expected {args.fixture!r} (pass --fixture "
                      f"to override if intentional)")
