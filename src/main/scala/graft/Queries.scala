@@ -2644,6 +2644,33 @@ object Queries {
         nprobe = 2, c = 50, n = 20)
     }),
 
+    // Index MAINTENANCE is value-invisible: same build as q119e but the
+    // arrivals land as TWO append batches with an incremental retention
+    // pass (AnnIndex.maintain — small-file tail bin-packed, model tables
+    // and already-compacted files carried, older versions vacuumed to
+    // the horizon) run between them and again after; the search result
+    // must hash-match q119e's oracle EXACTLY — compaction changes the
+    // file layout, never a row.
+    "q119g_ann_maintain" -> ((s, dir) => {
+      val tmp = freshScratchDir("graft_q119g")
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.flows.AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", s"$tmp/index", dims = 64, coarseK = 4,
+        coarseIters = 2, m = 4, k = 4, iters = 2)
+      graft.flows.AnnIndex.append(emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", s"$tmp/index")
+      graft.flows.AnnIndex.maintain(s, s"$tmp/index")
+      graft.flows.AnnIndex.append(emb.filter(col("vec_id") % 10 === 5),
+        "vec_id", "embedding", s"$tmp/index")
+      graft.flows.AnnIndex.maintain(s, s"$tmp/index")
+      val qq = emb.filter(col("vec_id") === 0)
+        .select(graft.operators.Cluster.quantizeFloor(col("embedding"))
+          .as("q"))
+        .head.getSeq[Long](0).toArray
+      graft.flows.AnnIndex.search(s, s"$tmp/index", "vec_id", qq,
+        nprobe = 2, c = 50, n = 20)
+    }),
+
     // Mean recall@20 over a QUERY SET — the number a deployment tunes
     // nprobe/c by (one query's recall is an anecdote; the mean is the
     // dial): three query vectors run the full IVFADC-R path against ONE
@@ -5457,6 +5484,18 @@ object Queries {
     // this proves the stored index is value-invisible against a one-shot
     // encode over the same model.
     "q119e_ann_index" -> (ivfPqCtesSql(coarseK = 4, coarseIters = 2,
+      m = 4, k = 4, iters = 2, dims = 64, scale = 1 << 20, nprobe = 2,
+      fitWhere = "vec_id % 5 <> 0") +
+      ivfPqRerankCtesSql(c = 50, n = 20, dims = 64) +
+      """
+        |SELECT vec_id, cell, adc_dist, exact_dist
+        |FROM rr ORDER BY exact_dist, vec_id""".stripMargin),
+
+    // q119g shares q119e's oracle verbatim: two appends + two
+    // maintenance passes must be value-invisible against the same
+    // one-shot fit-on-corpus + encode-union chain — the compaction
+    // rewrites files, never rows.
+    "q119g_ann_maintain" -> (ivfPqCtesSql(coarseK = 4, coarseIters = 2,
       m = 4, k = 4, iters = 2, dims = 64, scale = 1 << 20, nprobe = 2,
       fitWhere = "vec_id % 5 <> 0") +
       ivfPqRerankCtesSql(c = 50, n = 20, dims = 64) +

@@ -37,6 +37,11 @@ import graft.sources.VersionedLake
   * geometry, which is exactly why [[search]] results over build+append
   * hash-match a one-shot encode of the union against the same model
   * (q119e's oracle replays fit-on-corpus + encode-union end to end).
+  * The flip side of metadata-union appends is a small-file tail that
+  * grows with O(batches) — [[maintain]] bounds it with the same
+  * incremental size-tiered retention pass the streaming dedup flows run
+  * ([[StreamingRetention.compactState]]), and search results are
+  * file-layout-invariant through it (q119g's oracle is q119e's).
   *
   * Model drift at 100 TB: after enough appends the residual distribution
   * walks away from the fitted codebooks and recall decays — measured,
@@ -109,6 +114,32 @@ object AnnIndex {
       Cluster.quantizeFloor(col(vecCol), scale).as("q")),
       mode = "append")
     gc.publish()
+  }
+
+  /** Bound the small-file tail arrival appends accrue: every [[append]]
+    * is a metadata union, so a long-running ingest leaves O(batches)
+    * parquet files (and manifests) under `encoded`/`quant` — at nprobe
+    * read time that is O(batches) file opens per probed cell. One
+    * incremental, size-tiered retention pass
+    * ([[StreamingRetention.compactState]]) bin-packs only the
+    * sub-threshold tail accrued since the last pass into ~`targetBytes`
+    * files (the `cell` layout is preserved; a hot cell salt-splits
+    * instead of forcing one oversized file), CARRIES already-compacted
+    * large files AND the model tables verbatim, keeps `keepVersions`
+    * committed versions readable for in-flight searches, and aborts
+    * itself if an append commits inside its read→publish window — so
+    * maintenance can run beside the ingest without losing a committed
+    * batch. State is row-identical across the pass: a maintained index
+    * hash-matches an unmaintained one (q119g's oracle IS q119e's).
+    * Returns the latest version (compacted, or pre-existing on abort).
+    */
+  def maintain(spark: SparkSession, root: String,
+      targetBytes: Long = 64L * 1024 * 1024, keepVersions: Int = 2): Long = {
+    latestVersion(spark, root) // branded require on a missing/typo'd root
+    StreamingRetention.compactState(spark, root, targetBytes,
+      carryTables = Set("coarse", "codebooks"),
+      partitioned = Map("encoded" -> Seq("cell")),
+      keepVersions = keepVersions)
   }
 
   /** IVFADC-R search over the stored index

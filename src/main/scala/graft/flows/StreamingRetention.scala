@@ -6,11 +6,11 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod, struct, when}
 
 import graft.sources.{LakeWriter, VersionedLake}
 
-/** Shared retention pass for the streaming dedup flows
-  * ([[StreamingDedup]], [[StreamingSemDeDup]]): each micro-batch
-  * publishes one [[VersionedLake]] group version (appends are metadata
-  * unions), so a long-running stream accrues O(batches) manifests AND
-  * O(batches) small parquet files. This pass bounds both, INCREMENTALLY
+/** Shared retention pass for the append-accruing lake flows
+  * ([[StreamingDedup]], [[StreamingSemDeDup]], [[AnnIndex.maintain]]):
+  * each micro-batch publishes one [[VersionedLake]] group version
+  * (appends are metadata unions), so a long-running stream accrues
+  * O(batches) manifests AND O(batches) small parquet files. This pass bounds both, INCREMENTALLY
   * (size-tiered, round 15): per table it bin-packs only the small-file
   * tail accrued since the last pass into ~`targetBytes` files and CARRIES
   * already-compacted large files (≥ targetBytes/2) verbatim in the new
@@ -19,7 +19,10 @@ import graft.sources.{LakeWriter, VersionedLake}
   * O(state), not O(batches²). `carryTables` (the `applied` replay marker,
   * a fitted centroid model) are re-listed wholesale; a table whose tail
   * is ≤ 1 file is carried too (rewriting one file into one file bounds
-  * nothing). State is row-identical across the pass — only the file
+  * nothing), and in a partitioned layout the same rule applies PER
+  * PARTITION DIRECTORY — a dir whose tail is a single file is carried
+  * verbatim, so a pass re-packs only the dirs that actually accrued a
+  * multi-file tail. State is row-identical across the pass — only the file
   * layout changes — so drop rules, oracles, and checkpoint resumes are
   * unaffected.
   *
@@ -152,14 +155,29 @@ private[flows] object StreamingRetention {
         // size tiering: a file at ≥ targetBytes/2 is a previous pass's
         // (or an already-dense commit's) output — carry it verbatim; the
         // sub-threshold tail is what per-batch appends accrue
-        val (large, small) = files.partition(p =>
+        val (large, smallAll) = files.partition(p =>
           sizes.getOrElse(p, 0L) >= carryThreshold)
+        val pb = partitioned.getOrElse(table, Nil)
+        // per-DIRECTORY tiering for a partitioned layout: partition dirs
+        // are independent files-wise, so a dir whose small tail is a
+        // single file gains nothing from a rewrite (one file in, one
+        // file out — the same rationale as the ≤1-file table carry) and
+        // is carried verbatim; only dirs that actually accrued a
+        // multi-file tail are read and re-packed. A solo small file is
+        // < targetBytes/2 by construction, so a solo dir is never hot.
+        val (small, soloCarry) =
+          if (pb.isEmpty) (smallAll, Seq.empty[String])
+          else {
+            val byDir = smallAll.groupBy(
+              _.split("/").drop(3).dropRight(1).mkString("/"))
+            val (multi, solo) = byDir.partition(_._2.size >= 2)
+            (multi.values.flatten.toSeq, solo.values.flatten.toSeq)
+          }
         if (small.size <= 1) gc.carry(table)
         else {
           val smallBytes = small.map(p => sizes.getOrElse(p, 0L)).sum
           val n = LakeWriter.compactionFileCount(smallBytes, targetBytes)
           val df = VersionedLake.readRelFiles(spark, root, small)
-          val pb = partitioned.getOrElse(table, Nil)
           val compacted =
             if (pb.isEmpty) df.repartition(n)
             // hash on (partition cols, skew salt): one task group per
@@ -173,8 +191,9 @@ private[flows] object StreamingRetention {
             // up as ~10% of q117c's wall at the worst cadence
             else df.repartition(n,
               pb.map(col) :+ skewSalt(df, small, sizes, pb, targetBytes): _*)
-          gc.writeWithCarried(table, compacted, large, partitionBy = pb)
-          census += s"$table: carried ${large.size}, " +
+          gc.writeWithCarried(table, compacted, large ++ soloCarry,
+            partitionBy = pb)
+          census += s"$table: carried ${large.size + soloCarry.size}, " +
             s"rewrote ${small.size} (${smallBytes}B) -> $n"
         }
       }

@@ -109,6 +109,61 @@ class AnnIndexSpec extends SparkSpec {
     assert(ex3.getMessage.contains("no ANN index"))
   }
 
+  test("maintain bounds the append tail without changing a row: encoded " +
+    "keeps its cell= layout and shrinks to ~one file per cell, the model " +
+    "tables are carried verbatim, search results are identical pre/post, " +
+    "the pre-compaction version survives the horizon, and a tail-less " +
+    "second pass is pure metadata") {
+    val root = Files.createTempDirectory("annix3").toString + "/index"
+    val emb = Lake.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0), "vec_id",
+      "embedding", root, dims = 64, coarseK = 4, coarseIters = 2,
+      m = 4, k = 4, iters = 2)
+    // two arrival batches accrue a small-file tail in encoded + quant
+    AnnIndex.append(emb.filter(col("vec_id") % 10 === 0), "vec_id",
+      "embedding", root)
+    AnnIndex.append(emb.filter(col("vec_id") % 10 === 5), "vec_id",
+      "embedding", root)
+    val vPre = VersionedLake.versions(spark, root).last
+    val before = VersionedLake.groupTableRelFiles(spark, root, Some(vPre))
+    val qq = quantOf(emb, 0L)
+    def searchNow() = AnnIndex.search(spark, root, "vec_id", qq,
+      nprobe = 2, c = 50, n = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val preCompact = searchNow()
+    val nv = AnnIndex.maintain(spark, root)
+    val after = VersionedLake.groupTableRelFiles(spark, root, Some(nv))
+    // model carried verbatim; data tables bin-packed below the old count
+    assert(after("coarse") == before("coarse"))
+    assert(after("codebooks") == before("codebooks"))
+    assert(after("encoded").size < before("encoded").size)
+    assert(after("quant").size < before("quant").size)
+    // the Hive cell layout survives the rewrite (nprobe pruning depends
+    // on it) and covers every cell the pre-compaction layout had
+    def cells(fs: Seq[String]) =
+      fs.flatMap(_.split("/").find(_.startsWith("cell="))).toSet
+    assert(cells(after("encoded")) == cells(before("encoded")))
+    // search is file-layout-invariant
+    assert(searchNow() == preCompact)
+    // horizon (default keepVersions = 2): the pre-compaction version is
+    // still fully readable for an in-flight search
+    assert(VersionedLake.versions(spark, root) == Seq(vPre, nv))
+    assert(VersionedLake.readTable(spark, root, "encoded", Some(vPre),
+        schemaDDL = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
+      .count() == emb.count())
+    // no new tail -> the next pass carries everything (pure metadata)
+    AnnIndex.maintain(spark, root)
+    assert(StreamingRetention.lastCompactionStats
+      .exists(_ == "all tables carried"))
+    assert(searchNow() == preCompact)
+    // misuse is branded, same as append/search
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.maintain(spark, s"$root-nowhere")
+    }
+    assert(ex.getMessage.contains("no ANN index"))
+  }
+
   test("meanRecallAtK: per-query rows + the NULL-key mean row; a query " +
     "missing from approx scores 0; over-long/duplicated input clamps at " +
     "recall 1.0") {

@@ -128,6 +128,48 @@ class StreamingRetentionSpec extends SparkSpec {
       rows.map(_._1).toSet)
   }
 
+  test("partitioned layout tiers PER DIRECTORY: a partition dir whose " +
+    "small tail is a single file is carried verbatim (same path, " +
+    "untouched mtime) while a dir that accrued a multi-file tail is " +
+    "re-packed — a quiet partition never pays for a busy one") {
+    val root = Files.createTempDirectory("sret_dir").toString + "/state"
+    val rows = (1 to 200).map(i => (i.toLong, s"p$i", (i % 2 + 1).toLong))
+    val gc = VersionedLake.beginGroupCommit(spark, root)
+    gc.write("t", rows.toDF("id", "payload", "cid").repartition(2),
+      partitionBy = Seq("cid"))
+    gc.write("applied", Seq(0L).toDF("batch_id"))
+    gc.publish()
+    // pass 1 re-packs both dirs (2 files each) down to one file per value
+    StreamingRetention.compactState(spark, root,
+      targetBytes = 64L * 1024 * 1024, carryTables = Set("applied"),
+      partitioned = Map("t" -> Seq("cid")), keepVersions = 1)
+    def tFiles() = VersionedLake.groupTableRelFiles(spark, root)("t")
+    val Seq(quiet) = tFiles().filter(_.contains("cid=2"))
+    val m0 = mtime(root, quiet)
+    // one new append lands in cid=1 ONLY: cid=2 stays a solo-file dir
+    val gc2 = VersionedLake.beginGroupCommit(spark, root)
+    gc2.write("t", Seq((900L, "new", 1L)).toDF("id", "payload", "cid")
+      .repartition(1), mode = "append", partitionBy = Seq("cid"))
+    gc2.carry("applied")
+    gc2.publish()
+    StreamingRetention.compactState(spark, root,
+      targetBytes = 64L * 1024 * 1024, carryTables = Set("applied"),
+      partitioned = Map("t" -> Seq("cid")), keepVersions = 1)
+    val after = tFiles()
+    assert(after.contains(quiet),
+      s"solo-file dir cid=2 must be carried verbatim: $after")
+    assert(mtime(root, quiet) == m0, "carried file's bytes were touched")
+    assert(after.count(_.contains("cid=1")) == 1,
+      s"busy dir cid=1 (2-file tail) must re-pack to one file: $after")
+    assert(StreamingRetention.lastCompactionStats.exists(_.contains(
+      "carried 1, rewrote 2")), StreamingRetention.lastCompactionStats)
+    // rows identical through the per-dir pass
+    assert(VersionedLake.readTable(spark, root, "t",
+        schemaDDL = "id BIGINT, payload STRING, cid BIGINT")
+      .select("id").as[Long].collect().toSet ==
+      (rows.map(_._1).toSet + 900L))
+  }
+
   test("skew salting matches the NULL partition value: a hot " +
     "__HIVE_DEFAULT_PARTITION__ dir splits (isNull condition — a === " +
     "literal compare would silently skip every null row)") {
