@@ -2671,6 +2671,56 @@ object Queries {
         nprobe = 2, c = 50, n = 20)
     }),
 
+    // STREAMING ANN ingest THROUGH RETENTION + FAILURE: q119e's arrivals
+    // as a LIVE checkpointed stream (flows/StreamingAnnIndex — the
+    // similarity leg of the streaming symmetry). Setup fits the model on
+    // the corpus (vec_id % 5 <> 0) and commits model + codes + marker as
+    // group v1; arrivals stream in three mtime-ordered chunks, each
+    // batch encoding MAP-ONLY against the stored model and committing
+    // codes + quant + the replay marker atomically with the model
+    // CARRIED. retainEvery=1 compacts after EVERY applied batch (worst
+    // cadence), the stream is killed after the first batch and resumed —
+    // and the final search must STILL hash-match q119e's oracle
+    // verbatim: exactly-once appends, compaction, and the kill/resume
+    // are all value-invisible.
+    "q119h_stream_ann" -> ((s, dir) => {
+      val tmp = freshScratchDir("graft_q119h")
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.flows.StreamingAnnIndex.setup(
+        emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+        s"$tmp/index", dims = 64, coarseK = 4, coarseIters = 2,
+        m = 4, k = 4, iters = 2)
+      val arriving = emb.filter(col("vec_id") % 5 === 0)
+      for (c <- 0 until 3) {
+        arriving.filter(col("vec_id") % 3 === c).coalesce(1)
+          .write.mode("append").parquet(s"$tmp/in")
+        stampFreshMtimes(s"$tmp/in", 1000000000000L + c * 60000L)
+      }
+      val stream = s.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      def ingest() = graft.flows.StreamingAnnIndex.writer(stream, "vec_id",
+        "embedding", s"$tmp/index", s"$tmp/ckpt", retainEvery = 1,
+        retainTargetBytes = 1L * 1024 * 1024)
+      graft.streaming.Incremental.withStreamPolicy(stream,
+        s.read.parquet(s"$tmp/in").count()) {
+        val q1 = ingest().start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (q1.recentProgress.isEmpty && q1.isActive &&
+            System.nanoTime() < deadline) Thread.sleep(10)
+        } finally q1.stop()
+        q1.awaitTermination()
+        val q2 = ingest().start()
+        try q2.awaitTermination() finally q2.stop()
+      }
+      val qq = emb.filter(col("vec_id") === 0)
+        .select(graft.operators.Cluster.quantizeFloor(col("embedding"))
+          .as("q"))
+        .head.getSeq[Long](0).toArray
+      graft.flows.AnnIndex.search(s, s"$tmp/index", "vec_id", qq,
+        nprobe = 2, c = 50, n = 20)
+    }),
+
     // Mean recall@20 over a QUERY SET — the number a deployment tunes
     // nprobe/c by (one query's recall is an anecdote; the mean is the
     // dial): three query vectors run the full IVFADC-R path against ONE
@@ -5496,6 +5546,17 @@ object Queries {
     // one-shot fit-on-corpus + encode-union chain — the compaction
     // rewrites files, never rows.
     "q119g_ann_maintain" -> (ivfPqCtesSql(coarseK = 4, coarseIters = 2,
+      m = 4, k = 4, iters = 2, dims = 64, scale = 1 << 20, nprobe = 2,
+      fitWhere = "vec_id % 5 <> 0") +
+      ivfPqRerankCtesSql(c = 50, n = 20, dims = 64) +
+      """
+        |SELECT vec_id, cell, adc_dist, exact_dist
+        |FROM rr ORDER BY exact_dist, vec_id""".stripMargin),
+
+    // q119h shares q119e's oracle verbatim too: a checkpointed stream of
+    // the same arrivals — killed, resumed, compacted after every batch —
+    // must land the identical searchable index.
+    "q119h_stream_ann" -> (ivfPqCtesSql(coarseK = 4, coarseIters = 2,
       m = 4, k = 4, iters = 2, dims = 64, scale = 1 << 20, nprobe = 2,
       fitWhere = "vec_id % 5 <> 0") +
       ivfPqRerankCtesSql(c = 50, n = 20, dims = 64) +

@@ -81,12 +81,6 @@ object AnnIndex {
     gc.publish()
   }
 
-  /** Encode `batch` against the STORED model (map-only —
-    * [[Similarity.ivfPqEncode]]) and append its codes + quantized
-    * vectors as one new group version; the model tables are carried
-    * (metadata re-list). Per-batch cost is independent of the stored
-    * corpus size. Returns the committed version.
-    */
   /** Latest committed version, with the branded error a typo'd root or
     * an append-before-build deserves (a bare `.last` on the empty list
     * would surface as an unactionable "empty.last").
@@ -97,6 +91,15 @@ object AnnIndex {
     vs.last
   }
 
+  /** Encode `batch` against the STORED model (map-only —
+    * [[Similarity.ivfPqEncode]]) and append its codes + quantized
+    * vectors as one new group version; the model tables are carried
+    * (metadata re-list). Per-batch cost is independent of the stored
+    * corpus size. Returns the committed version. This is the
+    * driver-invoked batch API with NO replay marker — a checkpointed
+    * stream must use [[StreamingAnnIndex]] instead, whose `applied`
+    * marker makes crash-replayed batches no-ops.
+    */
   def append(batch: DataFrame, idCol: String, vecCol: String, root: String,
       scale: Int = Cluster.QuantScale): Long = {
     val spark = batch.sparkSession

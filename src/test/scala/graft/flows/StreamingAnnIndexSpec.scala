@@ -1,0 +1,131 @@
+package graft.flows
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.{Lake, VersionedLake}
+
+/** The streaming ANN ingest contracts: exactly-once appends via the
+  * applied marker (a crash-replayed batch is a no-op — without the
+  * marker it would land its codes twice and poison top-n with duplicate
+  * ids), model carried bit-identically across batches, a streamed index
+  * search-identical to the batch-API build+append over the same splits,
+  * and retention that carries model + marker (q119h proves the full
+  * kill/resume/compact chain against q119e's oracle; this spec pins the
+  * API contracts the oracle can't see).
+  */
+class StreamingAnnIndexSpec extends SparkSpec {
+
+  private def emb60 = Lake.table(spark, sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+
+  private def quantOf(df: org.apache.spark.sql.DataFrame,
+      vecId: Long): Array[Long] =
+    df.filter(col("vec_id") === vecId)
+      .select(graft.operators.Cluster.quantizeFloor(col("embedding")).as("q"))
+      .head.getSeq[Long](0).toArray
+
+  private def codesCount(root: String): Long =
+    VersionedLake.readTable(spark, root, "encoded",
+        schemaDDL = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
+      .count()
+
+  test("exactly-once: a replayed batch id is a no-op (no duplicate codes, " +
+    "no new version); the model is carried verbatim across batches; the " +
+    "streamed index searches IDENTICALLY to the batch API over the same " +
+    "splits") {
+    val root = Files.createTempDirectory("sann").toString + "/index"
+    val emb = emb60
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val b0 = emb.filter(col("vec_id") % 4 === 1)
+    val b1 = emb.filter(col("vec_id") % 4 === 3)
+    StreamingAnnIndex.setup(corpus, "vec_id", "embedding", root, dims = 64,
+      coarseK = 2, coarseIters = 2, m = 4, k = 2, iters = 2)
+    val v1 = VersionedLake.versions(spark, root).last
+    val model1 = VersionedLake.groupTableRelFiles(spark, root, Some(v1))
+    assert(StreamingAnnIndex.applyBatch(b0, 0L, "vec_id", "embedding",
+      root, graft.operators.Cluster.QuantScale))
+    val afterB0 = codesCount(root)
+    val vAfterB0 = VersionedLake.versions(spark, root).last
+    // crash replay: same batch id short-circuits on the marker
+    assert(!StreamingAnnIndex.applyBatch(b0, 0L, "vec_id", "embedding",
+      root, graft.operators.Cluster.QuantScale))
+    assert(codesCount(root) == afterB0, "replay must not duplicate codes")
+    assert(VersionedLake.versions(spark, root).last == vAfterB0,
+      "replay must not publish a version")
+    assert(StreamingAnnIndex.applyBatch(b1, 1L, "vec_id", "embedding",
+      root, graft.operators.Cluster.QuantScale))
+    assert(codesCount(root) == 60)
+    // model carried verbatim through both batch commits
+    val latest = VersionedLake.groupTableRelFiles(spark, root)
+    assert(latest("coarse") == model1("coarse"))
+    assert(latest("codebooks") == model1("codebooks"))
+    // the streamed index is search-identical to the batch API's
+    // build + append over the same corpus/arrival split
+    val ref = Files.createTempDirectory("sann_ref").toString + "/index"
+    AnnIndex.build(corpus, "vec_id", "embedding", ref, dims = 64,
+      coarseK = 2, coarseIters = 2, m = 4, k = 2, iters = 2)
+    AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), "vec_id",
+      "embedding", ref)
+    val qq = quantOf(emb, 1L) // an arrival — exercises appended codes
+    def top(r: String) = AnnIndex.search(spark, r, "vec_id", qq,
+      nprobe = 2, c = 20, n = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(3))).toSeq
+    assert(top(root) == top(ref))
+  }
+
+  test("retention on the streamed index: compactState carries model AND " +
+    "marker (the replay short-circuit survives the pass), search results " +
+    "are invariant, and the pass engages the per-directory tiering") {
+    val root = Files.createTempDirectory("sann_ret").toString + "/index"
+    val emb = emb60
+    StreamingAnnIndex.setup(emb.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", root, dims = 64, coarseK = 2, coarseIters = 2,
+      m = 4, k = 2, iters = 2)
+    assert(StreamingAnnIndex.applyBatch(emb.filter(col("vec_id") % 4 === 1),
+      0L, "vec_id", "embedding", root, graft.operators.Cluster.QuantScale))
+    assert(StreamingAnnIndex.applyBatch(emb.filter(col("vec_id") % 4 === 3),
+      1L, "vec_id", "embedding", root, graft.operators.Cluster.QuantScale))
+    val qq = quantOf(emb, 1L)
+    def top() = AnnIndex.search(spark, root, "vec_id", qq,
+      nprobe = 2, c = 20, n = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(3))).toSeq
+    val before = top()
+    val vPre = VersionedLake.versions(spark, root).last
+    val model = VersionedLake.groupTableRelFiles(spark, root, Some(vPre))
+    val nv = StreamingAnnIndex.compactState(spark, root, keepVersions = 1)
+    assert(nv > vPre)
+    val after = VersionedLake.groupTableRelFiles(spark, root, Some(nv))
+    assert(after("coarse") == model("coarse"))
+    assert(after("codebooks") == model("codebooks"))
+    assert(after("applied") == model("applied"))
+    // each cell dir had 3 small files (setup + 2 batches) -> re-packed
+    assert(after("encoded").size < model("encoded").size)
+    assert(top() == before)
+    // the carried marker still short-circuits a replay after the pass
+    assert(!StreamingAnnIndex.applyBatch(emb.filter(col("vec_id") % 4 === 3),
+      1L, "vec_id", "embedding", root, graft.operators.Cluster.QuantScale))
+    assert(codesCount(root) == 60)
+  }
+
+  test("setup refuses a root that already has committed state; applyBatch " +
+    "on a missing root is branded") {
+    val root = Files.createTempDirectory("sann_mis").toString + "/index"
+    val emb = emb60
+    StreamingAnnIndex.setup(emb.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", root, dims = 64, coarseK = 2, coarseIters = 2,
+      m = 4, k = 2, iters = 2)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingAnnIndex.setup(emb, "vec_id", "embedding", root, dims = 64,
+        coarseK = 2, coarseIters = 2, m = 4, k = 2, iters = 2)
+    }
+    assert(ex.getMessage.contains("already exists"))
+    val ex2 = intercept[IllegalArgumentException] {
+      StreamingAnnIndex.applyBatch(emb, 0L, "vec_id", "embedding",
+        s"$root-nowhere", graft.operators.Cluster.QuantScale)
+    }
+    assert(ex2.getMessage.contains("no streaming ANN state"))
+  }
+}
