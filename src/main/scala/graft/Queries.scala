@@ -2757,6 +2757,29 @@ object Queries {
         perQuery.map(_._2).reduce(_.unionByName(_)),
         "vec_id", "query_id", k = 20)
         .orderBy(col("query_id").asc_nulls_last)
+    }),
+
+    // The DRIFT DIAL on the persistent index (AnnIndex.recallProbe):
+    // q119f's mean-recall measurement read off the STORED tables — build
+    // the index over the full set, then probe queries {0,1,2} against
+    // the lake-resident codes + quant. Must hash-match q119f's oracle
+    // verbatim: the lake round-trip is value-invisible, so the number a
+    // deployment's refit cadence watches is exactly the one-shot
+    // measurement.
+    "q119i_ann_recall_probe" -> ((s, dir) => {
+      val tmp = freshScratchDir("graft_q119i")
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.flows.AnnIndex.build(emb, "vec_id", "embedding", s"$tmp/index",
+        dims = 64, coarseK = 4, coarseIters = 2, m = 4, k = 4, iters = 2)
+      val probes = Seq(0L, 1L, 2L).map { qid =>
+        qid -> emb.filter(col("vec_id") === qid)
+          .select(graft.operators.Cluster.quantizeFloor(col("embedding"))
+            .as("q"))
+          .head.getSeq[Long](0).toArray
+      }
+      graft.flows.AnnIndex.recallProbe(s, s"$tmp/index", "vec_id", probes,
+        k = 20, nprobe = 2, c = 50)
+        .orderBy(col("query_id").asc_nulls_last)
     })
   )
 
@@ -5568,7 +5591,22 @@ object Queries {
     // shared base chain (model + codes), one suffixed query block +
     // re-rank tail + exact top-20 per query, then per-query hits and the
     // NULL-key mean row (CAST(sum) — DuckDB sums go HUGEINT).
-    "q119f_ann_mean_recall" -> {
+    "q119f_ann_mean_recall" -> annMeanRecallSql,
+
+    // q119i shares q119f's oracle verbatim: the PERSISTENT index's
+    // recallProbe over the same query set must land the same per-query
+    // hits and mean — the lake round-trip is value-invisible, so the
+    // drift dial a deployment reads off the STORED index is exactly the
+    // one-shot measurement.
+    "q119i_ann_recall_probe" -> annMeanRecallSql
+  )
+
+  /** q119f/q119i's shared oracle: mean recall@20 over the query set
+    * {0,1,2} — ONE shared base chain (model + codes), one suffixed query
+    * block + re-rank tail + exact top-20 per query, then per-query hits
+    * and the NULL-key mean row (CAST(sum) — DuckDB sums go HUGEINT).
+    */
+  private lazy val annMeanRecallSql: String = {
       val qids = Seq(0L, 1L, 2L)
       val sb = new StringBuilder("WITH " + ivfPqBaseCtes(coarseK = 4,
         coarseIters = 2, m = 4, k = 4, iters = 2, dims = 64,
@@ -5600,6 +5638,5 @@ object Queries {
            |SELECT NULL, CAST(20 AS BIGINT), CAST(sum(hits) AS BIGINT), avg(hits / 20.0) FROM per
            |ORDER BY query_id NULLS LAST""".stripMargin)
       sb.toString
-    }
-  )
+  }
 }

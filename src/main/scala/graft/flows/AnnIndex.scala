@@ -145,6 +145,49 @@ object AnnIndex {
       keepVersions = keepVersions)
   }
 
+  /** Drift dial for the stored index: mean recall@`k` over a probe
+    * query SET ([[Similarity.meanRecallAtK]] — per-query rows plus the
+    * NULL-key mean row), each query's IVFADC-R search scored against its
+    * own brute-force exact top-k over the stored `quant` table. This is
+    * the "measured, not guessed" number the header's refit note points
+    * at: appends never refit, so after enough arrivals the residual
+    * distribution walks away from the fitted codebooks — a deployment
+    * runs this probe on a cadence and refits (new root, blue/green cut)
+    * when the mean sags below its floor. All reads resolve ONE pinned
+    * version; the probe set is a driver-side literal (hundreds of
+    * queries, not a table — each becomes one broadcast search plan).
+    */
+  def recallProbe(spark: SparkSession, root: String, idCol: String,
+      queries: Seq[(Long, Array[Long])], k: Int, nprobe: Int,
+      c: Int): DataFrame = {
+    require(queries.nonEmpty, "recallProbe needs at least one query")
+    val v = latestVersion(spark, root)
+    val coarse = VersionedLake.readTable(spark, root, "coarse", Some(v))
+    val books = VersionedLake.readTable(spark, root, "codebooks", Some(v))
+    val encoded = VersionedLake.readTable(spark, root, "encoded", Some(v),
+      schemaDDL = s"$idCol BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
+    val quant = VersionedLake.readTable(spark, root, "quant", Some(v),
+      schemaDDL = s"$idCol BIGINT, q ARRAY<BIGINT>")
+    import org.apache.spark.sql.functions.lit
+    val perQuery = queries.map { case (qid, qq) =>
+      val approx = Similarity.ivfPqTopKRerank(encoded, quant, idCol,
+        coarse, books, qq, nprobe, c, k)
+        .select(lit(qid).as("query_id"), col(idCol))
+      val exact = quant
+        .select(col(idCol),
+          graft.functions.VectorFunctions.sqDistToLit(col("q"), qq.toSeq)
+            .as("d"))
+        .orderBy(col("d").asc, col(idCol).asc)
+        .limit(k)
+        .select(lit(qid).as("query_id"), col(idCol))
+      (approx, exact)
+    }
+    Similarity.meanRecallAtK(
+      perQuery.map(_._1).reduce(_.unionByName(_)),
+      perQuery.map(_._2).reduce(_.unionByName(_)),
+      idCol, "query_id", k)
+  }
+
   /** IVFADC-R search over the stored index
     * ([[Similarity.ivfPqTopKRerank]]): nprobe cells of stored codes are
     * read partition-pruned (the `cell.isin` filter lands as

@@ -164,6 +164,41 @@ class AnnIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("no ANN index"))
   }
 
+  test("recallProbe: the drift dial off the STORED index — one row per " +
+    "probe plus the NULL-key mean, invariant across a maintenance pass; " +
+    "an empty probe set refuses loudly") {
+    val root = Files.createTempDirectory("annix4").toString + "/index"
+    val emb = Lake.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    AnnIndex.build(emb.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", root, dims = 64, coarseK = 2, coarseIters = 2,
+      m = 4, k = 2, iters = 2)
+    AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), "vec_id",
+      "embedding", root)
+    val probes = Seq(0L, 1L).map(q => q -> quantOf(emb, q))
+    def dial() = AnnIndex.recallProbe(spark, root, "vec_id", probes,
+      k = 10, nprobe = 2, c = 20)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq
+    val d0 = dial()
+    assert(d0.map(_._1) == Seq(-1L, 0L, 1L), s"probe rows + mean row: $d0")
+    // mean row (qid -1) carries TOTAL hits across probes; per-query rows
+    // clamp at k
+    assert(d0.forall { case (qid, k, hits, rec) =>
+      k == 10L && hits >= 0L && rec >= 0.0 && rec <= 1.0 &&
+        hits <= (if (qid == -1L) 10L * probes.size else 10L) })
+    // the exact top-10 always contains the probe vector itself (distance
+    // 0), and both probes are stored — so the dial can never read 0 here
+    assert(d0.forall(_._3 >= 1L))
+    // file layout is not part of the measurement
+    AnnIndex.maintain(spark, root)
+    assert(dial() == d0)
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.recallProbe(spark, root, "vec_id", Seq.empty, 10, 2, 20)
+    }
+    assert(ex.getMessage.contains("at least one query"))
+  }
+
   test("meanRecallAtK: per-query rows + the NULL-key mean row; a query " +
     "missing from approx scores 0; over-long/duplicated input clamps at " +
     "recall 1.0") {
