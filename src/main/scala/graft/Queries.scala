@@ -97,6 +97,28 @@ object Queries {
     p.toString
   }
 
+  /** Shared kill/resume harness for the streaming failure queries
+    * (q115/q116b/q116c/q117b/q117c/q119h): start the writer, kill it as
+    * soon as the FIRST micro-batch reports progress (committed but
+    * possibly not yet checkpointed — the worst crash point), then
+    * resume a fresh writer from the same checkpoint and drain it. The
+    * timing-sensitive poll lives in ONE place so every kill/resume
+    * oracle exercises the same crash window.
+    */
+  private def runKillResume(
+      mk: () => org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row]): Unit = {
+    val q1 = mk().start()
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (q1.recentProgress.isEmpty && q1.isActive &&
+        System.nanoTime() < deadline) Thread.sleep(10)
+    } finally q1.stop()
+    q1.awaitTermination()
+    val q2 = mk().start()
+    try q2.awaitTermination() finally q2.stop()
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1406,17 +1428,9 @@ object Queries {
       // parallelism for both lifecycles (same detection as q114)
       graft.streaming.Incremental.withStreamPolicy(changeStream,
         s.read.parquet(s"$tmp/changes").count()) {
-        // phase 1: kill as soon as the first batch lands — a mid-run crash
-        val q1 = merge().start()
-        try {
-          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-          while (q1.recentProgress.isEmpty && q1.isActive &&
-            System.nanoTime() < deadline) Thread.sleep(10)
-        } finally q1.stop()
-        q1.awaitTermination()
-        // phase 2: resume from the SAME checkpoint, drain to completion
-        val q2 = merge().start()
-        try q2.awaitTermination() finally q2.stop()
+        // kill after the first batch lands, resume from the same
+        // checkpoint, drain (the shared crash window — runKillResume)
+        runKillResume(() => merge())
       }
       s.read.parquet(snapshotPath).orderBy(col("user_id"))
     }),
@@ -1470,15 +1484,7 @@ object Queries {
         "text", s"$tmp/state", s"$tmp/ckpt", jaccardThreshold = 0.5)
       graft.streaming.Incremental.withStreamPolicy(stream,
         s.read.parquet(s"$tmp/in").count()) {
-        val q1 = dedup().start()
-        try {
-          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-          while (q1.recentProgress.isEmpty && q1.isActive &&
-            System.nanoTime() < deadline) Thread.sleep(10)
-        } finally q1.stop()
-        q1.awaitTermination()
-        val q2 = dedup().start()
-        try q2.awaitTermination() finally q2.stop()
+        runKillResume(() => dedup())
       }
       graft.flows.StreamingDedup.survivors(s, s"$tmp/state")
         .orderBy(col("doc_id"))
@@ -1512,15 +1518,7 @@ object Queries {
         retainEvery = 1, retainTargetBytes = 1L * 1024 * 1024)
       graft.streaming.Incremental.withStreamPolicy(stream,
         s.read.parquet(s"$tmp/in").count()) {
-        val q1 = dedup().start()
-        try {
-          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-          while (q1.recentProgress.isEmpty && q1.isActive &&
-            System.nanoTime() < deadline) Thread.sleep(10)
-        } finally q1.stop()
-        q1.awaitTermination()
-        val q2 = dedup().start()
-        try q2.awaitTermination() finally q2.stop()
+        runKillResume(() => dedup())
       }
       graft.flows.StreamingDedup.survivors(s, s"$tmp/state")
         .orderBy(col("doc_id"))
@@ -1590,15 +1588,7 @@ object Queries {
         maxClusterSize = Int.MaxValue)
       graft.streaming.Incremental.withStreamPolicy(stream,
         s.read.parquet(s"$tmp/in").count()) {
-        val q1 = dedup().start()
-        try {
-          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-          while (q1.recentProgress.isEmpty && q1.isActive &&
-            System.nanoTime() < deadline) Thread.sleep(10)
-        } finally q1.stop()
-        q1.awaitTermination()
-        val q2 = dedup().start()
-        try q2.awaitTermination() finally q2.stop()
+        runKillResume(() => dedup())
       }
       graft.flows.StreamingSemDeDup.survivors(s, s"$tmp/state")
         .orderBy(col("vec_id"))
@@ -1632,15 +1622,7 @@ object Queries {
         retainTargetBytes = 1L * 1024 * 1024)
       graft.streaming.Incremental.withStreamPolicy(stream,
         s.read.parquet(s"$tmp/in").count()) {
-        val q1 = dedup().start()
-        try {
-          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-          while (q1.recentProgress.isEmpty && q1.isActive &&
-            System.nanoTime() < deadline) Thread.sleep(10)
-        } finally q1.stop()
-        q1.awaitTermination()
-        val q2 = dedup().start()
-        try q2.awaitTermination() finally q2.stop()
+        runKillResume(() => dedup())
       }
       graft.flows.StreamingSemDeDup.survivors(s, s"$tmp/state")
         .orderBy(col("vec_id"))
@@ -2703,15 +2685,7 @@ object Queries {
         retainTargetBytes = 1L * 1024 * 1024)
       graft.streaming.Incremental.withStreamPolicy(stream,
         s.read.parquet(s"$tmp/in").count()) {
-        val q1 = ingest().start()
-        try {
-          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-          while (q1.recentProgress.isEmpty && q1.isActive &&
-            System.nanoTime() < deadline) Thread.sleep(10)
-        } finally q1.stop()
-        q1.awaitTermination()
-        val q2 = ingest().start()
-        try q2.awaitTermination() finally q2.stop()
+        runKillResume(() => ingest())
       }
       val qq = emb.filter(col("vec_id") === 0)
         .select(graft.operators.Cluster.quantizeFloor(col("embedding"))

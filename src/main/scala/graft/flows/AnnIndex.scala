@@ -70,16 +70,28 @@ object AnnIndex {
     val spark = df.sparkSession
     require(VersionedLake.versions(spark, root).isEmpty,
       s"ANN index already exists at $root (build a new root and cut over)")
-    val (coarse, books, encoded) = Similarity.ivfPqIndex(df, idCol, vecCol,
+    val src = normalized(df, idCol, vecCol)
+    val (coarse, books, encoded) = Similarity.ivfPqIndex(src, idCol, vecCol,
       dims, coarseK, coarseIters, m, k, iters, scale)
     val gc = VersionedLake.beginGroupCommit(spark, root)
     gc.write("coarse", coarse)
     gc.write("codebooks", books)
     gc.write("encoded", encoded, partitionBy = Seq("cell"))
-    gc.write("quant", df.select(col(idCol),
+    gc.write("quant", src.select(col(idCol),
       Cluster.quantizeFloor(col(vecCol), scale).as("q")))
     gc.publish()
   }
+
+  /** Pin the stored id type at the write boundary: every reader
+    * (search/recallProbe and the group's schemaDDL contracts) reads the
+    * id back as BIGINT, so a caller whose integral id is narrower (INT
+    * vec ids are common) must land widened — otherwise ingest succeeds
+    * and the first search dies on an unbranded parquet type-conversion
+    * error far from the cause. Same defensive cast the dedup flows make.
+    */
+  private[flows] def normalized(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as(idCol), col(vecCol))
 
   /** Latest committed version, with the branded error a typo'd root or
     * an append-before-build deserves (a bare `.last` on the empty list
@@ -105,15 +117,16 @@ object AnnIndex {
     val spark = batch.sparkSession
     // one version resolve pins every read in the append (group consistency)
     val v = latestVersion(spark, root)
+    val src = normalized(batch, idCol, vecCol)
     val coarse = VersionedLake.readTable(spark, root, "coarse", Some(v))
     val books = VersionedLake.readTable(spark, root, "codebooks", Some(v))
     val gc = VersionedLake.beginGroupCommit(spark, root)
     gc.carry("coarse")
     gc.carry("codebooks")
     gc.write("encoded",
-      Similarity.ivfPqEncode(batch, idCol, vecCol, coarse, books, scale),
+      Similarity.ivfPqEncode(src, idCol, vecCol, coarse, books, scale),
       mode = "append", partitionBy = Seq("cell"))
-    gc.write("quant", batch.select(col(idCol),
+    gc.write("quant", src.select(col(idCol),
       Cluster.quantizeFloor(col(vecCol), scale).as("q")),
       mode = "append")
     gc.publish()
@@ -162,30 +175,39 @@ object AnnIndex {
       c: Int): DataFrame = {
     require(queries.nonEmpty, "recallProbe needs at least one query")
     val v = latestVersion(spark, root)
+    // plan construction collects the model ONCE PER PROBE inside
+    // ivfPqTopKRerank (the lookup tables are per-query literals) — cache
+    // the two bounded model tables for the loop so N probes read the
+    // model parquet once, not 2N times; unpersisted before return (the
+    // collected literals are already baked into the plans)
     val coarse = VersionedLake.readTable(spark, root, "coarse", Some(v))
+      .persist()
     val books = VersionedLake.readTable(spark, root, "codebooks", Some(v))
+      .persist()
     val encoded = VersionedLake.readTable(spark, root, "encoded", Some(v),
       schemaDDL = s"$idCol BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
     val quant = VersionedLake.readTable(spark, root, "quant", Some(v),
       schemaDDL = s"$idCol BIGINT, q ARRAY<BIGINT>")
     import org.apache.spark.sql.functions.lit
-    val perQuery = queries.map { case (qid, qq) =>
-      val approx = Similarity.ivfPqTopKRerank(encoded, quant, idCol,
-        coarse, books, qq, nprobe, c, k)
-        .select(lit(qid).as("query_id"), col(idCol))
-      val exact = quant
-        .select(col(idCol),
-          graft.functions.VectorFunctions.sqDistToLit(col("q"), qq.toSeq)
-            .as("d"))
-        .orderBy(col("d").asc, col(idCol).asc)
-        .limit(k)
-        .select(lit(qid).as("query_id"), col(idCol))
-      (approx, exact)
-    }
-    Similarity.meanRecallAtK(
-      perQuery.map(_._1).reduce(_.unionByName(_)),
-      perQuery.map(_._2).reduce(_.unionByName(_)),
-      idCol, "query_id", k)
+    try {
+      val perQuery = queries.map { case (qid, qq) =>
+        val approx = Similarity.ivfPqTopKRerank(encoded, quant, idCol,
+          coarse, books, qq, nprobe, c, k)
+          .select(lit(qid).as("query_id"), col(idCol))
+        val exact = quant
+          .select(col(idCol),
+            graft.functions.VectorFunctions.sqDistToLit(col("q"), qq.toSeq)
+              .as("d"))
+          .orderBy(col("d").asc, col(idCol).asc)
+          .limit(k)
+          .select(lit(qid).as("query_id"), col(idCol))
+        (approx, exact)
+      }
+      Similarity.meanRecallAtK(
+        perQuery.map(_._1).reduce(_.unionByName(_)),
+        perQuery.map(_._2).reduce(_.unionByName(_)),
+        idCol, "query_id", k)
+    } finally { coarse.unpersist(); books.unpersist(); () }
   }
 
   /** IVFADC-R search over the stored index

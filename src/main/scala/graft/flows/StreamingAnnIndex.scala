@@ -62,13 +62,16 @@ object StreamingAnnIndex {
     val spark = corpus.sparkSession
     require(VersionedLake.versions(spark, root).isEmpty,
       s"streaming ANN state already exists at $root")
-    val (coarse, books, encoded) = Similarity.ivfPqIndex(corpus, idCol,
+    // widen the id at the write boundary (AnnIndex.normalized): readers
+    // pin BIGINT, and an INT-id ingest would die only at first search
+    val src = AnnIndex.normalized(corpus, idCol, vecCol)
+    val (coarse, books, encoded) = Similarity.ivfPqIndex(src, idCol,
       vecCol, dims, coarseK, coarseIters, m, k, iters, scale)
     val gc = VersionedLake.beginGroupCommit(spark, root)
     gc.write("coarse", coarse)
     gc.write("codebooks", books)
     gc.write("encoded", encoded, partitionBy = Seq("cell"))
-    gc.write("quant", corpus.select(col(idCol),
+    gc.write("quant", src.select(col(idCol),
       Cluster.quantizeFloor(col(vecCol), scale).as("q")))
     gc.write("applied", marker(spark, -1L))
     gc.publish()
@@ -119,15 +122,16 @@ object StreamingAnnIndex {
     val lastApplied = VersionedLake.readTable(spark, root, "applied",
       Some(v)).head().getLong(0)
     if (batchId <= lastApplied) return false
+    val src = AnnIndex.normalized(batch, idCol, vecCol)
     val coarse = VersionedLake.readTable(spark, root, "coarse", Some(v))
     val books = VersionedLake.readTable(spark, root, "codebooks", Some(v))
     val gc = VersionedLake.beginGroupCommit(spark, root)
     gc.carry("coarse")
     gc.carry("codebooks")
     gc.write("encoded",
-      Similarity.ivfPqEncode(batch, idCol, vecCol, coarse, books, scale),
+      Similarity.ivfPqEncode(src, idCol, vecCol, coarse, books, scale),
       mode = "append", partitionBy = Seq("cell"))
-    gc.write("quant", batch.select(col(idCol),
+    gc.write("quant", src.select(col(idCol),
       Cluster.quantizeFloor(col(vecCol), scale).as("q")),
       mode = "append")
     gc.write("applied", marker(spark, batchId))

@@ -68,11 +68,18 @@ private[flows] object StreamingRetention {
     * log line (the string round-trip is not reliable there; the file is
     * merely oversized, never wrong).
     */
+  /** Partition directory of a manifest-relative path — the ONE place the
+    * rel layout `table/_data/vN/<col=value[/...]>/file` is decomposed;
+    * both the per-directory tiering and the hot-dir salt detection group
+    * by this key, and they must agree.
+    */
+  private def partitionDirOf(rel: String): String =
+    rel.split("/").drop(3).dropRight(1).mkString("/")
+
   private def skewSalt(df: DataFrame, small: Seq[String],
       sizes: Map[String, Long], pb: Seq[String],
       targetBytes: Long): Column = {
-    // rel = table/_data/vN/<col=value[/...]>/file
-    val byDir = small.groupBy(_.split("/").drop(3).dropRight(1).mkString("/"))
+    val byDir = small.groupBy(partitionDirOf)
       .map { case (d, fs) => d -> fs.map(p => sizes.getOrElse(p, 0L)).sum }
     val hot = byDir.filter(_._2 > targetBytes)
     if (hot.isEmpty) return lit(0)
@@ -168,8 +175,7 @@ private[flows] object StreamingRetention {
         val (small, soloCarry) =
           if (pb.isEmpty) (smallAll, Seq.empty[String])
           else {
-            val byDir = smallAll.groupBy(
-              _.split("/").drop(3).dropRight(1).mkString("/"))
+            val byDir = smallAll.groupBy(partitionDirOf)
             val (multi, solo) = byDir.partition(_._2.size >= 2)
             (multi.values.flatten.toSeq, solo.values.flatten.toSeq)
           }
