@@ -108,7 +108,8 @@ object Bench {
       "q116c_stream_dedup_retention" -> "documents",
       "q117_stream_semdedup" -> "embeddings",
       "q117b_stream_semdedup_resume" -> "embeddings",
-      "q117c_stream_semdedup_retention" -> "embeddings")
+      "q117c_stream_semdedup_retention" -> "embeddings",
+      "q119h_stream_ann" -> "embeddings")
     val floorDir = sys.env.getOrElse("SPARK_GRAFT_FLOOR_DIR",
       "/root/testdata/sf0.001")
     val floorSkipped = scala.collection.mutable.ListBuffer.empty[String]

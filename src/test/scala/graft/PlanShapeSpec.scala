@@ -76,6 +76,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("ANN arrival encode (the append/applyBatch path) never shuffles " +
+    "the batch: one scan, one broadcast of the model-sized local residual " +
+    "table — per-batch ingest cost structurally cannot scale with the " +
+    "stored corpus") {
+    val emb = graft.sources.Lake.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (coarse, books, _) = graft.operators.Similarity.ivfPqIndex(emb,
+      "vec_id", "embedding", dims = 64, coarseK = 4, coarseIters = 2,
+      m = 4, k = 4, iters = 2)
+    val plan = planOf(graft.operators.Similarity.ivfPqEncode(emb,
+      "vec_id", "embedding", coarse, books))
+    // the only exchange is the broadcast of the collected residual
+    // centroids (a LocalTableScan — model-sized, never the batch); the
+    // batch side must not move
+    assert(!plan.replace("BroadcastExchange", "").contains("Exchange"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("LocalTableScan"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q101 SemDeDup pairwise work is a hash equi-join on the cluster id") {
     // the id_a < id_b and cosine predicates must ride a cid equi-join —
     // a nested-loop here would be corpus² at scale
