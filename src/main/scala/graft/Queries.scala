@@ -2754,6 +2754,64 @@ object Queries {
       graft.flows.AnnIndex.recallProbe(s, s"$tmp/index", "vec_id", probes,
         k = 20, nprobe = 2, c = 50)
         .orderBy(col("query_id").asc_nulls_last)
+    }),
+
+    // MERGE-ON-READ DELETES on the persistent index (AnnIndex.delete):
+    // q119e's build+append, then ONE retirement batch tombstones every
+    // vec_id % 7 = 3 (a metadata-only group commit — no index data read
+    // or rewritten), and the search must return the top-20 over the
+    // LIVE set only. The oracle is q119e's chain with the retired ids
+    // excluded BEFORE the ADC short-list forms — a dead doc must not
+    // occupy one of the c slots and push a live candidate out of the
+    // re-rank.
+    "q119j_ann_delete" -> ((s, dir) => {
+      val tmp = freshScratchDir("graft_q119j")
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.flows.AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", s"$tmp/index", dims = 64, coarseK = 4,
+        coarseIters = 2, m = 4, k = 4, iters = 2)
+      graft.flows.AnnIndex.append(emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", s"$tmp/index")
+      graft.flows.AnnIndex.delete(
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+        "vec_id", s"$tmp/index")
+      val qq = emb.filter(col("vec_id") === 0)
+        .select(graft.operators.Cluster.quantizeFloor(col("embedding"))
+          .as("q"))
+        .head.getSeq[Long](0).toArray
+      graft.flows.AnnIndex.search(s, s"$tmp/index", "vec_id", qq,
+        nprobe = 2, c = 50, n = 20)
+    }),
+
+    // FOLDING tombstones (AnnIndex.foldTombstones) is value-invisible:
+    // q119j's retirements landed as TWO delete batches with a
+    // maintenance pass between (the tombstone table's own small-file
+    // tail is bin-packed, never folded), then the full fold — the
+    // race-detected rewrite that drops the dead codes physically and
+    // the tombstone table with them. The search result must STILL
+    // hash-match q119j's oracle: merge-on-read and fold-on-write are
+    // the same index.
+    "q119k_ann_fold" -> ((s, dir) => {
+      val tmp = freshScratchDir("graft_q119k")
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.flows.AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", s"$tmp/index", dims = 64, coarseK = 4,
+        coarseIters = 2, m = 4, k = 4, iters = 2)
+      graft.flows.AnnIndex.append(emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", s"$tmp/index")
+      val retiring = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+      graft.flows.AnnIndex.delete(
+        retiring.filter(col("vec_id") % 2 === 0), "vec_id", s"$tmp/index")
+      graft.flows.AnnIndex.maintain(s, s"$tmp/index")
+      graft.flows.AnnIndex.delete(
+        retiring.filter(col("vec_id") % 2 === 1), "vec_id", s"$tmp/index")
+      graft.flows.AnnIndex.foldTombstones(s, s"$tmp/index", "vec_id")
+      val qq = emb.filter(col("vec_id") === 0)
+        .select(graft.operators.Cluster.quantizeFloor(col("embedding"))
+          .as("q"))
+        .head.getSeq[Long](0).toArray
+      graft.flows.AnnIndex.search(s, s"$tmp/index", "vec_id", qq,
+        nprobe = 2, c = 50, n = 20)
     })
   )
 
@@ -3072,7 +3130,9 @@ object Queries {
     * silently replay different algorithms.
     */
   private def ivfPqRerankCtesSql(c: Int, n: Int, dims: Int,
-      sfx: String = ""): String =
+      sfx: String = "", deleteWhere: String = ""): String = {
+    val dead =
+      if (deleteWhere.isEmpty) "" else s"\n    AND NOT ($deleteWhere)"
     s""",
        |adc$sfx AS (
        |  SELECT f0.vec_id, a.cell,
@@ -3085,7 +3145,7 @@ object Queries {
        |  JOIN l1$sfx ON l1$sfx.cell = a.cell AND l1$sfx.cid = f1.cid
        |  JOIN l2$sfx ON l2$sfx.cell = a.cell AND l2$sfx.cid = f2.cid
        |  JOIN l3$sfx ON l3$sfx.cell = a.cell AND l3$sfx.cid = f3.cid
-       |  WHERE a.cell IN (SELECT cell FROM probe$sfx)
+       |  WHERE a.cell IN (SELECT cell FROM probe$sfx)$dead
        |  ORDER BY adc_dist, f0.vec_id LIMIT $c
        |),
        |rr$sfx AS (
@@ -3095,6 +3155,7 @@ object Queries {
        |  FROM adc$sfx a JOIN e ON e.vec_id = a.vec_id CROSS JOIN qrow$sfx v
        |  ORDER BY exact_dist, a.vec_id LIMIT $n
        |)""".stripMargin
+  }
 
   private def assignCteSql(src: String, cents: String, dims: Int): String =
     s"""
@@ -5572,8 +5633,36 @@ object Queries {
     // hits and mean — the lake round-trip is value-invisible, so the
     // drift dial a deployment reads off the STORED index is exactly the
     // one-shot measurement.
-    "q119i_ann_recall_probe" -> annMeanRecallSql
+    "q119i_ann_recall_probe" -> annMeanRecallSql,
+
+    // q119j replays merge-on-read deletes: q119e's chain with the
+    // retired ids (vec_id % 7 = 3) excluded from the ADC candidates
+    // BEFORE the LIMIT c — the engine's broadcast anti-join forms the
+    // short-list over live docs only, so a dead doc can never displace
+    // a live candidate from the re-rank.
+    "q119j_ann_delete" -> annDeleteSql,
+
+    // q119k shares q119j's oracle verbatim: two retirement batches, a
+    // maintenance pass, and the full tombstone fold must land the
+    // identical search — the fold rewrites files and drops dead codes,
+    // never a live row.
+    "q119k_ann_fold" -> annDeleteSql
   )
+
+  /** q119j/q119k's shared oracle: q119e's fit-on-corpus + encode-union
+    * chain with the retired ids excluded before the ADC short-list
+    * forms (merge-on-read deletes; the fold is value-invisible against
+    * the same exclusion).
+    */
+  private lazy val annDeleteSql: String =
+    ivfPqCtesSql(coarseK = 4, coarseIters = 2,
+      m = 4, k = 4, iters = 2, dims = 64, scale = 1 << 20, nprobe = 2,
+      fitWhere = "vec_id % 5 <> 0") +
+      ivfPqRerankCtesSql(c = 50, n = 20, dims = 64,
+        deleteWhere = "f0.vec_id % 7 = 3") +
+      """
+        |SELECT vec_id, cell, adc_dist, exact_dist
+        |FROM rr ORDER BY exact_dist, vec_id""".stripMargin
 
   /** q119f/q119i's shared oracle: mean recall@20 over the query set
     * {0,1,2} — ONE shared base chain (model + codes), one suffixed query

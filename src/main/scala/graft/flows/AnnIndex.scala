@@ -1,7 +1,7 @@
 package graft.flows
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
 
 import graft.operators.{Cluster, Similarity}
 import graft.sources.VersionedLake
@@ -26,7 +26,13 @@ import graft.sources.VersionedLake
   *    read (PartitionFilters, plan-pinned) instead of a corpus scan;
   *  - `quant` (idCol, q): the grid-quantized vectors, stored beside the
   *    codes for IVFADC-R exact re-ranking (read c rows per search via
-  *    the broadcast short-list join, never scanned).
+  *    the broadcast short-list join, never scanned);
+  *  - `tombstones` (idCol) — OPTIONAL, created by the first [[delete]]:
+  *    ids removed from the index merge-on-read style (an upstream dedup
+  *    pass retires documents; rewriting a 100 TB index per retirement
+  *    batch is not a production shape). Searches and probes anti-join
+  *    it (broadcast — tombstones are the RETIRED minority); the codes
+  *    stay physical until [[foldTombstones]] folds them out.
   *
   * All four tables publish as ONE atomic group version: a reader can
   * never observe appended codes beside a missing quant row or a torn
@@ -48,8 +54,10 @@ import graft.sources.VersionedLake
   * not guessed, by [[Similarity.annRecallAtK]] over a query set against
   * the brute-force exact top-k ([[Similarity.meanRecallAtK]] is the
   * grouped form); a deployment refits by building a NEW index root and
-  * cutting readers over, the same blue/green shape as every stored
-  * model here.
+  * cutting readers over — the cut itself is
+  * [[graft.sources.ServingPointer]] (atomic, audited; [[searchServing]]
+  * reads through it), the same blue/green shape as every stored model
+  * here.
   *
   * Reference analog: the stored-progress / stored-state idioms
   * (reference: pipelines/utils/progress.py:22-140) — state lives in the
@@ -110,7 +118,8 @@ object AnnIndex {
     * corpus size. Returns the committed version. This is the
     * driver-invoked batch API with NO replay marker — a checkpointed
     * stream must use [[StreamingAnnIndex]] instead, whose `applied`
-    * marker makes crash-replayed batches no-ops.
+    * marker makes crash-replayed batches no-ops. Pending tombstones are
+    * carried (retirements survive every append).
     */
   def append(batch: DataFrame, idCol: String, vecCol: String, root: String,
       scale: Int = Cluster.QuantScale): Long = {
@@ -123,6 +132,7 @@ object AnnIndex {
     val gc = VersionedLake.beginGroupCommit(spark, root)
     gc.carry("coarse")
     gc.carry("codebooks")
+    carryTombstonesIfPresent(spark, root, v, gc)
     gc.write("encoded",
       Similarity.ivfPqEncode(src, idCol, vecCol, coarse, books, scale),
       mode = "append", partitionBy = Seq("cell"))
@@ -130,6 +140,112 @@ object AnnIndex {
       Cluster.quantizeFloor(col(vecCol), scale).as("q")),
       mode = "append")
     gc.publish()
+  }
+
+  /** A group manifest lists ONLY staged tables, so every commit that is
+    * not a [[delete]] must re-list `tombstones` or pending retirements
+    * silently vanish. Shared by [[append]] and
+    * [[StreamingAnnIndex.applyBatch]]; a no-op before the first delete
+    * (the table does not exist yet).
+    */
+  private[flows] def carryTombstonesIfPresent(spark: SparkSession,
+      root: String, v: Long, gc: VersionedLake.GroupCommit): Unit =
+    if (VersionedLake.groupTableRelFiles(spark, root, Some(v))
+        .contains(Tombstones))
+      gc.carry(Tombstones)
+
+  private val Tombstones = "tombstones"
+
+  /** The pending retirements at version `v`, or None before the first
+    * [[delete]] (and again after a [[foldTombstones]] — a fold drops the
+    * table rather than staging an empty one).
+    */
+  private def tombstonesOpt(spark: SparkSession, root: String, v: Long,
+      idCol: String): Option[DataFrame] =
+    if (VersionedLake.groupTableRelFiles(spark, root, Some(v))
+        .contains(Tombstones))
+      Some(VersionedLake.readTable(spark, root, Tombstones, Some(v),
+        schemaDDL = s"$idCol BIGINT"))
+    else None
+
+  /** Exclude retired ids from an index read. The anti-join build side is
+    * the broadcast tombstone set — the corpus side never shuffles, so a
+    * tombstoned search keeps the same scan shape as a clean one (the
+    * `cell` partition pruning pushes through the join; plan-pinned).
+    */
+  private def minusTombstones(df: DataFrame, tomb: Option[DataFrame],
+      idCol: String): DataFrame =
+    tomb.fold(df)(t => df.join(broadcast(t), Seq(idCol), "left_anti"))
+
+  /** Retire `ids` from the index merge-on-read style: ONE group commit
+    * appends them to the `tombstones` table and carries every other
+    * table verbatim (metadata re-list — no data is read or rewritten, so
+    * a retirement batch costs O(its own ids) regardless of corpus size).
+    * Ids not present in the index are harmless (the anti-join never
+    * matches them). [[search]] and [[recallProbe]] exclude tombstoned
+    * ids from that version on; the physical codes remain until
+    * [[foldTombstones]]. Same single-logical-writer discipline as
+    * [[append]] (driver-invoked, claim-serialized); deletes compose with
+    * [[StreamingAnnIndex]] ingest because [[StreamingAnnIndex.applyBatch]]
+    * carries the table on every batch. Returns the committed version.
+    */
+  def delete(ids: DataFrame, idCol: String, root: String): Long = {
+    val spark = ids.sparkSession
+    val v = latestVersion(spark, root)
+    val others = VersionedLake.groupTableRelFiles(spark, root, Some(v))
+      .keys.filterNot(_ == Tombstones).toSeq.sorted
+    val gc = VersionedLake.beginGroupCommit(spark, root)
+    others.foreach(gc.carry)
+    gc.write(Tombstones,
+      ids.select(col(idCol).cast("long").as(idCol)).distinct(),
+      mode = "append")
+    gc.publish()
+  }
+
+  /** Fold pending retirements into the data: rewrite `encoded` and
+    * `quant` anti-joined against `tombstones` and DROP the tombstone
+    * table, as one race-detected group commit. This is the
+    * threshold-triggered compaction half of merge-on-read: every search
+    * pays the (broadcast, cheap) anti-join until the retired fraction
+    * makes the dead codes worth rewriting out — the fold itself is a
+    * FULL rewrite of both tables, O(live state), so a deployment runs it
+    * when tombstones cross a fraction of the corpus, not per retirement
+    * batch ([[maintain]] stays the per-cadence pass; it compacts the
+    * tombstone table's own small-file tail but never folds). Search
+    * results are value-invariant across the fold (q119k's oracle IS
+    * q119j's). Aborts — leaving the index at its pre-fold version, to
+    * retry later — if any commit lands inside its read→publish window.
+    * Returns the latest version (folded, or pre-existing on abort /
+    * no-op when nothing is pending).
+    */
+  def foldTombstones(spark: SparkSession, root: String, idCol: String,
+      keepVersions: Int = 2,
+      raceWindow: () => Unit = () => ()): Long = {
+    val v = latestVersion(spark, root)
+    tombstonesOpt(spark, root, v, idCol) match {
+      case None => v
+      case Some(tomb) =>
+        val rel = VersionedLake.groupTableRelFiles(spark, root, Some(v))
+        val encoded = VersionedLake.readTable(spark, root, "encoded",
+          Some(v), schemaDDL = s"$idCol BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
+        val quant = VersionedLake.readTable(spark, root, "quant", Some(v),
+          schemaDDL = s"$idCol BIGINT, q ARRAY<BIGINT>")
+        val gc = VersionedLake.beginGroupCommit(spark, root)
+        rel.keys.filterNot(Set("encoded", "quant", Tombstones)).toSeq.sorted
+          .foreach(gc.carry)
+        gc.write("encoded", minusTombstones(encoded, Some(tomb), idCol),
+          partitionBy = Seq("cell"))
+        gc.write("quant", minusTombstones(quant, Some(tomb), idCol))
+        raceWindow()
+        gc.publishIfBaseIs(v) match {
+          case None => VersionedLake.versions(spark, root).last
+          case Some(nv) =>
+            val committed = VersionedLake.versions(spark, root)
+            VersionedLake.vacuumGroup(spark, root,
+              keepFrom = committed.takeRight(keepVersions).head)
+            nv
+        }
+    }
   }
 
   /** Bound the small-file tail arrival appends accrue: every [[append]]
@@ -145,7 +261,10 @@ object AnnIndex {
     * committed versions readable for in-flight searches, and aborts
     * itself if an append commits inside its read→publish window — so
     * maintenance can run beside the ingest without losing a committed
-    * batch. State is row-identical across the pass: a maintained index
+    * batch. The tombstone table, when present, is bin-packed like any
+    * other member (retirement batches accrue small files too) but never
+    * folded — folding is [[foldTombstones]]' explicitly-invoked full
+    * rewrite. State is row-identical across the pass: a maintained index
     * hash-matches an unmaintained one (q119g's oracle IS q119e's).
     * Returns the latest version (compacted, or pre-existing on abort).
     */
@@ -184,10 +303,18 @@ object AnnIndex {
       .persist()
     val books = VersionedLake.readTable(spark, root, "codebooks", Some(v))
       .persist()
-    val encoded = VersionedLake.readTable(spark, root, "encoded", Some(v),
-      schemaDDL = s"$idCol BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
-    val quant = VersionedLake.readTable(spark, root, "quant", Some(v),
-      schemaDDL = s"$idCol BIGINT, q ARRAY<BIGINT>")
+    // retired ids leave BOTH sides of the dial: the approx side must not
+    // surface them, and the exact side must not count a dead doc as a
+    // miss the approx side was right to skip
+    val tomb = tombstonesOpt(spark, root, v, idCol)
+    val encoded = minusTombstones(
+      VersionedLake.readTable(spark, root, "encoded", Some(v),
+        schemaDDL = s"$idCol BIGINT, codes ARRAY<BIGINT>, cell BIGINT"),
+      tomb, idCol)
+    val quant = minusTombstones(
+      VersionedLake.readTable(spark, root, "quant", Some(v),
+        schemaDDL = s"$idCol BIGINT, q ARRAY<BIGINT>"),
+      tomb, idCol)
     import org.apache.spark.sql.functions.lit
     try {
       val perQuery = queries.map { case (qid, qq) =>
@@ -225,11 +352,29 @@ object AnnIndex {
     val v = latestVersion(spark, root)
     val coarse = VersionedLake.readTable(spark, root, "coarse", Some(v))
     val books = VersionedLake.readTable(spark, root, "codebooks", Some(v))
-    val encoded = VersionedLake.readTable(spark, root, "encoded", Some(v),
-      schemaDDL = s"$idCol BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
+    // tombstoned ids are excluded BEFORE the ADC short-list forms — a
+    // retired doc must not occupy one of the c slots and push a live
+    // candidate out of the re-rank
+    val tomb = tombstonesOpt(spark, root, v, idCol)
+    val encoded = minusTombstones(
+      VersionedLake.readTable(spark, root, "encoded", Some(v),
+        schemaDDL = s"$idCol BIGINT, codes ARRAY<BIGINT>, cell BIGINT"),
+      tomb, idCol)
     val quant = VersionedLake.readTable(spark, root, "quant", Some(v),
       schemaDDL = s"$idCol BIGINT, q ARRAY<BIGINT>")
     Similarity.ivfPqTopKRerank(encoded, quant, idCol, coarse, books,
       queryQuant, nprobe, c, n)
   }
+
+  /** [[search]] through a [[graft.sources.ServingPointer]] — the reader
+    * side of the blue/green refit: a deployment's queries name the
+    * POINTER, a refit builds a new root, gates it on [[recallProbe]],
+    * and [[graft.sources.ServingPointer.set]] cuts every subsequent
+    * search over atomically (searches already planned against the old
+    * root keep reading it — roots are immutable once built).
+    */
+  def searchServing(spark: SparkSession, ptr: String, idCol: String,
+      queryQuant: Array[Long], nprobe: Int, c: Int, n: Int): DataFrame =
+    search(spark, graft.sources.ServingPointer.resolve(spark, ptr), idCol,
+      queryQuant, nprobe, c, n)
 }

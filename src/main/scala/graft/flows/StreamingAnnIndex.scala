@@ -128,6 +128,9 @@ object StreamingAnnIndex {
     val gc = VersionedLake.beginGroupCommit(spark, root)
     gc.carry("coarse")
     gc.carry("codebooks")
+    // a retirement ([[AnnIndex.delete]]) between batches must survive
+    // this batch's commit — an unmentioned table vanishes from the group
+    AnnIndex.carryTombstonesIfPresent(spark, root, v, gc)
     gc.write("encoded",
       Similarity.ivfPqEncode(src, idCol, vecCol, coarse, books, scale),
       mode = "append", partitionBy = Seq("cell"))

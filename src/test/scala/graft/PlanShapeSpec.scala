@@ -76,6 +76,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q119j tombstoned search keeps the clean search's scan shape: the " +
+    "cell partition pruning pushes through the retirement anti-join, the " +
+    "tombstone set rides a BROADCAST anti-join (the corpus side never " +
+    "shuffles for a delete), and the top-n stays TakeOrderedAndProject") {
+    val plan = planOf(q("q119j_ann_delete"))
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      plan)
+    // merge-on-read cost model: the retired minority broadcasts; a
+    // shuffle (SortMergeJoin) here would re-price every search by the
+    // corpus size the moment one document is retired
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("ANN arrival encode (the append/applyBatch path) never shuffles " +
     "the batch: one scan, one broadcast of the model-sized local residual " +
     "table — per-batch ingest cost structurally cannot scale with the " +

@@ -223,6 +223,129 @@ class AnnIndexSpec extends SparkSpec {
       "query_id", k = 2).count() == 0)
   }
 
+  test("delete is merge-on-read: one metadata-only commit tombstones the " +
+    "retired ids, search equals a one-shot re-rank over the LIVE set " +
+    "(a dead doc never holds a short-list slot), appends carry pending " +
+    "tombstones, and retiring absent ids is harmless") {
+    val root = Files.createTempDirectory("annix5").toString + "/index"
+    val emb = Lake.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    AnnIndex.build(corpus, "vec_id", "embedding", root, dims = 64,
+      coarseK = 4, coarseIters = 2, m = 4, k = 4, iters = 2)
+    val qq = quantOf(emb, 0L)
+    def searchNow() = AnnIndex.search(spark, root, "vec_id", qq,
+      nprobe = 2, c = 50, n = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // retire two ids that sit INSIDE the pre-delete top-20 (the hardest
+    // case: the short-list must refill with live candidates, not just
+    // filter the final n) plus one id that was never indexed
+    val pre = searchNow()
+    val victims = pre.map(_._1).filter(_ != 0L).take(2)
+    val vBefore = VersionedLake.versions(spark, root).last
+    val before = VersionedLake.groupTableRelFiles(spark, root, Some(vBefore))
+    AnnIndex.delete((victims :+ 999999L).toDF("vec_id"), "vec_id", root)
+    val vAfter = VersionedLake.versions(spark, root).last
+    val after = VersionedLake.groupTableRelFiles(spark, root, Some(vAfter))
+    // metadata-only: every pre-existing table's file list is carried
+    // verbatim; the commit added ONLY the tombstone table
+    before.keys.foreach(t => assert(after(t) == before(t), s"table $t"))
+    assert(after.keys.toSet == before.keys.toSet + "tombstones")
+    val post = searchNow()
+    assert(post.size == 20 && !post.map(_._1).exists(victims.contains),
+      s"retired ids must not surface: $post")
+    // equals the one-shot re-rank with the retired ids excluded BEFORE
+    // the ADC short-list (the oracle's exclusion point, q119j)
+    val (coarse, books, encodedAll) = Similarity.ivfPqIndex(corpus,
+      "vec_id", "embedding", dims = 64, coarseK = 4, coarseIters = 2,
+      m = 4, k = 4, iters = 2)
+    val quantAll = corpus.select(col("vec_id"),
+      graft.operators.Cluster.quantizeFloor(col("embedding")).as("q"))
+    val live = Similarity.ivfPqTopKRerank(
+      encodedAll.filter(!col("vec_id").isin(victims: _*)), quantAll,
+      "vec_id", coarse, books, qq, nprobe = 2, c = 50, n = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(post == live)
+    // an APPEND carries the pending tombstones (an unmentioned group
+    // table would silently vanish) and stays excluded from its searches
+    AnnIndex.append(emb.filter(col("vec_id") % 5 === 0), "vec_id",
+      "embedding", root)
+    val vApp = VersionedLake.versions(spark, root).last
+    assert(VersionedLake.groupTableRelFiles(spark, root, Some(vApp))
+      .contains("tombstones"))
+    assert(!searchNow().map(_._1).exists(victims.contains))
+    // misuse is branded like the rest of the API
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.delete(Seq(1L).toDF("vec_id"), "vec_id", s"$root-nowhere")
+    }
+    assert(ex.getMessage.contains("no ANN index"))
+  }
+
+  test("foldTombstones rewrites the dead codes out — value-invisible to " +
+    "search and recallProbe, tombstone table dropped, counts shrink; " +
+    "maintain bin-packs but never folds; a raced fold aborts without " +
+    "losing the interleaved commit; an empty fold is a no-op") {
+    val root = Files.createTempDirectory("annix6").toString + "/index"
+    val emb = Lake.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0), "vec_id",
+      "embedding", root, dims = 64, coarseK = 4, coarseIters = 2,
+      m = 4, k = 4, iters = 2)
+    AnnIndex.append(emb.filter(col("vec_id") % 5 === 0), "vec_id",
+      "embedding", root)
+    val total = emb.count()
+    val retiring = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+    val nRetired = retiring.count()
+    AnnIndex.delete(retiring.filter(col("vec_id") % 2 === 0), "vec_id", root)
+    // maintain with pending tombstones: compacted/carried, NEVER folded
+    AnnIndex.maintain(spark, root)
+    val vM = VersionedLake.versions(spark, root).last
+    assert(VersionedLake.groupTableRelFiles(spark, root, Some(vM))
+      .contains("tombstones"))
+    AnnIndex.delete(retiring.filter(col("vec_id") % 2 === 1), "vec_id", root)
+    val qq = quantOf(emb, 0L)
+    def searchNow() = AnnIndex.search(spark, root, "vec_id", qq,
+      nprobe = 2, c = 50, n = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val probes = Seq(0L, 1L).map(q => q -> quantOf(emb, q))
+    def dial() = AnnIndex.recallProbe(spark, root, "vec_id", probes,
+      k = 10, nprobe = 2, c = 20)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq
+    val preSearch = searchNow()
+    val preDial = dial()
+    // a fold RACED by an append aborts (claim-window detection), keeps
+    // the tombstones pending, and loses nothing from either commit
+    val extra = emb.filter(col("vec_id") === 0).select(col("vec_id") + 1000000,
+      col("embedding")).toDF("vec_id", "embedding")
+    val vRaced = AnnIndex.foldTombstones(spark, root, "vec_id",
+      raceWindow = () =>
+        { AnnIndex.append(extra, "vec_id", "embedding", root); () })
+    val racedRel = VersionedLake.groupTableRelFiles(spark, root, Some(vRaced))
+    assert(racedRel.contains("tombstones"),
+      "aborted fold must leave the retirements pending")
+    assert(VersionedLake.readTable(spark, root, "encoded",
+        schemaDDL = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
+      .count() == total + 1, "the raced append's row must survive")
+    AnnIndex.delete(Seq(1000000L).toDF("vec_id"), "vec_id", root)
+    // the real fold: search and dial are value-invariant across it —
+    // merge-on-read (anti-join) and fold-on-write (rewrite) are the
+    // same index
+    val folded = AnnIndex.foldTombstones(spark, root, "vec_id")
+    val rel = VersionedLake.groupTableRelFiles(spark, root, Some(folded))
+    assert(!rel.contains("tombstones"))
+    assert(VersionedLake.readTable(spark, root, "encoded",
+        schemaDDL = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
+      .count() == total - nRetired)
+    assert(VersionedLake.readTable(spark, root, "quant",
+        schemaDDL = "vec_id BIGINT, q ARRAY<BIGINT>")
+      .count() == total - nRetired)
+    assert(searchNow() == preSearch)
+    assert(dial() == preDial)
+    // nothing pending -> no-op, same version
+    assert(AnnIndex.foldTombstones(spark, root, "vec_id") == folded)
+  }
+
   test("meanRecallAtK splits queries that differ in recall: the mean " +
     "sits strictly between a perfect and an imperfect query") {
     val emb = Lake.table(spark, sfDir, "embeddings")

@@ -128,4 +128,35 @@ class StreamingAnnIndexSpec extends SparkSpec {
     }
     assert(ex2.getMessage.contains("no streaming ANN state"))
   }
+
+  test("a retirement between micro-batches survives the ingest: every " +
+    "subsequent applyBatch carries the tombstone table, searches exclude " +
+    "the retired ids, and the in-flow retention pass keeps them pending") {
+    val root = Files.createTempDirectory("sann_del").toString + "/index"
+    val emb = emb60
+    import spark.implicits._
+    StreamingAnnIndex.setup(emb.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", root, dims = 64, coarseK = 2, coarseIters = 2,
+      m = 4, k = 2, iters = 2)
+    assert(StreamingAnnIndex.applyBatch(emb.filter(col("vec_id") % 4 === 1),
+      0L, "vec_id", "embedding", root, graft.operators.Cluster.QuantScale))
+    // the upstream dedup pass retires two stored ids mid-stream
+    AnnIndex.delete(Seq(2L, 4L).toDF("vec_id"), "vec_id", root)
+    assert(StreamingAnnIndex.applyBatch(emb.filter(col("vec_id") % 4 === 3),
+      1L, "vec_id", "embedding", root, graft.operators.Cluster.QuantScale))
+    val vLast = VersionedLake.versions(spark, root).last
+    assert(VersionedLake.groupTableRelFiles(spark, root, Some(vLast))
+      .contains("tombstones"),
+      "the batch commit must carry the pending retirements")
+    StreamingAnnIndex.compactState(spark, root,
+      targetBytes = 1L * 1024 * 1024)
+    val vC = VersionedLake.versions(spark, root).last
+    assert(VersionedLake.groupTableRelFiles(spark, root, Some(vC))
+      .contains("tombstones"),
+      "retention compacts the tombstone table, never drops it")
+    val top = AnnIndex.search(spark, root, "vec_id", quantOf(emb, 2L),
+      nprobe = 2, c = 30, n = 10).collect().map(_.getLong(0)).toSeq
+    assert(top.nonEmpty && !top.contains(2L) && !top.contains(4L),
+      s"retired ids must not surface from the streamed index: $top")
+  }
 }

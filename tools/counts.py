@@ -37,7 +37,9 @@ def counts():
         for f in fs:
             if f.endswith(".scala"):
                 body = open(os.path.join(d, f)).read()
-                tests += body.count('test("')
+                # anchored at line start: a bare substring count matches
+                # identifiers that merely END in "test", e.g. latest("x")
+                tests += len(re.findall(r'^\s*test\("', body, re.M))
                 suites += len(re.findall(
                     r"(?<!abstract )class \w+Spec extends", body))
     return {"queries": queries, "oracles": oracles,
