@@ -2812,6 +2812,30 @@ object Queries {
         .head.getSeq[Long](0).toArray
       graft.flows.AnnIndex.search(s, s"$tmp/index", "vec_id", qq,
         nprobe = 2, c = 50, n = 20)
+    }),
+
+    // TABLE-DRIVEN batch search over the persistent index
+    // (AnnIndex.searchBatch → Similarity.ivfPqBatchTopKRerank): q119e's
+    // build+append, then ONE job answers the whole query FRAME (vec_id
+    // 0–2 read from the table — no per-query literals, no driver loop):
+    // map-only probe ranking, probed-cell isin pruning on the stored
+    // scan, once-per-row candidate decode, slim-row top-k windows. Each
+    // query's 20 rows must hash-match the single-vector search chain the
+    // oracle replays per query — the batch plan is a pure re-shaping.
+    "q119l_ann_batch" -> ((s, dir) => {
+      val tmp = freshScratchDir("graft_q119l")
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.flows.AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", s"$tmp/index", dims = 64, coarseK = 4,
+        coarseIters = 2, m = 4, k = 4, iters = 2)
+      graft.flows.AnnIndex.append(emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", s"$tmp/index")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.flows.AnnIndex.searchBatch(s, s"$tmp/index", "vec_id",
+        queries, "query_id", "embedding", nprobe = 2, c = 50, n = 20)
+        .orderBy(col("query_id").asc, col("exact_dist").asc,
+          col("vec_id").asc)
     })
   )
 
@@ -5646,8 +5670,37 @@ object Queries {
     // maintenance pass, and the full tombstone fold must land the
     // identical search — the fold rewrites files and drops dead codes,
     // never a live row.
-    "q119k_ann_fold" -> annDeleteSql
+    "q119k_ann_fold" -> annDeleteSql,
+
+    // q119l replays the BATCH search per query: the engine answers the
+    // query frame {0,1,2} in ONE table-driven job; the oracle runs each
+    // query's single-vector chain (q119e's fit-on-corpus base + the
+    // shared probe/short-list/re-rank tail) and unions the three — a
+    // batch row set must be exactly the per-query searches stacked.
+    "q119l_ann_batch" -> annBatchSql
   )
+
+  /** q119l's oracle: q119e's subset-fit base chain, one suffixed query
+    * block + re-rank tail per query id, and the per-query top-20s
+    * unioned under their query ids.
+    */
+  private lazy val annBatchSql: String = {
+    val qids = Seq(0L, 1L, 2L)
+    val sb = new StringBuilder("WITH " + ivfPqBaseCtes(coarseK = 4,
+      coarseIters = 2, m = 4, k = 4, iters = 2, dims = 64,
+      scale = 1 << 20, fitWhere = "vec_id % 5 <> 0").mkString(",\n"))
+    qids.foreach { q =>
+      sb.append(",\n" + ivfPqQueryCtes(q, s"_$q", coarseIters = 2,
+        m = 4, iters = 2, dims = 64, nprobe = 2).mkString(",\n"))
+      sb.append(ivfPqRerankCtesSql(c = 50, n = 20, dims = 64,
+        sfx = s"_$q"))
+    }
+    sb.append("\n" + qids.map(q =>
+      s"SELECT CAST($q AS BIGINT) AS query_id, vec_id, cell, adc_dist, " +
+        s"exact_dist FROM rr_$q").mkString("\nUNION ALL\n"))
+    sb.append("\nORDER BY query_id, exact_dist, vec_id")
+    sb.toString
+  }
 
   /** q119j/q119k's shared oracle: q119e's fit-on-corpus + encode-union
     * chain with the retired ids excluded before the ADC short-list

@@ -366,6 +366,41 @@ object AnnIndex {
       queryQuant, nprobe, c, n)
   }
 
+  /** Batch search over the stored index
+    * ([[Similarity.ivfPqBatchTopKRerank]]): ONE job answers a whole
+    * query FRAME — the production arrival-dedup shape (a new crawl batch
+    * asks "what are my top-n stored neighbors" for millions of vectors
+    * at once; a driver loop of [[search]] plans stops scaling right
+    * there). Per query the result is row-identical to [[search]] at the
+    * same nprobe/c/n. Queries arrive RAW (`queryVecCol` float/double
+    * array) and are grid-quantized in-plan with the index's scale; the
+    * probed-cell union lands as an isin literal on the encoded scan
+    * (PartitionFilters — unprobed cells are never read), candidate
+    * decode is once-per-stored-row, and both top-k reductions shuffle
+    * slim rows only. Tombstoned ids are excluded before the short-list,
+    * same as [[search]]. All reads resolve ONE pinned version.
+    * `queryIdCol` must be unique per query row.
+    */
+  def searchBatch(spark: SparkSession, root: String, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      nprobe: Int, c: Int, n: Int,
+      scale: Int = Cluster.QuantScale): DataFrame = {
+    val v = latestVersion(spark, root)
+    val coarse = VersionedLake.readTable(spark, root, "coarse", Some(v))
+    val books = VersionedLake.readTable(spark, root, "codebooks", Some(v))
+    val tomb = tombstonesOpt(spark, root, v, idCol)
+    val encoded = minusTombstones(
+      VersionedLake.readTable(spark, root, "encoded", Some(v),
+        schemaDDL = s"$idCol BIGINT, codes ARRAY<BIGINT>, cell BIGINT"),
+      tomb, idCol)
+    val quant = VersionedLake.readTable(spark, root, "quant", Some(v),
+      schemaDDL = s"$idCol BIGINT, q ARRAY<BIGINT>")
+    val q0 = queries.select(col(queryIdCol).cast("long").as(queryIdCol),
+      Cluster.quantizeFloor(col(queryVecCol), scale).as("__q"))
+    Similarity.ivfPqBatchTopKRerank(encoded, quant, idCol, coarse, books,
+      q0, queryIdCol, "__q", nprobe, c, n)
+  }
+
   /** [[search]] through a [[graft.sources.ServingPointer]] — the reader
     * side of the blue/green refit: a deployment's queries name the
     * POINTER, a refit builds a new root, gates it on [[recallProbe]],

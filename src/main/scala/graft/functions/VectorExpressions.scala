@@ -236,6 +236,51 @@ object VectorKernels {
     java.lang.Long.valueOf(s)
   }
 
+  /** Column-column analog of [[sqDistLong]] for table-driven (batch) ANN
+    * scoring, where neither vector is a plan-time literal. Length
+    * mismatch or any null element → null.
+    */
+  def sqDistLongCols(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var i = 0
+    while (i < n) { if (a.isNullAt(i) || b.isNullAt(i)) return null; i += 1 }
+    var s = 0L
+    i = 0
+    while (i < n) {
+      val dx = a.getLong(i) - b.getLong(i)
+      s += dx * dx
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  /** Decode PQ codes to the codebook-reconstructed residual vector —
+    * concat of codebook[s][code_s] as one primitive loop over the flat
+    * codebook array (layout `[(s·k + cid)·sd + j]`). The per-CANDIDATE
+    * half of batch ADC scoring: computed once per stored row, however
+    * many queries probe its cell. Null/miscounted codes or a code
+    * outside [0, k) → null (a foreign-model code table must not decode
+    * to garbage distances).
+    */
+  def pqReconstruct(codes: ArrayData, flatBooks: Array[Long], m: Int,
+      k: Int, sd: Int): ArrayData = {
+    if (codes == null || codes.numElements() != m) return null
+    var s = 0
+    while (s < m) { if (codes.isNullAt(s)) return null; s += 1 }
+    val out = new Array[Long](m * sd)
+    s = 0
+    while (s < m) {
+      val c = codes.getLong(s)
+      if (c < 0 || c >= k) return null
+      val off = (s * k + c.toInt) * sd
+      var j = 0
+      while (j < sd) { out(s * sd + j) = flatBooks(off + j); j += 1 }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** `floor(x · scale)` per element — the tie-free portable quantizer as
     * one primitive loop (the `transform` HOF it replaces is interpreted).
     * Null elements stay null.
@@ -503,6 +548,97 @@ case class SqDistToLit(child: Expression, cent: Seq[Long]) extends UnaryExpressi
   override protected def withNewChildInternal(newChild: Expression): SqDistToLit =
     copy(child = newChild)
   override def prettyName: String = "sq_dist_lit"
+}
+
+/** `sq_dist(a, b)` — exact integer squared L2 distance between two
+  * quantized vector COLUMNS. The batch-ANN pair kernel: unlike
+  * [[SqDistToLit]] neither side is a plan-time literal, so one codegen'd
+  * primitive loop scores a (query-residual, reconstructed-candidate)
+  * pair inside whole-stage codegen.
+  */
+case class SqDistCols(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (VectorKernels.isLongArray(left) && VectorKernels.isLongArray(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<bigint> quantized vectors " +
+        s"(use quantize_floor first), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sqDistLongCols(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGen = left.genCode(ctx)
+    val bGen = right.genCode(ctx)
+    val boxed = ctx.freshName("sqdc")
+    ev.copy(code = code"""
+      ${aGen.code}
+      ${bGen.code}
+      boolean ${ev.isNull} = true;
+      long ${ev.value} = 0L;
+      if (!${aGen.isNull} && !${bGen.isNull}) {
+        java.lang.Long $boxed = graft.functions.VectorKernels.sqDistLongCols(
+          ${aGen.value}, ${bGen.value});
+        if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SqDistCols = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sq_dist"
+}
+
+/** `pq_reconstruct(codes)` — decode a row's m PQ codes to the
+  * codebook-reconstructed residual vector, one primitive loop over a
+  * plan-referenced flat codebook (m·k·sd longs — model-sized, shipped
+  * once per task like any referenced literal). Computed per CANDIDATE
+  * row BEFORE the batch probe join, so decode cost is O(corpus scanned),
+  * not O(query × candidate pairs).
+  */
+case class PqReconstruct(child: Expression, flatBooks: Array[Long],
+    m: Int, k: Int, sd: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (VectorKernels.isLongArray(child))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<bigint> code vector, got " +
+        s"${child.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.pqReconstruct(v.asInstanceOf[ArrayData], flatBooks, m, k, sd)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vGen = child.genCode(ctx)
+    val booksRef = ctx.addReferenceObj("flatBooks", flatBooks, "long[]")
+    val out = ctx.freshName("recon")
+    ev.copy(code = code"""
+      ${vGen.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${vGen.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $out =
+          graft.functions.VectorKernels.pqReconstruct(
+            ${vGen.value}, $booksRef, $m, $k, $sd);
+        if ($out != null) { ${ev.isNull} = false; ${ev.value} = $out; }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqReconstruct =
+    copy(child = newChild)
+  override def prettyName: String = "pq_reconstruct"
 }
 
 /** `quantize_floor(v, scale)` — floor(x·scale) per element as array<bigint>,

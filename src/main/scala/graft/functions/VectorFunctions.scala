@@ -73,6 +73,15 @@ object VectorFunctions {
     Bridge.column(SqDistToLit(Bridge.expression(v), cent))
   }
 
+  /** Exact integer squared L2 distance between two quantized vector
+    * COLUMNS ([[SqDistCols]], codegen'd) — the batch-ANN pair kernel,
+    * where neither side is a plan-time literal.
+    */
+  def sqDistQ(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(SqDistCols(Bridge.expression(a), Bridge.expression(b)))
+  }
+
   /** floor(x·scale) per element as array<bigint> ([[QuantizeFloorLong]],
     * codegen'd) — the tie-free engine-portable quantizer.
     */

@@ -559,6 +559,115 @@ object Similarity {
       .limit(n)
   }
 
+  /** Table-driven IVFADC-R: ONE job searches a whole QUERY FRAME against
+    * the encoded corpus — the arrival-dedup / offline-kNN shape
+    * ([[ivfPqTopKRerank]] is the single-vector online form; a driver
+    * loop over per-query plans stops scaling the moment "queries" means
+    * an arrival batch, not a literal). Per query the semantics are
+    * IDENTICAL to the single-vector path — same (distance, cid) probe
+    * ranking, same (adc_dist, id) top-`c` short-list, same exact
+    * re-ranked top-`n` — so a batch row hash-matches the corresponding
+    * single search (q119l's oracle replays each query's chain).
+    *
+    * Scale shape, stage by stage:
+    *  - probe assignment is MAP-ONLY on the query frame (k codegen'd
+    *    [[graft.functions.SqDistToLit]] distances per row, array_sort,
+    *    slice nprobe) + a broadcast join with the k-row centroid table
+    *    for the per-cell query residual;
+    *  - the probed-cell UNION (≤ coarseK values, collected from the
+    *    query side — one extra small job over `queries`, the cheap side
+    *    by definition) lands as an `isin` literal on the corpus scan, so
+    *    a stored cell no query probes is never read (PartitionFilters on
+    *    a cell-partitioned layout);
+    *  - candidates decode ONCE per stored row
+    *    ([[graft.functions.PqReconstruct]], codegen'd) BEFORE the pair
+    *    join — decode cost is O(corpus scanned), not O(pairs);
+    *  - pair scoring is an equi-join on `cell` followed by the codegen'd
+    *    [[graft.functions.SqDistCols]] kernel; parallelism is the
+    *    number of probed cells (production IVF sizes coarseK ~ √N, so
+    *    cells ≫ cores; AQE's skew split handles a hot cell);
+    *  - both top-k reductions shuffle SLIM rows only (query id,
+    *    candidate id, cell, one distance — the query/residual/
+    *    reconstructed arrays never enter an exchange; the full query
+    *    vector re-joins from the query frame only for the c-row
+    *    short-list).
+    *
+    * Contracts: `queryIdCol` must be unique per query row (it keys the
+    * per-query windows). A malformed query vector (wrong dims) scores
+    * null against every candidate and yields ZERO rows for that id —
+    * visible, never garbage ranks. Returns (queryIdCol, idCol, cell,
+    * adc_dist, exact_dist), `n` rows per query.
+    */
+  def ivfPqBatchTopKRerank(encoded: DataFrame, quant: DataFrame,
+      idCol: String, coarseCentroids: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, queryIdCol: String, queryQuantCol: String,
+      nprobe: Int, c: Int, n: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    require(c >= n, s"re-rank short-list c=$c must be >= n=$n")
+    val books = collectBooks(codebooks)
+    val m = books.length
+    val k = books(0).length
+    val sd = books(0)(0).length
+    val dims = m * sd
+    val rows = coarseCentroids.select(col("cid"), col("q")).collect()
+      .sortBy(_.getLong(0))
+    require(rows.nonEmpty, "empty coarse centroid table")
+    require(rows.zipWithIndex.forall { case (r, j) => r.getLong(0) == j },
+      "coarse centroid cids must be contiguous 0..k-1")
+    val cents = rows.map(_.getSeq[Long](1).toArray)
+    require(cents.forall(_.length == dims),
+      s"coarse centroids must have $dims dims")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val q0 = queries.select(col(queryIdCol), col(queryQuantCol).as("__qq"))
+    // probe ranking: same lexicographic (distance, cid) order as the
+    // single-query path's driver-side sort, here as an in-plan
+    // array_sort over k struct entries
+    val probeStruct = array(cents.zipWithIndex.map { case (ct, j) =>
+      struct(VectorFunctions.sqDistToLit(col("__qq"), ct.toSeq).as("d"),
+        lit(j.toLong).as("cell"))
+    }: _*)
+    val coarseLit = cents.zipWithIndex.toSeq
+      .map { case (ct, j) => (j.toLong, ct.toSeq) }.toDF("cell", "__cq")
+    val probes = q0
+      .select(col(queryIdCol), col("__qq"),
+        explode(slice(array_sort(probeStruct), 1, nprobe)).as("__p"))
+      .select(col(queryIdCol), col("__qq"), col("__p.cell").as("cell"))
+      .join(broadcast(coarseLit), Seq("cell"))
+      .select(col(queryIdCol), col("cell"),
+        zip_with(col("__qq"), col("__cq"), (a, b) => a - b).as("__qres"))
+    // probed-cell union: bounded by coarseK — the one extra (small) job
+    // over the query frame that buys corpus-scan pruning
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val recon = Bridge.column(graft.functions.PqReconstruct(
+      Bridge.expression(col("codes")), books.flatMap(_.flatMap(_.toSeq)),
+      m, k, sd))
+    val cand = encoded.filter(col("cell").isin(probedCells: _*))
+      .select(col(idCol), col("cell"), recon.as("__recon"))
+    val scored = probes.join(cand, Seq("cell"))
+      .select(col(queryIdCol), col(idCol), col("cell"),
+        VectorFunctions.sqDistQ(col("__qres"), col("__recon"))
+          .as("adc_dist"))
+      .filter(col("adc_dist").isNotNull)
+    val wAdc = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+    val short = scored.withColumn("__rn", row_number().over(wAdc))
+      .filter(col("__rn") <= c).drop("__rn")
+    val rr = short
+      .join(q0, Seq(queryIdCol))
+      .join(quant.select(col(idCol), col("q").as("__candq")), Seq(idCol))
+      .select(col(queryIdCol), col(idCol), col("cell"), col("adc_dist"),
+        VectorFunctions.sqDistQ(col("__qq"), col("__candq"))
+          .as("exact_dist"))
+      .filter(col("exact_dist").isNotNull)
+    val wEx = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("exact_dist").asc, col(idCol).asc)
+    rr.withColumn("__rn", row_number().over(wEx))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
   /** Recall@k of an ANN result against the exact top-k — THE number an
     * ANN deployment tunes `nprobe`/`c` by ("measure, don't guess": a
     * probe setting is not "good enough" until its recall says so).

@@ -91,6 +91,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q119l batch search prunes the stored scan to the UNION of " +
+    "probed cells (PartitionFilters from the isin literal) and keeps " +
+    "every join a hash join — no sort-merge of the corpus, no cartesian") {
+    val plan = planOf(q("q119l_ann_batch"))
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("ANN arrival encode (the append/applyBatch path) never shuffles " +
     "the batch: one scan, one broadcast of the model-sized local residual " +
     "table — per-batch ingest cost structurally cannot scale with the " +

@@ -346,6 +346,62 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.foldTombstones(spark, root, "vec_id") == folded)
   }
 
+  test("searchBatch: ONE table-driven job equals the single-vector " +
+    "search per query (same nprobe/c/n); a malformed query vector " +
+    "yields zero rows without poisoning the batch; retirements apply; " +
+    "misuse refuses") {
+    val root = Files.createTempDirectory("annix7").toString + "/index"
+    val emb = Lake.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0), "vec_id",
+      "embedding", root, dims = 64, coarseK = 4, coarseIters = 2,
+      m = 4, k = 4, iters = 2)
+    AnnIndex.append(emb.filter(col("vec_id") % 5 === 0), "vec_id",
+      "embedding", root)
+    val qids = (0L until 5L).toSeq
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def batchRows(qs: org.apache.spark.sql.DataFrame) =
+      AnnIndex.searchBatch(spark, root, "vec_id", qs, "query_id",
+        "embedding", nprobe = 2, c = 30, n = 10)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(t => (t._4, t._1))
+          .toSeq).toMap
+    def singleRows(qid: Long) =
+      AnnIndex.search(spark, root, "vec_id", quantOf(emb, qid),
+        nprobe = 2, c = 30, n = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val batch = batchRows(queries)
+    qids.foreach { qid =>
+      assert(batch(qid) == singleRows(qid), s"query $qid")
+    }
+    // a malformed query (wrong dims) scores null everywhere -> ZERO rows
+    // for that id, the rest of the batch untouched
+    import spark.implicits._
+    val withBad = queries.unionByName(
+      Seq((99L, Seq(1.0f, 2.0f, 3.0f))).toDF("query_id", "embedding"))
+    val mixed = batchRows(withBad)
+    assert(!mixed.contains(99L), "malformed query must yield no rows")
+    qids.foreach(qid => assert(mixed(qid) == batch(qid)))
+    // retirements exclude from the batch path exactly as from search
+    val victims = batch(0L).map(_._1).filter(_ != 0L).take(2)
+    AnnIndex.delete(victims.toDF("vec_id"), "vec_id", root)
+    val post = batchRows(queries)
+    qids.foreach { qid =>
+      assert(!post(qid).map(_._1).exists(victims.contains))
+      assert(post(qid) == singleRows(qid), s"query $qid post-delete")
+    }
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.searchBatch(spark, root, "vec_id", queries, "query_id",
+        "embedding", nprobe = 2, c = 5, n = 10)
+    }
+    assert(ex.getMessage.contains("must be >= n"))
+  }
+
   test("meanRecallAtK splits queries that differ in recall: the mean " +
     "sits strictly between a perfect and an imperfect query") {
     val emb = Lake.table(spark, sfDir, "embeddings")

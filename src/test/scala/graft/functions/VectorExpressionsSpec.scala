@@ -77,6 +77,56 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(bad(0).isNullAt(0))
   }
 
+  test("sqDistQ (column-column) matches the HOF zip_with/aggregate " +
+    "composition and sqDistToLit on the same pairs; mismatch or null " +
+    "element → null") {
+    val df = Seq(
+      (Seq(1L, -2L, 3L), Seq(4L, 0L, -3L)),
+      (Seq(0L, 0L, 0L), Seq(0L, 0L, 0L)),
+      (Seq(1000000L, -999999L, 123456L), Seq(-1000000L, 999999L, 0L))
+    ).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.sqDistQ(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v).as("hof")).collect()
+    r.foreach(row => assert(row.getLong(0) == row.getLong(1)))
+    // literal-side parity: sq_dist(v, lit) == sq_dist_lit(v)
+    val lits = Seq(4L, 0L, -3L)
+    val p = df.select(
+      VectorFunctions.sqDistQ(col("a"), typedLit(lits)).as("cols"),
+      VectorFunctions.sqDistToLit(col("a"), lits).as("lit")).collect()
+    p.foreach(row => assert(row.getLong(0) == row.getLong(1)))
+    val badDf = Seq(
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, 2L, 3L)),
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 2L))
+    ).toDF("a", "b")
+    val rb = badDf.select(VectorFunctions.sqDistQ(col("a"), col("b")))
+      .collect()
+    assert(rb(0).isNullAt(0) && rb(1).isNullAt(0))
+  }
+
+  test("pqReconstruct decodes codes to the concatenated codebook " +
+    "entries; out-of-range or miscounted codes → null") {
+    val books: Array[Array[Array[Long]]] = Array(
+      Array(Array(10L, 11L), Array(20L, 21L)), // sub 0: cids 0, 1
+      Array(Array(30L, 31L), Array(40L, 41L))) // sub 1: cids 0, 1
+    val flat = books.flatMap(_.flatMap(_.toSeq))
+    import org.apache.spark.sql.graftbridge.Bridge
+    def recon(c: org.apache.spark.sql.Column) =
+      Bridge.column(PqReconstruct(Bridge.expression(c), flat, 2, 2, 2))
+    val df = Seq(
+      Seq(0L, 1L),   // -> [10,11, 40,41]
+      Seq(1L, 0L),   // -> [20,21, 30,31]
+      Seq(2L, 0L),   // out-of-range cid -> null
+      Seq(0L)        // wrong m -> null
+    ).toDF("codes")
+    val r = df.select(recon(col("codes"))).collect()
+    assert(r(0).getSeq[Long](0) == Seq(10L, 11L, 40L, 41L))
+    assert(r(1).getSeq[Long](0) == Seq(20L, 21L, 30L, 31L))
+    assert(r(2).isNullAt(0))
+    assert(r(3).isNullAt(0))
+  }
+
   test("quantizeFloor kernel matches the transform HOF (floats and negatives)") {
     def hofQ(a: org.apache.spark.sql.Column, scale: Int) =
       transform(a, x => floor(x.cast("double") * scale).cast("long"))
