@@ -130,9 +130,12 @@ object AnnIndex {
     val coarse = VersionedLake.readTable(spark, root, "coarse", Some(v))
     val books = VersionedLake.readTable(spark, root, "codebooks", Some(v))
     val gc = VersionedLake.beginGroupCommit(spark, root)
-    gc.carry("coarse")
-    gc.carry("codebooks")
-    carryTombstonesIfPresent(spark, root, v, gc)
+    // carry EVERYTHING this commit does not write (model tables, pending
+    // tombstones, any future member): a group manifest lists only staged
+    // tables, and a per-table carry list would let the next optional
+    // table silently vanish from append commits
+    VersionedLake.groupTableRelFiles(spark, root, Some(v)).keys
+      .filterNot(Set("encoded", "quant")).toSeq.sorted.foreach(gc.carry)
     gc.write("encoded",
       Similarity.ivfPqEncode(src, idCol, vecCol, coarse, books, scale),
       mode = "append", partitionBy = Seq("cell"))
@@ -141,18 +144,6 @@ object AnnIndex {
       mode = "append")
     gc.publish()
   }
-
-  /** A group manifest lists ONLY staged tables, so every commit that is
-    * not a [[delete]] must re-list `tombstones` or pending retirements
-    * silently vanish. Shared by [[append]] and
-    * [[StreamingAnnIndex.applyBatch]]; a no-op before the first delete
-    * (the table does not exist yet).
-    */
-  private[flows] def carryTombstonesIfPresent(spark: SparkSession,
-      root: String, v: Long, gc: VersionedLake.GroupCommit): Unit =
-    if (VersionedLake.groupTableRelFiles(spark, root, Some(v))
-        .contains(Tombstones))
-      gc.carry(Tombstones)
 
   private val Tombstones = "tombstones"
 
@@ -184,22 +175,38 @@ object AnnIndex {
     * Ids not present in the index are harmless (the anti-join never
     * matches them). [[search]] and [[recallProbe]] exclude tombstoned
     * ids from that version on; the physical codes remain until
-    * [[foldTombstones]]. Same single-logical-writer discipline as
-    * [[append]] (driver-invoked, claim-serialized); deletes compose with
-    * [[StreamingAnnIndex]] ingest because [[StreamingAnnIndex.applyBatch]]
-    * carries the table on every batch. Returns the committed version.
+    * [[foldTombstones]]. Deletes compose with [[StreamingAnnIndex]]
+    * ingest from BOTH sides: [[StreamingAnnIndex.applyBatch]] carries
+    * the tombstone table on every batch, and this commit publishes
+    * race-DETECTED (`publishIfBaseIs` — the carry list was read at the
+    * base version, so publishing past an interleaved batch commit would
+    * silently drop that batch's appended files) with a bounded retry
+    * from the new latest version; retirement batches are metadata-cheap,
+    * so retrying is cheaper than a claim-ordering protocol. Returns the
+    * committed version.
     */
-  def delete(ids: DataFrame, idCol: String, root: String): Long = {
+  def delete(ids: DataFrame, idCol: String, root: String,
+      maxAttempts: Int = 5,
+      raceWindow: () => Unit = () => ()): Long = {
     val spark = ids.sparkSession
-    val v = latestVersion(spark, root)
-    val others = VersionedLake.groupTableRelFiles(spark, root, Some(v))
-      .keys.filterNot(_ == Tombstones).toSeq.sorted
-    val gc = VersionedLake.beginGroupCommit(spark, root)
-    others.foreach(gc.carry)
-    gc.write(Tombstones,
-      ids.select(col(idCol).cast("long").as(idCol)).distinct(),
-      mode = "append")
-    gc.publish()
+    val retired = ids.select(col(idCol).cast("long").as(idCol)).distinct()
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = latestVersion(spark, root)
+      val others = VersionedLake.groupTableRelFiles(spark, root, Some(v))
+        .keys.filterNot(_ == Tombstones).toSeq.sorted
+      val gc = VersionedLake.beginGroupCommit(spark, root)
+      others.foreach(gc.carry)
+      gc.write(Tombstones, retired, mode = "append")
+      raceWindow()
+      gc.publishIfBaseIs(v) match {
+        case Some(nv) => return nv
+        case None => attempt += 1 // a commit raced past v — re-carry and retry
+      }
+    }
+    throw new IllegalStateException(
+      s"AnnIndex.delete at $root lost the commit race $maxAttempts times " +
+        "(concurrent ingest running hot? retry, or retire via a quieter window)")
   }
 
   /** Fold pending retirements into the data: rewrite `encoded` and
@@ -305,8 +312,10 @@ object AnnIndex {
       .persist()
     // retired ids leave BOTH sides of the dial: the approx side must not
     // surface them, and the exact side must not count a dead doc as a
-    // miss the approx side was right to skip
-    val tomb = tombstonesOpt(spark, root, v, idCol)
+    // miss the approx side was right to skip. Persisted for the probe
+    // loop like the model tables — 2N per-query subplans would otherwise
+    // re-read the same small parquet 2N times
+    val tomb = tombstonesOpt(spark, root, v, idCol).map(_.persist())
     val encoded = minusTombstones(
       VersionedLake.readTable(spark, root, "encoded", Some(v),
         schemaDDL = s"$idCol BIGINT, codes ARRAY<BIGINT>, cell BIGINT"),
@@ -334,7 +343,9 @@ object AnnIndex {
         perQuery.map(_._1).reduce(_.unionByName(_)),
         perQuery.map(_._2).reduce(_.unionByName(_)),
         idCol, "query_id", k)
-    } finally { coarse.unpersist(); books.unpersist(); () }
+    } finally {
+      coarse.unpersist(); books.unpersist(); tomb.foreach(_.unpersist()); ()
+    }
   }
 
   /** IVFADC-R search over the stored index

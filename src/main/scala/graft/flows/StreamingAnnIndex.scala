@@ -126,11 +126,13 @@ object StreamingAnnIndex {
     val coarse = VersionedLake.readTable(spark, root, "coarse", Some(v))
     val books = VersionedLake.readTable(spark, root, "codebooks", Some(v))
     val gc = VersionedLake.beginGroupCommit(spark, root)
-    gc.carry("coarse")
-    gc.carry("codebooks")
-    // a retirement ([[AnnIndex.delete]]) between batches must survive
-    // this batch's commit — an unmentioned table vanishes from the group
-    AnnIndex.carryTombstonesIfPresent(spark, root, v, gc)
+    // carry EVERYTHING this commit does not write — model tables AND a
+    // mid-stream retirement's tombstones ([[AnnIndex.delete]]): a group
+    // manifest lists only staged tables, so a hardcoded carry list would
+    // let the next optional member silently vanish from batch commits
+    VersionedLake.groupTableRelFiles(spark, root, Some(v)).keys
+      .filterNot(Set("encoded", "quant", "applied")).toSeq.sorted
+      .foreach(gc.carry)
     gc.write("encoded",
       Similarity.ivfPqEncode(src, idCol, vecCol, coarse, books, scale),
       mode = "append", partitionBy = Seq("cell"))

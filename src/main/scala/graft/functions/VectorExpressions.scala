@@ -259,20 +259,26 @@ object VectorKernels {
     * concat of codebook[s][code_s] as one primitive loop over the flat
     * codebook array (layout `[(s·k + cid)·sd + j]`). The per-CANDIDATE
     * half of batch ADC scoring: computed once per stored row, however
-    * many queries probe its cell. Null/miscounted codes or a code
-    * outside [0, k) → null (a foreign-model code table must not decode
-    * to garbage distances).
+    * many queries probe its cell. Miscounted/null-element codes or a
+    * code outside [0, k) RAISE with the same branded message as the
+    * single-query ADC path (`adcDistExpr`): stored-side corruption —
+    * stale or foreign codebooks against this code table — must fail
+    * loudly, never be silently dropped or decoded to garbage distances.
     */
   def pqReconstruct(codes: ArrayData, flatBooks: Array[Long], m: Int,
       k: Int, sd: Int): ArrayData = {
-    if (codes == null || codes.numElements() != m) return null
+    if (codes == null) return null
+    def corrupt(): Nothing = throw new IllegalStateException(
+      "Similarity.pq: code outside the codebook range (stale or " +
+        "mismatched codebooks?)")
+    if (codes.numElements() != m) corrupt()
     var s = 0
-    while (s < m) { if (codes.isNullAt(s)) return null; s += 1 }
+    while (s < m) { if (codes.isNullAt(s)) corrupt(); s += 1 }
     val out = new Array[Long](m * sd)
     s = 0
     while (s < m) {
       val c = codes.getLong(s)
-      if (c < 0 || c >= k) return null
+      if (c < 0 || c >= k) corrupt()
       val off = (s * k + c.toInt) * sd
       var j = 0
       while (j < sd) { out(s * sd + j) = flatBooks(off + j); j += 1 }
@@ -601,12 +607,17 @@ case class SqDistCols(left: Expression, right: Expression)
   * plan-referenced flat codebook (m·k·sd longs — model-sized, shipped
   * once per task like any referenced literal). Computed per CANDIDATE
   * row BEFORE the batch probe join, so decode cost is O(corpus scanned),
-  * not O(query × candidate pairs).
+  * not O(query × candidate pairs). Corrupt codes raise (see the kernel).
+  * The codebook is held as a Seq so case-class equality is by VALUE
+  * (an Array field compares by reference and would defeat Catalyst
+  * common-subexpression/exchange reuse — [[SqDistToLit]] makes the same
+  * choice); the eval/codegen path reads the flattened array.
   */
-case class PqReconstruct(child: Expression, flatBooks: Array[Long],
+case class PqReconstruct(child: Expression, books: Seq[Long],
     m: Int, k: Int, sd: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
+  @transient private lazy val flatBooks: Array[Long] = books.toArray
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {

@@ -454,19 +454,30 @@ object Similarity {
     * path never refits, so stored and arriving codes share one geometry.
     * Returns (idCol, cell, codes).
     */
+  /** Coarse centroids collected + validated for a map-only consumer:
+    * contiguous cids 0..coarseK−1, uniform `dims`. ONE definition shared
+    * by [[ivfPqEncode]] and [[ivfPqBatchTopKRerank]], so a validation
+    * fix can never land in one path and not the other.
+    */
+  private def collectContiguousCentroids(coarseCentroids: DataFrame,
+      dims: Int): Array[Array[Long]] = {
+    val rows = coarseCentroids.select(col("cid"), col("q")).collect()
+      .sortBy(_.getLong(0))
+    require(rows.nonEmpty, "empty coarse centroid table")
+    require(rows.zipWithIndex.forall { case (r, j) => r.getLong(0) == j },
+      "coarse centroid cids must be contiguous 0..coarseK-1")
+    val cents = rows.map(_.getSeq[Long](1).toArray)
+    require(cents.forall(_.length == dims),
+      s"coarse centroids must have $dims dims")
+    cents
+  }
+
   def ivfPqEncode(df: DataFrame, idCol: String, vecCol: String,
       coarseCentroids: DataFrame, codebooks: DataFrame,
       scale: Int = Cluster.QuantScale): DataFrame = {
     val books = collectBooks(codebooks)
     val dims = books.length * books(0)(0).length
-    val rows = coarseCentroids.select(col("cid"), col("q")).collect()
-      .sortBy(_.getLong(0))
-    require(rows.nonEmpty, "empty coarse centroid table")
-    require(rows.zipWithIndex.forall { case (r, j) => r.getLong(0) == j },
-      "coarse centroid cids must be contiguous 0..k-1")
-    val cents = rows.map(_.getSeq[Long](1).toArray)
-    require(cents.forall(_.length == dims),
-      s"coarse centroids must have $dims dims")
+    val cents = collectContiguousCentroids(coarseCentroids, dims)
     val spark = df.sparkSession
     import spark.implicits._
     val coarseLit = cents.zipWithIndex.toSeq
@@ -592,11 +603,19 @@ object Similarity {
     *    vector re-joins from the query frame only for the c-row
     *    short-list).
     *
-    * Contracts: `queryIdCol` must be unique per query row (it keys the
-    * per-query windows). A malformed query vector (wrong dims) scores
-    * null against every candidate and yields ZERO rows for that id —
-    * visible, never garbage ranks. Returns (queryIdCol, idCol, cell,
-    * adc_dist, exact_dist), `n` rows per query.
+    * Contracts: `queryIdCol` must be unique and non-null per query row
+    * (it keys the per-query windows) — ENFORCED, piggybacked on the
+    * probe aggregate, because a duplicate id would silently interleave
+    * two queries' candidates in one window. A malformed QUERY vector
+    * (wrong dims) scores null against every candidate and yields ZERO
+    * rows for that id — visible, never garbage ranks — and is dropped
+    * from the probed-cell union so it cannot widen the corpus scan.
+    * Corrupt STORED codes (outside the codebook range) RAISE, exactly
+    * like the single-query ADC path ([[graft.functions.PqReconstruct]]);
+    * a stored row whose codes cell is NULL, or whose quant row length
+    * mismatches the query grid, is excluded from rankings by the
+    * null-distance filters. Returns (queryIdCol, idCol, cell, adc_dist,
+    * exact_dist), `n` rows per query.
     */
   def ivfPqBatchTopKRerank(encoded: DataFrame, quant: DataFrame,
       idCol: String, coarseCentroids: DataFrame, codebooks: DataFrame,
@@ -609,41 +628,48 @@ object Similarity {
     val k = books(0).length
     val sd = books(0)(0).length
     val dims = m * sd
-    val rows = coarseCentroids.select(col("cid"), col("q")).collect()
-      .sortBy(_.getLong(0))
-    require(rows.nonEmpty, "empty coarse centroid table")
-    require(rows.zipWithIndex.forall { case (r, j) => r.getLong(0) == j },
-      "coarse centroid cids must be contiguous 0..k-1")
-    val cents = rows.map(_.getSeq[Long](1).toArray)
-    require(cents.forall(_.length == dims),
-      s"coarse centroids must have $dims dims")
+    val cents = collectContiguousCentroids(coarseCentroids, dims)
     val spark = encoded.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.Bridge
     val q0 = queries.select(col(queryIdCol), col(queryQuantCol).as("__qq"))
     // probe ranking: same lexicographic (distance, cid) order as the
     // single-query path's driver-side sort, here as an in-plan
-    // array_sort over k struct entries
+    // array_sort over k struct entries; a malformed query's all-null
+    // distances are dropped HERE so it cannot smuggle arbitrary cells
+    // into the scan-pruning union below
     val probeStruct = array(cents.zipWithIndex.map { case (ct, j) =>
       struct(VectorFunctions.sqDistToLit(col("__qq"), ct.toSeq).as("d"),
         lit(j.toLong).as("cell"))
     }: _*)
-    val coarseLit = cents.zipWithIndex.toSeq
-      .map { case (ct, j) => (j.toLong, ct.toSeq) }.toDF("cell", "__cq")
     val probes = q0
       .select(col(queryIdCol), col("__qq"),
         explode(slice(array_sort(probeStruct), 1, nprobe)).as("__p"))
+      .filter(col("__p.d").isNotNull)
       .select(col(queryIdCol), col("__qq"), col("__p.cell").as("cell"))
-      .join(broadcast(coarseLit), Seq("cell"))
+      .join(broadcast(cents.zipWithIndex.toSeq
+        .map { case (ct, j) => (j.toLong, ct.toSeq) }.toDF("cell", "__cq")),
+        Seq("cell"))
       .select(col(queryIdCol), col("cell"),
         zip_with(col("__qq"), col("__cq"), (a, b) => a - b).as("__qres"))
-    // probed-cell union: bounded by coarseK — the one extra (small) job
-    // over the query frame that buys corpus-scan pruning
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // ONE small job over the query frame answers two questions: the
+    // probed-cell union (bounded by coarseK — buys corpus-scan pruning)
+    // and the uniqueness contract on queryIdCol (each well-formed query
+    // contributes exactly min(nprobe, coarseK) probe rows, so a
+    // duplicate id is visible as row count > distinct ids × that) —
+    // without it, duplicate ids would silently interleave two queries'
+    // candidates in one window and return garbage ranks
+    val probeAgg = probes.agg(collect_set(col("cell")),
+      count(lit(1)), count_distinct(col(queryIdCol))).head()
+    val probedCells = probeAgg.getSeq[Long](0)
+    require(probeAgg.getLong(1) ==
+      probeAgg.getLong(2) * math.min(nprobe, cents.length),
+      s"queryIdCol '$queryIdCol' must be unique (and non-null) per " +
+        s"query row — ${probeAgg.getLong(1)} probe rows from " +
+        s"${probeAgg.getLong(2)} distinct ids")
     val recon = Bridge.column(graft.functions.PqReconstruct(
-      Bridge.expression(col("codes")), books.flatMap(_.flatMap(_.toSeq)),
-      m, k, sd))
+      Bridge.expression(col("codes")),
+      books.flatMap(_.flatMap(_.toSeq)).toSeq, m, k, sd))
     val cand = encoded.filter(col("cell").isin(probedCells: _*))
       .select(col(idCol), col("cell"), recon.as("__recon"))
     val scored = probes.join(cand, Seq("cell"))

@@ -279,6 +279,31 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.delete(Seq(1L).toDF("vec_id"), "vec_id", s"$root-nowhere")
     }
     assert(ex.getMessage.contains("no ANN index"))
+    // a delete RACED by an interleaved append detects the race and
+    // retries from the new version — neither the appended batch nor the
+    // retirement is lost (the naive publish would carry the pre-append
+    // file lists and silently drop the batch)
+    val total = VersionedLake.readTable(spark, root, "encoded",
+        schemaDDL = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
+      .count()
+    val extra = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id") + 2000000, col("embedding"))
+      .toDF("vec_id", "embedding")
+    var fired = false
+    AnnIndex.delete(Seq(2000000L).toDF("vec_id"), "vec_id", root,
+      raceWindow = () => if (!fired) {
+        fired = true
+        AnnIndex.append(extra, "vec_id", "embedding", root)
+        ()
+      })
+    assert(fired)
+    assert(VersionedLake.readTable(spark, root, "encoded",
+        schemaDDL = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
+      .count() == total + 1, "the raced append's row must survive")
+    assert(VersionedLake.readTable(spark, root, "tombstones",
+        schemaDDL = "vec_id BIGINT")
+      .collect().map(_.getLong(0)).toSet
+        .contains(2000000L), "the retried retirement must land")
   }
 
   test("foldTombstones rewrites the dead codes out — value-invisible to " +
@@ -400,6 +425,14 @@ class AnnIndexSpec extends SparkSpec {
         "embedding", nprobe = 2, c = 5, n = 10)
     }
     assert(ex.getMessage.contains("must be >= n"))
+    // a duplicate query id would interleave two queries' candidates in
+    // one window — refused loudly, not returned as garbage ranks
+    val dup = queries.unionByName(queries.filter(col("query_id") === 0))
+    val ex2 = intercept[IllegalArgumentException] {
+      AnnIndex.searchBatch(spark, root, "vec_id", dup, "query_id",
+        "embedding", nprobe = 2, c = 30, n = 10)
+    }
+    assert(ex2.getMessage.contains("must be unique"))
   }
 
   test("meanRecallAtK splits queries that differ in recall: the mean " +

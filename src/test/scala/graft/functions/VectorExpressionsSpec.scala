@@ -106,25 +106,41 @@ class VectorExpressionsSpec extends SparkSpec {
   }
 
   test("pqReconstruct decodes codes to the concatenated codebook " +
-    "entries; out-of-range or miscounted codes → null") {
+    "entries; out-of-range or miscounted codes FAIL LOUDLY with the " +
+    "shared branded message; value-equal instances compare equal") {
     val books: Array[Array[Array[Long]]] = Array(
       Array(Array(10L, 11L), Array(20L, 21L)), // sub 0: cids 0, 1
       Array(Array(30L, 31L), Array(40L, 41L))) // sub 1: cids 0, 1
-    val flat = books.flatMap(_.flatMap(_.toSeq))
+    val flat = books.flatMap(_.flatMap(_.toSeq)).toSeq
     import org.apache.spark.sql.graftbridge.Bridge
     def recon(c: org.apache.spark.sql.Column) =
       Bridge.column(PqReconstruct(Bridge.expression(c), flat, 2, 2, 2))
-    val df = Seq(
-      Seq(0L, 1L),   // -> [10,11, 40,41]
-      Seq(1L, 0L),   // -> [20,21, 30,31]
-      Seq(2L, 0L),   // out-of-range cid -> null
-      Seq(0L)        // wrong m -> null
-    ).toDF("codes")
-    val r = df.select(recon(col("codes"))).collect()
+    val r = Seq(Seq(0L, 1L), Seq(1L, 0L)).toDF("codes")
+      .select(recon(col("codes"))).collect()
     assert(r(0).getSeq[Long](0) == Seq(10L, 11L, 40L, 41L))
     assert(r(1).getSeq[Long](0) == Seq(20L, 21L, 30L, 31L))
-    assert(r(2).isNullAt(0))
-    assert(r(3).isNullAt(0))
+    // stored-side corruption is LOUD, same contract (and message) as the
+    // single-query ADC guard — never a silently dropped candidate
+    Seq(Seq(2L, 0L) -> "out-of-range cid", Seq(0L) -> "wrong m").foreach {
+      case (codes, why) =>
+        val ex = intercept[Exception] {
+          Seq(codes).toDF("codes").select(recon(col("codes"))).collect()
+        }
+        def chain(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ chain(t.getCause)
+        assert(chain(ex).exists(_.contains("outside the codebook range")),
+          s"$why must raise the branded message, got: ${chain(ex)}")
+    }
+    // codebook held as Seq -> VALUE equality (an Array field would
+    // compare by reference and defeat Catalyst subexpression reuse).
+    // One shared child isolates the books field (Spark 4 Columns carry
+    // call-site origins that differ between two col(...) constructions)
+    val child = Bridge.expression(col("codes"))
+    val e1 = PqReconstruct(child, flat, 2, 2, 2)
+    val e2 = PqReconstruct(child,
+      books.flatMap(_.flatMap(_.toSeq)).toSeq, 2, 2, 2)
+    assert(e1 == e2)
   }
 
   test("quantizeFloor kernel matches the transform HOF (floats and negatives)") {
