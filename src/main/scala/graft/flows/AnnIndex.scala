@@ -120,30 +120,66 @@ object AnnIndex {
     * stream must use [[StreamingAnnIndex]] instead, whose `applied`
     * marker makes crash-replayed batches no-ops. Pending tombstones are
     * carried (retirements survive every append).
+    *
+    * RACE-DETECTED like every other writer here (`publishIfBaseIs` with
+    * a bounded retry): the carry list and model reads resolve at the
+    * commit's own base version, and the publish aborts if any commit
+    * lands (or holds an unexpired lower claim) inside the
+    * claim→publish window. Without the detection, an append racing a
+    * [[delete]] could publish a carry list read BEFORE the delete
+    * landed — re-listing the pre-delete tombstone state (or omitting
+    * the table entirely on a first delete) and silently dropping a
+    * retirement the delete reported as committed. A retry re-encodes
+    * the batch (map-only, O(batch)); races are per-commit-window rare.
     */
   def append(batch: DataFrame, idCol: String, vecCol: String, root: String,
-      scale: Int = Cluster.QuantScale): Long = {
+      scale: Int = Cluster.QuantScale, maxAttempts: Int = 5,
+      raceWindow: () => Unit = () => ()): Long = {
     val spark = batch.sparkSession
-    // one version resolve pins every read in the append (group consistency)
-    val v = latestVersion(spark, root)
+    latestVersion(spark, root) // branded require before claiming a number
     val src = normalized(batch, idCol, vecCol)
-    val coarse = VersionedLake.readTable(spark, root, "coarse", Some(v))
-    val books = VersionedLake.readTable(spark, root, "codebooks", Some(v))
-    val gc = VersionedLake.beginGroupCommit(spark, root)
-    // carry EVERYTHING this commit does not write (model tables, pending
-    // tombstones, any future member): a group manifest lists only staged
-    // tables, and a per-table carry list would let the next optional
-    // table silently vanish from append commits
-    VersionedLake.groupTableRelFiles(spark, root, Some(v)).keys
-      .filterNot(Set("encoded", "quant")).toSeq.sorted.foreach(gc.carry)
-    gc.write("encoded",
-      Similarity.ivfPqEncode(src, idCol, vecCol, coarse, books, scale),
-      mode = "append", partitionBy = Seq("cell"))
-    gc.write("quant", src.select(col(idCol),
-      Cluster.quantizeFloor(col(vecCol), scale).as("q")),
-      mode = "append")
-    gc.publish()
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val gc = VersionedLake.beginGroupCommit(spark, root)
+      VersionedLake.runOrAbort(gc) {
+        // every read + carry resolves at the commit's OWN base (group
+        // consistency; a separately-read "latest" can trail the claim)
+        val v = gc.basedOn.get
+        val coarse = VersionedLake.readTable(spark, root, "coarse", Some(v))
+        val books = VersionedLake.readTable(spark, root, "codebooks", Some(v))
+        // carry EVERYTHING this commit does not write (model tables,
+        // pending tombstones, any future member): a group manifest lists
+        // only staged tables, and a per-table carry list would let the
+        // next optional table silently vanish from append commits
+        VersionedLake.groupTableRelFiles(spark, root, Some(v)).keys
+          .filterNot(Set("encoded", "quant")).toSeq.sorted.foreach(gc.carry)
+        gc.write("encoded",
+          Similarity.ivfPqEncode(src, idCol, vecCol, coarse, books, scale),
+          mode = "append", partitionBy = Seq("cell"))
+        gc.write("quant", src.select(col(idCol),
+          Cluster.quantizeFloor(col(vecCol), scale).as("q")),
+          mode = "append")
+        raceWindow()
+        gc.publishIfBaseIs(v)
+      } match {
+        case Some(nv) => return nv
+        case None => attempt += 1; retryBackoff(attempt)
+      }
+    }
+    throw new IllegalStateException(
+      s"AnnIndex.append at $root lost the commit race $maxAttempts times " +
+        "(concurrent retirement/maintenance running hot? retry)")
   }
+
+  /** Linear backoff between commit-race retries: the usual loser is a
+    * writer whose publish window overlapped an in-flight LOWER claim
+    * (lowest claim wins — see `publishIfBaseIs`); that winner publishes
+    * within milliseconds of its own window closing, so a short wait
+    * converts a burned attempt into a clean rebase instead of spinning
+    * the bounded retry budget against a still-open window.
+    */
+  private[flows] def retryBackoff(attempt: Int): Unit =
+    Thread.sleep(math.min(500L, 50L * attempt))
 
   private val Tombstones = "tombstones"
 
@@ -189,19 +225,24 @@ object AnnIndex {
       maxAttempts: Int = 5,
       raceWindow: () => Unit = () => ()): Long = {
     val spark = ids.sparkSession
+    latestVersion(spark, root) // branded require before claiming a number
     val retired = ids.select(col(idCol).cast("long").as(idCol)).distinct()
     var attempt = 0
     while (attempt < maxAttempts) {
-      val v = latestVersion(spark, root)
-      val others = VersionedLake.groupTableRelFiles(spark, root, Some(v))
-        .keys.filterNot(_ == Tombstones).toSeq.sorted
       val gc = VersionedLake.beginGroupCommit(spark, root)
-      others.foreach(gc.carry)
-      gc.write(Tombstones, retired, mode = "append")
-      raceWindow()
-      gc.publishIfBaseIs(v) match {
+      VersionedLake.runOrAbort(gc) {
+        // the carry set derives from the commit's OWN base version — a
+        // separately-read latest can trail the claim (a fold landing in
+        // the gap) and make carry() throw instead of retrying
+        val v = gc.basedOn.get
+        VersionedLake.groupTableRelFiles(spark, root, Some(v))
+          .keys.filterNot(_ == Tombstones).toSeq.sorted.foreach(gc.carry)
+        gc.write(Tombstones, retired, mode = "append")
+        raceWindow()
+        gc.publishIfBaseIs(v)
+      } match {
         case Some(nv) => return nv
-        case None => attempt += 1 // a commit raced past v — re-carry and retry
+        case None => attempt += 1; retryBackoff(attempt)
       }
     }
     throw new IllegalStateException(
@@ -228,30 +269,42 @@ object AnnIndex {
   def foldTombstones(spark: SparkSession, root: String, idCol: String,
       keepVersions: Int = 2,
       raceWindow: () => Unit = () => ()): Long = {
-    val v = latestVersion(spark, root)
-    tombstonesOpt(spark, root, v, idCol) match {
-      case None => v
-      case Some(tomb) =>
-        val rel = VersionedLake.groupTableRelFiles(spark, root, Some(v))
-        val encoded = VersionedLake.readTable(spark, root, "encoded",
-          Some(v), schemaDDL = s"$idCol BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
-        val quant = VersionedLake.readTable(spark, root, "quant", Some(v),
-          schemaDDL = s"$idCol BIGINT, q ARRAY<BIGINT>")
-        val gc = VersionedLake.beginGroupCommit(spark, root)
-        rel.keys.filterNot(Set("encoded", "quant", Tombstones)).toSeq.sorted
-          .foreach(gc.carry)
-        gc.write("encoded", minusTombstones(encoded, Some(tomb), idCol),
-          partitionBy = Seq("cell"))
-        gc.write("quant", minusTombstones(quant, Some(tomb), idCol))
-        raceWindow()
-        gc.publishIfBaseIs(v) match {
-          case None => VersionedLake.versions(spark, root).last
-          case Some(nv) =>
-            val committed = VersionedLake.versions(spark, root)
-            VersionedLake.vacuumGroup(spark, root,
-              keepFrom = committed.takeRight(keepVersions).head)
-            nv
-        }
+    val v0 = latestVersion(spark, root)
+    // no-op pre-check at the CURRENT latest, so a fold with nothing
+    // pending never claims (and aborts) a version number
+    if (tombstonesOpt(spark, root, v0, idCol).isEmpty) return v0
+    val gc = VersionedLake.beginGroupCommit(spark, root)
+    VersionedLake.runOrAbort(gc) {
+      // re-resolve everything at the commit's OWN base: a commit landing
+      // between the pre-check and the claim must not desync the carry
+      // list from the rewrite reads
+      val v = gc.basedOn.get
+      tombstonesOpt(spark, root, v, idCol) match {
+        case None => // folded in the gap — nothing pending at our base
+          gc.abort()
+          VersionedLake.versions(spark, root).last
+        case Some(tomb) =>
+          val rel = VersionedLake.groupTableRelFiles(spark, root, Some(v))
+          val encoded = VersionedLake.readTable(spark, root, "encoded",
+            Some(v),
+            schemaDDL = s"$idCol BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
+          val quant = VersionedLake.readTable(spark, root, "quant", Some(v),
+            schemaDDL = s"$idCol BIGINT, q ARRAY<BIGINT>")
+          rel.keys.filterNot(Set("encoded", "quant", Tombstones)).toSeq
+            .sorted.foreach(gc.carry)
+          gc.write("encoded", minusTombstones(encoded, Some(tomb), idCol),
+            partitionBy = Seq("cell"))
+          gc.write("quant", minusTombstones(quant, Some(tomb), idCol))
+          raceWindow()
+          gc.publishIfBaseIs(v) match {
+            case None => VersionedLake.versions(spark, root).last
+            case Some(nv) =>
+              val committed = VersionedLake.versions(spark, root)
+              VersionedLake.vacuumGroup(spark, root,
+                keepFrom = committed.takeRight(keepVersions).head)
+              nv
+          }
+      }
     }
   }
 

@@ -108,40 +108,67 @@ object StreamingAnnIndex {
     * encode → atomic group commit. Public for spec-level direct driving;
     * the streaming writer is a thin shell over this. Returns true iff
     * the batch applied (false = replay short-circuit).
+    *
+    * RACE-DETECTED like [[AnnIndex.append]] (`publishIfBaseIs`, bounded
+    * retry): a mid-stream [[AnnIndex.delete]] landing inside the batch's
+    * claim→publish window would otherwise be superseded by a carry list
+    * read before it — silently un-retiring documents. The marker check
+    * re-runs per attempt at the retried base (the raced commit can never
+    * be this stream's own batch — only this flow writes `applied`).
     */
   def applyBatch(batch: DataFrame, batchId: Long, idCol: String,
-      vecCol: String, root: String, scale: Int): Boolean = {
+      vecCol: String, root: String, scale: Int, maxAttempts: Int = 5,
+      raceWindow: () => Unit = () => ()): Boolean = {
     val spark = batch.sparkSession
-    // one version resolve for EVERY read in the batch, marker included
-    // (group consistency)
-    val vs = VersionedLake.versions(spark, root)
-    require(vs.nonEmpty, s"no streaming ANN state at $root (run setup first)")
-    val v = vs.last
-    // replay short-circuit: the marker committed ATOMICALLY with the
-    // data, so "applied says done" ⟺ "this batch's codes are visible"
-    val lastApplied = VersionedLake.readTable(spark, root, "applied",
-      Some(v)).head().getLong(0)
-    if (batchId <= lastApplied) return false
+    require(VersionedLake.versions(spark, root).nonEmpty,
+      s"no streaming ANN state at $root (run setup first)")
     val src = AnnIndex.normalized(batch, idCol, vecCol)
-    val coarse = VersionedLake.readTable(spark, root, "coarse", Some(v))
-    val books = VersionedLake.readTable(spark, root, "codebooks", Some(v))
-    val gc = VersionedLake.beginGroupCommit(spark, root)
-    // carry EVERYTHING this commit does not write — model tables AND a
-    // mid-stream retirement's tombstones ([[AnnIndex.delete]]): a group
-    // manifest lists only staged tables, so a hardcoded carry list would
-    // let the next optional member silently vanish from batch commits
-    VersionedLake.groupTableRelFiles(spark, root, Some(v)).keys
-      .filterNot(Set("encoded", "quant", "applied")).toSeq.sorted
-      .foreach(gc.carry)
-    gc.write("encoded",
-      Similarity.ivfPqEncode(src, idCol, vecCol, coarse, books, scale),
-      mode = "append", partitionBy = Seq("cell"))
-    gc.write("quant", src.select(col(idCol),
-      Cluster.quantizeFloor(col(vecCol), scale).as("q")),
-      mode = "append")
-    gc.write("applied", marker(spark, batchId))
-    gc.publish()
-    true
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val gc = VersionedLake.beginGroupCommit(spark, root)
+      // Some(applied?) = this attempt resolved; None = raced, retry
+      val outcome: Option[Boolean] = VersionedLake.runOrAbort(gc) {
+        // one version — the commit's own base — for EVERY read in the
+        // batch, marker included (group consistency)
+        val v = gc.basedOn.get
+        // replay short-circuit: the marker committed ATOMICALLY with the
+        // data, so "applied says done" ⟺ "this batch's codes are visible"
+        val lastApplied = VersionedLake.readTable(spark, root, "applied",
+          Some(v)).head().getLong(0)
+        if (batchId <= lastApplied) { gc.abort(); Some(false) }
+        else {
+          val coarse = VersionedLake.readTable(spark, root, "coarse",
+            Some(v))
+          val books = VersionedLake.readTable(spark, root, "codebooks",
+            Some(v))
+          // carry EVERYTHING this commit does not write — model tables
+          // AND a mid-stream retirement's tombstones
+          // ([[AnnIndex.delete]]): a group manifest lists only staged
+          // tables, so a hardcoded carry list would let the next
+          // optional member silently vanish from batch commits
+          VersionedLake.groupTableRelFiles(spark, root, Some(v)).keys
+            .filterNot(Set("encoded", "quant", "applied")).toSeq.sorted
+            .foreach(gc.carry)
+          gc.write("encoded",
+            Similarity.ivfPqEncode(src, idCol, vecCol, coarse, books,
+              scale),
+            mode = "append", partitionBy = Seq("cell"))
+          gc.write("quant", src.select(col(idCol),
+            Cluster.quantizeFloor(col(vecCol), scale).as("q")),
+            mode = "append")
+          gc.write("applied", marker(spark, batchId))
+          raceWindow()
+          gc.publishIfBaseIs(v).map(_ => true)
+        }
+      }
+      outcome match {
+        case Some(applied) => return applied
+        case None => attempt += 1; AnnIndex.retryBackoff(attempt)
+      }
+    }
+    throw new IllegalStateException(
+      s"StreamingAnnIndex.applyBatch at $root lost the commit race " +
+        s"$maxAttempts times (concurrent retirement running hot? retry)")
   }
 
   /** Retention pass ([[StreamingRetention.compactState]]): incremental

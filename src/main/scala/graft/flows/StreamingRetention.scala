@@ -118,9 +118,16 @@ private[flows] object StreamingRetention {
       keepVersions: Int = 2,
       raceWindow: () => Unit = () => ()): Long = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
-    val vs = VersionedLake.versions(spark, root)
-    require(vs.nonEmpty, s"no streaming state at $root")
-    val v = vs.last
+    require(VersionedLake.versions(spark, root).nonEmpty,
+      s"no streaming state at $root")
+    // claim first, then read everything at the commit's OWN base version:
+    // a commit landing between a separately-read "latest" and the claim
+    // would desync the carry lists from the rewrite reads (carry() throws
+    // on a table the newer manifest dropped — a crash where the abort/
+    // retry path belongs)
+    val gc = VersionedLake.beginGroupCommit(spark, root)
+    VersionedLake.runOrAbort(gc) {
+    val v = gc.basedOn.get
     val f = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // ONE manifest read answers table listing AND tiering for the whole
@@ -154,7 +161,6 @@ private[flows] object StreamingRetention {
     }.toMap
     val carryThreshold = math.max(1L, targetBytes / 2)
     val census = Seq.newBuilder[String]
-    val gc = VersionedLake.beginGroupCommit(spark, root)
     relByTable.keys.toSeq.sorted.foreach { table =>
       if (carryTables(table)) gc.carry(table)
       else {
@@ -223,5 +229,6 @@ private[flows] object StreamingRetention {
           keepFrom = committed.takeRight(keepVersions).head)
         nv
     }
+    } // runOrAbort
   }
 }

@@ -535,7 +535,14 @@ object VersionedLake {
     */
   final class GroupCommit private[VersionedLake] (spark: SparkSession,
       root: String, store: ManifestStore, val version: Long,
-      prevVersion: Option[Long]) {
+      val basedOn: Option[Long]) {
+    // `basedOn` is the latest version COMMITTED when this commit claimed
+    // its number — exposed so a writer derives its carry lists, reads,
+    // and publishIfBaseIs base from the SAME version the commit chains
+    // from. A separately-read "latest" can sit one commit behind the
+    // claim (a fold landing in the gap), making carry() throw on a table
+    // the manifest no longer lists — a loud crash where a retry belongs.
+    private def prevVersion: Option[Long] = basedOn
     private val staged =
       scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     // tables whose data THIS commit wrote (vs carried) — what abort() sweeps
@@ -678,6 +685,21 @@ object VersionedLake {
       version
     }
   }
+
+  /** Run `body` against an open [[GroupCommit]], aborting the commit
+    * (staged data swept, claim released) if `body` throws before a
+    * publish — without it, every writer that fails mid-stage leaves a
+    * burned claim blocking race-detected publishers until the TTL
+    * expires. A post-publish abort attempt is a no-op (swallowed), so
+    * wrapping a body that publishes inside is safe.
+    */
+  private[graft] def runOrAbort[A](gc: GroupCommit)(body: => A): A =
+    try body
+    catch {
+      case e: Throwable =>
+        try gc.abort() catch { case _: Throwable => () }
+        throw e
+    }
 
   /** Open an atomic multi-table commit at `root` (claims the version
     * number immediately; see [[GroupCommit]]).

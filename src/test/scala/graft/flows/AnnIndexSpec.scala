@@ -279,31 +279,94 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.delete(Seq(1L).toDF("vec_id"), "vec_id", s"$root-nowhere")
     }
     assert(ex.getMessage.contains("no ANN index"))
-    // a delete RACED by an interleaved append detects the race and
-    // retries from the new version — neither the appended batch nor the
-    // retirement is lost (the naive publish would carry the pre-append
-    // file lists and silently drop the batch)
+    // a delete and an append racing the same window BOTH land: every
+    // writer is race-detected (publishIfBaseIs — lowest claim wins), so
+    // the append, claiming inside the delete's open window, aborts its
+    // first publish and REBASES past the committed delete. Neither the
+    // appended batch nor the retirement is lost (a naive append publish
+    // would re-list the pre-delete file lists and drop the retirement).
+    // The append runs on a THREAD: the protocol serializes on claim
+    // numbers, so a commit nested synchronously inside another's window
+    // can never publish — that refusal IS the correctness property.
     val total = VersionedLake.readTable(spark, root, "encoded",
         schemaDDL = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
       .count()
     val extra = emb.filter(col("vec_id") === 0)
       .select(col("vec_id") + 2000000, col("embedding"))
       .toDF("vec_id", "embedding")
+    val appendClaimed = new java.util.concurrent.CountDownLatch(1)
+    @volatile var appendErr: Throwable = null
+    val appender = new Thread(() =>
+      try {
+        AnnIndex.append(extra, "vec_id", "embedding", root,
+          maxAttempts = 10, raceWindow = () => appendClaimed.countDown())
+        ()
+      } catch { case e: Throwable => appendErr = e })
     var fired = false
     AnnIndex.delete(Seq(2000000L).toDF("vec_id"), "vec_id", root,
       raceWindow = () => if (!fired) {
         fired = true
-        AnnIndex.append(extra, "vec_id", "embedding", root)
-        ()
+        appender.start()
+        // hold the delete's window open until the append has CLAIMED
+        // inside it (its raceWindow runs post-claim, pre-publish)
+        appendClaimed.await()
       })
-    assert(fired)
+    appender.join()
+    assert(fired && appendErr == null, s"append thread failed: $appendErr")
     assert(VersionedLake.readTable(spark, root, "encoded",
         schemaDDL = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
       .count() == total + 1, "the raced append's row must survive")
     assert(VersionedLake.readTable(spark, root, "tombstones",
         schemaDDL = "vec_id BIGINT")
       .collect().map(_.getLong(0)).toSet
-        .contains(2000000L), "the retried retirement must land")
+        .contains(2000000L), "the retirement must land")
+  }
+
+  test("an append RACED by a concurrent delete loses neither side: the " +
+    "delete claims inside the append's window, aborts its first publish " +
+    "(lowest claim wins), and REBASES past the committed append — the " +
+    "retirement lands on top of the appended state (the advisor's " +
+    "lost-delete interleaving, the mirror of the delete-window test)") {
+    val root = Files.createTempDirectory("annix8").toString + "/index"
+    val emb = Lake.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0), "vec_id",
+      "embedding", root, dims = 64, coarseK = 4, coarseIters = 2,
+      m = 4, k = 4, iters = 2)
+    val victim = emb.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id")).orderBy(col("vec_id")).head.getLong(0)
+    val deleteClaimed = new java.util.concurrent.CountDownLatch(1)
+    @volatile var deleteErr: Throwable = null
+    val deleter = new Thread(() =>
+      try {
+        AnnIndex.delete(Seq(victim).toDF("vec_id"), "vec_id", root,
+          maxAttempts = 10, raceWindow = () => deleteClaimed.countDown())
+        ()
+      } catch { case e: Throwable => deleteErr = e })
+    var fired = false
+    AnnIndex.append(emb.filter(col("vec_id") % 5 === 0), "vec_id",
+      "embedding", root,
+      raceWindow = () => if (!fired) {
+        fired = true
+        deleter.start()
+        deleteClaimed.await() // the delete has claimed inside our window
+      })
+    deleter.join()
+    assert(fired && deleteErr == null, s"delete thread failed: $deleteErr")
+    val vLast = VersionedLake.versions(spark, root).last
+    val rel = VersionedLake.groupTableRelFiles(spark, root, Some(vLast))
+    assert(rel.contains("tombstones"),
+      "the concurrent retirement must survive the append")
+    assert(VersionedLake.readTable(spark, root, "tombstones",
+        schemaDDL = "vec_id BIGINT")
+      .collect().map(_.getLong(0)).toSet == Set(victim))
+    // and the append's own rows landed too
+    assert(VersionedLake.readTable(spark, root, "encoded",
+        schemaDDL = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
+      .count() == emb.count())
+    val top = AnnIndex.search(spark, root, "vec_id", quantOf(emb, victim),
+      nprobe = 4, c = 50, n = 20).collect().map(_.getLong(0)).toSeq
+    assert(top.nonEmpty && !top.contains(victim))
   }
 
   test("foldTombstones rewrites the dead codes out — value-invisible to " +
@@ -339,13 +402,33 @@ class AnnIndexSpec extends SparkSpec {
         r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq
     val preSearch = searchNow()
     val preDial = dial()
-    // a fold RACED by an append aborts (claim-window detection), keeps
-    // the tombstones pending, and loses nothing from either commit
+    // a fold RACED by a concurrent append aborts (claim-window
+    // detection: the append claimed BEFORE the fold published, so the
+    // fold's rewrite could bury the batch), keeps the tombstones
+    // pending, and loses nothing from either commit. The append runs on
+    // a thread, paused holding its claim open across the whole fold —
+    // the deterministic form of "an ingest is mid-commit while
+    // maintenance publishes".
     val extra = emb.filter(col("vec_id") === 0).select(col("vec_id") + 1000000,
       col("embedding")).toDF("vec_id", "embedding")
-    val vRaced = AnnIndex.foldTombstones(spark, root, "vec_id",
-      raceWindow = () =>
-        { AnnIndex.append(extra, "vec_id", "embedding", root); () })
+    val appendClaimed = new java.util.concurrent.CountDownLatch(1)
+    val foldDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var appendErr: Throwable = null
+    val appender = new Thread(() =>
+      try {
+        AnnIndex.append(extra, "vec_id", "embedding", root,
+          raceWindow = () => {
+            appendClaimed.countDown()
+            foldDone.await() // hold the claim open across the fold
+          })
+        ()
+      } catch { case e: Throwable => appendErr = e })
+    appender.start()
+    appendClaimed.await()
+    val vRaced = AnnIndex.foldTombstones(spark, root, "vec_id")
+    foldDone.countDown()
+    appender.join()
+    assert(appendErr == null, s"append thread failed: $appendErr")
     val racedRel = VersionedLake.groupTableRelFiles(spark, root, Some(vRaced))
     assert(racedRel.contains("tombstones"),
       "aborted fold must leave the retirements pending")

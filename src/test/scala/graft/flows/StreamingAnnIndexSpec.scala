@@ -159,4 +159,47 @@ class StreamingAnnIndexSpec extends SparkSpec {
     assert(top.nonEmpty && !top.contains(2L) && !top.contains(4L),
       s"retired ids must not surface from the streamed index: $top")
   }
+
+  test("a micro-batch RACED by an interleaved delete detects the race, " +
+    "retries from the post-delete version, and loses neither the batch " +
+    "nor the retirement (the naive publish would carry the pre-delete " +
+    "tombstone state)") {
+    val root = Files.createTempDirectory("sann_race").toString + "/index"
+    val emb = emb60
+    import spark.implicits._
+    StreamingAnnIndex.setup(emb.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", root, dims = 64, coarseK = 2, coarseIters = 2,
+      m = 4, k = 2, iters = 2)
+    // the delete claims INSIDE the batch's claim→publish window (thread +
+    // latch: the protocol serializes on claim numbers, so a nested
+    // synchronous commit could never publish); the batch wins (lower
+    // claim), the delete aborts its first publish and REBASES past the
+    // committed batch — the advisor's lost-delete interleaving
+    val deleteClaimed = new java.util.concurrent.CountDownLatch(1)
+    @volatile var deleteErr: Throwable = null
+    val deleter = new Thread(() =>
+      try {
+        AnnIndex.delete(Seq(2L).toDF("vec_id"), "vec_id", root,
+          maxAttempts = 10, raceWindow = () => deleteClaimed.countDown())
+        ()
+      } catch { case e: Throwable => deleteErr = e })
+    var fired = false
+    assert(StreamingAnnIndex.applyBatch(emb.filter(col("vec_id") % 2 === 1),
+      0L, "vec_id", "embedding", root, graft.operators.Cluster.QuantScale,
+      raceWindow = () => if (!fired) {
+        fired = true
+        deleter.start()
+        deleteClaimed.await()
+      }))
+    deleter.join()
+    assert(fired && deleteErr == null, s"delete thread failed: $deleteErr")
+    val vLast = VersionedLake.versions(spark, root).last
+    assert(VersionedLake.groupTableRelFiles(spark, root, Some(vLast))
+      .contains("tombstones"),
+      "the interleaved retirement must survive the batch commit")
+    assert(codesCount(root) == 60, "the raced batch's codes must land")
+    // and the marker advanced, so a replay of batch 0 is still a no-op
+    assert(!StreamingAnnIndex.applyBatch(emb.filter(col("vec_id") % 2 === 1),
+      0L, "vec_id", "embedding", root, graft.operators.Cluster.QuantScale))
+  }
 }
