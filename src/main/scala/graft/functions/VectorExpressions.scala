@@ -255,6 +255,93 @@ object VectorKernels {
     java.lang.Long.valueOf(s)
   }
 
+  /** Nearest centroid of a quantized vector against a flat centroid
+    * matrix (`flat(j·dims + i)`) — the k-means/IVF argmin as ONE fused
+    * loop, O(1) plan size in k. The k-literal alternative (k chained
+    * [[sqDistLong]] expressions under a struct-`least`) grows the PLAN
+    * with k: at IVF-practice coarseK (~√N ⇒ 10⁴–10⁶ cells at 100 TB) it
+    * blows past Janino's 64 KB method limit (silent interpreted
+    * fallback) and the task-serialization budget. Returns
+    * (d, cid) with the exact integer squared distance and the
+    * lowest-cid tie-break (strict `<` over ascending j); a malformed
+    * vector — length ≠ dims or any null element — returns null, which
+    * callers convert to the branded raise (`Cluster.checkedField`).
+    */
+  def nearestCentroid(v: ArrayData, flat: Array[Long], k: Int,
+      dims: Int): InternalRow = {
+    if (v.numElements() != dims) return null
+    var i = 0
+    while (i < dims) { if (v.isNullAt(i)) return null; i += 1 }
+    val vs = new Array[Long](dims)
+    i = 0
+    while (i < dims) { vs(i) = v.getLong(i); i += 1 }
+    var bestD = Long.MaxValue
+    var bestJ = 0
+    var j = 0
+    while (j < k) {
+      val off = j * dims
+      var s = 0L
+      var d = 0
+      while (d < dims) {
+        val dx = vs(d) - flat(off + d)
+        s += dx * dx
+        d += 1
+      }
+      if (s < bestD) { bestD = s; bestJ = j }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestJ.toLong))
+  }
+
+  /** The `min(nprobe, k)` nearest centroid ids in (distance, cid)
+    * lexicographic rank order — the IVF probe ranking as one fused loop
+    * (the batch-search analog of [[nearestCentroid]], same O(1)-plan-
+    * size rationale). Bounded insertion keeps the running top list (
+    * nprobe is small; k can be √N-large), ascending-j iteration with a
+    * strictly-greater displacement test preserves the lowest-cid
+    * tie-break. Malformed vector → null (callers explode the array, so
+    * a malformed query contributes zero probe rows — visible, never
+    * arbitrary cells smuggled into the scan-pruning union).
+    */
+  def nearestCells(v: ArrayData, flat: Array[Long], k: Int, dims: Int,
+      nprobe: Int): ArrayData = {
+    if (v.numElements() != dims) return null
+    var i = 0
+    while (i < dims) { if (v.isNullAt(i)) return null; i += 1 }
+    val vs = new Array[Long](dims)
+    i = 0
+    while (i < dims) { vs(i) = v.getLong(i); i += 1 }
+    val n = math.min(nprobe, k)
+    val topD = new Array[Long](n)
+    val topC = new Array[Long](n)
+    var filled = 0
+    var j = 0
+    while (j < k) {
+      val off = j * dims
+      var s = 0L
+      var d = 0
+      while (d < dims) {
+        val dx = vs(d) - flat(off + d)
+        s += dx * dx
+        d += 1
+      }
+      // insert position: after every kept entry with d ≤ s (equal-d
+      // entries have lower cid — j ascends), before the first with d > s
+      if (filled < n || s < topD(filled - 1)) {
+        var pos = if (filled < n) filled else filled - 1
+        while (pos > 0 && topD(pos - 1) > s) {
+          topD(pos) = topD(pos - 1); topC(pos) = topC(pos - 1); pos -= 1
+        }
+        topD(pos) = s
+        topC(pos) = j.toLong
+        if (filled < n) filled += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(topC, filled))
+  }
+
   /** Decode PQ codes to the codebook-reconstructed residual vector —
     * concat of codebook[s][code_s] as one primitive loop over the flat
     * codebook array (layout `[(s·k + cid)·sd + j]`). The per-CANDIDATE
@@ -650,6 +737,111 @@ case class PqReconstruct(child: Expression, books: Seq[Long],
   override protected def withNewChildInternal(newChild: Expression): PqReconstruct =
     copy(child = newChild)
   override def prettyName: String = "pq_reconstruct"
+}
+
+/** `nearest_centroid(v)` — argmin cell of a quantized vector against a
+  * plan-referenced flat centroid matrix, as struct(d, cid)
+  * ([[VectorKernels.nearestCentroid]]). ONE expression node whatever the
+  * centroid count — the scale-safe form of the k-literal
+  * `least(struct(sq_dist_lit…))` chain, which breaks whole-stage codegen
+  * (Janino 64 KB) and plan serialization at IVF-practice coarseK. The
+  * centroids are held as a Seq so case-class equality is by VALUE (the
+  * [[PqReconstruct]]/[[SqDistToLit]] convention — an Array field would
+  * defeat Catalyst subexpression/exchange reuse); eval reads the
+  * flattened array. Null/malformed vector → null struct (callers raise
+  * the branded malformed-embedding error on it).
+  */
+case class NearestCentroid(child: Expression, cents: Seq[Long],
+    k: Int, dims: Int) extends UnaryExpression {
+  require(k > 0 && dims > 0 && cents.length == k * dims,
+    s"flat centroid matrix must be k*dims = ${k * dims} longs, " +
+      s"got ${cents.length}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", LongType, nullable = false),
+    StructField("cid", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  @transient private lazy val flat: Array[Long] = cents.toArray
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (VectorKernels.isLongArray(child))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<bigint> quantized vector " +
+        s"(use quantize_floor first), got ${child.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCentroid(v.asInstanceOf[ArrayData], flat, k, dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vGen = child.genCode(ctx)
+    val centsRef = ctx.addReferenceObj("flatCents", flat, "long[]")
+    val out = ctx.freshName("nearest")
+    ev.copy(code = code"""
+      ${vGen.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${vGen.isNull}) {
+        org.apache.spark.sql.catalyst.InternalRow $out =
+          graft.functions.VectorKernels.nearestCentroid(
+            ${vGen.value}, $centsRef, $k, $dims);
+        if ($out != null) { ${ev.isNull} = false; ${ev.value} = $out; }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroid"
+}
+
+/** `nearest_cells(v)` — the min(nprobe, k) nearest centroid ids of a
+  * quantized vector in (distance, cid) rank order, as array<bigint>
+  * ([[VectorKernels.nearestCells]]) — the IVF probe ranking with O(1)
+  * plan size in coarseK (same rationale and conventions as
+  * [[NearestCentroid]]). Malformed vector → null array.
+  */
+case class NearestCells(child: Expression, cents: Seq[Long],
+    k: Int, dims: Int, nprobe: Int) extends UnaryExpression {
+  require(k > 0 && dims > 0 && nprobe > 0 && cents.length == k * dims,
+    s"flat centroid matrix must be k*dims = ${k * dims} longs, " +
+      s"got ${cents.length} (nprobe $nprobe)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  @transient private lazy val flat: Array[Long] = cents.toArray
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (VectorKernels.isLongArray(child))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<bigint> quantized vector " +
+        s"(use quantize_floor first), got ${child.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCells(v.asInstanceOf[ArrayData], flat, k, dims,
+      nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vGen = child.genCode(ctx)
+    val centsRef = ctx.addReferenceObj("flatCents", flat, "long[]")
+    val out = ctx.freshName("cellsOut")
+    ev.copy(code = code"""
+      ${vGen.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${vGen.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $out =
+          graft.functions.VectorKernels.nearestCells(
+            ${vGen.value}, $centsRef, $k, $dims, $nprobe);
+        if ($out != null) { ${ev.isNull} = false; ${ev.value} = $out; }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cells"
 }
 
 /** `quantize_floor(v, scale)` — floor(x·scale) per element as array<bigint>,

@@ -73,6 +73,37 @@ object VectorFunctions {
     Bridge.column(SqDistToLit(Bridge.expression(v), cent))
   }
 
+  /** Argmin cell of a quantized vector against a centroid MATRIX as
+    * struct(d, cid) ([[NearestCentroid]], codegen'd): one expression
+    * node whatever the centroid count — the k-means/IVF assignment
+    * kernel that survives IVF-practice coarseK (a k-literal
+    * least-of-structs chain breaks codegen and plan size at ~√N cells).
+    */
+  def nearestCentroid(v: Column, centroids: Array[Array[Long]]): Column = {
+    require(centroids.nonEmpty &&
+      centroids.forall(_.length == centroids(0).length),
+      "centroid matrix must be non-empty with uniform dims")
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(NearestCentroid(Bridge.expression(v),
+      centroids.flatten.toSeq, centroids.length, centroids(0).length))
+  }
+
+  /** The min(nprobe, k) nearest centroid ids in (distance, cid) rank
+    * order as array<bigint> ([[NearestCells]], codegen'd) — the IVF
+    * probe ranking with O(1) plan size in coarseK; a malformed vector
+    * yields null (exploded: zero probe rows).
+    */
+  def nearestCells(v: Column, centroids: Array[Array[Long]],
+      nprobe: Int): Column = {
+    require(centroids.nonEmpty &&
+      centroids.forall(_.length == centroids(0).length),
+      "centroid matrix must be non-empty with uniform dims")
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(NearestCells(Bridge.expression(v),
+      centroids.flatten.toSeq, centroids.length, centroids(0).length,
+      nprobe))
+  }
+
   /** Exact integer squared L2 distance between two quantized vector
     * COLUMNS ([[SqDistCols]], codegen'd) — the batch-ANN pair kernel,
     * where neither side is a plan-time literal.

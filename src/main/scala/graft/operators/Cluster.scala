@@ -44,21 +44,22 @@ object Cluster {
   def quantizeFloor(a: Column, scale: Int = QuantScale): Column =
     graft.functions.VectorFunctions.quantizeFloor(a, scale)
 
-  private def sqDist(q: Column, cent: Array[Long]): Column =
-    graft.functions.VectorFunctions.sqDistToLit(q, cent.toSeq)
-
   /** Nearest centroid for a quantized vector against literal centroids as a
-    * struct(d, cid); ties break to the lowest cid via lexicographic
-    * struct-min. `d` is the exact integer squared distance. Shared with the
-    * PQ tier ([[Similarity.pqEncode]]) — ONE definition of the argmin
-    * kernel, so a tie-break or null-contract change applies everywhere.
+    * struct(d, cid); ties break to the lowest cid. `d` is the exact integer
+    * squared distance. Shared with the PQ tier ([[Similarity.pqEncode]]) —
+    * ONE definition of the argmin kernel, so a tie-break or null-contract
+    * change applies everywhere. Since round 16 this is the fused
+    * [[graft.functions.NearestCentroid]] expression (one plan node, the
+    * matrix plan-referenced like any literal) instead of a k-literal
+    * `least(struct(sq_dist_lit…))` chain — value-identical (same integer
+    * math, same tie-break, malformed vector → null struct → the branded
+    * raise), but O(1) plan size in k: at IVF-practice coarseK (~√N ⇒
+    * 10⁴–10⁶ cells at 100 TB) the literal chain blows past Janino's
+    * 64 KB method limit (silent interpreted fallback) and the plan
+    * serialization budget.
     */
   private[operators] def assignStruct(q: Column, centroids: Array[Array[Long]]): Column =
-    if (centroids.length == 1)
-      struct(sqDist(q, centroids(0)).as("d"), lit(0L).as("cid"))
-    else least(centroids.zipWithIndex.map { case (c, j) =>
-      struct(sqDist(q, c).as("d"), lit(j.toLong).as("cid"))
-    }.toSeq: _*)
+    graft.functions.VectorFunctions.nearestCentroid(q, centroids)
 
   /** Extract a field of the assignment struct, raising on a null distance.
     * A null `d` means a malformed vector (null embedding, null element, or

@@ -328,7 +328,10 @@ object Similarity {
       s"query has ${queryQuant.length} dims, codebooks expect ${m * sd}")
     encoded.select(col(idCol),
         adcDistExpr(adcLut(queryQuant, books), col("codes")).as("adc_dist"))
-      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      // nulls LAST (defensive: adcDistExpr raises on every null today;
+      // should a future path soften that, a null distance must never
+      // occupy a top slot — the batch path's null policy)
+      .orderBy(col("adc_dist").asc_nulls_last, col(idCol).asc)
       .limit(n)
   }
 
@@ -535,7 +538,9 @@ object Similarity {
     }
     encoded.filter(col("cell").isin(probed: _*))
       .select(col(idCol), col("cell"), adc.as("adc_dist"))
-      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      // nulls LAST, same rationale as pqAdcTopK: one null policy with
+      // the batch path ([[ivfPqBatchTopKRerank]] filters null distances)
+      .orderBy(col("adc_dist").asc_nulls_last, col(idCol).asc)
       .limit(n)
   }
 
@@ -566,6 +571,12 @@ object Similarity {
       .select(col(idCol), col("cell"), col("adc_dist"),
         graft.functions.VectorFunctions.sqDistToLit(col("q"),
           queryQuant.toSeq).as("exact_dist"))
+      // ONE null policy with the batch path: a stored quant row whose
+      // length mismatches the query grid scores a null exact distance —
+      // EXCLUDED from the ranking ([[ivfPqBatchTopKRerank]] filters the
+      // same way), never sorted into the top slots (the default ASC
+      // NULLS FIRST would hand malformed rows the result head)
+      .filter(col("exact_dist").isNotNull)
       .orderBy(col("exact_dist").asc, col(idCol).asc)
       .limit(n)
   }
@@ -634,19 +645,17 @@ object Similarity {
     import org.apache.spark.sql.graftbridge.Bridge
     val q0 = queries.select(col(queryIdCol), col(queryQuantCol).as("__qq"))
     // probe ranking: same lexicographic (distance, cid) order as the
-    // single-query path's driver-side sort, here as an in-plan
-    // array_sort over k struct entries; a malformed query's all-null
-    // distances are dropped HERE so it cannot smuggle arbitrary cells
-    // into the scan-pruning union below
-    val probeStruct = array(cents.zipWithIndex.map { case (ct, j) =>
-      struct(VectorFunctions.sqDistToLit(col("__qq"), ct.toSeq).as("d"),
-        lit(j.toLong).as("cell"))
-    }: _*)
+    // single-query path's driver-side sort, as ONE fused
+    // [[graft.functions.NearestCells]] expression per query row — O(1)
+    // plan size in coarseK (the k-literal struct array it replaced
+    // broke codegen and plan serialization at IVF-practice cell
+    // counts); a malformed query yields a NULL cell array — exploded to
+    // zero rows HERE, so it cannot smuggle arbitrary cells into the
+    // scan-pruning union below
     val probes = q0
       .select(col(queryIdCol), col("__qq"),
-        explode(slice(array_sort(probeStruct), 1, nprobe)).as("__p"))
-      .filter(col("__p.d").isNotNull)
-      .select(col(queryIdCol), col("__qq"), col("__p.cell").as("cell"))
+        explode(VectorFunctions.nearestCells(col("__qq"), cents, nprobe))
+          .as("cell"))
       .join(broadcast(cents.zipWithIndex.toSeq
         .map { case (ct, j) => (j.toLong, ct.toSeq) }.toDF("cell", "__cq")),
         Seq("cell"))

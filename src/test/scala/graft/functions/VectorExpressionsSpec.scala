@@ -318,4 +318,157 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(math.abs(ok - 1.0) < 1e-12)
   }
+
+  test("nearestCentroid matches the k-literal least(struct(sq_dist_lit)) " +
+    "chain it replaced: same distances, lowest-cid tie-break, null " +
+    "struct on malformed (null element / length mismatch)") {
+    val cents = Array(Array(0L, 0L, 0L), Array(10L, 0L, 0L),
+      Array(0L, 10L, 0L), Array(10L, 0L, 0L)) // cid 3 duplicates cid 1
+    def oldChain(q: org.apache.spark.sql.Column) =
+      least(cents.zipWithIndex.map { case (c, j) =>
+        struct(VectorFunctions.sqDistToLit(q, c.toSeq).as("d"),
+          lit(j.toLong).as("cid"))
+      }.toSeq: _*)
+    val df = Seq(
+      (1L, Some(Seq(Some(1L), Some(1L), Some(0L)))),   // nearest 0
+      (2L, Some(Seq(Some(9L), Some(1L), Some(0L)))),   // nearest 1 (tie w/ 3)
+      (3L, Some(Seq(Some(5L), Some(5L), Some(0L)))),   // 0/1/2 equidistant → 0
+      (4L, Some(Seq(Some(1L), None, Some(0L)))),       // null element
+      (5L, Some(Seq(Some(1L), Some(1L)))),             // length mismatch
+      (6L, None)                                       // null vector
+    ).toDF("id", "q")
+    val rows = df.select(col("id"),
+        VectorFunctions.nearestCentroid(col("q"), cents).as("n"),
+        oldChain(col("q")).as("o"))
+      .collect().map { r =>
+        def f(i: Int) = if (r.isNullAt(i)) null
+          else { val s = r.getStruct(i); (s.isNullAt(0), s.get(0), s.get(1)) }
+        (r.getLong(0), f(1), f(2))
+      }.map { case (id, n, o) => id -> ((n, o)) }.toMap
+    assert(rows(1L)._1 == (false, 2L, 0L))
+    assert(rows(2L)._1 == (false, 2L, 1L), "ties break to the lowest cid")
+    assert(rows(3L)._1 == (false, 50L, 0L))
+    assert(rows(4L)._1 == null && rows(5L)._1 == null && rows(6L)._1 == null)
+    // parity with the old chain on every WELL-FORMED row (the old chain
+    // yields struct(d=null) rather than a null struct on malformed —
+    // both funnel into the same branded raise via checkedField)
+    Seq(1L, 2L, 3L).foreach(id => assert(rows(id)._1 == rows(id)._2, s"id $id"))
+  }
+
+  test("nearestCells matches the array_sort(struct(d, cell)) probe " +
+    "ranking: (distance, cid) rank order, nprobe clamped at k, " +
+    "malformed vector → null (zero rows when exploded)") {
+    val cents = Array(Array(0L, 0L), Array(4L, 0L), Array(0L, 4L),
+      Array(4L, 0L)) // cid 3 duplicates cid 1 (tie must rank 1 first)
+    def oldRank(q: org.apache.spark.sql.Column, nprobe: Int) =
+      slice(array_sort(array(cents.zipWithIndex.map { case (c, j) =>
+        struct(VectorFunctions.sqDistToLit(q, c.toSeq).as("d"),
+          lit(j.toLong).as("cell"))
+      }: _*)), 1, nprobe)
+    val df = Seq(
+      (1L, Some(Seq(Some(3L), Some(0L)))),
+      (2L, Some(Seq(Some(1L), Some(3L)))),
+      (3L, Some(Seq(Some(1L), None)))
+    ).toDF("id", "q")
+    for (nprobe <- Seq(1, 2, 3, 4, 9)) {
+      val rows = df.select(col("id"),
+          VectorFunctions.nearestCells(col("q"), cents, nprobe).as("n"),
+          oldRank(col("q"), nprobe).as("o"))
+        .collect().map { r =>
+          (r.getLong(0),
+            if (r.isNullAt(1)) null else r.getSeq[Long](1).toSeq,
+            if (r.isNullAt(2)) null
+            else r.getSeq[org.apache.spark.sql.Row](2).toSeq
+              .map(s => s.getLong(1)))
+        }
+      rows.foreach { case (id, n, o) =>
+        if (id == 3L) assert(n == null, "malformed vector must yield null")
+        else {
+          assert(n == o, s"id $id nprobe $nprobe: kernel $n vs chain $o")
+          assert(n.length == math.min(nprobe, cents.length))
+        }
+      }
+    }
+    // spot-pin the semantic expectation, not just chain parity
+    // q=(1,3): d(c0)=10, d(c1)=18, d(c2)=2, d(c3)=18 → ranks 2, 0, then
+    // the 18-tie breaks to the lower cid 1
+    val oneRow = df.filter(col("id") === 2L)
+      .select(VectorFunctions.nearestCells(col("q"), cents, 3))
+      .head.getSeq[Long](0).toSeq
+    assert(oneRow == Seq(2L, 0L, 1L), s"(d,cid) rank order: $oneRow")
+  }
+
+  test("the argmin/probe kernels survive IVF-practice coarseK (4096 " +
+    "cells) with codegen FORCED (no interpreted fallback, no Janino " +
+    "64 KB blow-up) — and the values match a driver-side replay") {
+    val k = 4096
+    val dims = 64
+    val cents = Array.tabulate(k)(j =>
+      Array.tabulate(dims)(d => (j.toLong * 997 + d * 131) % 1000000))
+    val spark0 = spark
+    import spark0.implicits._
+    val centsDf = cents.zipWithIndex
+      .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq.toDF("cid", "q")
+    // a REAL parquet scan: a local-relation input would be constant-
+    // folded at plan time (ConvertToLocalRelation evaluates the project
+    // interpreted), silently skipping the codegen path this test pins
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("emb"))
+    // driver replay: the same floor-quantization and argmin
+    def quantOf(emb: Seq[Float]): Array[Long] =
+      emb.map(x => math.floor(x.toDouble * (1 << 20)).toLong).toArray
+    def argmin(q: Array[Long]): (Long, Long) = {
+      var bd = Long.MaxValue; var bj = 0
+      for (j <- 0 until k) {
+        var s = 0L
+        for (d <- 0 until dims) { val dx = q(d) - cents(j)(d); s += dx * dx }
+        if (s < bd) { bd = s; bj = j }
+      }
+      (bj.toLong, bd)
+    }
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    // fallback=false: a Janino compile failure THROWS instead of silently
+    // running interpreted; factoryMode=CODEGEN_ONLY forces expression
+    // codegen outside whole-stage too — together they PIN "no
+    // interpreted fallback at coarseK 4096"
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val assigned = graft.operators.Cluster.assignStored(
+        vecs, "vec_id", "emb", centsDf)
+      // the `*(n)` prefix is executedPlan.toString's rendering of a
+      // WholeStageCodegen span covering the node
+      val plan = assigned.queryExecution.executedPlan.toString
+      assert(plan.contains("*(") && plan.contains("Project"), plan)
+      assigned.collect().foreach { r =>
+        val emb = vecs.filter(col("vec_id") === r.getLong(0))
+          .head.getSeq[Float](1)
+        val (cid, d) = argmin(quantOf(emb))
+        assert(r.getLong(2) == cid && r.getLong(3) == d,
+          s"vec ${r.getLong(0)}")
+      }
+      // probe ranking at the same scale: top-nprobe matches the replay
+      val nprobe = 5
+      val probed = vecs.select(col("vec_id"),
+          graft.functions.VectorFunctions.nearestCells(
+            graft.operators.Cluster.quantizeFloor(col("emb")), cents,
+            nprobe).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      vecs.collect().foreach { r =>
+        val q = quantOf(r.getSeq[Float](1))
+        val expect = cents.indices.map { j =>
+          var s = 0L
+          for (d <- 0 until dims) { val dx = q(d) - cents(j)(d); s += dx * dx }
+          (s, j.toLong)
+        }.sorted.take(nprobe).map(_._2)
+        assert(probed(r.getLong(0)) == expect, s"vec ${r.getLong(0)}")
+      }
+    } finally {
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
 }
