@@ -344,31 +344,33 @@ object AnnIndex {
     * the "measured, not guessed" number the header's refit note points
     * at: appends never refit, so after enough arrivals the residual
     * distribution walks away from the fitted codebooks — a deployment
-    * runs this probe on a cadence and refits (new root, blue/green cut)
-    * when the mean sags below its floor. All reads resolve ONE pinned
-    * version; the probe set is a driver-side literal (hundreds of
-    * queries, not a table — each becomes one broadcast search plan).
+    * runs this probe on a cadence and refits when the mean sags below
+    * its floor ([[refit]] is that composition).
+    *
+    * FRAME-DRIVEN (round 16): both sides are ONE job each, whatever the
+    * probe-set size. The approx side is the table-driven batch search
+    * ([[Similarity.ivfPqBatchTopKRerank]] over the probe frame — the
+    * 2N-per-query-subplan loop this replaced was the same non-scaling
+    * shape the batch search retired for arrival dedup); the exact side
+    * broadcasts the probe frame over ONE `quant` scan and reduces with
+    * bounded per-query top-k heaps ([[graft.plans.TopKPerKey]] — at
+    * most k rows per (query, partition) reach the shuffle, never the
+    * scored corpus). Retired ids leave BOTH sides: the approx side must
+    * not surface them, and the exact side must not count a dead doc as
+    * a miss the approx side was right to skip. All reads resolve ONE
+    * pinned version. Probe ids must be unique (they key the per-query
+    * windows — the batch contract).
     */
   def recallProbe(spark: SparkSession, root: String, idCol: String,
       queries: Seq[(Long, Array[Long])], k: Int, nprobe: Int,
       c: Int): DataFrame = {
     require(queries.nonEmpty, "recallProbe needs at least one query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "recallProbe query ids must be unique (they key the per-query windows)")
     val v = latestVersion(spark, root)
-    // plan construction collects the model ONCE PER PROBE inside
-    // ivfPqTopKRerank (the lookup tables are per-query literals) — cache
-    // the two bounded model tables for the loop so N probes read the
-    // model parquet once, not 2N times; unpersisted before return (the
-    // collected literals are already baked into the plans)
     val coarse = VersionedLake.readTable(spark, root, "coarse", Some(v))
-      .persist()
     val books = VersionedLake.readTable(spark, root, "codebooks", Some(v))
-      .persist()
-    // retired ids leave BOTH sides of the dial: the approx side must not
-    // surface them, and the exact side must not count a dead doc as a
-    // miss the approx side was right to skip. Persisted for the probe
-    // loop like the model tables — 2N per-query subplans would otherwise
-    // re-read the same small parquet 2N times
-    val tomb = tombstonesOpt(spark, root, v, idCol).map(_.persist())
+    val tomb = tombstonesOpt(spark, root, v, idCol)
     val encoded = minusTombstones(
       VersionedLake.readTable(spark, root, "encoded", Some(v),
         schemaDDL = s"$idCol BIGINT, codes ARRAY<BIGINT>, cell BIGINT"),
@@ -377,28 +379,23 @@ object AnnIndex {
       VersionedLake.readTable(spark, root, "quant", Some(v),
         schemaDDL = s"$idCol BIGINT, q ARRAY<BIGINT>"),
       tomb, idCol)
-    import org.apache.spark.sql.functions.lit
-    try {
-      val perQuery = queries.map { case (qid, qq) =>
-        val approx = Similarity.ivfPqTopKRerank(encoded, quant, idCol,
-          coarse, books, qq, nprobe, c, k)
-          .select(lit(qid).as("query_id"), col(idCol))
-        val exact = quant
-          .select(col(idCol),
-            graft.functions.VectorFunctions.sqDistToLit(col("q"), qq.toSeq)
-              .as("d"))
-          .orderBy(col("d").asc, col(idCol).asc)
-          .limit(k)
-          .select(lit(qid).as("query_id"), col(idCol))
-        (approx, exact)
-      }
-      Similarity.meanRecallAtK(
-        perQuery.map(_._1).reduce(_.unionByName(_)),
-        perQuery.map(_._2).reduce(_.unionByName(_)),
-        idCol, "query_id", k)
-    } finally {
-      coarse.unpersist(); books.unpersist(); tomb.foreach(_.unpersist()); ()
-    }
+    import spark.implicits._
+    val qdf = queries.map { case (qid, qq) => (qid, qq.toSeq) }
+      .toDF("query_id", "__q")
+    val approx = Similarity.ivfPqBatchTopKRerank(encoded, quant, idCol,
+      coarse, books, qdf, "query_id", "__q", nprobe, c, k)
+      .select(col("query_id"), col(idCol))
+    val exact = graft.plans.TopKPerKey(
+      quant.crossJoin(broadcast(qdf))
+        .select(col("query_id"), col(idCol),
+          graft.functions.VectorFunctions.sqDistQ(col("q"), col("__q"))
+            .as("__d"))
+        // malformed stored rows leave the exact ranking, same null
+        // policy as every other distance ranking in the family
+        .filter(col("__d").isNotNull),
+      Seq(col("query_id")), Seq(col("__d").asc, col(idCol).asc), k)
+      .select(col("query_id"), col(idCol))
+    Similarity.meanRecallAtK(approx, exact, idCol, "query_id", k)
   }
 
   /** IVFADC-R search over the stored index

@@ -197,6 +197,30 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.recallProbe(spark, root, "vec_id", Seq.empty, 10, 2, 20)
     }
     assert(ex.getMessage.contains("at least one query"))
+    // duplicate probe ids would interleave two queries' windows — refused
+    val ex2 = intercept[IllegalArgumentException] {
+      AnnIndex.recallProbe(spark, root, "vec_id",
+        probes ++ probes.take(1), 10, 2, 20)
+    }
+    assert(ex2.getMessage.contains("unique"))
+    // FRAME-DRIVEN pin: ONE batch plan whatever the probe-set size — the
+    // stored codes are decoded once per plan (one pq_reconstruct
+    // projection = one encoded scan), NOT once per query; the
+    // 2N-per-query-subplan loop this replaced scanned encoded N times
+    def decodes(n: Int): Int = {
+      val ps = (0 until n).map(i => probes(i % probes.size)._2)
+        .zipWithIndex.map { case (q, i) => (i.toLong, q) }
+      val plan = AnnIndex.recallProbe(spark, root, "vec_id", ps,
+        k = 10, nprobe = 2, c = 20).queryExecution.optimizedPlan.toString
+      "pq_reconstruct".r.findAllIn(plan).size
+    }
+    // the optimizer may inline the decode expression into a pushed
+    // filter (a constant factor); the pin is that the count does NOT
+    // scale with the probe-set size
+    val d1 = decodes(1)
+    assert(d1 == decodes(2) && d1 == decodes(3) && d1 <= 2,
+      s"probe plan must not grow with the probe-set size (got $d1, " +
+        s"${decodes(2)}, ${decodes(3)})")
   }
 
   test("meanRecallAtK: per-query rows + the NULL-key mean row; a query " +
