@@ -53,11 +53,12 @@ import graft.sources.VersionedLake
   * walks away from the fitted codebooks and recall decays — measured,
   * not guessed, by [[Similarity.annRecallAtK]] over a query set against
   * the brute-force exact top-k ([[Similarity.meanRecallAtK]] is the
-  * grouped form); a deployment refits by building a NEW index root and
-  * cutting readers over — the cut itself is
-  * [[graft.sources.ServingPointer]] (atomic, audited; [[searchServing]]
-  * reads through it), the same blue/green shape as every stored model
-  * here.
+  * grouped form); a deployment refits with [[refit]] — build a NEW
+  * root, gate it on [[recallProbe]] vs a recall floor, and cut the
+  * [[graft.sources.ServingPointer]] on pass (atomic, audited;
+  * [[searchServing]] reads through it) or keep serving blue on fail —
+  * the same blue/green shape as every stored model here, here as a
+  * checked invariant rather than a caller-composed convention.
   *
   * Reference analog: the stored-progress / stored-state idioms
   * (reference: pipelines/utils/progress.py:22-140) — state lives in the
@@ -462,12 +463,73 @@ object AnnIndex {
       q0, queryIdCol, "__q", nprobe, c, n)
   }
 
+  /** The outcome of a [[refit]]: whether the candidate passed the gate
+    * and was cut in, the measured mean recall, and the root now being
+    * served (None when the gate failed and no pointer was ever set).
+    */
+  final case class RefitResult(cut: Boolean, meanRecall: Double,
+      candidateRoot: String, servedRoot: Option[String])
+
+  /** The COMPOSED blue/green refit — the checked form of the lifecycle
+    * the header promises (build → gate → cut): fit a NEW index on `df`
+    * at `candidateRoot` ([[build]] — roots are immutable once built, so
+    * a refit is always a new root, never an in-place re-geometry), dial
+    * it with [[recallProbe]] over `probes`, and
+    *
+    *  - mean recall ≥ `recallFloor`: cut the serving pointer to the
+    *    candidate ([[graft.sources.ServingPointer.set]] — atomic;
+    *    in-flight searches against the old root keep reading it, the
+    *    blue/green contract);
+    *  - below the floor: the POINTER IS NEVER TOUCHED — readers keep
+    *    serving blue — and the failed candidate is swept from disk
+    *    (`keepFailedCandidate = true` keeps it for debugging; either
+    *    way it was never visible to a [[searchServing]] reader).
+    *
+    * A first deployment (pointer never set) cuts on pass like any
+    * other — the gate applies from day one. The old root is NOT swept
+    * on a successful cut: draining and retiring blue is the deployment's
+    * out-of-band step (readers may still be mid-scan on it).
+    */
+  def refit(df: DataFrame, idCol: String, vecCol: String,
+      candidateRoot: String, ptr: String, dims: Int, coarseK: Int,
+      coarseIters: Int, m: Int, k: Int, iters: Int,
+      probes: Seq[(Long, Array[Long])], probeK: Int, nprobe: Int, c: Int,
+      recallFloor: Double, scale: Int = Cluster.QuantScale,
+      keepFailedCandidate: Boolean = false): RefitResult = {
+    // floors > 1 are allowed: mean recall clamps at 1.0, so they are the
+    // explicit "never cut" switch (probe-only runs)
+    require(recallFloor >= 0.0,
+      s"recallFloor must be non-negative, got $recallFloor")
+    val spark = df.sparkSession
+    build(df, idCol, vecCol, candidateRoot, dims, coarseK, coarseIters,
+      m, k, iters, scale)
+    val dial = recallProbe(spark, candidateRoot, idCol, probes, probeK,
+      nprobe, c)
+    val mean = dial.filter(col("query_id").isNull).head.getDouble(3)
+    val prevServed =
+      if (VersionedLake.versions(spark,
+        ptr).nonEmpty) Some(graft.sources.ServingPointer.resolve(spark, ptr))
+      else None
+    if (mean >= recallFloor) {
+      graft.sources.ServingPointer.set(spark, ptr, candidateRoot)
+      RefitResult(cut = true, mean, candidateRoot, Some(candidateRoot))
+    } else {
+      if (!keepFailedCandidate) {
+        val p = new org.apache.hadoop.fs.Path(candidateRoot)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        ()
+      }
+      RefitResult(cut = false, mean, candidateRoot, prevServed)
+    }
+  }
+
   /** [[search]] through a [[graft.sources.ServingPointer]] — the reader
-    * side of the blue/green refit: a deployment's queries name the
-    * POINTER, a refit builds a new root, gates it on [[recallProbe]],
-    * and [[graft.sources.ServingPointer.set]] cuts every subsequent
-    * search over atomically (searches already planned against the old
-    * root keep reading it — roots are immutable once built).
+    * side of the blue/green refit ([[refit]] is the writer side: build a
+    * new root, gate it on [[recallProbe]], cut on pass): a deployment's
+    * queries name the POINTER and every subsequent search follows the
+    * cut atomically (searches already planned against the old root keep
+    * reading it — roots are immutable once built).
     */
   def searchServing(spark: SparkSession, ptr: String, idCol: String,
       queryQuant: Array[Long], nprobe: Int, c: Int, n: Int): DataFrame =

@@ -223,6 +223,74 @@ class AnnIndexSpec extends SparkSpec {
         s"${decodes(2)}, ${decodes(3)})")
   }
 
+  test("refit composes the blue/green lifecycle: a candidate passing the " +
+    "recall gate cuts the serving pointer (searchServing follows); a " +
+    "candidate BELOW the floor leaves the pointer untouched and is swept " +
+    "from disk (or kept for debugging on request); the audit history " +
+    "records every cut") {
+    val base = Files.createTempDirectory("annix_refit").toString
+    val ptr = s"$base/serving"
+    val emb = Lake.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    val probes = Seq(0L, 1L, 2L).map(q => q -> quantOf(emb, q))
+    // FIRST deployment: the gate applies from day one — floor 0 always
+    // passes (recall is in [0,1]), pointer gets set
+    val r1 = AnnIndex.refit(emb, "vec_id", "embedding", s"$base/blue",
+      ptr, dims = 64, coarseK = 2, coarseIters = 2, m = 4, k = 2,
+      iters = 2, probes, probeK = 10, nprobe = 2, c = 20,
+      recallFloor = 0.0)
+    assert(r1.cut && r1.servedRoot.contains(s"$base/blue"))
+    assert(r1.meanRecall >= 0.0 && r1.meanRecall <= 1.0)
+    assert(graft.sources.ServingPointer.resolve(spark, ptr) == s"$base/blue")
+    val qq = quantOf(emb, 0L)
+    def serving() = AnnIndex.searchServing(spark, ptr, "vec_id", qq,
+      nprobe = 2, c = 20, n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val blueTop = serving()
+    assert(blueTop.nonEmpty)
+    // FAILED gate: an impossible floor — the pointer must not move and
+    // the candidate root is swept (it was never reader-visible)
+    val r2 = AnnIndex.refit(emb, "vec_id", "embedding", s"$base/green",
+      ptr, dims = 64, coarseK = 2, coarseIters = 2, m = 4, k = 2,
+      iters = 2, probes, probeK = 10, nprobe = 2, c = 20,
+      recallFloor = 1.1)
+    assert(!r2.cut && r2.servedRoot.contains(s"$base/blue"))
+    assert(graft.sources.ServingPointer.resolve(spark, ptr) == s"$base/blue")
+    assert(serving() == blueTop, "readers keep serving blue")
+    assert(VersionedLake.versions(spark, s"$base/green").isEmpty,
+      "the failed candidate must be swept")
+    // FAILED gate, kept for debugging: root stays on disk, pointer still
+    // untouched — and a later PASSING refit at a fresh root cuts over
+    val r3 = AnnIndex.refit(emb, "vec_id", "embedding", s"$base/green2",
+      ptr, dims = 64, coarseK = 2, coarseIters = 2, m = 4, k = 2,
+      iters = 2, probes, probeK = 10, nprobe = 2, c = 20,
+      recallFloor = 1.1, keepFailedCandidate = true)
+    assert(!r3.cut)
+    assert(VersionedLake.versions(spark, s"$base/green2").nonEmpty,
+      "keepFailedCandidate must leave the root readable")
+    assert(graft.sources.ServingPointer.resolve(spark, ptr) == s"$base/blue")
+    val r4 = AnnIndex.refit(emb, "vec_id", "embedding", s"$base/green3",
+      ptr, dims = 64, coarseK = 4, coarseIters = 2, m = 4, k = 4,
+      iters = 2, probes, probeK = 10, nprobe = 4, c = 30,
+      recallFloor = 0.5)
+    assert(r4.cut && r4.meanRecall >= 0.5)
+    assert(graft.sources.ServingPointer.resolve(spark, ptr) == s"$base/green3")
+    assert(serving().nonEmpty, "searchServing follows the cut")
+    // blue is NOT swept on a successful cut (drain is out-of-band)
+    assert(VersionedLake.versions(spark, s"$base/blue").nonEmpty)
+    // the audit trail records both cuts in order
+    assert(graft.sources.ServingPointer.history(spark, ptr).map(_._2) ==
+      Seq(s"$base/blue", s"$base/green3"))
+    // misuse: a candidate root that already exists refuses (build's
+    // contract — a refit is always a NEW root)
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.refit(emb, "vec_id", "embedding", s"$base/green2", ptr,
+        dims = 64, coarseK = 2, coarseIters = 2, m = 4, k = 2, iters = 2,
+        probes, probeK = 10, nprobe = 2, c = 20, recallFloor = 0.0)
+    }
+    assert(ex.getMessage.contains("already exists"))
+  }
+
   test("meanRecallAtK: per-query rows + the NULL-key mean row; a query " +
     "missing from approx scores 0; over-long/duplicated input clamps at " +
     "recall 1.0") {
