@@ -338,6 +338,39 @@ object AnnIndex {
       keepVersions = keepVersions)
   }
 
+  /** [[maintain]] plus the tombstone-fraction fold policy the
+    * merge-on-read scaladoc names ("fold when tombstones cross a
+    * fraction of the corpus") — COMPUTED, not left to the caller: the
+    * retired and stored row counts come from parquet FOOTERS of the
+    * manifest-listed files ([[VersionedLake.tableRowCount]] — O(files)
+    * driver-side metadata reads, no scan, no Spark job), and
+    * [[foldTombstones]] runs only when retired/stored ≥ `foldAtFraction`.
+    * Below the threshold the pass NEVER folds — searches keep paying the
+    * (broadcast, cheap) anti-join, which is the merge-on-read deal. The
+    * fold runs BEFORE the retention pass so the pass bin-packs the
+    * fold's output tail in the same cadence hit. Retirement batches may
+    * repeat ids across deletes; repeats inflate the dial toward an
+    * EARLIER fold (the fold itself is id-exact — the anti-join
+    * distincts), never a missed one. Returns the latest version.
+    */
+  def maintainAndFold(spark: SparkSession, root: String, idCol: String,
+      foldAtFraction: Double = 0.2,
+      targetBytes: Long = 64L * 1024 * 1024, keepVersions: Int = 2): Long = {
+    require(foldAtFraction > 0.0 && foldAtFraction <= 1.0,
+      s"foldAtFraction must be in (0, 1], got $foldAtFraction")
+    val v = latestVersion(spark, root)
+    if (VersionedLake.groupTableRelFiles(spark, root, Some(v))
+        .contains(Tombstones)) {
+      val dead = VersionedLake.tableRowCount(spark, root, Tombstones, Some(v))
+      val stored = VersionedLake.tableRowCount(spark, root, "encoded", Some(v))
+      if (stored > 0 && dead.toDouble / stored >= foldAtFraction) {
+        foldTombstones(spark, root, idCol, keepVersions)
+        ()
+      }
+    }
+    maintain(spark, root, targetBytes, keepVersions)
+  }
+
   /** Drift dial for the stored index: mean recall@`k` over a probe
     * query SET ([[Similarity.meanRecallAtK]] — per-query rows plus the
     * NULL-key mean row), each query's IVFADC-R search scored against its

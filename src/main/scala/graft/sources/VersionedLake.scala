@@ -790,6 +790,26 @@ object VersionedLake {
       .map(rel => new Path(root, rel).toString)
   }
 
+  /** Row count of one member table at a version (default: latest) from
+    * parquet FOOTERS only — O(files) driver-side footer reads (a few KB
+    * each, summed row-group counts), no data pages, no executors, no
+    * Spark job. What a maintenance policy reads to price a rewrite
+    * decision (e.g. [[graft.flows.AnnIndex.maintainAndFold]]'s
+    * tombstone-fraction dial) without paying a scan: at 100 TB the
+    * manifest's file list is the bound, not the bytes.
+    */
+  def tableRowCount(spark: SparkSession, root: String, table: String,
+      version: Option[Long] = None,
+      manifestStore: Option[ManifestStore] = None): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    tableFiles(spark, root, table, version, manifestStore).map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(p), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Every member table's absolute data-file paths at a version (default:
     * latest) in ONE manifest read — the whole-group view a retention pass
     * iterates ([[graft.flows.StreamingRetention]]); per-table calls to

@@ -546,6 +546,51 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.foldTombstones(spark, root, "vec_id") == folded)
   }
 
+  test("maintainAndFold prices the fold from parquet FOOTERS (manifest-" +
+    "listed files, no scan): below the threshold the pass compacts but " +
+    "NEVER folds; above it the fold runs first and search stays value-" +
+    "invariant (q119k's contract); the footer counts match real counts") {
+    val root = Files.createTempDirectory("annix_mf").toString + "/index"
+    val emb = Lake.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    AnnIndex.build(emb.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", root, dims = 64, coarseK = 2, coarseIters = 2,
+      m = 4, k = 2, iters = 2)
+    AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), "vec_id",
+      "embedding", root)
+    // footer-summed counts == real counts on the multi-version layout
+    assert(VersionedLake.tableRowCount(spark, root, "encoded") == 60L)
+    assert(VersionedLake.tableRowCount(spark, root, "quant") == 60L)
+    // retire 2 of 60 (3.3%): under the default 20% threshold
+    AnnIndex.delete(Seq(7L, 9L).toDF("vec_id"), "vec_id", root)
+    assert(VersionedLake.tableRowCount(spark, root, "tombstones") == 2L)
+    val qq = quantOf(emb, 0L)
+    def searchNow() = AnnIndex.search(spark, root, "vec_id", qq,
+      nprobe = 2, c = 30, n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val pre = searchNow()
+    AnnIndex.maintainAndFold(spark, root, "vec_id")
+    assert(VersionedLake.groupTableRelFiles(spark, root, None)
+      .contains("tombstones"),
+      "3.3% retired must stay merge-on-read under the 20% default")
+    assert(searchNow() == pre)
+    // a threshold below the measured fraction triggers the fold: dead
+    // codes rewritten out, tombstone table dropped, search invariant
+    AnnIndex.maintainAndFold(spark, root, "vec_id", foldAtFraction = 0.02)
+    val rel = VersionedLake.groupTableRelFiles(spark, root, None)
+    assert(!rel.contains("tombstones"), "2/60 >= 2% must fold")
+    assert(VersionedLake.tableRowCount(spark, root, "encoded") == 58L)
+    assert(searchNow() == pre,
+      "merge-on-read and fold-on-write are the same index")
+    // idempotent: nothing pending, the next pass is compaction-only
+    AnnIndex.maintainAndFold(spark, root, "vec_id", foldAtFraction = 0.02)
+    assert(searchNow() == pre)
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.maintainAndFold(spark, root, "vec_id", foldAtFraction = 0.0)
+    }
+    assert(ex.getMessage.contains("foldAtFraction"))
+  }
+
   test("searchBatch: ONE table-driven job equals the single-vector " +
     "search per query (same nprobe/c/n); a malformed query vector " +
     "yields zero rows without poisoning the batch; retirements apply; " +
