@@ -2836,8 +2836,41 @@ object Queries {
         queries, "query_id", "embedding", nprobe = 2, c = 50, n = 20)
         .orderBy(col("query_id").asc, col("exact_dist").asc,
           col("vec_id").asc)
+    }),
+
+    // SEMANTIC ARRIVAL DEDUP against the stored index — the production
+    // composition the batch search was built for (AnnIndex.
+    // semanticDedupDecisions → searchBatch top-1 + a threshold drop
+    // rule): the corpus (vec_id % 5 <> 0) is indexed once; an arrival
+    // batch (vec_id % 5 = 0, < 30) asks for its nearest STORED neighbor
+    // in ONE job and each doc's decision is the replayable rule
+    // nn_dist <= T on the exact integer grid. The oracle replays every
+    // per-query chain (fit-on-corpus base, probe, short-list over
+    // CORPUS candidates only, exact re-rank top-1) AND the drop
+    // verdicts — the q108/q111 discipline applied to the index-backed
+    // arrival path.
+    "q120_ann_arrival_dedup" -> ((s, dir) => {
+      val tmp = freshScratchDir("graft_q120")
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.flows.AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", s"$tmp/index", dims = 64, coarseK = 4,
+        coarseIters = 2, m = 4, k = 4, iters = 2)
+      val batch = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 30)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      graft.flows.AnnIndex.semanticDedupDecisions(s, s"$tmp/index",
+        "vec_id", batch, "doc_id", "embedding", nprobe = 2, c = 50,
+        threshold = AnnDedupThreshold)
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** q120's drop threshold on the floor(x·2^20) squared-distance grid —
+    * chosen to split the sf0.01 fixture's six arrival docs across both
+    * verdicts (3 drop at 1.40–1.44e12, 3 keep at 1.47–1.61e12), so the
+    * oracle hash covers drop AND keep branches. Shared with the oracle
+    * SQL (ONE constant, embedded both sides).
+    */
+  private val AnnDedupThreshold: Long = 1450000000000L
 
   // ---------------------------------------------------------------- oracles
 
@@ -5677,8 +5710,42 @@ object Queries {
     // query's single-vector chain (q119e's fit-on-corpus base + the
     // shared probe/short-list/re-rank tail) and unions the three — a
     // batch row set must be exactly the per-query searches stacked.
-    "q119l_ann_batch" -> annBatchSql
+    "q119l_ann_batch" -> annBatchSql,
+
+    // q120 replays the index-backed arrival-dedup DECISIONS: per batch
+    // doc the full single-vector chain (fit-on-corpus base, probe,
+    // short-list restricted to CORPUS candidates — the batch is not
+    // indexed, so the oracle's full-encode CTEs exclude it the same way
+    // the delete oracle excludes tombstones — exact re-rank top-1), and
+    // the drop verdict nn_dist <= T as a replayed boolean.
+    "q120_ann_arrival_dedup" -> annArrivalDedupSql
   )
+
+  /** q120's oracle: q119e's subset-fit base chain, one suffixed query
+    * block + top-1 re-rank tail per arrival doc with the short-list
+    * candidates restricted to the CORPUS (deleteWhere — arrivals are
+    * queries, not index members), then the per-doc decisions unioned
+    * with the threshold verdict computed in SQL.
+    */
+  private lazy val annArrivalDedupSql: String = {
+    val qids = Seq(0L, 5L, 10L, 15L, 20L, 25L)
+    val sb = new StringBuilder("WITH " + ivfPqBaseCtes(coarseK = 4,
+      coarseIters = 2, m = 4, k = 4, iters = 2, dims = 64,
+      scale = 1 << 20, fitWhere = "vec_id % 5 <> 0").mkString(",\n"))
+    qids.foreach { q =>
+      sb.append(",\n" + ivfPqQueryCtes(q, s"_$q", coarseIters = 2,
+        m = 4, iters = 2, dims = 64, nprobe = 2).mkString(",\n"))
+      sb.append(ivfPqRerankCtesSql(c = 50, n = 1, dims = 64,
+        sfx = s"_$q", deleteWhere = "f0.vec_id % 5 = 0"))
+    }
+    sb.append("\n" + qids.map(q =>
+      s"SELECT CAST($q AS BIGINT) AS doc_id, vec_id AS nn_id, " +
+        s"exact_dist AS nn_dist, " +
+        s"exact_dist <= $AnnDedupThreshold AS dropped FROM rr_$q")
+      .mkString("\nUNION ALL\n"))
+    sb.append("\nORDER BY doc_id")
+    sb.toString
+  }
 
   /** q119l's oracle: q119e's subset-fit base chain, one suffixed query
     * block + re-rank tail per query id, and the per-query top-20s

@@ -1,7 +1,7 @@
 package graft.flows
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
 
 import graft.operators.{Cluster, Similarity}
 import graft.sources.VersionedLake
@@ -555,6 +555,65 @@ object AnnIndex {
       }
       RefitResult(cut = false, mean, candidateRoot, prevServed)
     }
+  }
+
+  /** The DECISIONS frame of [[semanticDedupAgainstIndex]]: one row per
+    * batch doc — (batchIdCol, nn_id, nn_dist, dropped) — where nn_* is
+    * the doc's single nearest STORED neighbor ([[searchBatch]] top-1,
+    * ONE table-driven job for the whole batch) and `dropped` is the
+    * replayable rule `nn_dist <= threshold` (exact squared L2 on the
+    * quantized grid; a TIE at the threshold drops — the conservative
+    * edge for a dedup gate). A batch doc with NO neighbor row — a
+    * malformed vector, or every probed cell empty/tombstoned — is KEPT
+    * with a null nn_id: a dedup pass must not retire a doc it could not
+    * score (visible in the frame, never silently dropped). Exposed
+    * separately from the survivor filter so the drop decisions are an
+    * auditable, oracle-replayable artifact (the q108/q111 discipline).
+    */
+  def semanticDedupDecisions(spark: SparkSession, root: String,
+      idCol: String, batch: DataFrame, batchIdCol: String,
+      batchVecCol: String, nprobe: Int, c: Int, threshold: Long,
+      scale: Int = Cluster.QuantScale): DataFrame = {
+    require(batchIdCol != idCol,
+      s"batchIdCol must differ from the index id column '$idCol' " +
+        "(the decisions frame carries both)")
+    val top1 = searchBatch(spark, root, idCol,
+      batch.select(col(batchIdCol), col(batchVecCol)), batchIdCol,
+      batchVecCol, nprobe, c, n = 1, scale)
+      .select(col(batchIdCol), col(idCol).as("nn_id"),
+        col("exact_dist").as("nn_dist"))
+    batch.select(col(batchIdCol).cast("long").as(batchIdCol)).distinct()
+      .join(top1, Seq(batchIdCol), "left")
+      .withColumn("dropped",
+        coalesce(col("nn_dist") <= lit(threshold), lit(false)))
+  }
+
+  /** Semantic arrival dedup against the STORED index — the production
+    * shape [[searchBatch]] exists for: a new crawl batch asks "what is
+    * my nearest stored neighbor" in ONE job and drops every doc whose
+    * neighbor sits at `nn_dist <= threshold` on the quantized grid
+    * (for unit-normalized embeddings, d² ≈ 2·(1 − cosine)·scale², so a
+    * cosine-τ policy converts directly). Returns the SURVIVING batch
+    * rows with every original column — the frame a corpus build's
+    * semantic stage consumes ([[TrainingCorpus]] stage 3b is the
+    * one-shot form over a full corpus; this is its per-arrival
+    * counterpart, O(batch) against stored state like
+    * [[graft.operators.Cluster.incrementalSemDeDupStored]] on the
+    * cluster side). Unscoreable docs survive — see
+    * [[semanticDedupDecisions]] for the audit trail and the rule.
+    */
+  def semanticDedupAgainstIndex(spark: SparkSession, root: String,
+      idCol: String, batch: DataFrame, batchIdCol: String,
+      batchVecCol: String, nprobe: Int, c: Int, threshold: Long,
+      scale: Int = Cluster.QuantScale): DataFrame = {
+    val dropped = semanticDedupDecisions(spark, root, idCol, batch,
+      batchIdCol, batchVecCol, nprobe, c, threshold, scale)
+      .filter(col("dropped"))
+      .select(col(batchIdCol).as("__dropped_id"))
+    // the dropped set is ≤ the batch (the small side by definition) —
+    // broadcast it so the surviving-batch filter never shuffles the batch
+    batch.join(broadcast(dropped),
+      col(batchIdCol).cast("long") === col("__dropped_id"), "left_anti")
   }
 
   /** [[search]] through a [[graft.sources.ServingPointer]] — the reader

@@ -223,6 +223,64 @@ class AnnIndexSpec extends SparkSpec {
         s"${decodes(2)}, ${decodes(3)})")
   }
 
+  test("semanticDedupAgainstIndex: searchBatch top-1 + threshold as the " +
+    "drop rule — an exact duplicate drops at any threshold, a TIE at the " +
+    "threshold drops, one grid-step below keeps; an unscoreable doc " +
+    "survives with a null neighbor; survivors keep every original column") {
+    val root = Files.createTempDirectory("annix_sd").toString + "/index"
+    // vectors on the exact 2^20 grid: value n/1024 quantizes to n·1024,
+    // so every distance below is a hand-checkable integer
+    def v(a: Int*): Seq[Float] = a.map(_.toFloat / 1024f)
+    val stored = Seq(
+      (100L, v(0, 0, 0, 0)), (101L, v(64, 0, 0, 0)),
+      (102L, v(0, 64, 0, 0)), (103L, v(64, 64, 0, 0)),
+      (104L, v(0, 0, 64, 0)), (105L, v(0, 0, 0, 64)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.build(stored, "vec_id", "embedding", root, dims = 4,
+      coarseK = 2, coarseIters = 2, m = 2, k = 2, iters = 2)
+    val batch = Seq(
+      (1L, v(0, 0, 0, 0), "dup-exact"),    // nn 100 at dist 0
+      (2L, v(1, 0, 0, 0), "near"),         // nn 100 at dist 1024² = 1048576
+      (3L, v(32, 32, 32, 32), "far"),      // nearest at 4·32768² ≫ T
+      (4L, Seq(0.1f, 0.2f), "malformed")   // wrong dims — unscoreable
+    ).toDF("doc_id", "embedding", "tag")
+    // nprobe = coarseK and c ≥ corpus: the short-list covers every
+    // stored row, so the top-1 is the EXACT nearest stored neighbor
+    def decide(t: Long) = AnnIndex.semanticDedupDecisions(spark, root,
+      "vec_id", batch, "doc_id", "embedding", nprobe = 2, c = 10,
+      threshold = t)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getBoolean(3))).toMap
+    val atTie = decide(1048576L)
+    assert(atTie(1L) == ((Some(100L), Some(0L), true)), s"$atTie")
+    assert(atTie(2L) == ((Some(100L), Some(1048576L), true)),
+      "a tie AT the threshold drops (<= — the conservative dedup edge)")
+    assert(!atTie(3L)._3 && atTie(3L)._1.nonEmpty)
+    assert(atTie(4L) == ((None, None, false)),
+      "an unscoreable doc is KEPT, visibly null — never silently retired")
+    val below = decide(1048575L)
+    assert(below(1L)._3 && !below(2L)._3,
+      "one grid-step below the tie keeps the near doc")
+    // the survivor frame: originals minus dropped, columns intact
+    val surv = AnnIndex.semanticDedupAgainstIndex(spark, root, "vec_id",
+      batch, "doc_id", "embedding", nprobe = 2, c = 10,
+      threshold = 1048576L)
+    assert(surv.columns.toSeq == Seq("doc_id", "embedding", "tag"))
+    assert(surv.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(3L, 4L))
+    assert(surv.filter(col("doc_id") === 3L).head.getString(2) == "far")
+    // batch id colliding with the index id column is refused (the
+    // decisions frame carries both)
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.semanticDedupDecisions(spark, root, "vec_id",
+        batch.withColumnRenamed("doc_id", "vec_id"), "vec_id",
+        "embedding", nprobe = 2, c = 10, threshold = 0L)
+    }
+    assert(ex.getMessage.contains("must differ"))
+  }
+
   test("refit composes the blue/green lifecycle: a candidate passing the " +
     "recall gate cuts the serving pointer (searchServing follows); a " +
     "candidate BELOW the floor leaves the pointer untouched and is swept " +
