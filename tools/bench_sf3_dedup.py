@@ -138,6 +138,32 @@ def main():
     ensure_fixture(args.fixture)
     sf3 = run_bench(args.fixture, "/tmp/bench_sf3_raw.json")
 
+    # MIN-MERGE with an existing same-round artifact (same fixture + same
+    # sf1 ref): a noisy re-run can never overwrite a chosen clean record —
+    # the r15 failure class, where a host-spiked re-run replaced the clean
+    # artifact while the prose kept claiming "gate clean". The min across
+    # runs is the standard noise rejection; a violation can only survive
+    # the merge if EVERY recorded run violated.
+    rnd = args.round if args.round is not None else next_round()
+    path = os.path.join(REPO, f"BENCH_SF3_r{rnd:02d}.json")
+    min_of_runs = 1
+    if os.path.exists(path):
+        prev = json.load(open(path))
+        if os.path.realpath(prev.get("fixture", "")) != \
+                os.path.realpath(args.fixture) or \
+                prev.get("ref") != os.path.basename(ref_path):
+            sys.exit(f"[bench_sf3] REFUSING to merge into {path}: fixture/"
+                     f"ref mismatch ({prev.get('fixture')!r} vs "
+                     f"{args.fixture!r}, {prev.get('ref')!r} vs "
+                     f"{os.path.basename(ref_path)!r}) — pass a different "
+                     "--round")
+        pq = prev.get("queries_sf3", {})
+        sf3["queries"] = {q: min(t, pq.get(q, t))
+                         for q, t in sf3["queries"].items()}
+        min_of_runs = prev.get("min_of_runs", 1) + 1
+        print(f"[bench_sf3] min-merged into existing {os.path.basename(path)}"
+              f" (now min over {min_of_runs} runs)")
+
     ratios, violations = {}, []
     for q, t3 in sorted(sf3["queries"].items()):
         t1 = sf1_queries.get(q)
@@ -149,12 +175,11 @@ def main():
             violations.append({"query": q, "sf1": round(t1, 3),
                                "sf3": round(t3, 3), "ratio": round(r, 2)})
 
-    rnd = args.round if args.round is not None else next_round()
     out = {
         "metric": "sf3_density_probe", "unit": "ratio",
         "emitter": "bench_sf3_dedup", "fixture": args.fixture,
         "ref": os.path.basename(ref_path), "gate": args.gate,
-        "min_secs": MIN_SECS,
+        "min_secs": MIN_SECS, "min_of_runs": min_of_runs,
         "queries_sf3": {k: round(v, 3) for k, v in sorted(sf3["queries"].items())},
         "queries_sf1": {k: round(sf1_queries[k], 3) for k in sorted(ratios)},
         "ratios": ratios,

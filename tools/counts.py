@@ -18,6 +18,7 @@ Usage:  python3 tools/counts.py          # regenerate + patch docs
         python3 tools/counts.py --check  # exit 1 if any doc drifted
 """
 import argparse
+import json
 import os
 import re
 import sys
@@ -46,6 +47,169 @@ def counts():
             "tests": tests, "suites": suites}
 
 
+def latest_artifact(pattern):
+    """(round, path) of the newest committed artifact matching the
+    pattern, or None."""
+    hits = [(int(m.group(1)), f) for f in os.listdir(REPO)
+            if (m := re.match(pattern, f))]
+    if not hits:
+        return None
+    rnd, name = max(hits)
+    return rnd, os.path.join(REPO, name)
+
+
+def gate_facts():
+    """Headline numbers + violation states read from the LATEST committed
+    bench/gate artifacts — the source of truth the round-15 verdict asked
+    the docs to derive from (the committed BENCH_SF3_r15.json carried a
+    violation while the prose beside it claimed 'gate clean')."""
+    def load_bench(path):
+        # three shapes in the wild: plain graft.Bench JSON, the driver's
+        # wrapper with a parsed dict, or the wrapper with the JSON line
+        # buried in a stdout tail (the r15 shape — parsed: None because
+        # sbt's "[success]" epilogue follows the JSON line)
+        d = json.load(open(path))
+        if "queries" in d:
+            return d
+        if isinstance(d.get("parsed"), dict):
+            return d["parsed"]
+        lines = [l for l in (d.get("tail") or "").splitlines()
+                 if l.startswith("{")]
+        return json.loads(lines[-1]) if lines else {}
+
+    facts = {}
+    # sf0.1 reads BENCH_LAST.json — the full record graft.Bench itself
+    # writes; the driver's BENCH_r{N}.json wrapper truncates its stdout
+    # tail, so the JSON line inside it is not reliably recoverable
+    last = os.path.join(REPO, "BENCH_LAST.json")
+    if os.path.exists(last):
+        d = load_bench(last)
+        if d.get("queries"):
+            facts["sf01"] = {
+                "file": "BENCH_LAST.json",
+                "n": len(d.get("queries", {})),
+                "total_s": round(d.get("value", 0), 1),
+                "normalized_s": round(d.get("normalized_value", 0), 1),
+                "failed": d.get("failed", []),
+            }
+    sf1 = latest_artifact(r"BENCH_SF1_r(\d+)\.json")
+    if sf1:
+        rnd, path = sf1
+        d = json.load(open(path))
+        facts["sf1"] = {
+            "round": rnd, "file": os.path.basename(path),
+            "total_s": d.get("sf1_total"),
+            "total_ratio": d.get("total_ratio"),
+            "median_ratio": d.get("median_ratio"),
+            "violations": d.get("violations", []),
+            "per_row_violations": d.get("per_row_violations", []),
+            "failed": d.get("failed_at_sf1", []),
+            "min_of_runs": d.get("min_of_runs", 1),
+        }
+    sf3 = latest_artifact(r"BENCH_SF3_r(\d+)\.json")
+    if sf3:
+        rnd, path = sf3
+        d = json.load(open(path))
+        facts["sf3"] = {
+            "round": rnd, "file": os.path.basename(path),
+            "n": len(d.get("ratios", {})),
+            "worst_ratio": max(d.get("ratios", {}).values(), default=None),
+            "violations": d.get("violations", []),
+            "failed": d.get("failed_at_sf3", []),
+            "min_of_runs": d.get("min_of_runs", 1),
+        }
+    return facts
+
+
+def gate_drift(facts):
+    """Hard inconsistencies between the committed gate artifacts and the
+    claims the docs are allowed to make. Non-empty => --check exits 1, so
+    a snapshot can never again commit a violating artifact beside a
+    'gate clean' headline."""
+    errs = []
+    for kind in ("sf1", "sf3"):
+        f = facts.get(kind)
+        if not f:
+            continue
+        for field in ("violations", "per_row_violations", "failed"):
+            if f.get(field):
+                errs.append(
+                    f"{f['file']} carries non-empty {field}: "
+                    f"{f[field]} — the latest committed {kind} gate "
+                    "artifact must be clean (re-run the gate on a quiet "
+                    "host, or fix the regression, before snapshotting)")
+    if facts.get("sf01", {}).get("failed"):
+        errs.append(f"{facts['sf01']['file']} carries failed queries: "
+                    f"{facts['sf01']['failed']}")
+    # stale citations: prose naming an OLDER artifact than the latest
+    # committed one reads as if the newer record does not exist
+    for doc in ("BENCH_NOTES.md", "README.md"):
+        p = os.path.join(REPO, doc)
+        if not os.path.exists(p):
+            continue
+        body = open(p).read()
+        for kind, pat in (("sf1", r"BENCH_SF1_r(\d+)\.json"),
+                          ("sf3", r"BENCH_SF3_r(\d+)\.json")):
+            f = facts.get(kind)
+            if not f:
+                continue
+            # the history appendix may cite old rounds by design; only
+            # the pre-appendix headline is held to the latest artifact
+            head_body = body.split("# Appendix")[0]
+            stale = sorted({int(m) for m in re.findall(pat, head_body)
+                            if int(m) < f["round"]})
+            if stale:
+                errs.append(f"{doc} headline cites stale round(s) {stale} "
+                            f"for {kind} (latest committed: {f['file']})")
+    return errs
+
+
+GATES_START = "<!-- gates:generated:start (tools/counts.py) -->"
+GATES_END = "<!-- gates:generated:end -->"
+
+
+def gates_block(facts):
+    """The generated headline block injected between the GATES markers in
+    BENCH_NOTES.md — numbers come from the artifacts, never from memory."""
+    lines = [GATES_START]
+    if "sf01" in facts:
+        f = facts["sf01"]
+        lines.append(
+            f"- sf0.1 ({f['file']}): **{f['n']} queries, {f['total_s']} s "
+            f"raw** (host-normalized {f['normalized_s']} s), "
+            f"failures: {f['failed'] or 'none'}.")
+    if "sf1" in facts:
+        f = facts["sf1"]
+        runs = (f" (min over {f['min_of_runs']} runs)"
+                if f.get("min_of_runs", 1) > 1 else "")
+        lines.append(
+            f"- sf1 ({f['file']}): **{f['total_s']} s, "
+            f"{f['total_ratio']}× wall on 10× data, median "
+            f"{f['median_ratio']}×**{runs}; wall violations: "
+            f"{f['violations'] or 'none'}; streaming per-row violations: "
+            f"{f['per_row_violations'] or 'none'}; failures: "
+            f"{f['failed'] or 'none'}.")
+    if "sf3" in facts:
+        f = facts["sf3"]
+        runs = (f" (min over {f['min_of_runs']} runs)"
+                if f.get("min_of_runs", 1) > 1 else "")
+        lines.append(
+            f"- sf3 density ({f['file']}): **{f['n']} gated rows, worst "
+            f"ratio {f['worst_ratio']}× vs the 10× gate**{runs}; "
+            f"violations: {f['violations'] or 'none'}; failures: "
+            f"{f['failed'] or 'none'}.")
+    lines.append(GATES_END)
+    return "\n".join(lines)
+
+
+def inject_gates(body, block):
+    """Replace the marker block (must exist) with the regenerated one."""
+    i, j = body.find(GATES_START), body.find(GATES_END)
+    if i < 0 or j < 0:
+        return None
+    return body[:i] + block + body[j + len(GATES_END):]
+
+
 # (path, regex, replacement-template) — every place a count is cited.
 # Adding a new citation site? Cite COUNTS.md instead, or add a rule here.
 def rules(c):
@@ -62,17 +226,23 @@ def rules(c):
     ]
 
 
-def counts_md(c):
+def counts_md(c, facts):
     return f"""# COUNTS (generated — do not edit)
 
 Regenerate with `python3 tools/counts.py` (run it whenever a query or
-spec lands; `--check` fails if any cited count drifted from HEAD).
+spec lands, and after every gate re-record; `--check` fails if any cited
+count or gate headline drifted from HEAD, or if the latest committed
+gate artifact carries violations).
 
 - **{c['queries']}** oracle queries in `SparkEntry.queries`, each with a
   DuckDB `oracleSql` entry (**{c['oracles']}** — the driver hash-gates
   every one at sf0.01)
 - **{c['tests']}** ScalaTest specs across **{c['suites']}** suites
   (`sbt test`)
+
+## Scale gates (from the committed artifacts)
+
+{gates_block(facts)}
 """
 
 
@@ -83,10 +253,12 @@ def main():
     c = counts()
     assert c["oracles"] == c["queries"], \
         f"every query needs an oracleSql entry: {c}"
+    facts = gate_facts()
+    gate_errs = gate_drift(facts)
     drift = []
     for path, pat, repl in rules(c):
         full = os.path.join(REPO, path)
-        want = counts_md(c) if path == "COUNTS.md" else None
+        want = counts_md(c, facts) if path == "COUNTS.md" else None
         old = open(full).read() if os.path.exists(full) else ""
         if path == "COUNTS.md":
             new = want
@@ -99,12 +271,36 @@ def main():
             drift.append(path)
             if not args.check:
                 open(full, "w").write(new)
+    # the generated gate-headline block (BENCH_NOTES.md): numbers come
+    # from the artifacts, so prose and JSON can never diverge again
+    for path in ("BENCH_NOTES.md",):
+        full = os.path.join(REPO, path)
+        if not os.path.exists(full):
+            continue
+        old = open(full).read()
+        new = inject_gates(old, gates_block(facts))
+        if new is None:
+            print(f"[counts] WARNING: no gates marker block in {path} "
+                  f"(add '{GATES_START}' … '{GATES_END}')")
+        elif new != old:
+            drift.append(path)
+            if not args.check:
+                open(full, "w").write(new)
     print(f"[counts] {c['queries']} queries / {c['oracles']} oracles / "
           f"{c['tests']} specs in {c['suites']} suites"
           + (f"; updated {sorted(set(drift))}" if drift else "; docs in sync"))
-    if args.check and drift:
-        sys.exit(f"[counts] DRIFT in {sorted(set(drift))} — "
-                 "run tools/counts.py")
+    for e in gate_errs:
+        print(f"[counts] GATE-ARTIFACT ERROR: {e}")
+    if args.check and (drift or gate_errs):
+        parts = []
+        if drift:
+            parts.append("DRIFT in %s" % sorted(set(drift)))
+        if gate_errs:
+            parts.append("%d gate-artifact error(s)" % len(gate_errs))
+        sys.exit("[counts] %s — run tools/counts.py / re-record the gate"
+                 % " + ".join(parts))
+    if gate_errs:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
