@@ -2861,6 +2861,87 @@ object Queries {
         "vec_id", batch, "doc_id", "embedding", nprobe = 2, c = 50,
         threshold = AnnDedupThreshold)
         .orderBy(col("doc_id"))
+    }),
+
+    // BLUE/GREEN REFIT GATE replayed as decisions (AnnIndex.refit): two
+    // refits over the same corpus/probes — one whose floor the measured
+    // mean recall clears (the cut: pointer lands on the candidate) and
+    // one with an impossible floor (the hold: pointer NEVER moves, the
+    // candidate is swept). The emitted frame carries the gate rule
+    // (mean >= floor) AND the OBSERVED pointer state, so the oracle
+    // replays the measured mean (q119f's chain), the cut/hold verdicts,
+    // and which root a searchServing reader would hit after the dust
+    // settles — the q108/q120 decisions discipline applied to the
+    // deployment lifecycle itself.
+    "q121_ann_refit_gate" -> ((s, dir) => {
+      val tmp = freshScratchDir("graft_q121")
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val probes = Seq(0L, 1L, 2L).map { qid =>
+        qid -> emb.filter(col("vec_id") === qid)
+          .select(graft.operators.Cluster.quantizeFloor(col("embedding"))
+            .as("q"))
+          .head.getSeq[Long](0).toArray
+      }
+      val ptr = s"$tmp/serving"
+      def refitAt(root: String, floor: Double) =
+        graft.flows.AnnIndex.refit(emb, "vec_id", "embedding", root, ptr,
+          dims = 64, coarseK = 4, coarseIters = 2, m = 4, k = 4, iters = 2,
+          probes, probeK = 20, nprobe = 2, c = 50, recallFloor = floor)
+      val pass = refitAt(s"$tmp/green", AnnRefitFloorPass)
+      val hold = refitAt(s"$tmp/cand2", AnnRefitFloorHold)
+      // the OBSERVED serving root (not the RefitResult's claim): "" when
+      // no refit ever cut — the frame must reflect what a reader sees
+      val serving =
+        if (graft.sources.VersionedLake.versions(s, ptr).nonEmpty)
+          graft.sources.ServingPointer.resolve(s, ptr)
+        else ""
+      import s.implicits._
+      Seq(
+        ("floor_hold", AnnRefitFloorHold, hold.cut, hold.meanRecall,
+          serving == s"$tmp/cand2"),
+        ("floor_pass", AnnRefitFloorPass, pass.cut, pass.meanRecall,
+          serving == s"$tmp/green"))
+        .toDF("scenario", "floor", "cut", "mean_recall",
+          "serving_is_candidate")
+        .orderBy(col("scenario"))
+    }),
+
+    // THE FOLD DIAL replayed as decisions (AnnIndex.maintainAndFold):
+    // the tombstone-fraction trigger computed from parquet footers — a
+    // retirement batch at 4% of the corpus must NOT fold (merge-on-read
+    // keeps paying the broadcast anti-join), a second batch pushing the
+    // dial to ~29% must. `folded` is OBSERVED (the tombstone table's
+    // presence at the latest version), the counts are the footer reads
+    // the dial consumes, and the oracle replays rule and counts in SQL —
+    // including the documented row-count inflation when retirement
+    // batches repeat ids (%100==25 ids sit in BOTH batches and count
+    // twice, biasing toward an EARLIER fold, never a missed one).
+    "q122_ann_fold_dial" -> ((s, dir) => {
+      val tmp = freshScratchDir("graft_q122")
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val root = s"$tmp/index"
+      graft.flows.AnnIndex.build(emb, "vec_id", "embedding", root,
+        dims = 64, coarseK = 4, coarseIters = 2, m = 4, k = 4, iters = 2)
+      def stage(retireWhere: Column): (Long, Long, Boolean) = {
+        graft.flows.AnnIndex.delete(
+          emb.filter(retireWhere).select(col("vec_id")), "vec_id", root)
+        val v = graft.sources.VersionedLake.versions(s, root).last
+        val dead = graft.sources.VersionedLake.tableRowCount(s, root,
+          "tombstones", Some(v))
+        val stored = graft.sources.VersionedLake.tableRowCount(s, root,
+          "encoded", Some(v))
+        graft.flows.AnnIndex.maintainAndFold(s, root, "vec_id",
+          foldAtFraction = 0.2)
+        val folded = !graft.sources.VersionedLake
+          .groupTableRelFiles(s, root, None).contains("tombstones")
+        (dead, stored, folded)
+      }
+      val (d1, s1, f1) = stage(col("vec_id") % 25 === 0)
+      val (d2, s2, f2) = stage(col("vec_id") % 4 === 1)
+      import s.implicits._
+      Seq((1, d1, s1, f1), (2, d2, s2, f2))
+        .toDF("stage", "dead_rows", "stored_rows", "folded")
+        .orderBy(col("stage"))
     })
   )
 
@@ -2871,6 +2952,15 @@ object Queries {
     * SQL (ONE constant, embedded both sides).
     */
   private val AnnDedupThreshold: Long = 1450000000000L
+
+  /** q121's two gate floors — ONE constant pair embedded in both the
+    * refit calls and the oracle SQL. The pass floor sits well under the
+    * fixture's measured mean recall (~0.97 at sf0.01; the body guards
+    * the no-cut case anyway), the hold floor above 1.0 where mean recall
+    * clamps — the refit scaladoc's explicit "never cut" switch.
+    */
+  private val AnnRefitFloorPass: Double = 0.5
+  private val AnnRefitFloorHold: Double = 1.5
 
   // ---------------------------------------------------------------- oracles
 
@@ -5718,7 +5808,19 @@ object Queries {
     // indexed, so the oracle's full-encode CTEs exclude it the same way
     // the delete oracle excludes tombstones — exact re-rank top-1), and
     // the drop verdict nn_dist <= T as a replayed boolean.
-    "q120_ann_arrival_dedup" -> annArrivalDedupSql
+    "q120_ann_arrival_dedup" -> annArrivalDedupSql,
+
+    // q121 replays the blue/green refit GATE: the measured mean recall
+    // (q119f's chain — refit's dial is that exact number), the cut/hold
+    // verdicts as the rule mean >= floor, and the serving root a reader
+    // observes after both refits (last cut wins the pointer).
+    "q121_ann_refit_gate" -> annRefitGateSql,
+
+    // q122 replays the maintainAndFold dial: the footer-read dead/stored
+    // counts per stage (retirement batches ACCUMULATE rows — overlapping
+    // ids count twice, the documented early-fold bias) and the observed
+    // fold verdict as the rule dead/stored >= 0.2.
+    "q122_ann_fold_dial" -> annFoldDialSql
   )
 
   /** q120's oracle: q119e's subset-fit base chain, one suffixed query
@@ -5784,12 +5886,12 @@ object Queries {
         |SELECT vec_id, cell, adc_dist, exact_dist
         |FROM rr ORDER BY exact_dist, vec_id""".stripMargin
 
-  /** q119f/q119i's shared oracle: mean recall@20 over the query set
-    * {0,1,2} — ONE shared base chain (model + codes), one suffixed query
-    * block + re-rank tail + exact top-20 per query, then per-query hits
-    * and the NULL-key mean row (CAST(sum) — DuckDB sums go HUGEINT).
+  /** The shared recall-measurement chain (q119f/q119i/q121): model +
+    * codes, one suffixed query block + re-rank tail + exact top-20 per
+    * query in {0,1,2}, ending in `per(query_id, hits)` — the per-query
+    * hit counts every recall consumer reduces.
     */
-  private lazy val annMeanRecallSql: String = {
+  private lazy val annRecallPerCtes: String = {
       val qids = Seq(0L, 1L, 2L)
       val sb = new StringBuilder("WITH " + ivfPqBaseCtes(coarseK = 4,
         coarseIters = 2, m = 4, k = 4, iters = 2, dims = 64,
@@ -5815,11 +5917,59 @@ object Queries {
                s"  SELECT CAST($q AS BIGINT) AS query_id, count(*) AS hits " +
                  s"FROM rr_$q JOIN ex_$q USING (vec_id)")
              .mkString("\n  UNION ALL\n")}
-           |)
-           |SELECT query_id, CAST(20 AS BIGINT) AS k, hits, hits / 20.0 AS recall FROM per
-           |UNION ALL
-           |SELECT NULL, CAST(20 AS BIGINT), CAST(sum(hits) AS BIGINT), avg(hits / 20.0) FROM per
-           |ORDER BY query_id NULLS LAST""".stripMargin)
+           |)""".stripMargin)
       sb.toString
   }
+
+  /** q119f/q119i's shared oracle: per-query hits and the NULL-key mean
+    * row (CAST(sum) — DuckDB sums go HUGEINT) over [[annRecallPerCtes]].
+    */
+  private lazy val annMeanRecallSql: String =
+    annRecallPerCtes +
+      """
+        |SELECT query_id, CAST(20 AS BIGINT) AS k, hits, hits / 20.0 AS recall FROM per
+        |UNION ALL
+        |SELECT NULL, CAST(20 AS BIGINT), CAST(sum(hits) AS BIGINT), avg(hits / 20.0) FROM per
+        |ORDER BY query_id NULLS LAST""".stripMargin
+
+  /** q121's oracle: the measured mean over [[annRecallPerCtes]] (the
+    * identical avg(hits/20.0) the q119f mean row carries — refit's dial
+    * IS that number), then both gate verdicts as replayed rules:
+    * cut = mean >= floor, and the serving root a reader sees afterwards —
+    * the pass candidate serves only if it cut AND the later hold refit
+    * did not (sequencing: the last cut wins the pointer).
+    */
+  private lazy val annRefitGateSql: String =
+    annRecallPerCtes +
+      s""",
+         |m AS (SELECT avg(hits / 20.0) AS mean FROM per)
+         |SELECT 'floor_hold' AS scenario,
+         |  CAST($AnnRefitFloorHold AS DOUBLE) AS floor,
+         |  mean >= $AnnRefitFloorHold AS cut, mean AS mean_recall,
+         |  (mean >= $AnnRefitFloorHold) AS serving_is_candidate FROM m
+         |UNION ALL
+         |SELECT 'floor_pass', CAST($AnnRefitFloorPass AS DOUBLE),
+         |  mean >= $AnnRefitFloorPass, mean,
+         |  (mean >= $AnnRefitFloorPass) AND NOT (mean >= $AnnRefitFloorHold)
+         |  FROM m
+         |ORDER BY scenario""".stripMargin
+
+  /** q122's oracle: the fold dial's counts and rule in SQL — dead rows
+    * accumulate across retirement batches (ids in BOTH batches count
+    * twice, the documented inflation), stored rows stay the full corpus
+    * until a fold lands, and folded replays dead/stored >= 0.2 per stage.
+    */
+  private lazy val annFoldDialSql: String =
+    """WITH d1 AS (SELECT count(*) AS c FROM embeddings WHERE vec_id % 25 = 0),
+      |d2 AS (SELECT count(*) AS c FROM embeddings WHERE vec_id % 4 = 1),
+      |n AS (SELECT count(*) AS c FROM embeddings)
+      |SELECT CAST(1 AS INT) AS stage, CAST(d1.c AS BIGINT) AS dead_rows,
+      |  CAST(n.c AS BIGINT) AS stored_rows,
+      |  CAST(d1.c AS DOUBLE) / CAST(n.c AS DOUBLE) >= 0.2 AS folded
+      |FROM d1, n
+      |UNION ALL
+      |SELECT 2, CAST(d1.c + d2.c AS BIGINT), CAST(n.c AS BIGINT),
+      |  CAST(d1.c + d2.c AS DOUBLE) / CAST(n.c AS DOUBLE) >= 0.2
+      |FROM d1, d2, n
+      |ORDER BY stage""".stripMargin
 }
