@@ -401,6 +401,37 @@ object AnnIndex {
     require(queries.nonEmpty, "recallProbe needs at least one query")
     require(queries.map(_._1).distinct.length == queries.length,
       "recallProbe query ids must be unique (they key the per-query windows)")
+    import spark.implicits._
+    recallProbeQuantized(spark, root, idCol,
+      queries.map { case (qid, qq) => (qid, qq.toSeq) }
+        .toDF("query_id", "__q"), k, nprobe, c)
+  }
+
+  /** [[recallProbe]] over a probe FRAME — raw vectors
+    * (`queryVecCol`, float/double array) grid-quantized in-plan with the
+    * index's scale, ids cast long in-plan: the probe set never touches
+    * driver memory, so a deployment can dial drift on tens of thousands
+    * of held-out queries (the documented cadence shape) as cheaply as on
+    * three. Same result row-for-row as the Seq form over the same
+    * probes (spec-pinned). Query ids must be unique; the batch kernel
+    * enforces that in-plan (the same contract [[searchBatch]] carries),
+    * and an empty frame refuses loudly like the Seq form.
+    */
+  def recallProbeFrame(spark: SparkSession, root: String, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nprobe: Int, c: Int,
+      scale: Int = Cluster.QuantScale): DataFrame = {
+    require(!queries.isEmpty, "recallProbeFrame needs at least one query")
+    recallProbeQuantized(spark, root, idCol,
+      queries.select(col(queryIdCol).cast("long").as("query_id"),
+        Cluster.quantizeFloor(col(queryVecCol), scale).as("__q")),
+      k, nprobe, c)
+  }
+
+  /** The shared probe core: `qdf` is (query_id BIGINT, __q quantized). */
+  private def recallProbeQuantized(spark: SparkSession, root: String,
+      idCol: String, qdf: DataFrame, k: Int, nprobe: Int,
+      c: Int): DataFrame = {
     val v = latestVersion(spark, root)
     val coarse = VersionedLake.readTable(spark, root, "coarse", Some(v))
     val books = VersionedLake.readTable(spark, root, "codebooks", Some(v))
@@ -413,9 +444,6 @@ object AnnIndex {
       VersionedLake.readTable(spark, root, "quant", Some(v),
         schemaDDL = s"$idCol BIGINT, q ARRAY<BIGINT>"),
       tomb, idCol)
-    import spark.implicits._
-    val qdf = queries.map { case (qid, qq) => (qid, qq.toSeq) }
-      .toDF("query_id", "__q")
     val approx = Similarity.ivfPqBatchTopKRerank(encoded, quant, idCol,
       coarse, books, qdf, "query_id", "__q", nprobe, c, k)
       .select(col("query_id"), col(idCol))

@@ -223,6 +223,36 @@ class AnnIndexSpec extends SparkSpec {
         s"${decodes(2)}, ${decodes(3)})")
   }
 
+  test("recallProbeFrame: the dial over a probe FRAME — raw vectors " +
+    "quantized in-plan, ids cast in-plan, zero driver-side probe state — " +
+    "lands row-identical to the Seq form over the same probes; an empty " +
+    "frame refuses loudly") {
+    val root = Files.createTempDirectory("annix4f").toString + "/index"
+    val emb = Lake.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    AnnIndex.build(emb, "vec_id", "embedding", root, dims = 64,
+      coarseK = 2, coarseIters = 2, m = 4, k = 2, iters = 2)
+    val probeIds = Seq(0L, 1L, 2L)
+    val seqForm = AnnIndex.recallProbe(spark, root, "vec_id",
+      probeIds.map(q => q -> quantOf(emb, q)), k = 10, nprobe = 2, c = 20)
+    val frameForm = AnnIndex.recallProbeFrame(spark, root, "vec_id",
+      emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      "query_id", "embedding", k = 10, nprobe = 2, c = 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq
+    assert(rows(frameForm) == rows(seqForm),
+      "the frame-driven dial must be the Seq dial, row for row")
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.recallProbeFrame(spark, root, "vec_id",
+        emb.filter(col("vec_id") < 0)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id", "embedding", k = 10, nprobe = 2, c = 20)
+    }
+    assert(ex.getMessage.contains("at least one query"))
+  }
+
   test("semanticDedupAgainstIndex: searchBatch top-1 + threshold as the " +
     "drop rule — an exact duplicate drops at any threshold, a TIE at the " +
     "threshold drops, one grid-step below keeps; an unscoreable doc " +
