@@ -117,6 +117,8 @@ def gate_facts():
             "violations": d.get("violations", []),
             "failed": d.get("failed_at_sf3", []),
             "min_of_runs": d.get("min_of_runs", 1),
+            "gate": d.get("gate"),
+            "contrast_gate": d.get("contrast_gate"),
         }
     return facts
 
@@ -193,9 +195,11 @@ def gates_block(facts):
         f = facts["sf3"]
         runs = (f" (min over {f['min_of_runs']} runs)"
                 if f.get("min_of_runs", 1) > 1 else "")
+        gates = (f"{f['gate']}× default / {f['contrast_gate']}× contrast"
+                 if f.get("contrast_gate") else f"{f.get('gate', 10.0)}×")
         lines.append(
             f"- sf3 density ({f['file']}): **{f['n']} gated rows, worst "
-            f"ratio {f['worst_ratio']}× vs the 10× gate**{runs}; "
+            f"ratio {f['worst_ratio']}× vs the {gates} gate**{runs}; "
             f"violations: {f['violations'] or 'none'}; failures: "
             f"{f['failed'] or 'none'}.")
     lines.append(GATES_END)
