@@ -31,9 +31,15 @@ object DedupIndex {
   /** Bump when the on-disk layout or pipeline constants change — stale
     * indexes from an older build then miss and rebuild instead of being
     * read with wrong semantics. v6: the three tables form one atomic
-    * [[VersionedLake]] group commit (no `_COMPLETE` marker).
+    * [[VersionedLake]] group commit (no `_COMPLETE` marker). v7: `hashed`
+    * and `banded` land Hive-partitioned by the [[Dedup.layoutHashed]]/
+    * [[Dedup.layoutBanded]] prefix columns with in-directory probe-key
+    * sort, so the arrival path reads only touched directories + row
+    * groups instead of scanning O(state) per batch; `layoutParts` joins
+    * the key spec (it parameterizes the layout like `bands` parameterizes
+    * the signatures).
     */
-  private val FormatVersion = 6
+  private val FormatVersion = 7
 
   private def defaultRoot: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_minhash_index"
@@ -61,9 +67,9 @@ object DedupIndex {
 
   private def key(spark: SparkSession, corpusPath: String, idCol: String,
       textCol: String, shingleN: Int, numHashes: Int, bands: Int,
-      subsetTag: String): String = {
+      subsetTag: String, layoutParts: Int): String = {
     val spec = s"v$FormatVersion|$corpusPath|${corpusStamp(spark, corpusPath)}|" +
-      s"$idCol|$textCol|$shingleN|$numHashes|$bands|$subsetTag"
+      s"$idCol|$textCol|$shingleN|$numHashes|$bands|$subsetTag|$layoutParts"
     java.security.MessageDigest.getInstance("MD5")
       .digest(spec.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
@@ -82,16 +88,20 @@ object DedupIndex {
   def build(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, corpusPath: String, root: String = defaultRoot,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      subsetTag: String = ""): String = {
+      subsetTag: String = "",
+      layoutParts: Int = Dedup.IndexLayoutParts): String = {
     val k = key(spark, corpusPath, idCol, textCol, shingleN, numHashes, bands,
-      subsetTag)
+      subsetTag, layoutParts)
     val finalDir = s"$root/$k"
     val gc = VersionedLake.beginGroupCommit(spark, finalDir)
     val (hashed, _) = Dedup.minHashIndexPortable(docs, idCol, textCol,
       shingleN, numHashes, bands, cache = false)
-    gc.write("hashed", hashed)
+    gc.write("hashed", Dedup.layoutHashed(hashed, layoutParts),
+      partitionBy = Seq(Dedup.IdLayoutCol))
     val storedHashed = gc.readStaged("hashed")
-    gc.write("banded", Dedup.bandedFromHashed(storedHashed, numHashes, bands))
+    gc.write("banded", Dedup.layoutBanded(
+        Dedup.bandedFromHashed(storedHashed, numHashes, bands), layoutParts),
+      partitionBy = Seq(Dedup.BandLayoutCol))
     val storedBanded = gc.readStaged("banded")
     gc.write("pairs", Dedup.minHashPairsFromIndex(storedHashed, storedBanded))
     val v = gc.publish()
@@ -103,7 +113,12 @@ object DedupIndex {
   }
 
   /** Readers over one stored index: the per-doc hashed shingle sets, the
-    * LSH band rows, and the corpus-level scored candidate pairs.
+    * LSH band rows, and the corpus-level scored candidate pairs. `hashed`
+    * and `banded` carry the v7 layout columns (`ph`/`pb`) — the arrival
+    * path ([[Dedup.minHashIncrementalPairsPruned]], routed automatically
+    * by `minHashIncrementalPairsPortable`) prunes its stored-side reads
+    * on them; other consumers select their columns explicitly and ignore
+    * the layout.
     */
   final case class Index(hashed: DataFrame, banded: DataFrame, pairs: DataFrame)
 
@@ -123,13 +138,14 @@ object DedupIndex {
       idCol: String, textCol: String, root: String = defaultRoot,
       shingleN: Int = 3, numHashes: Int = 16,
       bands: Int = 4, subsetTag: String = "",
-      subset: DataFrame => DataFrame = null): Index = synchronized {
+      subset: DataFrame => DataFrame = null,
+      layoutParts: Int = Dedup.IndexLayoutParts): Index = synchronized {
     require((subset == null) == subsetTag.isEmpty,
       "DedupIndex.ensure: subset and subsetTag must be supplied together " +
         "(the tag is the only thing distinguishing the slice's index key)")
     val corpusPath = s"$sfDir/$table.parquet"
     val k = key(spark, corpusPath, idCol, textCol, shingleN, numHashes, bands,
-      subsetTag)
+      subsetTag, layoutParts)
     val finalDir = s"$root/$k"
     // completeness IS the group manifest: a crashed build publishes
     // nothing, so "no committed versions" means rebuild
@@ -137,13 +153,24 @@ object DedupIndex {
       val full = graft.sources.Lake.table(spark, sfDir, table)
       val docs = if (subset == null) full else subset(full)
       build(spark, docs, idCol, textCol, corpusPath, root, shingleN,
-        numHashes, bands, subsetTag)
+        numHashes, bands, subsetTag, layoutParts)
     }
     // one version resolve for all three reads — the group guarantee makes
-    // the trio mutually consistent by construction
+    // the trio mutually consistent by construction. Explicit schemas on
+    // the partitioned tables: partition-column INFERENCE would read the
+    // ph/pb dir values back as INT, and the arrival path's typed pruning
+    // filters (BIGINT literals) would then wrap the partition attribute
+    // in a cast that defeats PartitionFilters.
+    val idType = graft.sources.Lake.table(spark, sfDir, table)
+      .schema(idCol).dataType.sql
     val v = VersionedLake.versions(spark, finalDir).last
-    Index(VersionedLake.readTable(spark, finalDir, "hashed", Some(v)),
-      VersionedLake.readTable(spark, finalDir, "banded", Some(v)),
+    Index(
+      VersionedLake.readTable(spark, finalDir, "hashed", Some(v),
+        schemaDDL = s"id $idType, hs ARRAY<BIGINT>, " +
+          s"${Dedup.IdLayoutCol} BIGINT"),
+      VersionedLake.readTable(spark, finalDir, "banded", Some(v),
+        schemaDDL = s"id $idType, band INT, bucket BIGINT, " +
+          s"${Dedup.BandLayoutCol} BIGINT"),
       VersionedLake.readTable(spark, finalDir, "pairs", Some(v)))
   }
 }

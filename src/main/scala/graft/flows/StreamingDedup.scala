@@ -33,11 +33,17 @@ import graft.sources.VersionedLake
   *
   * Scale shape per batch: one shingle+signature pass over the BATCH
   * (never the corpus), one bucket equi-join of the batch's band rows
-  * against the stored band table, one anti join. The stored-index read
-  * is the latest committed group version; at 100 TB the band table is
-  * the thing a deployment would additionally bucket by (band, bucket) so
-  * the per-batch join prunes to touched buckets — same layout note as
-  * DedupIndex.
+  * against the stored band table PRUNED to the batch's touched layout
+  * partitions, one anti join. The stored tables land Hive-partitioned
+  * by the [[Dedup.layoutBanded]]/[[Dedup.layoutHashed]] prefix columns
+  * with in-directory probe-key sort, and the arrival step
+  * ([[Dedup.minHashIncrementalPairsPruned]]) reads them through two
+  * bounded probe censuses — PartitionFilters prune untouched
+  * directories, the pushed `In` probes skip row groups inside touched
+  * ones — so per-batch state I/O follows the batch's bucket/candidate
+  * footprint instead of re-scanning the full corpus-scale index (the
+  * round-16 `weak`). The retention pass keeps the layout (partitioned +
+  * sorted rewrite), so compaction never degrades the pruning.
   *
   * Retention: each micro-batch publishes one group version (append mode
   * is a metadata union — no data rewrite), so a long-running stream
@@ -112,22 +118,34 @@ object StreamingDedup {
     val (nh, nb) = Dedup.minHashIndexPortable(docs, "__doc_id", "__text",
       shingleN, numHashes, bands)
     try {
-      val (oldHashed, oldBanded) = v match {
-        case None => (nh.limit(0), nb.limit(0))
+      // explicit schemas: partition-column inference would read the ph/pb
+      // dir values back as INT and the pruning filters' BIGINT literals
+      // would cast the partition attribute, defeating PartitionFilters
+      val pairs = v match {
+        case None =>
+          Dedup.minHashIncrementalPairsFromIndexes(
+            nh.limit(0), nb.limit(0), nh, nb)
         case Some(vv) =>
-          (VersionedLake.readTable(spark, root, "hashed", Some(vv)),
-            VersionedLake.readTable(spark, root, "banded", Some(vv)))
+          Dedup.minHashIncrementalPairsPruned(
+            VersionedLake.readTable(spark, root, "hashed", Some(vv),
+              schemaDDL = "id BIGINT, hs ARRAY<BIGINT>, " +
+                s"${Dedup.IdLayoutCol} BIGINT"),
+            VersionedLake.readTable(spark, root, "banded", Some(vv),
+              schemaDDL = "id BIGINT, band INT, bucket BIGINT, " +
+                s"${Dedup.BandLayoutCol} BIGINT"),
+            nh, nb)
       }
-      val dropped = Dedup.minHashIncrementalPairsFromIndexes(
-          oldHashed, oldBanded, nh, nb)
+      val dropped = pairs
         .filter(col("jaccard") >= jaccardThreshold)
         .select(col("id_b")).distinct()
       val survivors = docs.select(col("__doc_id"))
         .join(dropped, col("__doc_id") === col("id_b"), "left_anti")
         .select(col("__doc_id").as(idCol), lit(batchId).as("batch_id"))
       val gc = VersionedLake.beginGroupCommit(spark, root)
-      gc.write("hashed", nh, mode = "append")
-      gc.write("banded", nb, mode = "append")
+      gc.write("hashed", Dedup.layoutHashed(nh), mode = "append",
+        partitionBy = Seq(Dedup.IdLayoutCol))
+      gc.write("banded", Dedup.layoutBanded(nb), mode = "append",
+        partitionBy = Seq(Dedup.BandLayoutCol))
       gc.write("survivors", survivors, mode = "append")
       gc.write("applied",
         spark.createDataFrame(java.util.List.of(Row(batchId)),
@@ -157,7 +175,14 @@ object StreamingDedup {
       targetBytes: Long = 64L * 1024 * 1024,
       keepVersions: Int = 2): Long =
     StreamingRetention.compactState(spark, root, targetBytes,
-      carryTables = Set("applied"), keepVersions = keepVersions)
+      carryTables = Set("applied"),
+      partitioned = Map(
+        "hashed" -> Seq(Dedup.IdLayoutCol),
+        "banded" -> Seq(Dedup.BandLayoutCol)),
+      sortCols = Map(
+        "hashed" -> Seq("id"),
+        "banded" -> Seq("bucket", "band")),
+      keepVersions = keepVersions)
 
   /** The deduped output after the stream drains: (idCol, batch_id) per
     * surviving document, read from the latest committed group version.

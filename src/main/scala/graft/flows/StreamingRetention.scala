@@ -109,12 +109,18 @@ private[flows] object StreamingRetention {
     * retries). `partitioned(table)` keeps a Hive-partitioned layout; the
     * rewrite range-partitions on (partition cols, row hash) so a skewed
     * partition value splits across ~targetBytes files instead of forcing
-    * one arbitrarily large file per value. `raceWindow` is a test seam
-    * running between the state rewrite and the publish (default no-op).
+    * one arbitrarily large file per value. `sortCols(table)` additionally
+    * sorts the rewrite within each output task on (partition cols, those
+    * columns) — the pass that keeps a probe-key-sorted layout's parquet
+    * min/max stats tight (StreamingDedup's pruned index), so compaction
+    * never degrades row-group skipping; row content is unchanged.
+    * `raceWindow` is a test seam running between the state rewrite and
+    * the publish (default no-op).
     */
   def compactState(spark: SparkSession, root: String, targetBytes: Long,
       carryTables: Set[String],
       partitioned: Map[String, Seq[String]] = Map.empty,
+      sortCols: Map[String, Seq[String]] = Map.empty,
       keepVersions: Int = 2,
       raceWindow: () => Unit = () => ()): Long = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
@@ -190,7 +196,7 @@ private[flows] object StreamingRetention {
           val smallBytes = small.map(p => sizes.getOrElse(p, 0L)).sum
           val n = LakeWriter.compactionFileCount(smallBytes, targetBytes)
           val df = VersionedLake.readRelFiles(spark, root, small)
-          val compacted =
+          val repacked =
             if (pb.isEmpty) df.repartition(n)
             // hash on (partition cols, skew salt): one task group per
             // partition value, so the write emits ≤ one file per value —
@@ -203,6 +209,11 @@ private[flows] object StreamingRetention {
             // up as ~10% of q117c's wall at the worst cadence
             else df.repartition(n,
               pb.map(col) :+ skewSalt(df, small, sizes, pb, targetBytes): _*)
+          val compacted = sortCols.get(table) match {
+            case Some(sc) if sc.nonEmpty =>
+              repacked.sortWithinPartitions((pb ++ sc).map(col): _*)
+            case _ => repacked
+          }
           gc.writeWithCarried(table, compacted, large ++ soloCarry,
             partitionBy = pb)
           census += s"$table: carried ${large.size + soloCarry.size}, " +

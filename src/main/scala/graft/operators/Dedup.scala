@@ -395,14 +395,25 @@ object Dedup {
   def minHashIncrementalPairsPortable(
       oldHashed: DataFrame, oldBanded: DataFrame,
       newDocs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      layoutParts: Int = IndexLayoutParts,
+      maxProbeKeys: Int = DefaultMaxProbeKeys): DataFrame = {
     val (newHashed, newBanded) = minHashIndexPortable(newDocs, idCol, textCol,
       shingleN, numHashes, bands)
+    // stored frames carrying the pruned layout columns (pb/ph — a
+    // DedupIndex v7+ or StreamingDedup state read) route through the
+    // partition-pruned arrival path; bare frames keep the full-scan join
+    val pruned = oldHashed.columns.contains(IdLayoutCol) &&
+      oldBanded.columns.contains(BandLayoutCol)
     // release only the NEW batch's index — the old index is caller-owned
     // (a stored table or a cache the caller reuses across batches)
     materializeAndRelease(
-      minHashIncrementalPairsFromIndexes(oldHashed, oldBanded,
-        newHashed, newBanded),
+      if (pruned)
+        minHashIncrementalPairsPruned(oldHashed, oldBanded,
+          newHashed, newBanded, layoutParts, maxProbeKeys)
+      else
+        minHashIncrementalPairsFromIndexes(oldHashed, oldBanded,
+          newHashed, newBanded),
       newHashed, newBanded)
   }
 
@@ -426,7 +437,170 @@ object Dedup {
       .select(least(col("id_n"), col("id_o")).as("id_a"),
         greatest(col("id_n"), col("id_o")).as("id_b"))
       .distinct()
-    jaccardOverHashed(candidates, oldHashed.unionByName(newHashed))
+    jaccardOverHashed(candidates,
+      oldHashed.select(col("id"), col("hs"))
+        .unionByName(newHashed.select(col("id"), col("hs"))))
+  }
+
+  // ================== stored lexical index — pruned layout ==================
+
+  /** Partition fan-out of the stored lexical index layout. The stored
+    * `banded` table is Hive-partitioned by [[BandLayoutCol]] (a hash
+    * prefix of the LSH `(band, bucket)` key) and `hashed` by
+    * [[IdLayoutCol]] (a hash prefix of the doc id), each with files
+    * SORTED on the probe key inside every partition directory — so an
+    * arrival batch's candidate join prunes to the touched prefix
+    * directories (PartitionFilters) and the pushed `In` probe skips row
+    * groups inside them (parquet min/max over the sorted key), instead of
+    * scanning the full corpus-scale state per micro-batch. 32 matches the
+    * local session's core count; a 100 TB deployment raises it with the
+    * corpus (the dial trades per-batch directory fan-in against pruning
+    * granularity) — all writers and the arrival probe of ONE index must
+    * share the value, like `bands`/`numHashes` (it parameterizes the
+    * layout the same way they parameterize the signatures; DedupIndex
+    * folds it into the index key).
+    */
+  val IndexLayoutParts = 32
+
+  /** Driver budget for the arrival probe/candidate censuses — O(batch ×
+    * bands) rows at most; a batch whose census would exceed this falls
+    * back to the full-scan join (bounded-default discipline: the pruned
+    * path must never create driver state proportional to an unbounded
+    * batch).
+    */
+  val DefaultMaxProbeKeys = 100000
+
+  /** Partition-prefix column names of the stored layout. */
+  val BandLayoutCol = "pb"
+  val IdLayoutCol = "ph"
+
+  /** Prefix of the LSH `(band, bucket)` key — the `banded` table's
+    * partition value. A hash prefix (not a range of `bucket`): band rows
+    * arrive uniformly across the hash space, so any prefix spreads them
+    * evenly; what matters is that probe and storage agree exactly.
+    */
+  def bandLayoutCol(parts: Int = IndexLayoutParts): Column =
+    pmod(xxhash64(col("band"), col("bucket")), lit(parts.toLong))
+
+  /** Prefix of the doc id — the `hashed` table's partition value. Hashed
+    * (not `id % parts`): ids may be assigned with strides that alias a
+    * modulus, and the Jaccard probe's candidate ids are scattered anyway.
+    */
+  def idLayoutCol(parts: Int = IndexLayoutParts): Column =
+    pmod(xxhash64(col("id")), lit(parts.toLong))
+
+  /** Stamp the layout prefixes onto freshly built index frames and shape
+    * the write: one task per prefix value (so a partitioned write emits
+    * ONE file per touched directory, not one per task × directory) with
+    * rows sorted on the probe key, giving parquet tight min/max stats for
+    * the arrival path's pushed `In` probes.
+    */
+  def layoutHashed(hashed: DataFrame, parts: Int = IndexLayoutParts): DataFrame =
+    hashed.withColumn(IdLayoutCol, idLayoutCol(parts))
+      .repartition(parts, col(IdLayoutCol))
+      .sortWithinPartitions(col(IdLayoutCol), col("id"))
+
+  def layoutBanded(banded: DataFrame, parts: Int = IndexLayoutParts): DataFrame =
+    banded.withColumn(BandLayoutCol, bandLayoutCol(parts))
+      .repartition(parts, col(BandLayoutCol))
+      .sortWithinPartitions(col(BandLayoutCol), col("bucket"), col("band"))
+
+  /** The arrival pair step against a STORED index carrying the pruned
+    * layout ([[layoutHashed]]/[[layoutBanded]]) — same rows as
+    * [[minHashIncrementalPairsFromIndexes]], but the stored side is read
+    * through two bounded probe censuses instead of scanned wholesale:
+    *
+    *  1. the batch's distinct `(pb, bucket)` prefixes (≤ batch × bands
+    *     rows) prune the `banded` read to touched partition directories
+    *     (PartitionFilters) and row groups (pushed `In(bucket)` over the
+    *     in-directory sort — Spark 4 pushes large In lists natively via
+    *     parquet `FilterApi.in`);
+    *  2. the candidate pairs' distinct `(ph, id)` prefixes (bounded by
+    *     the batch's bucket occupancy) prune the fat `hashed` read the
+    *     same way before the Jaccard join — the table whose full-scan
+    *     per batch was the 100 TB scale killer (the shingle-hash arrays
+    *     dwarf every other column in the state).
+    *
+    * Both stored-side filters are SUPERSETS of the join keys (`pb`/`ph`
+    * are functions of them), so the equi-joins return exactly the
+    * unpruned rows — the oracle hash cannot move. A census exceeding
+    * `maxProbeKeys` falls back to the full-scan join for that side: the
+    * driver never holds state proportional to an unbounded batch.
+    * `parts` must match the stored layout's value (it parameterizes the
+    * layout like `bands` parameterizes the signatures).
+    */
+  def minHashIncrementalPairsPruned(
+      storedHashed: DataFrame, storedBanded: DataFrame,
+      newHashed: DataFrame, newBanded: DataFrame,
+      parts: Int = IndexLayoutParts,
+      maxProbeKeys: Int = DefaultMaxProbeKeys): DataFrame = {
+    val (result, candidates) = minHashIncrementalPairsPrunedLazy(
+      storedHashed, storedBanded, newHashed, newBanded, parts, maxProbeKeys)
+    materializeAndRelease(result, candidates)
+  }
+
+  /** The LAZY plan of [[minHashIncrementalPairsPruned]] plus the persisted
+    * candidate frame the caller must release — split out so PlanShapeSpec
+    * can pin the pruned stored-side scan shape (PartitionFilters on the
+    * layout prefix, pushed `In` probes); the public wrapper eagerly
+    * materializes, which makes its returned plan an opaque block scan.
+    * The probe censuses (two bounded collects) run at CONSTRUCTION time.
+    */
+  private[graft] def minHashIncrementalPairsPrunedLazy(
+      storedHashed: DataFrame, storedBanded: DataFrame,
+      newHashed: DataFrame, newBanded: DataFrame,
+      parts: Int = IndexLayoutParts,
+      maxProbeKeys: Int = DefaultMaxProbeKeys): (DataFrame, DataFrame) = {
+    require(storedBanded.columns.contains(BandLayoutCol) &&
+      storedHashed.columns.contains(IdLayoutCol),
+      s"stored index frames must carry the $BandLayoutCol/$IdLayoutCol " +
+        "layout columns (DedupIndex v7+ / StreamingDedup state)")
+    val bandProbe = newBanded
+      .select(bandLayoutCol(parts).as(BandLayoutCol), col("bucket"))
+      .distinct().limit(maxProbeKeys + 1).collect()
+    val oldBanded =
+      if (bandProbe.length > maxProbeKeys)
+        storedBanded.select(col("id"), col("band"), col("bucket"))
+      else {
+        val pbs = bandProbe.map(_.getLong(0)).distinct.toSeq
+        val buckets = bandProbe.map(_.getLong(1)).distinct.toSeq
+        storedBanded
+          .filter(col(BandLayoutCol).isin(pbs: _*) &&
+            col("bucket").isin(buckets: _*))
+          .select(col("id"), col("band"), col("bucket"))
+      }
+    val allBanded = oldBanded
+      .unionByName(newBanded.select(col("id"), col("band"), col("bucket")))
+    // persisted: the candidate frame feeds the id census AND the Jaccard
+    // join probe — without it the bucket join runs twice per batch
+    val candidates = newBanded
+      .select(col("band"), col("bucket"), col("id").as("id_n"))
+      .join(allBanded.select(col("band"), col("bucket"), col("id").as("id_o")),
+        Seq("band", "bucket"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .distinct()
+      .persist()
+    val idProbe = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .select(idLayoutCol(parts).as(IdLayoutCol), col("id"))
+      .limit(maxProbeKeys + 1).collect()
+    val oldHashed =
+      if (idProbe.length > maxProbeKeys)
+        storedHashed.select(col("id"), col("hs"))
+      else {
+        val phs = idProbe.map(_.getLong(0)).distinct.toSeq
+        // ids keep the corpus id type (the layout hash is type-agnostic)
+        val ids = idProbe.map(_.get(1)).toSeq
+        storedHashed
+          .filter(col(IdLayoutCol).isin(phs: _*) && col("id").isin(ids: _*))
+          .select(col("id"), col("hs"))
+      }
+    (jaccardOverHashed(candidates,
+      oldHashed.unionByName(newHashed.select(col("id"), col("hs")))),
+      candidates)
   }
 
   /** Connected components over a near-dup pair graph — the step that turns

@@ -382,6 +382,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges(narrow) == 0 && !narrow.contains("Exchange"), narrow)
   }
 
+  test("pruned lexical dedup arrival: the stored banded read prunes to " +
+    "the batch's layout partitions (PartitionFilters on pb, bucket probe " +
+    "pushed to parquet) and the fat hashed read prunes the same way " +
+    "(PartitionFilters on ph, In(id) pushed) — per-batch state I/O " +
+    "follows the batch's footprint, not the corpus") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("plan_sdedup")
+      .toString + "/state"
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    graft.flows.StreamingDedup.applyBatch(
+      (1L to 40L).map(i => (i, s"$base tail$i")).toDF("doc_id", "text"),
+      0L, "doc_id", "text", root, jaccardThreshold = 0.5, shingleN = 3,
+      numHashes = 16, bands = 4)
+    val storedHashed = graft.sources.VersionedLake.readTable(spark, root,
+      "hashed", schemaDDL = "id BIGINT, hs ARRAY<BIGINT>, ph BIGINT")
+    val storedBanded = graft.sources.VersionedLake.readTable(spark, root,
+      "banded", schemaDDL = "id BIGINT, band INT, bucket BIGINT, pb BIGINT")
+    val batch = Seq((100L, s"$base fresh"), (101L, "wholly different words"))
+      .toDF("doc_id", "text")
+    val (nh, nb) = Dedup.minHashIndexPortable(batch, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4)
+    val (pairs, cands) = Dedup.minHashIncrementalPairsPrunedLazy(
+      storedHashed, storedBanded, nh, nb)
+    try {
+      val plan = planOf(pairs)
+      // stored banded: directory pruning on the layout prefix + the
+      // bucket probe pushed into the parquet scan (row-group skipping
+      // over the in-directory bucket sort)
+      assert("PartitionFilters: \\[[^\\]]*pb".r.findFirstIn(plan).isDefined,
+        plan)
+      assert(plan.contains("In(bucket"), plan)
+      // stored hashed (the fat table): same shape on ph/id before the
+      // Jaccard join
+      assert("PartitionFilters: \\[[^\\]]*ph".r.findFirstIn(plan).isDefined,
+        plan)
+      assert(plan.contains("In(id"), plan)
+    } finally {
+      cands.unpersist(); nh.unpersist(); nb.unpersist(); ()
+    }
+  }
+
   test("q65 month filter resolves as PartitionFilters (directory pruning)") {
     val plan = planOf(q("q65_partition_pruned"))
     val pf = plan.linesIterator.filter(_.contains("PartitionFilters:")).mkString

@@ -97,17 +97,27 @@ class StreamingDedupSpec extends SparkSpec {
       "doc_id", "text", tight, 0.5, 3, 16, 4))
     assert(survivorsOf(tight) == survivorsOf(plain))
     // (b) file count bounded: the compacted root holds ONE size-targeted
-    // file per table (hashed/banded/survivors) plus the carried marker —
-    // the uncompacted root accrues per-batch files beyond that. Count
-    // from the last pre-append compaction point: recompact now.
+    // file per PARTITION DIRECTORY of the pruned-layout index tables
+    // (hashed by ph, banded by pb) plus one survivors file and the
+    // carried marker — the uncompacted root accrues per-batch files
+    // beyond that. Count from the last pre-append compaction point:
+    // recompact now.
     StreamingDedup.compactState(spark, tight, keepVersions = 1)
     def parquetCount(root: String): Int = {
       val it = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
       try it.filter(p => p.toString.endsWith(".parquet")).count().toInt
       finally it.close()
     }
-    assert(parquetCount(tight) == 4,
-      s"expected 4 compacted files, got ${parquetCount(tight)}")
+    val layoutDirs =
+      VersionedLake.readTable(spark, tight, "hashed",
+          schemaDDL = "id BIGINT, hs ARRAY<BIGINT>, ph BIGINT")
+        .select("ph").distinct().count().toInt +
+      VersionedLake.readTable(spark, tight, "banded",
+          schemaDDL = "id BIGINT, band INT, bucket BIGINT, pb BIGINT")
+        .select("pb").distinct().count().toInt
+    assert(parquetCount(tight) == layoutDirs + 2,
+      s"expected one file per layout dir ($layoutDirs) + survivors + " +
+        s"marker, got ${parquetCount(tight)}")
     assert(parquetCount(plain) > parquetCount(tight))
     // (c) vacuum really reclaimed history: only the compacted version
     // remains, and a reader pinned to a vacuumed version fails loudly

@@ -24,9 +24,6 @@ class StreamingRetentionSpec extends SparkSpec {
       "doc_id", "text", root, jaccardThreshold = 0.5, shingleN = 3,
       numHashes = 16, bands = 4)
 
-  private def hashedFiles(root: String): Seq[String] =
-    VersionedLake.groupTableRelFiles(spark, root)("hashed")
-
   private def fileLen(root: String, rel: String): Long =
     new java.io.File(s"$root/$rel").length()
 
@@ -37,21 +34,37 @@ class StreamingRetentionSpec extends SparkSpec {
     "large output verbatim (same manifest path, untouched mtime) and " +
     "rewrites only the small tail accrued since") {
     val root = Files.createTempDirectory("sret_inc").toString + "/state"
-    // a fat first batch (6 long docs) makes the pass-1 output strictly
-    // larger than any later single-doc append, so the size tiers are
-    // unambiguous whatever the parquet footer overhead is
-    applyB(root, 0L, (10L to 15L).map(i => (i, s"$base doc$i")))
+    // drive the generic (unpartitioned) tiering path with a plain table —
+    // the dedup flows now keep Hive-partitioned layouts, which the
+    // per-directory tests below cover
+    val pad = "y" * 200
+    def commitRows(ids: Seq[Long], first: Boolean): Unit = {
+      val gc = VersionedLake.beginGroupCommit(spark, root)
+      gc.write("t", ids.map(i => (i, s"$pad$i")).toDF("id", "payload")
+        .repartition(1), mode = if (first) "overwrite" else "append")
+      if (first) gc.write("applied", Seq(0L).toDF("batch_id"))
+      else gc.carry("applied")
+      gc.publish()
+      ()
+    }
+    def tFiles(): Seq[String] =
+      VersionedLake.groupTableRelFiles(spark, root)("t")
+    // a fat first commit makes the pass-1 output strictly larger than any
+    // later single-row append, so the size tiers are unambiguous whatever
+    // the parquet footer overhead is
+    commitRows((10L to 600L).toSeq, first = true)
     // pass 1: everything is below 64 MB/2 -> full rewrite, one file/table
-    StreamingDedup.compactState(spark, root)
-    val Seq(compacted) = hashedFiles(root)
+    StreamingRetention.compactState(spark, root,
+      targetBytes = 64L * 1024 * 1024, carryTables = Set("applied"))
+    val Seq(compacted) = tFiles()
     val s = fileLen(root, compacted)
     val m0 = mtime(root, compacted)
     assert(s > 0)
-    // two more batches accrue a small tail beyond the compacted file
-    applyB(root, 1L, Seq((20L, base + " extra")))
-    applyB(root, 2L, Seq((30L, base + " more extra")))
-    val smalls = hashedFiles(root).filterNot(_ == compacted)
-    assert(smalls.size == 2) // one append per batch
+    // two more commits accrue a small tail beyond the compacted file
+    commitRows(Seq(1000L), first = false)
+    commitRows(Seq(1001L), first = false)
+    val smalls = tFiles().filterNot(_ == compacted)
+    assert(smalls.size == 2) // one append per commit
     assert(smalls.forall(fileLen(root, _) < s),
       "precondition: the tail must tier below the pass-1 output")
     // pass 2 at targetBytes = 2s: carry threshold = s, so the pass-1
@@ -61,7 +74,7 @@ class StreamingRetentionSpec extends SparkSpec {
       smalls.map(fileLen(root, _)).sum, 2 * s)
     StreamingRetention.compactState(spark, root, targetBytes = 2 * s,
       carryTables = Set("applied"))
-    val after = hashedFiles(root)
+    val after = tFiles()
     assert(after.contains(compacted),
       s"pass-1 output $compacted was rewritten, not carried: $after")
     assert(mtime(root, compacted) == m0,
@@ -69,17 +82,17 @@ class StreamingRetentionSpec extends SparkSpec {
     assert(after.size == 1 + expectTail,
       s"expected carried + $expectTail-file tail, got $after")
     val nv = VersionedLake.versions(spark, root).last
-    assert(after.exists(_.startsWith(s"hashed/_data/v$nv/")),
+    assert(after.exists(_.startsWith(s"t/_data/v$nv/")),
       "merged tail must live in the new version's data dir")
     // state is row-identical through the tiered pass
-    assert(VersionedLake.readTable(spark, root, "hashed")
+    assert(VersionedLake.readTable(spark, root, "t")
       .select("id").as[Long].collect().toSet ==
-      ((10L to 15L).toSet + 20L + 30L))
-    // and a third pass with NO new tail is pure metadata: every hashed
-    // file carried verbatim
+      ((10L to 600L).toSet + 1000L + 1001L))
+    // and a third pass with NO new tail is pure metadata: every file
+    // carried verbatim
     StreamingRetention.compactState(spark, root, targetBytes = 2 * s,
       carryTables = Set("applied"))
-    assert(hashedFiles(root).toSet == after.toSet)
+    assert(tFiles().toSet == after.toSet)
     assert(StreamingRetention.lastCompactionStats.exists(
       _ == "all tables carried"))
   }
