@@ -2937,7 +2937,18 @@ object Queries {
         (dead, stored, folded)
       }
       val (d1, s1, f1) = stage(col("vec_id") % 25 === 0)
+      // the oracle HARD-CODES that stage 1 holds (stored_rows stays the
+      // full corpus, stage-2 dead rows accumulate d1+d2): if a fixture
+      // change ever pushes the first retirement batch across the dial,
+      // fail loudly HERE at the assumption, not downstream as an
+      // unexplained hash mismatch
+      require(d1.toDouble / s1 < 0.2,
+        s"q122 fixture drift: stage-1 dead/stored = $d1/$s1 crosses the " +
+          "0.2 fold dial the oracle assumes it stays under")
       val (d2, s2, f2) = stage(col("vec_id") % 4 === 1)
+      require(d2.toDouble / s2 >= 0.2,
+        s"q122 fixture drift: stage-2 dead/stored = $d2/$s2 no longer " +
+          "crosses the 0.2 fold dial the oracle assumes it exceeds")
       import s.implicits._
       Seq((1, d1, s1, f1), (2, d2, s2, f2))
         .toDF("stage", "dead_rows", "stored_rows", "folded")

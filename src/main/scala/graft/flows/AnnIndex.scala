@@ -428,10 +428,18 @@ object AnnIndex {
       k, nprobe, c)
   }
 
-  /** The shared probe core: `qdf` is (query_id BIGINT, __q quantized). */
+  /** The shared probe core: `qdf` is (query_id BIGINT, __q quantized).
+    * The probe frame is MATERIALIZED once up front (localCheckpoint —
+    * one bounded job over the probe set, never the corpus): recall
+    * compares an approx side against an exact side over the SAME probe
+    * rows, and a non-deterministic probe source (a `sample()`, an
+    * unordered `limit`) would otherwise present different probe sets to
+    * the two fan-out evaluations and skew the reported recall.
+    */
   private def recallProbeQuantized(spark: SparkSession, root: String,
-      idCol: String, qdf: DataFrame, k: Int, nprobe: Int,
+      idCol: String, qdf0: DataFrame, k: Int, nprobe: Int,
       c: Int): DataFrame = {
+    val qdf = qdf0.localCheckpoint()
     val v = latestVersion(spark, root)
     val coarse = VersionedLake.readTable(spark, root, "coarse", Some(v))
     val books = VersionedLake.readTable(spark, root, "codebooks", Some(v))
@@ -566,6 +574,42 @@ object AnnIndex {
       m, k, iters, scale)
     val dial = recallProbe(spark, candidateRoot, idCol, probes, probeK,
       nprobe, c)
+    gateAndCut(spark, dial, candidateRoot, ptr, recallFloor,
+      keepFailedCandidate)
+  }
+
+  /** [[refit]] with the probe set as a FRAME ([[recallProbeFrame]] — raw
+    * vectors grid-quantized in-plan, ids cast in-plan, the probe set
+    * never on the driver): the gated cutover at the same "tens of
+    * thousands of held-out queries" scale the drift dial handles. Gate
+    * and pointer semantics are identical to the Seq form (spec-pinned
+    * frame ≡ Seq over the same probes).
+    */
+  def refitFrame(df: DataFrame, idCol: String, vecCol: String,
+      candidateRoot: String, ptr: String, dims: Int, coarseK: Int,
+      coarseIters: Int, m: Int, k: Int, iters: Int,
+      probeFrame: DataFrame, queryIdCol: String, queryVecCol: String,
+      probeK: Int, nprobe: Int, c: Int,
+      recallFloor: Double, scale: Int = Cluster.QuantScale,
+      keepFailedCandidate: Boolean = false): RefitResult = {
+    require(recallFloor >= 0.0,
+      s"recallFloor must be non-negative, got $recallFloor")
+    val spark = df.sparkSession
+    build(df, idCol, vecCol, candidateRoot, dims, coarseK, coarseIters,
+      m, k, iters, scale)
+    val dial = recallProbeFrame(spark, candidateRoot, idCol, probeFrame,
+      queryIdCol, queryVecCol, probeK, nprobe, c, scale)
+    gateAndCut(spark, dial, candidateRoot, ptr, recallFloor,
+      keepFailedCandidate)
+  }
+
+  /** The shared gate → pointer-cut tail of both refit forms: read the
+    * dial's mean-recall row, cut the serving pointer on pass, sweep (or
+    * keep) the never-served candidate on hold.
+    */
+  private def gateAndCut(spark: SparkSession, dial: DataFrame,
+      candidateRoot: String, ptr: String, recallFloor: Double,
+      keepFailedCandidate: Boolean): RefitResult = {
     val mean = dial.filter(col("query_id").isNull).head.getDouble(3)
     val prevServed =
       if (VersionedLake.versions(spark,

@@ -58,6 +58,27 @@ object Cluster {
     * 64 KB method limit (silent interpreted fallback) and the plan
     * serialization budget.
     */
+  /** RECORDED crossover for the plan-referenced argmin/probe kernels
+    * (`nearest_centroid`/`nearest_cells`): the flat centroid matrix is
+    * O(1) in PLAN size (one reference object), but the array itself
+    * ships with every stage binary that evaluates the kernel —
+    * coarseK·dims·8 bytes per stage. This advisory (2^23 longs = 64 MiB)
+    * marks where that shipment stops being the right trade: at coarseK
+    * 10⁵ × dims 64 the matrix is ~51 MiB (still under), at 10⁶ it is
+    * ~512 MiB per stage — above the advisory a deployment should switch
+    * the probe/assign step to the broadcast-join shape the engine
+    * already ships (broadcast the k-row coarse FRAME against the corpus
+    * and rank with [[graft.plans.TopKPerKey]](nprobe) — exactly the
+    * exact-side shape of `AnnIndex.recallProbe`), which streams the
+    * centroids once per executor through the broadcast machinery instead
+    * of once per task binary. Kernel correctness itself does NOT degrade
+    * above the line (spec-pinned at coarseK 2^17 under CODEGEN_ONLY);
+    * the constant is the measured-shape decision, enforced as a loud
+    * log, not a refusal — a 10⁵-class coarseK with small dims is still
+    * firmly kernel territory.
+    */
+  val KernelMatrixAdvisoryMaxLongs: Long = 1L << 23
+
   private[operators] def assignStruct(q: Column, centroids: Array[Array[Long]]): Column =
     graft.functions.VectorFunctions.nearestCentroid(q, centroids)
 
@@ -194,6 +215,14 @@ object Cluster {
     require(rows.zipWithIndex.forall { case (r, j) => r.getLong(0) == j },
       "centroid cids must be contiguous 0..k-1 (assignStruct indexes by position)")
     val centroids = rows.map(_.getSeq[Long](1).toArray)
+    if (centroids.length.toLong * centroids(0).length >
+        KernelMatrixAdvisoryMaxLongs)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"assignStored: centroid matrix ${centroids.length}x" +
+          s"${centroids(0).length} exceeds the kernel advisory " +
+          s"($KernelMatrixAdvisoryMaxLongs longs) — see " +
+          "Cluster.KernelMatrixAdvisoryMaxLongs for the crossover to the " +
+          "broadcast-join probe shape")
     df.select(col(idCol), quantizeFloor(col(embCol), scale).as("q"))
       .withColumn("__a", assignStruct(col("q"), centroids))
       .select(col(idCol), col("q"),

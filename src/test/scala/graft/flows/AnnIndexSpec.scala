@@ -379,6 +379,45 @@ class AnnIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("already exists"))
   }
 
+  test("refitFrame: the gated cutover driven by a probe FRAME lands the " +
+    "same gate verdict, mean recall, and pointer state as the Seq form " +
+    "over the same probes — pass cuts, hold sweeps and never touches " +
+    "the pointer") {
+    val base = Files.createTempDirectory("annix_refitf").toString
+    val emb = Lake.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    val probes = Seq(0L, 1L, 2L).map(q => q -> quantOf(emb, q))
+    val probeFrame = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def seqRefit(root: String, ptr: String, floor: Double) =
+      AnnIndex.refit(emb, "vec_id", "embedding", root, ptr, dims = 64,
+        coarseK = 2, coarseIters = 2, m = 4, k = 2, iters = 2, probes,
+        probeK = 10, nprobe = 2, c = 20, recallFloor = floor)
+    def frameRefit(root: String, ptr: String, floor: Double) =
+      AnnIndex.refitFrame(emb, "vec_id", "embedding", root, ptr, dims = 64,
+        coarseK = 2, coarseIters = 2, m = 4, k = 2, iters = 2, probeFrame,
+        "query_id", "embedding", probeK = 10, nprobe = 2, c = 20,
+        recallFloor = floor)
+    // PASS: both forms cut, identical measured recall (the builds are
+    // deterministic), pointer follows in both worlds
+    val sp = seqRefit(s"$base/sp", s"$base/ptr_s", 0.5)
+    val fp = frameRefit(s"$base/fp", s"$base/ptr_f", 0.5)
+    assert(fp.cut && sp.cut)
+    assert(fp.meanRecall == sp.meanRecall,
+      s"frame gate must measure the Seq gate's recall " +
+        s"(${fp.meanRecall} vs ${sp.meanRecall})")
+    assert(graft.sources.ServingPointer.resolve(spark, s"$base/ptr_f")
+      == s"$base/fp")
+    // HOLD: the frame form leaves the pointer untouched and sweeps the
+    // candidate, exactly like the Seq form
+    val fh = frameRefit(s"$base/fh", s"$base/ptr_f", 1.1)
+    assert(!fh.cut && fh.servedRoot.contains(s"$base/fp"))
+    assert(graft.sources.ServingPointer.resolve(spark, s"$base/ptr_f")
+      == s"$base/fp")
+    assert(VersionedLake.versions(spark, s"$base/fh").isEmpty,
+      "the failed frame-gated candidate must be swept")
+  }
+
   test("meanRecallAtK: per-query rows + the NULL-key mean row; a query " +
     "missing from approx scores 0; over-long/duplicated input clamps at " +
     "recall 1.0") {

@@ -471,4 +471,58 @@ class VectorExpressionsSpec extends SparkSpec {
         spark.conf.set("spark.sql.codegen.factoryMode", _))
     }
   }
+
+  test("10^5-class coarseK (2^17 cells): the kernels stay correct and " +
+    "O(1)-plan with codegen FORCED — the recorded crossover " +
+    "(Cluster.KernelMatrixAdvisoryMaxLongs) is a stage-binary-size " +
+    "decision, not a correctness cliff") {
+    val k = 1 << 17 // 131072 cells — the watch-item's coarseK class
+    val dims = 4    // k*dims = 2^19 longs (4 MiB matrix), under the advisory
+    assert(k.toLong * dims <=
+      graft.operators.Cluster.KernelMatrixAdvisoryMaxLongs)
+    // centroid j sits at (j, j, j, j): argmin of any probe replays by
+    // rounding, and ties are impossible off the diagonal midpoints
+    val cents = Array.tabulate(k)(j => Array.fill(dims)(j.toLong))
+    val spark0 = spark
+    import spark0.implicits._
+    val probes = Seq(0L, 17L, 99999L, 131071L, 65536L)
+    // a parquet scan input, same rationale as the 4096 pin (a local
+    // relation would constant-fold the project interpreted)
+    val dir = java.nio.file.Files.createTempDirectory("vek17").toString
+    probes.map(p => (p, Array.fill(dims)(p).toSeq)).toDF("id", "q")
+      .write.mode("overwrite").parquet(dir)
+    val vecs = spark.read.parquet(dir)
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = vecs.select(col("id"),
+        VectorFunctions.nearestCentroid(col("q"), cents).as("a"),
+        VectorFunctions.nearestCells(col("q"), cents, 3).as("cells"))
+      // O(1) plan in coarseK: the matrix rides as ONE reference object —
+      // a literal-chain plan at 2^17 cells would be megabytes of text
+      // and break Janino long before printing
+      val planChars = out.queryExecution.executedPlan.toString.length
+      assert(planChars < 20000,
+        s"plan must not grow with coarseK (got $planChars chars)")
+      out.collect().foreach { r =>
+        val p = r.getLong(0)
+        assert(r.getStruct(1).getLong(1) == p, s"argmin of probe $p")
+        assert(r.getStruct(1).getLong(0) == 0L)
+        // nearest 3 cells of (p,p,p,p): p, then p±1 (tie at equal
+        // distance breaks to the LOWER cid), clipped at the range ends
+        val expect =
+          if (p == 0L) Seq(0L, 1L, 2L)
+          else if (p == (k - 1).toLong) Seq(p, p - 1, p - 2)
+          else Seq(p, p - 1, p + 1)
+        assert(r.getSeq[Long](2).toSeq == expect, s"cells of probe $p")
+      }
+    } finally {
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
 }

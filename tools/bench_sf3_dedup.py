@@ -177,10 +177,18 @@ def main():
             sys.exit("[bench_sf3] --recompute requires --round N")
         if not os.path.exists(path):
             sys.exit(f"[bench_sf3] --recompute: no {path}")
+        # --ref is a fresh-run knob only: a recompute's measurements were
+        # ratioed against the artifact's recorded ref, and silently
+        # re-baselining them against a different sf1 record would change
+        # every ratio without any re-measurement (the merge path already
+        # refuses a ref mismatch; this closes the same hole here)
+        if args.ref is not None:
+            sys.exit("[bench_sf3] --recompute refuses --ref: measurements_"
+                     "from implies the ref recorded in the artifact")
         prev = json.load(open(path))
         sf3 = {"queries": dict(prev["queries_sf3"]),
                "failed": prev.get("failed_at_sf3", [])}
-        ref_path = args.ref or os.path.join(REPO, prev["ref"])
+        ref_path = os.path.join(REPO, prev["ref"])
         args.fixture = prev.get("fixture", args.fixture)
         min_of_runs = prev.get("min_of_runs", 1)
         try:
