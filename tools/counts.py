@@ -105,6 +105,8 @@ def gate_facts():
             "per_row_violations": d.get("per_row_violations", []),
             "failed": d.get("failed_at_sf1", []),
             "min_of_runs": d.get("min_of_runs", 1),
+            "gate": d.get("gate"),
+            "per_row_gate": d.get("per_row_gate"),
         }
     sf3 = latest_artifact(r"BENCH_SF3_r(\d+)\.json")
     if sf3:
@@ -123,12 +125,64 @@ def gate_facts():
     return facts
 
 
+def gate_registry():
+    """The pre-registered gate thresholds from BENCH_NOTES.md's
+    gate-registry table: {artifact field -> registered value}. A gate
+    value in a committed artifact that differs from its registered entry
+    is a --check failure — a threshold move must cite a model committed
+    BEFORE the measurement it classifies (the round-16 contrast-gate
+    lesson)."""
+    p = os.path.join(REPO, "BENCH_NOTES.md")
+    if not os.path.exists(p):
+        return {}
+    body = open(p).read()
+    m = re.search(r"<!-- gate-registry:start -->(.*?)"
+                  r"<!-- gate-registry:end -->", body, re.S)
+    if not m:
+        return {}
+    reg = {}
+    for row in m.group(1).splitlines():
+        cells = [c.strip() for c in row.strip().strip("|").split("|")]
+        if len(cells) >= 3 and re.search(r"`(\w+)`", cells[1]):
+            field = re.search(r"`(\w+)`", cells[1]).group(1)
+            try:
+                reg[(cells[1].split()[0], field)] = float(cells[2])
+            except ValueError:
+                pass
+    return reg
+
+
 def gate_drift(facts):
     """Hard inconsistencies between the committed gate artifacts and the
     claims the docs are allowed to make. Non-empty => --check exits 1, so
     a snapshot can never again commit a violating artifact beside a
     'gate clean' headline."""
     errs = []
+    # pre-registered thresholds: the committed artifact's gate fields
+    # must match the registry row for their family
+    reg = gate_registry()
+    artifact_fields = {
+        ("BENCH_SF1", "gate"): facts.get("sf1", {}).get("gate"),
+        ("BENCH_SF1", "per_row_gate"):
+            facts.get("sf1", {}).get("per_row_gate"),
+        ("BENCH_SF3", "gate"): facts.get("sf3", {}).get("gate"),
+        ("BENCH_SF3", "contrast_gate"):
+            facts.get("sf3", {}).get("contrast_gate"),
+    }
+    if reg:
+        for key, actual in artifact_fields.items():
+            want = reg.get(key)
+            if want is None and actual is not None:
+                errs.append(f"{key[0]} {key[1]}={actual} has no "
+                            "pre-registered entry in BENCH_NOTES.md's "
+                            "gate-registry table — register the model "
+                            "BEFORE recording against it")
+            elif want is not None and actual is not None and \
+                    float(actual) != want:
+                errs.append(f"{key[0]} {key[1]}={actual} differs from the "
+                            f"registered {want} — update the gate-registry "
+                            "row (model + provenance) in a commit that "
+                            "PRECEDES the re-recorded artifact")
     for kind in ("sf1", "sf3"):
         f = facts.get(kind)
         if not f:
