@@ -2953,6 +2953,45 @@ object Queries {
       Seq((1, d1, s1, f1), (2, d2, s2, f2))
         .toDF("stage", "dead_rows", "stored_rows", "folded")
         .orderBy(col("stage"))
+    }),
+
+    // ARRIVAL-MODE corpus build (TrainingCorpus.applyBatch): the
+    // end-to-end pipeline's per-batch shape — quality gate → exact dedup
+    // vs stored fingerprints → incremental lexical near-dup vs the
+    // stored PRUNED MinHash index → index-backed semantic dedup vs the
+    // stored ANN index → redact/chunk → packing CONTINUED from stored
+    // per-language token totals — driven for two batches (even ids
+    // bootstrap the state, odd ids < 20 arrive against it), each batch
+    // ONE atomic group commit. The oracle replays the whole survivor
+    // derivation AND the packed chunks in SQL: quality arithmetic
+    // (q99's), fingerprints (q13's), the q116 keep-lowest-id-among-
+    // arrived lexical rule over membership-filtered pairs, per-arrival
+    // ANN chains fit on batch-1's lexical survivors (q120's block shape
+    // with the fit/candidate sets as CTE subqueries), q47's redaction,
+    // q58's chunking, and q59's packing as one global cumsum over
+    // (batch, doc, start).
+    "q123_corpus_arrival" -> ((s, dir) => {
+      val tmp = freshScratchDir("graft_q123")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      def run(where: Column, id: Long): Unit = {
+        graft.flows.TrainingCorpus.applyBatch(
+          docs.filter(where), id, s"$tmp/state",
+          batchEmbeddings = Some(emb), annRoot = s"$tmp/ann",
+          semThreshold = CorpusArrivalThreshold,
+          minQuality = 0.3, jaccardThreshold = 0.5,
+          chunkTokens = 64, overlap = 16)
+        ()
+      }
+      run(col("doc_id") % 2 === 0, 0L)
+      run(col("doc_id") % 2 === 1 && col("doc_id") < 20, 1L)
+      graft.flows.TrainingCorpus.arrivalChunks(s, s"$tmp/state")
+        .select(col("doc_id"), col("batch_id"), col("lang"), col("start"),
+          col("n_tokens"), col("chunk"), col("bin_id"),
+          col("offset_in_bin"), col("split"))
+        .orderBy(col("batch_id"), col("doc_id"), col("start"))
     })
   )
 
@@ -2972,6 +3011,13 @@ object Queries {
     */
   private val AnnRefitFloorPass: Double = 0.5
   private val AnnRefitFloorHold: Double = 1.5
+
+  /** q123's semantic drop threshold on the floor(x·2^20) squared-distance
+    * grid — ONE constant embedded in both the applyBatch call and the
+    * oracle SQL, chosen (same discipline as [[AnnDedupThreshold]]) so the
+    * fixture's batch-2 arrivals split across drop AND keep verdicts.
+    */
+  private val CorpusArrivalThreshold: Long = 1450000000000L
 
   // ---------------------------------------------------------------- oracles
 
@@ -5831,7 +5877,15 @@ object Queries {
     // counts per stage (retirement batches ACCUMULATE rows — overlapping
     // ids count twice, the documented early-fold bias) and the observed
     // fold verdict as the rule dead/stored >= 0.2.
-    "q122_ann_fold_dial" -> annFoldDialSql
+    "q122_ann_fold_dial" -> annFoldDialSql,
+
+    // q123 replays the two-batch ARRIVAL corpus build end to end:
+    // quality gate, exact dedup with batch precedence, the q116 lexical
+    // arrival rule over membership-filtered pairs, per-arrival ANN
+    // verdicts fit on batch-1's lexical survivors (CTE-subquery fit and
+    // candidate sets), then redact → chunk → pack as one global
+    // per-language cumsum over (batch, doc, start) and the md5 split.
+    "q123_corpus_arrival" -> corpusArrivalSql
   )
 
   /** q120's oracle: q119e's subset-fit base chain, one suffixed query
@@ -5983,4 +6037,137 @@ object Queries {
       |  CAST(d1.c + d2.c AS DOUBLE) / CAST(n.c AS DOUBLE) >= 0.2
       |FROM d1, d2, n
       |ORDER BY stage""".stripMargin
+
+  /** q123's oracle: the full two-batch arrival corpus build in one SQL.
+    * Survivor derivation: q99's quality arithmetic, q13's fingerprints
+    * with batch-then-id precedence, the q116 keep-lowest-id-among-arrived
+    * lexical rule over the standard pair CTEs membership-filtered to
+    * exact survivors, and one q120-style ANN chain per fixed batch-2
+    * arrival id — fit AND candidate sets are the batch-1 lexical-survivor
+    * CTE (`b1lex`), exactly the index applyBatch bootstraps. Output:
+    * q47's redaction, q58's chunking (64/16), q59's packing as ONE
+    * global per-language exclusive cumsum over (batch, doc, start) —
+    * which is precisely "continue from the stored totals" — and q60's
+    * md5 split.
+    */
+  private lazy val corpusArrivalSql: String = {
+    val qids = Seq(1L, 3L, 5L, 7L, 9L, 11L, 13L, 15L, 17L, 19L)
+    val fitW = "vec_id IN (SELECT doc_id FROM b1lex)"
+    val delW = "f0.vec_id NOT IN (SELECT doc_id FROM b1lex)"
+    val sb = new StringBuilder("WITH " + minHashPairsCtes)
+    sb.append(s""",
+      |arr AS (
+      |  SELECT doc_id, lang, text,
+      |    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS batch
+      |  FROM documents
+      |  WHERE doc_id % 2 = 0 OR doc_id < 20
+      |),
+      |qt AS (
+      |  SELECT doc_id, lang, text, batch,
+      |    regexp_extract_all(lower(text), '\\S+') AS ltoks,
+      |    regexp_extract_all(text, '\\S+') AS toks
+      |  FROM arr
+      |),
+      |qlt AS (
+      |  SELECT doc_id, lang, text, batch,
+      |    round((CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+      |      + (CASE WHEN (CASE WHEN len(ltoks) > 0
+      |            THEN CAST(len(list_filter(ltoks, x -> x IN $stopwordsSql)) AS DOUBLE) / CAST(len(ltoks) AS DOUBLE)
+      |            ELSE CAST(0.0 AS DOUBLE) END) >= 0.05 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+      |      + (CASE WHEN (CASE WHEN length(text) > 0
+      |            THEN CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+      |            ELSE CAST(0.0 AS DOUBLE) END) <= 0.2 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 1) AS quality
+      |  FROM qt
+      |),
+      |fpd AS (
+      |  SELECT doc_id, lang, text, batch,
+      |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |  FROM qlt WHERE quality >= 0.3
+      |),
+      |exk AS (
+      |  SELECT f.* FROM fpd f
+      |  WHERE NOT EXISTS (SELECT 1 FROM fpd g WHERE g.fp = f.fp
+      |    AND (g.batch < f.batch OR (g.batch = f.batch AND g.doc_id < f.doc_id)))
+      |),
+      |lexdrop AS (
+      |  SELECT DISTINCT p.id_b FROM pairs p
+      |  JOIN exk a ON a.doc_id = p.id_a
+      |  JOIN exk b ON b.doc_id = p.id_b
+      |  WHERE p.jaccard >= 0.5 AND a.batch <= b.batch
+      |),
+      |lexk AS (
+      |  SELECT * FROM exk WHERE doc_id NOT IN (SELECT id_b FROM lexdrop)
+      |),
+      |b1lex AS (SELECT doc_id FROM lexk WHERE batch = 0)""".stripMargin)
+    sb.append(",\n" + ivfPqBaseCtes(coarseK = 4, coarseIters = 2, m = 4,
+      k = 4, iters = 2, dims = 64, scale = 1 << 20, fitWhere = fitW)
+      .mkString(",\n"))
+    qids.foreach { q =>
+      sb.append(",\n" + ivfPqQueryCtes(q, s"_$q", coarseIters = 2,
+        m = 4, iters = 2, dims = 64, nprobe = 2).mkString(",\n"))
+      sb.append(ivfPqRerankCtesSql(c = 50, n = 1, dims = 64,
+        sfx = s"_$q", deleteWhere = delW))
+    }
+    sb.append(",\nnnv AS (\n" + qids.map(q =>
+      s"  SELECT CAST($q AS BIGINT) AS doc_id, exact_dist FROM rr_$q")
+      .mkString("\n  UNION ALL\n") + "\n)")
+    sb.append(s""",
+      |semdrop AS (
+      |  SELECT doc_id FROM nnv WHERE exact_dist <= $CorpusArrivalThreshold
+      |),
+      |acc AS (
+      |  SELECT * FROM lexk
+      |  WHERE batch = 0 OR doc_id NOT IN (SELECT doc_id FROM semdrop)
+      |),
+      |red AS (
+      |  SELECT doc_id, batch, lang,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '\\d{3}\\.\\d{3}\\.\\d{3}-\\d{2}', '[CPF]', 'g'),
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |      '\\(\\d{2}\\)\\s?\\d{4,5}-\\d{4}', '[PHONE]', 'g') AS text
+      |  FROM acc
+      |),
+      |tkk AS (
+      |  SELECT doc_id, batch, lang,
+      |    regexp_extract_all(trim(text), '\\S+') AS toks
+      |  FROM red
+      |),
+      |stt AS (
+      |  SELECT doc_id, batch, lang, toks,
+      |    unnest(generate_series(1,
+      |      greatest(CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) * 48, 0) + 1,
+      |      48)) AS s1
+      |  FROM tkk
+      |),
+      |chh AS (
+      |  SELECT doc_id, batch, lang, CAST(s1 - 1 AS BIGINT) AS start,
+      |    CAST(least(64, len(toks) - s1 + 1) AS BIGINT) AS n_tokens,
+      |    array_to_string(toks[s1 : s1 + 63], ' ') AS chunk
+      |  FROM stt
+      |),
+      |pkk AS (
+      |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang
+      |    ORDER BY batch, doc_id, start
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM chh
+      |)
+      |SELECT doc_id, CAST(batch AS BIGINT) AS batch_id, lang, start,
+      |  n_tokens, chunk,
+      |  CAST(cum // 2048 AS BIGINT) AS bin_id,
+      |  CAST(cum - (cum // 2048) * 2048 AS BIGINT) AS offset_in_bin,
+      |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+      |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM pkk
+      |ORDER BY batch_id, doc_id, start""".stripMargin)
+    // MATERIALIZE every CTE: DuckDB inlines CTEs by default, and with ten
+    // per-arrival ANN blocks whose fit/candidate sets are themselves the
+    // lexical-survivor chain, inlining re-expands the whole upstream
+    // pipeline per reference — observed as a file-handle explosion on the
+    // documents/embeddings views. Materialization is semantics-neutral
+    // (each CTE computes once); the regex rewrites only CTE definition
+    // sites (start-of-line or "), " + name + " AS (").
+    sb.toString.replaceAll(
+      "(?m)(^|\\), )([A-Za-z_]\\w*) AS \\(", "$1$2 AS MATERIALIZED (")
+  }
 }

@@ -145,4 +145,223 @@ object TrainingCorpus {
       .withColumn("split",
         Relational.splitAssign(col("doc_id"), trainPct, valPct))
   }
+
+  // ===================== arrival-mode corpus build =====================
+
+  /** One ARRIVAL batch of the corpus build — stages 1–3b of [[build]]
+    * re-expressed against STORED state, so the end-to-end pipeline has a
+    * per-batch shape, not just a one-shot one. Per batch:
+    *
+    *  1. quality gate (stateless);
+    *  2. exact dedup — keep-lowest-id per fingerprint WITHIN the batch
+    *     ([[graft.plans.TopKPerKey]]), then an anti-join against the
+    *     stored fingerprint set (an earlier arrival always wins);
+    *  3. incremental lexical near-dup — the batch's MinHash index joined
+    *     against the STORED pruned-layout index
+    *     ([[Dedup.minHashIncrementalPairsPruned]] — PartitionFilters +
+    *     pushed In probes, per-batch I/O follows the batch's footprint),
+    *     q116's keep-lowest-id-among-arrived drop rule;
+    *  3b. index-backed semantic dedup — the lexical survivors' nearest
+    *     STORED neighbor via [[AnnIndex.semanticDedupDecisions]] (ONE
+    *     batch-search job), drop at `nn_dist <= semThreshold`; the FIRST
+    *     batch bootstraps the index instead (nothing stored to compare
+    *     against — within-batch semantic pairs are the one-shot build's
+    *     job, the per-arrival contract is stored-only, same as q120);
+    *  4–7. PII redaction, chunking, and packing CONTINUED from the
+    *     stored per-language token totals (bin ids/offsets carry on
+    *     exactly where the previous batch stopped — replayable as one
+    *     global exclusive cumsum over (batch, doc, start)), split
+    *     assignment keyed by document.
+    *
+    * State discipline mirrors the streaming flows: every state table
+    * (`fps`, the pruned `hashed`/`banded`, `packstate`, `chunks`,
+    * `survivors`, the `applied` marker) commits as ONE atomic
+    * [[VersionedLake]] group version per batch; a replayed batch id
+    * short-circuits on the marker (exactly-once). Index membership
+    * follows the streams' "a dropped doc's near-dup status must not
+    * depend on whether its mate survived": the lexical index gets every
+    * exact-canonical quality-passer (lexically-dropped included), the
+    * ANN index gets every LEXICAL survivor (semantically-dropped
+    * included). ANN maintenance runs BEFORE the main commit and is made
+    * idempotent by an anti-join against the already-indexed ids, so a
+    * crash in the window between the two commits replays cleanly.
+    *
+    * Returns true iff the batch applied (false = replay short-circuit).
+    * Read results with [[arrivalChunks]]/[[arrivalSurvivors]].
+    */
+  def applyBatch(
+      batch: DataFrame, batchId: Long, root: String,
+      batchEmbeddings: Option[DataFrame] = None,
+      annRoot: String = "",
+      semThreshold: Long = 0L,
+      minQuality: Double = 0.3,
+      jaccardThreshold: Double = 0.8,
+      chunkTokens: Int = 512, overlap: Int = 64,
+      binCapacity: Long = 2048L, trainPct: Int = 90, valPct: Int = 5,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      dims: Int = 64, coarseK: Int = 4, coarseIters: Int = 2,
+      m: Int = 4, k: Int = 4, iters: Int = 2,
+      nprobe: Int = 2, c: Int = 50): Boolean = {
+    require(semThreshold <= 0 ||
+      (batchEmbeddings.nonEmpty && annRoot.nonEmpty),
+      "semantic arrival dedup needs batchEmbeddings and annRoot")
+    val spark = batch.sparkSession
+    val v = graft.sources.VersionedLake.versions(spark, root).lastOption
+    val lastApplied = v.fold(-1L)(vv =>
+      graft.sources.VersionedLake.readTable(spark, root, "applied", Some(vv))
+        .head().getLong(0))
+    if (batchId <= lastApplied) return false
+    val docs = batch.select(col("doc_id").cast("long").as("doc_id"),
+      col("lang"), col("text"))
+    // quality + fingerprint, materialized once: feeds the exact stage,
+    // the index build, and (through the survivors) the chunk stage
+    val quality = docs
+      .filter(TextFunctions.qualityScore(col("text")) >= minQuality)
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .localCheckpoint()
+    val batchCanon = graft.plans.TopKPerKey(quality,
+      Seq(col("fp")), Seq(col("doc_id").asc), 1)
+    val storedFps = v match {
+      case Some(vv) => graft.sources.VersionedLake.readTable(spark, root,
+        "fps", Some(vv), schemaDDL = "fp STRING")
+      case None => batchCanon.select(col("fp")).limit(0)
+    }
+    val exactKept = batchCanon.join(storedFps, Seq("fp"), "left_anti")
+      .localCheckpoint()
+    val (nh, nb) = Dedup.minHashIndexPortable(exactKept, "doc_id", "text",
+      shingleN, numHashes, bands)
+    try {
+      val pairs = v match {
+        case None => Dedup.minHashIncrementalPairsFromIndexes(
+          nh.limit(0), nb.limit(0), nh, nb)
+        case Some(vv) => Dedup.minHashIncrementalPairsPruned(
+          graft.sources.VersionedLake.readTable(spark, root, "hashed",
+            Some(vv), schemaDDL = "id BIGINT, hs ARRAY<BIGINT>, " +
+              s"${Dedup.IdLayoutCol} BIGINT"),
+          graft.sources.VersionedLake.readTable(spark, root, "banded",
+            Some(vv), schemaDDL = "id BIGINT, band INT, bucket BIGINT, " +
+              s"${Dedup.BandLayoutCol} BIGINT"),
+          nh, nb)
+      }
+      val droppedLex = pairs.filter(col("jaccard") >= jaccardThreshold)
+        .select(col("id_b")).distinct()
+      val lexKept = exactKept
+        .join(droppedLex, col("doc_id") === col("id_b"), "left_anti")
+        .localCheckpoint()
+      val annExists = annRoot.nonEmpty &&
+        graft.sources.VersionedLake.versions(spark, annRoot).nonEmpty
+      val semKept =
+        if (semThreshold <= 0) lexKept
+        else if (!annExists) lexKept // bootstrap: nothing stored to compare
+        else {
+          val embB = batchEmbeddings.get
+            .select(col("doc_id").cast("long").as("doc_id"),
+              col("embedding"))
+            .join(lexKept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          val droppedSem = AnnIndex.semanticDedupDecisions(spark, annRoot,
+              "corpus_id", embB, "doc_id", "embedding", nprobe, c,
+              semThreshold)
+            .filter(col("dropped")).select(col("doc_id"))
+          lexKept.join(droppedSem, Seq("doc_id"), "left_anti")
+        }
+      // ANN maintenance BEFORE the main commit (a crash between the two
+      // replays the batch; the anti-join below makes the re-append a
+      // no-op). Members: every LEXICAL survivor, semantically-dropped
+      // included — see the scaladoc's index-membership discipline.
+      if (semThreshold > 0) {
+        val embIdx = batchEmbeddings.get
+          .select(col("doc_id").cast("long").as("corpus_id"),
+            col("embedding"))
+          .join(lexKept.select(col("doc_id").as("corpus_id")),
+            Seq("corpus_id"), "left_semi")
+        if (!annExists) {
+          if (!embIdx.isEmpty)
+            AnnIndex.build(embIdx, "corpus_id", "embedding", annRoot,
+              dims, coarseK, coarseIters, m, k, iters)
+        } else {
+          val indexed = graft.sources.VersionedLake.readTable(spark,
+            annRoot, "encoded",
+            schemaDDL = "corpus_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
+            .select(col("corpus_id"))
+          val embNew = embIdx.join(indexed, Seq("corpus_id"), "left_anti")
+          if (!embNew.isEmpty)
+            AnnIndex.append(embNew, "corpus_id", "embedding", annRoot)
+        }
+        ()
+      }
+      // chunk + pack CONTINUED from the stored per-language totals
+      val chunked = semKept
+        .withColumn("clean_text", TextFunctions.redactPii(col("text")))
+        .select(col("doc_id"), col("lang"),
+          explode(TextFunctions.chunkByTokens(col("clean_text"),
+            chunkTokens, overlap)).as("c"))
+        .select(col("doc_id"), col("lang"), col("c.start").as("start"),
+          col("c.n_tokens").cast("long").as("n_tokens"),
+          col("c.chunk").as("chunk"))
+      val storedPack = v match {
+        case Some(vv) => graft.sources.VersionedLake.readTable(spark, root,
+          "packstate", Some(vv), schemaDDL = "lang STRING, cum BIGINT")
+        case None => spark.createDataFrame(
+          java.util.List.of[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("lang",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("cum",
+              org.apache.spark.sql.types.LongType))))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"), col("start"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val packed = chunked
+        .join(storedPack, Seq("lang"), "left")
+        .withColumn("__cum", coalesce(col("cum"), lit(0L)) +
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("bin_id", expr(s"__cum DIV ${binCapacity}L"))
+        .withColumn("offset_in_bin",
+          col("__cum") - col("bin_id") * binCapacity)
+        .withColumn("split",
+          Relational.splitAssign(col("doc_id"), trainPct, valPct))
+        .select(col("doc_id"), lit(batchId).as("batch_id"), col("lang"),
+          col("start"), col("n_tokens"), col("chunk"), col("bin_id"),
+          col("offset_in_bin"), col("split"))
+      val newPack = storedPack.withColumnRenamed("cum", "cum0")
+        .join(chunked.groupBy(col("lang"))
+          .agg(sum(col("n_tokens")).as("add")), Seq("lang"), "full")
+        .select(col("lang"), (coalesce(col("cum0"), lit(0L)) +
+          coalesce(col("add"), lit(0L))).as("cum"))
+      val gc = graft.sources.VersionedLake.beginGroupCommit(spark, root)
+      graft.sources.VersionedLake.runOrAbort(gc) {
+        gc.write("fps", exactKept.select(col("fp")), mode = "append")
+        gc.write("hashed", Dedup.layoutHashed(nh), mode = "append",
+          partitionBy = Seq(Dedup.IdLayoutCol))
+        gc.write("banded", Dedup.layoutBanded(nb), mode = "append",
+          partitionBy = Seq(Dedup.BandLayoutCol))
+        gc.write("packstate", newPack)
+        gc.write("chunks", packed, mode = "append")
+        gc.write("survivors",
+          semKept.select(col("doc_id"), lit(batchId).as("batch_id")),
+          mode = "append")
+        gc.write("applied", spark.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(batchId)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("batch_id",
+              org.apache.spark.sql.types.LongType, nullable = false)))))
+        gc.publish()
+      }
+      true
+    } finally { nh.unpersist(); nb.unpersist(); () }
+  }
+
+  /** The accumulated packed-chunk output of the arrival build (one row
+    * per chunk of every accepted doc, bins continuous across batches).
+    */
+  def arrivalChunks(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame =
+    graft.sources.VersionedLake.readTable(spark, root, "chunks")
+
+  /** The accepted documents per batch: (doc_id, batch_id). */
+  def arrivalSurvivors(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame =
+    graft.sources.VersionedLake.readTable(spark, root, "survivors")
 }
