@@ -120,20 +120,26 @@ object StreamingDedup {
     try {
       // explicit schemas: partition-column inference would read the ph/pb
       // dir values back as INT and the pruning filters' BIGINT literals
-      // would cast the partition attribute, defeating PartitionFilters
+      // would cast the partition attribute, defeating PartitionFilters.
+      // Path choice is the MEASURED state-size dial
+      // ([[Dedup.pruneStoredReads]]): the pruned reads win once the
+      // stored tables clear ~1 GiB; below that the full-scan join's two
+      // passes cost less than the pruned path's fixed per-batch toll.
       val pairs = v match {
         case None =>
           Dedup.minHashIncrementalPairsFromIndexes(
             nh.limit(0), nb.limit(0), nh, nb)
         case Some(vv) =>
-          Dedup.minHashIncrementalPairsPruned(
-            VersionedLake.readTable(spark, root, "hashed", Some(vv),
-              schemaDDL = "id BIGINT, hs ARRAY<BIGINT>, " +
-                s"${Dedup.IdLayoutCol} BIGINT"),
-            VersionedLake.readTable(spark, root, "banded", Some(vv),
-              schemaDDL = "id BIGINT, band INT, bucket BIGINT, " +
-                s"${Dedup.BandLayoutCol} BIGINT"),
-            nh, nb)
+          val sh = VersionedLake.readTable(spark, root, "hashed", Some(vv),
+            schemaDDL = "id BIGINT, hs ARRAY<BIGINT>, " +
+              s"${Dedup.IdLayoutCol} BIGINT")
+          val sb = VersionedLake.readTable(spark, root, "banded", Some(vv),
+            schemaDDL = "id BIGINT, band INT, bucket BIGINT, " +
+              s"${Dedup.BandLayoutCol} BIGINT")
+          if (Dedup.pruneStoredReads(sh, sb))
+            Dedup.minHashIncrementalPairsPruned(sh, sb, nh, nb)
+          else
+            Dedup.minHashIncrementalPairsFromIndexes(sh, sb, nh, nb)
       }
       val dropped = pairs
         .filter(col("jaccard") >= jaccardThreshold)

