@@ -461,15 +461,20 @@ object Dedup {
     * arrival batch's candidate join prunes to the touched prefix
     * directories (PartitionFilters) and the pushed `In` probe skips row
     * groups inside them (parquet min/max over the sorted key), instead of
-    * scanning the full corpus-scale state per micro-batch. 32 matches the
-    * local session's core count; a 100 TB deployment raises it with the
-    * corpus (the dial trades per-batch directory fan-in against pruning
-    * granularity) — all writers and the arrival probe of ONE index must
-    * share the value, like `bands`/`numHashes` (it parameterizes the
-    * layout the same way they parameterize the signatures; DedupIndex
-    * folds it into the index key).
+    * scanning the full corpus-scale state per micro-batch. The default
+    * is deliberately SMALL (8): every partitioned write pays ~file-count
+    * × commit overhead per batch (measured: a two-table group commit at
+    * 32 dirs/table costs ~1.6–1.9 s on local[32] vs ~0.6 s plain — pure
+    * small-batch tax), while pruning granularity at deployment scale
+    * comes mostly from the pushed `In` probes over the in-directory
+    * sort, not the directory count. A 100 TB deployment raises it with
+    * the corpus (the dial trades per-batch directory fan-in against
+    * directory-level pruning) — all writers and the arrival probe of ONE
+    * index must share the value, like `bands`/`numHashes` (it
+    * parameterizes the layout the same way they parameterize the
+    * signatures; DedupIndex folds it into the index key).
     */
-  val IndexLayoutParts = 32
+  val IndexLayoutParts = 8
 
   /** Driver budget for the arrival probe/candidate censuses — O(batch ×
     * bands) rows at most; a batch whose census would exceed this falls
