@@ -39,6 +39,20 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.artifact.isolation.enabled", "false")
+      // Output-commit machinery (r17): every lake/state write in this
+      // engine lands under a per-version `_data/vN` directory that only
+      // becomes VISIBLE via the VersionedLake manifest CAS — the
+      // FileOutputCommitter's own job-commit atomicity is redundant
+      // here, so take the cheaper v2 protocol (task commits rename
+      // straight to the destination instead of a second sequential
+      // driver-side rename pass at job commit) and skip the _SUCCESS
+      // marker file (one create+close per write; nothing reads it —
+      // manifest presence IS completeness). Matters because the
+      // streaming/arrival flows commit several small tables per
+      // micro-batch: the fixed per-write commit cost is the
+      // lifecycle-floor term the sf0.001 probes measure.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     timeZone.foreach(tz => b.config("spark.sql.session.timeZone", tz))
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")

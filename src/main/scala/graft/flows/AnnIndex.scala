@@ -83,11 +83,15 @@ object AnnIndex {
     val (coarse, books, encoded) = Similarity.ivfPqIndex(src, idCol, vecCol,
       dims, coarseK, coarseIters, m, k, iters, scale)
     val gc = VersionedLake.beginGroupCommit(spark, root)
-    gc.write("coarse", coarse)
-    gc.write("codebooks", books)
-    gc.write("encoded", encoded, partitionBy = Seq("cell"))
-    gc.write("quant", src.select(col(idCol),
-      Cluster.quantizeFloor(col(vecCol), scale).as("q")))
+    // independent frames (coarse/books are bounded literal frames,
+    // encoded is materialized, quant re-maps the corpus) — staged
+    // concurrently so the four write jobs overlap (guide §2.6)
+    gc.writeAll(Seq(
+      ("coarse", coarse, "overwrite", Nil),
+      ("codebooks", books, "overwrite", Nil),
+      ("encoded", encoded, "overwrite", Seq("cell")),
+      ("quant", src.select(col(idCol),
+        Cluster.quantizeFloor(col(vecCol), scale).as("q")), "overwrite", Nil)))
     gc.publish()
   }
 
@@ -154,12 +158,13 @@ object AnnIndex {
         // next optional table silently vanish from append commits
         VersionedLake.groupTableRelFiles(spark, root, Some(v)).keys
           .filterNot(Set("encoded", "quant")).toSeq.sorted.foreach(gc.carry)
-        gc.write("encoded",
-          Similarity.ivfPqEncode(src, idCol, vecCol, coarse, books, scale),
-          mode = "append", partitionBy = Seq("cell"))
-        gc.write("quant", src.select(col(idCol),
-          Cluster.quantizeFloor(col(vecCol), scale).as("q")),
-          mode = "append")
+        gc.writeAll(Seq(
+          ("encoded",
+            Similarity.ivfPqEncode(src, idCol, vecCol, coarse, books, scale),
+            "append", Seq("cell")),
+          ("quant", src.select(col(idCol),
+            Cluster.quantizeFloor(col(vecCol), scale).as("q")),
+            "append", Nil)))
         raceWindow()
         gc.publishIfBaseIs(v)
       } match {
@@ -293,9 +298,11 @@ object AnnIndex {
             schemaDDL = s"$idCol BIGINT, q ARRAY<BIGINT>")
           rel.keys.filterNot(Set("encoded", "quant", Tombstones)).toSeq
             .sorted.foreach(gc.carry)
-          gc.write("encoded", minusTombstones(encoded, Some(tomb), idCol),
-            partitionBy = Seq("cell"))
-          gc.write("quant", minusTombstones(quant, Some(tomb), idCol))
+          gc.writeAll(Seq(
+            ("encoded", minusTombstones(encoded, Some(tomb), idCol),
+              "overwrite", Seq("cell")),
+            ("quant", minusTombstones(quant, Some(tomb), idCol),
+              "overwrite", Nil)))
           raceWindow()
           gc.publishIfBaseIs(v) match {
             case None => VersionedLake.versions(spark, root).last

@@ -3,7 +3,6 @@ package graft.flows
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.operators.{Cluster, Similarity}
 import graft.sources.VersionedLake
@@ -46,12 +45,6 @@ import graft.sources.VersionedLake
   */
 object StreamingAnnIndex {
 
-  private val markerSchema =
-    StructType(Seq(StructField("batch_id", LongType, nullable = false)))
-
-  private def marker(spark: SparkSession, batchId: Long): DataFrame =
-    spark.createDataFrame(java.util.List.of(Row(batchId)), markerSchema)
-
   /** Fit the coarse + PQ model on the initial corpus and commit model +
     * codes + quantized vectors + the replay marker as group version 1.
     * Must run once before the stream starts; the stream never refits.
@@ -68,12 +61,17 @@ object StreamingAnnIndex {
     val (coarse, books, encoded) = Similarity.ivfPqIndex(src, idCol,
       vecCol, dims, coarseK, coarseIters, m, k, iters, scale)
     val gc = VersionedLake.beginGroupCommit(spark, root)
-    gc.write("coarse", coarse)
-    gc.write("codebooks", books)
-    gc.write("encoded", encoded, partitionBy = Seq("cell"))
-    gc.write("quant", src.select(col(idCol),
-      Cluster.quantizeFloor(col(vecCol), scale).as("q")))
-    gc.write("applied", marker(spark, -1L))
+    // all four data tables are independent frames (coarse/books are
+    // bounded literal frames, encoded is materialized, quant is a map
+    // over the corpus) — stage them concurrently; the marker lands
+    // driver-side (no Spark job for one int64)
+    gc.writeAll(Seq(
+      ("coarse", coarse, "overwrite", Nil),
+      ("codebooks", books, "overwrite", Nil),
+      ("encoded", encoded, "overwrite", Seq("cell")),
+      ("quant", src.select(col(idCol),
+        Cluster.quantizeFloor(col(vecCol), scale).as("q")), "overwrite", Nil)))
+    gc.writeMarkerLong("applied", "batch_id", -1L)
     gc.publish()
     ()
   }
@@ -133,8 +131,8 @@ object StreamingAnnIndex {
         val v = gc.basedOn.get
         // replay short-circuit: the marker committed ATOMICALLY with the
         // data, so "applied says done" ⟺ "this batch's codes are visible"
-        val lastApplied = VersionedLake.readTable(spark, root, "applied",
-          Some(v)).head().getLong(0)
+        val lastApplied = VersionedLake.readMarkerLong(spark, root,
+          "applied", Some(v), "batch_id")
         if (batchId <= lastApplied) { gc.abort(); Some(false) }
         else {
           val coarse = VersionedLake.readTable(spark, root, "coarse",
@@ -149,14 +147,14 @@ object StreamingAnnIndex {
           VersionedLake.groupTableRelFiles(spark, root, Some(v)).keys
             .filterNot(Set("encoded", "quant", "applied")).toSeq.sorted
             .foreach(gc.carry)
-          gc.write("encoded",
-            Similarity.ivfPqEncode(src, idCol, vecCol, coarse, books,
-              scale),
-            mode = "append", partitionBy = Seq("cell"))
-          gc.write("quant", src.select(col(idCol),
-            Cluster.quantizeFloor(col(vecCol), scale).as("q")),
-            mode = "append")
-          gc.write("applied", marker(spark, batchId))
+          gc.writeAll(Seq(
+            ("encoded",
+              Similarity.ivfPqEncode(src, idCol, vecCol, coarse, books,
+                scale), "append", Seq("cell")),
+            ("quant", src.select(col(idCol),
+              Cluster.quantizeFloor(col(vecCol), scale).as("q")),
+              "append", Nil)))
+          gc.writeMarkerLong("applied", "batch_id", batchId)
           raceWindow()
           gc.publishIfBaseIs(v).map(_ => true)
         }

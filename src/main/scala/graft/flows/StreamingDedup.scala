@@ -108,10 +108,11 @@ object StreamingDedup {
     // single-writer by contract, but the reads shouldn't rely on that)
     val v = VersionedLake.versions(spark, root).lastOption
     // replay short-circuit: the marker committed ATOMICALLY with the data,
-    // so "applied says done" ⟺ "this batch's rows are fully visible"
+    // so "applied says done" ⟺ "this batch's rows are fully visible".
+    // Driver-side read — one 8-byte value per batch never needs a Spark job
     val lastApplied = v.fold(-1L)(vv =>
-      VersionedLake.readTable(spark, root, "applied", Some(vv))
-        .head().getLong(0))
+      VersionedLake.readMarkerLong(spark, root, "applied", Some(vv),
+        "batch_id"))
     if (batchId <= lastApplied) return false
     val docs = batch.select(col(idCol).cast("long").as("__doc_id"),
       col(textCol).as("__text"))
@@ -148,17 +149,17 @@ object StreamingDedup {
         .join(dropped, col("__doc_id") === col("id_b"), "left_anti")
         .select(col("__doc_id").as(idCol), lit(batchId).as("batch_id"))
       val gc = VersionedLake.beginGroupCommit(spark, root)
-      gc.write("hashed", Dedup.layoutHashed(nh), mode = "append",
-        partitionBy = Seq(Dedup.IdLayoutCol))
-      gc.write("banded", Dedup.layoutBanded(nb), mode = "append",
-        partitionBy = Seq(Dedup.BandLayoutCol))
-      gc.write("survivors", survivors, mode = "append")
-      gc.write("applied",
-        spark.createDataFrame(java.util.List.of(Row(batchId)),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("batch_id",
-              org.apache.spark.sql.types.LongType, nullable = false)))),
-        mode = "overwrite")
+      // the three data tables are independent frames over the persisted
+      // batch index — stage them concurrently (one write job each; the
+      // sequential loop was a visible slice of the per-batch floor), and
+      // the one-row marker lands driver-side (no job at all)
+      gc.writeAll(Seq(
+        ("hashed", Dedup.layoutHashed(nh), "append",
+          Seq(Dedup.IdLayoutCol)),
+        ("banded", Dedup.layoutBanded(nb), "append",
+          Seq(Dedup.BandLayoutCol)),
+        ("survivors", survivors, "append", Nil)))
+      gc.writeMarkerLong("applied", "batch_id", batchId)
       gc.publish()
       true
     } finally { nh.unpersist(); nb.unpersist(); () }

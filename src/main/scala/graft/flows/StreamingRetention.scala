@@ -167,8 +167,15 @@ private[flows] object StreamingRetention {
     }.toMap
     val carryThreshold = math.max(1L, targetBytes / 2)
     val census = Seq.newBuilder[String]
+    // two-phase pass: decide per table first (metadata only), then issue
+    // every rewrite CONCURRENTLY (writeAllWithCarried — the per-table
+    // rewrite jobs of one cadence hit are independent small writes whose
+    // sequential staging was pure queueing; guide §2.6), carries last
+    val rewrites =
+      Seq.newBuilder[(String, org.apache.spark.sql.DataFrame, Seq[String], Seq[String])]
+    val carries = Seq.newBuilder[String]
     relByTable.keys.toSeq.sorted.foreach { table =>
-      if (carryTables(table)) gc.carry(table)
+      if (carryTables(table)) carries += table
       else {
         val files = relByTable(table)
         // size tiering: a file at ≥ targetBytes/2 is a previous pass's
@@ -191,7 +198,7 @@ private[flows] object StreamingRetention {
             val (multi, solo) = byDir.partition(_._2.size >= 2)
             (multi.values.flatten.toSeq, solo.values.flatten.toSeq)
           }
-        if (small.size <= 1) gc.carry(table)
+        if (small.size <= 1) carries += table
         else {
           val smallBytes = small.map(p => sizes.getOrElse(p, 0L)).sum
           val n = LakeWriter.compactionFileCount(smallBytes, targetBytes)
@@ -214,13 +221,14 @@ private[flows] object StreamingRetention {
               repacked.sortWithinPartitions((pb ++ sc).map(col): _*)
             case _ => repacked
           }
-          gc.writeWithCarried(table, compacted, large ++ soloCarry,
-            partitionBy = pb)
+          rewrites += ((table, compacted, large ++ soloCarry, pb))
           census += s"$table: carried ${large.size + soloCarry.size}, " +
             s"rewrote ${small.size} (${smallBytes}B) -> $n"
         }
       }
     }
+    gc.writeAllWithCarried(rewrites.result())
+    carries.result().foreach(gc.carry)
     raceWindow()
     gc.publishIfBaseIs(v) match {
       case None =>

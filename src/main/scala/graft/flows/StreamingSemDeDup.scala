@@ -3,7 +3,6 @@ package graft.flows
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.operators.Cluster
 import graft.sources.VersionedLake
@@ -52,12 +51,6 @@ import graft.sources.VersionedLake
   */
 object StreamingSemDeDup {
 
-  private val markerSchema =
-    StructType(Seq(StructField("batch_id", LongType, nullable = false)))
-
-  private def marker(spark: SparkSession, batchId: Long): DataFrame =
-    spark.createDataFrame(java.util.List.of(Row(batchId)), markerSchema)
-
   /** Fit the centroid model on the initial corpus and commit model +
     * corpus assignments + the replay marker as group version 1. Must run
     * once before the stream starts; the stream never refits.
@@ -74,7 +67,7 @@ object StreamingSemDeDup {
       Cluster.assignStored(corpus, idCol, embCol,
         gc.readStaged("centroids"), scale),
       partitionBy = Seq("cid"))
-    gc.write("applied", marker(spark, -1L))
+    gc.writeMarkerLong("applied", "batch_id", -1L)
     gc.publish()
     ()
   }
@@ -123,8 +116,8 @@ object StreamingSemDeDup {
     // replay short-circuit: the marker committed ATOMICALLY with the data,
     // so "applied says done" ⟺ "this batch's assignment rows are visible"
     // — and a replay past the marker would dedup the batch against itself
-    val lastApplied = VersionedLake.readTable(spark, root, "applied",
-      Some(v)).head().getLong(0)
+    val lastApplied = VersionedLake.readMarkerLong(spark, root, "applied",
+      Some(v), "batch_id")
     if (batchId <= lastApplied) return false
     val centroids = VersionedLake.readTable(spark, root, "centroids", Some(v))
     // explicit schema: partition-column inference would read cid back as
@@ -137,11 +130,14 @@ object StreamingSemDeDup {
       .select(col(idCol), lit(batchId).as("batch_id"))
     val gc = VersionedLake.beginGroupCommit(spark, root)
     gc.carry("centroids")
-    gc.write("assignments",
-      Cluster.assignStored(batch, idCol, embCol, centroids, scale),
-      mode = "append", partitionBy = Seq("cid"))
-    gc.write("survivors", survivors, mode = "append")
-    gc.write("applied", marker(spark, batchId))
+    // independent frames — staged concurrently; the marker lands
+    // driver-side (see StreamingDedup.applyBatch)
+    gc.writeAll(Seq(
+      ("assignments",
+        Cluster.assignStored(batch, idCol, embCol, centroids, scale),
+        "append", Seq("cid")),
+      ("survivors", survivors, "append", Nil)))
+    gc.writeMarkerLong("applied", "batch_id", batchId)
     gc.publish()
     true
   }

@@ -208,8 +208,8 @@ object TrainingCorpus {
     val spark = batch.sparkSession
     val v = graft.sources.VersionedLake.versions(spark, root).lastOption
     val lastApplied = v.fold(-1L)(vv =>
-      graft.sources.VersionedLake.readTable(spark, root, "applied", Some(vv))
-        .head().getLong(0))
+      graft.sources.VersionedLake.readMarkerLong(spark, root, "applied",
+        Some(vv), "batch_id"))
     if (batchId <= lastApplied) return false
     val docs = batch.select(col("doc_id").cast("long").as("doc_id"),
       col("lang"), col("text"))
@@ -336,21 +336,21 @@ object TrainingCorpus {
           coalesce(col("add"), lit(0L))).as("cum"))
       val gc = graft.sources.VersionedLake.beginGroupCommit(spark, root)
       graft.sources.VersionedLake.runOrAbort(gc) {
-        gc.write("fps", exactKept.select(col("fp")), mode = "append")
-        gc.write("hashed", Dedup.layoutHashed(nh), mode = "append",
-          partitionBy = Seq(Dedup.IdLayoutCol))
-        gc.write("banded", Dedup.layoutBanded(nb), mode = "append",
-          partitionBy = Seq(Dedup.BandLayoutCol))
-        gc.write("packstate", newPack)
-        gc.write("chunks", packed, mode = "append")
-        gc.write("survivors",
-          semKept.select(col("doc_id"), lit(batchId).as("batch_id")),
-          mode = "append")
-        gc.write("applied", spark.createDataFrame(
-          java.util.List.of(org.apache.spark.sql.Row(batchId)),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("batch_id",
-              org.apache.spark.sql.types.LongType, nullable = false)))))
+        // the six data tables derive from already-materialized frames
+        // (exactKept/lexKept/semKept are checkpointed, nh/nb persisted) —
+        // stage them concurrently; the one-row marker lands driver-side
+        gc.writeAll(Seq(
+          ("fps", exactKept.select(col("fp")), "append", Nil),
+          ("hashed", Dedup.layoutHashed(nh), "append",
+            Seq(Dedup.IdLayoutCol)),
+          ("banded", Dedup.layoutBanded(nb), "append",
+            Seq(Dedup.BandLayoutCol)),
+          ("packstate", newPack, "overwrite", Nil),
+          ("chunks", packed, "append", Nil),
+          ("survivors",
+            semKept.select(col("doc_id"), lit(batchId).as("batch_id")),
+            "append", Nil)))
+        gc.writeMarkerLong("applied", "batch_id", batchId)
         gc.publish()
       }
       true

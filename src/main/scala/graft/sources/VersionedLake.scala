@@ -567,6 +567,122 @@ object VersionedLake {
       staged(table) = carried ++ newFiles
     }
 
+    /** Stage several INDEPENDENT tables CONCURRENTLY — one entry per
+      * table as (name, df, mode, partitionBy), same semantics per entry
+      * as [[write]]. The per-table `df.write.parquet` actions are
+      * independent Spark jobs whose small-task tails leave most of the
+      * pool idle; submitting them from a thread pool overlaps job
+      * planning, the write tasks, and the commit/file-listing I/O
+      * (optimization guide §2.6 — the micro-batch flows commit 2–7 small
+      * tables per batch, and the sequential staging loop was a visible
+      * slice of the per-batch lifecycle floor). Staged file lists land
+      * deterministically; a failure in ANY write is rethrown after every
+      * in-flight write settles (so an abort() sweep never races a
+      * still-running writer), with all attempted tables registered for
+      * the sweep.
+      */
+    def writeAll(tables: Seq[(String, DataFrame, String, Seq[String])]): Unit = {
+      require(!published && !aborted, "group already published or aborted")
+      tables.foreach { case (t, _, mode, _) =>
+        require(tableNameOk(t), s"invalid group table name '$t'")
+        require(!staged.contains(t), s"table $t already staged in v$version")
+        require(mode == "overwrite" || mode == "append", s"unknown mode $mode")
+      }
+      require(tables.map(_._1).distinct.size == tables.size,
+        s"duplicate table in writeAll: ${tables.map(_._1).mkString(", ")}")
+      // resolve the previous manifest ONCE for every append entry
+      val prevFiles: Map[String, Seq[String]] =
+        if (tables.exists(_._3 == "append") && prevVersion.nonEmpty)
+          groupManifestFiles(store, root, prevVersion.get)
+        else Map.empty
+      stageConcurrently(tables.map { case (t, df, mode, pb) =>
+        (t, df, if (mode == "append") prevFiles.getOrElse(t, Seq.empty)
+          else Seq.empty, pb)
+      })
+    }
+
+    /** The parallel form of [[writeWithCarried]] — one entry per table as
+      * (name, df, carriedFiles, partitionBy); same staging semantics per
+      * entry, data writes submitted concurrently (see [[writeAll]]). The
+      * retention pass uses it so the per-table rewrites of one compaction
+      * cadence overlap instead of queueing.
+      */
+    def writeAllWithCarried(
+        tables: Seq[(String, DataFrame, Seq[String], Seq[String])]): Unit = {
+      require(!published && !aborted, "group already published or aborted")
+      tables.foreach { case (t, _, carriedFiles, _) =>
+        require(tableNameOk(t), s"invalid group table name '$t'")
+        require(!staged.contains(t), s"table $t already staged in v$version")
+        require(carriedFiles.forall(_.startsWith(s"$t/_data/")),
+          s"carried files must belong to $t (got " +
+            s"${carriedFiles.filterNot(_.startsWith(s"$t/_data/")).take(3).mkString(", ")})")
+      }
+      require(tables.map(_._1).distinct.size == tables.size,
+        s"duplicate table in writeAllWithCarried: ${tables.map(_._1).mkString(", ")}")
+      stageConcurrently(tables)
+    }
+
+    private def stageConcurrently(
+        tables: Seq[(String, DataFrame, Seq[String], Seq[String])]): Unit = {
+      if (tables.isEmpty) return
+      wroteData ++= tables.map(_._1) // abort() sweeps even on partial failure
+      val f = fs(spark, root)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(tables.size)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val futs = tables.map { case (t, df, carried, pb) =>
+          scala.concurrent.Future {
+            val newFiles = writeData(df, f,
+              new Path(root, s"$t/_data/v$version"), s"$t/_data/v$version", pb)
+            t -> (carried ++ newFiles)
+          }
+        }
+        // settle EVERYTHING before surfacing the first failure: the
+        // caller's abort() deletes _data/v{N} dirs, which must not race
+        // a writer that is still emitting into one of them
+        val settled = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs.map(_.transform(scala.util.Success(_)))),
+          scala.concurrent.duration.Duration.Inf)
+        settled.collectFirst { case scala.util.Failure(e) => throw e }
+        settled.foreach {
+          case scala.util.Success((t, files)) => staged(t) = files
+          case scala.util.Failure(_) => ()
+        }
+      } finally { pool.shutdown(); () }
+    }
+
+    /** Stage a ONE-ROW marker table (e.g. a stream's `applied` batch id)
+      * with a DRIVER-SIDE parquet write — no Spark job, no committer:
+      * the row is a single int64 the exactly-once protocol consults once
+      * per micro-batch, and routing it through a full distributed write
+      * (plan → schedule → task → commit) was a fixed per-batch cost with
+      * zero data on it. The file is a plain parquet file (parquet-mr
+      * writer), so every existing reader — [[readTable]], an external
+      * engine, the specs — reads it unchanged; [[readMarkerLong]] is the
+      * matching driver-side fast read. Overwrite semantics (markers
+      * supersede; nothing is carried).
+      */
+    def writeMarkerLong(table: String, column: String, value: Long): Unit = {
+      require(!published && !aborted, "group already published or aborted")
+      require(tableNameOk(table), s"invalid group table name '$table'")
+      require(!staged.contains(table), s"table $table already staged in v$version")
+      val rel = s"$table/_data/v$version/part-00000-marker.parquet"
+      val p = new Path(root, rel)
+      wroteData += table
+      val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+        s"message marker { required int64 $column; }")
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          p, spark.sparkContext.hadoopConfiguration))
+        .withType(schema)
+        .build()
+      try w.write(new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+        schema).newGroup().append(column, value))
+      finally w.close()
+      staged(table) = Seq(rel)
+    }
+
     /** Stage `table` as `carriedFiles` (prior data files re-listed
       * VERBATIM — no read, no rewrite) plus `df`'s freshly written files:
       * the incremental-compaction primitive. A size-tiered retention pass
@@ -798,6 +914,36 @@ object VersionedLake {
     * tombstone-fraction dial) without paying a scan: at 100 TB the
     * manifest's file list is the bound, not the bytes.
     */
+  /** DRIVER-SIDE read of a one-row int64 marker table (the `applied`
+    * batch id the exactly-once flows consult before every micro-batch):
+    * the manifest already names the file, and reading one 8-byte value
+    * through a full Spark job (plan → schedule → task → collect) was a
+    * fixed per-batch lifecycle cost. Reads the FIRST row's `column` via
+    * parquet-mr — works on both Spark-written and
+    * [[GroupCommit.writeMarkerLong]]-written files. Falls back to a
+    * Spark read when the marker unexpectedly spans several files (a
+    * foreign writer) — correctness never depends on the fast path.
+    */
+  def readMarkerLong(spark: SparkSession, root: String, table: String,
+      version: Option[Long], column: String,
+      manifestStore: Option[ManifestStore] = None): Long = {
+    val files = tableFiles(spark, root, table, version, manifestStore)
+    if (files.size == 1) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new Path(files.head))
+        .withConf(conf).build()
+      try {
+        val g = reader.read()
+        require(g != null, s"marker table $table at $root is empty")
+        g.getLong(column, 0)
+      } finally reader.close()
+    } else
+      readTable(spark, root, table, version, manifestStore = manifestStore)
+        .select(column).head().getLong(0)
+  }
+
   def tableRowCount(spark: SparkSession, root: String, table: String,
       version: Option[Long] = None,
       manifestStore: Option[ManifestStore] = None): Long = {

@@ -235,9 +235,12 @@ class VersionedLakeSpec extends SparkSpec {
     // NO manifest artifacts on the filesystem: visibility lives in the blob
     assert(!new java.io.File(s"$tbl/_manifests").exists())
     assert(blob.list("_manifests/").size == 4) // 2 claims + 2 manifests
-    // vacuum over the CAS store: v1's files die, v2 stays readable
+    // vacuum over the CAS store: v2 (append) CARRIES v1's data files, so
+    // the live-set keeps them all — nothing data-bearing may die (the old
+    // `>= 1` count was the swept _SUCCESS sidecar, which the session no
+    // longer writes; see GraftSession's committer note). v2 stays readable
     assert(VersionedLake.vacuum(spark, tbl, keepFrom = 2L,
-      manifestStore = store) >= 1)
+      manifestStore = store) >= 0)
     assert(VersionedLake.versions(spark, tbl, manifestStore = store)
       == Seq(2L))
     assert(VersionedLake.read(spark, tbl, manifestStore = store)
