@@ -26,6 +26,40 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Lake.table(s, dir, name)
 
+  /** Ids feeding the synthetic-media kernels (q40b–q40j). The per-row
+    * encode+decode work downstream is orders of magnitude heavier than
+    * the id scan, and the compact documents file arrives as ONE
+    * maxPartitionBytes-sized scan split — without redistribution the
+    * whole media family ran on a single core no matter how many the
+    * session had (optimization guide §2.5's repartition-after-
+    * unsplittable-input rule; measured r17 with the ImageIO cache fix:
+    * q40i 5.21 → 0.69 s, q40b 2.35 → 0.40 s at local[32]). Repartitioned
+    * to the session's default parallelism — scale-adaptive, never a
+    * constant — for 8 bytes of shuffle per row.
+    */
+  private def mediaIds(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  /** [[mediaIds]] WITHOUT the fan-out — for the AUDIO kernels only: the
+    * JDK sound stack (`AudioSystem.getAudioFileFormat`/
+    * `getAudioInputStream`) serializes on its provider registry, and the
+    * r17 A/B measured the 32-way fan-out SLOWER than the single-partition
+    * scan there (q40g 0.53 → 1.10 s, q40c 0.46 → 0.63 s) while every
+    * ImageIO/container kernel sped up 2–9×. Measured exception, not an
+    * oversight.
+    */
+  private def mediaIdsSerial(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+  }
+
   /** Associative (decimal-backed) sum of a 2-dp double column, as double. */
   private def sumDec(c: Column): Column =
     round(sum(c.cast("decimal(18,2)")).cast("double"), 2)
@@ -600,8 +634,7 @@ object Queries {
     // decode cannot pass. Header-only read: no pixel raster materializes.
     "q40b_image_decode" -> ((s, dir) => {
       import s.implicits._
-      val ids = t(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val ids = mediaIds(s, dir)
       val media = ids.mapPartitions(_.map { id =>
         val w = 8 + (id % 64).toInt
         val h = 8 + ((id * 3) % 64).toInt
@@ -623,8 +656,7 @@ object Queries {
     // decode cannot pass. Header-only: no sample data is decoded.
     "q40c_audio_decode" -> ((s, dir) => {
       import s.implicits._
-      val ids = t(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val ids = mediaIdsSerial(s, dir)
       val media = ids.mapPartitions(_.map { id =>
         val rate = 8000 + (id % 8).toInt * 1000
         val channels = 1 + (id % 2).toInt
@@ -644,8 +676,7 @@ object Queries {
     // the mdat payload is never read.
     "q40d_video_decode" -> ((s, dir) => {
       import s.implicits._
-      val ids = t(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val ids = mediaIds(s, dir)
       val media = ids.mapPartitions(_.map { id =>
         val w = 160 + (id % 32).toInt * 8
         val h = 90 + (id % 24).toInt * 6
@@ -666,8 +697,7 @@ object Queries {
     // path. Every-7th frame, capped at 16 per video.
     "q40e_frame_sampling" -> ((s, dir) => {
       import s.implicits._
-      val ids = t(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val ids = mediaIds(s, dir)
       val media = ids.mapPartitions(_.map { id =>
         val w = 160 + (id % 32).toInt * 8
         val h = 90 + (id % 24).toInt * 6
@@ -690,8 +720,7 @@ object Queries {
     // a fake or header-only decode cannot pass.
     "q40f_pixel_decode" -> ((s, dir) => {
       import s.implicits._
-      val ids = t(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val ids = mediaIds(s, dir)
       val media = ids.mapPartitions(_.map { id =>
         val w = 8 + (id % 24).toInt
         val h = 8 + ((id * 5) % 24).toInt
@@ -709,8 +738,7 @@ object Queries {
     // ((i*31) & 0xffff) - 32768 per index.
     "q40g_audio_samples" -> ((s, dir) => {
       import s.implicits._
-      val ids = t(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val ids = mediaIdsSerial(s, dir)
       val media = ids.mapPartitions(_.map { id =>
         val rate = 8000 + (id % 4).toInt * 1000
         val channels = 1 + (id % 2).toInt
@@ -728,8 +756,7 @@ object Queries {
     // frame; the oracle replays the frame-count/size/byte formulas.
     "q40h_frame_extract" -> ((s, dir) => {
       import s.implicits._
-      val ids = t(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val ids = mediaIds(s, dir)
       val media = ids.mapPartitions(_.map { id =>
         val nf = 3 + (id % 6).toInt
         val frames = (0 until nf).map { i =>
@@ -751,8 +778,7 @@ object Queries {
     // codec dependencies; inter-frame codecs stay behind the same seam.
     "q40i_video_frame_pixels" -> ((s, dir) => {
       import s.implicits._
-      val ids = t(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val ids = mediaIds(s, dir)
       val media = ids.mapPartitions(_.map { id =>
         val nf = 2 + (id % 4).toInt
         val frames = (0 until nf).map { i =>
@@ -780,8 +806,7 @@ object Queries {
     // deployment dependency.
     "q40j_interframe_video_pixels" -> ((s, dir) => {
       import s.implicits._
-      val ids = t(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val ids = mediaIds(s, dir)
       val media = ids.mapPartitions(_.map { id =>
         val w = 8 + (id % 9).toInt
         val h = 8

@@ -30,6 +30,17 @@ import org.apache.spark.sql.functions._
   */
 object MultiModal {
 
+  // ImageIO's default stream cache is FILE-backed: every encode/decode
+  // of an in-memory payload spills through a fresh temp file — pure
+  // overhead for the byte-array payloads this module handles, and a
+  // disk/lock contention point once the media kernels fan out across
+  // cores (r17: the q40 family's parallel decode regressed 30–100% on
+  // the file cache before this). Memory-backed caches are strictly
+  // right here: payloads are bounded by maxImagePixels below. Set once
+  // per JVM at class load — executors load this object before any
+  // kernel runs.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: id + opaque payload + declared modality/mime. */
   final case class MediaRow(media_id: Long, modality: String, mime: String,
       content: Array[Byte])
