@@ -120,7 +120,11 @@ object StreamingAnnIndex {
     val spark = batch.sparkSession
     require(VersionedLake.versions(spark, root).nonEmpty,
       s"no streaming ANN state at $root (run setup first)")
-    val src = AnnIndex.normalized(batch, idCol, vecCol)
+    // eagerly checkpointed: `src` feeds TWO writes per commit (encoded +
+    // quant) — and a lost-race retry re-reads it — so one materialized
+    // KB-scale frame replaces two batch scans and their per-action
+    // re-planning (same rationale as StreamingDedup.applyBatch)
+    val src = AnnIndex.normalized(batch, idCol, vecCol).localCheckpoint()
     var attempt = 0
     while (attempt < maxAttempts) {
       val gc = VersionedLake.beginGroupCommit(spark, root)

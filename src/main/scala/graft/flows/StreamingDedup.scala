@@ -116,8 +116,17 @@ object StreamingDedup {
     if (batchId <= lastApplied) return false
     val docs = batch.select(col(idCol).cast("long").as("__doc_id"),
       col(textCol).as("__text"))
+    // eager localCheckpoint (not lazy persist): the batch's index frames
+    // feed FOUR downstream plans per commit (pairs→survivors + the two
+    // layout writes); with a lazy persist each of those re-analyzes the
+    // full shingle pipeline — measured as a ~0.6 s driver gap before
+    // every group commit's write jobs (JobProfile q116, r17). Truncated
+    // lineage makes each downstream plan a 1-node scan of the KB-scale
+    // batch frames; the exactly-once marker keeps a replayed batch safe
+    // if a checkpoint block is ever lost.
     val (nh, nb) = Dedup.minHashIndexPortable(docs, "__doc_id", "__text",
-      shingleN, numHashes, bands)
+      shingleN, numHashes, bands,
+      stabilize = Some(_.localCheckpoint()))
     try {
       // explicit schemas: partition-column inference would read the ph/pb
       // dir values back as INT and the pruning filters' BIGINT literals

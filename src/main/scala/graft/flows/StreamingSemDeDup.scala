@@ -125,17 +125,22 @@ object StreamingSemDeDup {
     val assignments = VersionedLake.readTable(spark, root, "assignments",
       Some(v),
       schemaDDL = s"$idCol BIGINT, q ARRAY<BIGINT>, dist BIGINT, cid BIGINT")
-    val survivors = Cluster.incrementalSemDeDupStored(assignments, batch,
-        idCol, embCol, centroids, tau, scale, maxClusterSize)
+    // assign the batch ONCE (one quantize+argmin kernel pass, eagerly
+    // checkpointed): the same frame serves the survivor rule AND the
+    // assignments append — previously assignStored ran twice per batch
+    // (once inside incrementalSemDeDupStored, once for the write), and
+    // the write side re-planned the full kernel lineage per commit
+    val batchA = Cluster.assignStored(batch, idCol, embCol, centroids,
+      scale).localCheckpoint()
+    val survivors = Cluster.incrementalSemDeDupAssigned(assignments, batchA,
+        idCol, tau, scale, maxClusterSize)
       .select(col(idCol), lit(batchId).as("batch_id"))
     val gc = VersionedLake.beginGroupCommit(spark, root)
     gc.carry("centroids")
     // independent frames — staged concurrently; the marker lands
     // driver-side (see StreamingDedup.applyBatch)
     gc.writeAll(Seq(
-      ("assignments",
-        Cluster.assignStored(batch, idCol, embCol, centroids, scale),
-        "append", Seq("cid")),
+      ("assignments", batchA, "append", Seq("cid")),
       ("survivors", survivors, "append", Nil)))
     gc.writeMarkerLong("applied", "batch_id", batchId)
     gc.publish()

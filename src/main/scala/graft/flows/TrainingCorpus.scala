@@ -228,8 +228,12 @@ object TrainingCorpus {
     }
     val exactKept = batchCanon.join(storedFps, Seq("fp"), "left_anti")
       .localCheckpoint()
+    // eager localCheckpoint (same rationale as StreamingDedup.applyBatch):
+    // nh/nb feed the pair plan AND the two layout writes per batch; a lazy
+    // persist would re-analyze the full shingle pipeline per action
     val (nh, nb) = Dedup.minHashIndexPortable(exactKept, "doc_id", "text",
-      shingleN, numHashes, bands)
+      shingleN, numHashes, bands,
+      stabilize = Some(_.localCheckpoint()))
     try {
       // path choice = the measured state-size dial, same as StreamingDedup
       val pairs = v match {

@@ -537,7 +537,6 @@ object Cluster {
       scale: Int = QuantScale,
       maxClusterSize: Int = DefaultSemClusterCap, extraBits: Int = 3,
       splitSeed: Long = 101L, dims: Int = 0): DataFrame = {
-    require(maxClusterSize > 0 && extraBits > 0 && extraBits < 20)
     // materialize the assigned batch ONCE: it feeds three consumers (the
     // cid-collect action, the neighbors union, the join probe side), and
     // without this each consumer re-reads and re-quantizes the batch —
@@ -546,6 +545,24 @@ object Cluster {
     // raw-embedding scan and no quantize kernel at all (plan-pinned).
     val batchA = materializeAndRelease(
       assignStored(batch, idCol, embCol, centroidsDf, scale))
+    incrementalSemDeDupAssigned(assignments, batchA, idCol, tau, scale,
+      maxClusterSize, extraBits, splitSeed, dims)
+  }
+
+  /** [[incrementalSemDeDupStored]] over a batch that is ALREADY assigned
+    * (`(idCol, q, cid, dist)` as produced by [[assignStored]]) and
+    * MATERIALIZED (checkpointed/persisted) by the caller. Split out so a
+    * per-arrival flow ([[graft.flows.StreamingSemDeDup.applyBatch]]) that
+    * must also APPEND the batch's assignment rows assigns exactly once —
+    * one quantize+argmin kernel pass and one checkpoint serve both the
+    * survivor rule and the index write, instead of re-running the kernel
+    * (and re-planning its lineage) per consumer.
+    */
+  def incrementalSemDeDupAssigned(assignments: DataFrame, batchA: DataFrame,
+      idCol: String, tau: Double, scale: Int = QuantScale,
+      maxClusterSize: Int = DefaultSemClusterCap, extraBits: Int = 3,
+      splitSeed: Long = 101L, dims: Int = 0): DataFrame = {
+    require(maxClusterSize > 0 && extraBits > 0 && extraBits < 20)
     // ≤ k rows reach the driver (cid ∈ 0..k-1 by assignStored's contract)
     val batchCids = batchA.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted

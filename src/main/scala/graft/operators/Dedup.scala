@@ -288,8 +288,24 @@ object Dedup {
     */
   def minHashIndexPortable(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16,
-      bands: Int = 4, cache: Boolean = true): (DataFrame, DataFrame) = {
-    def cached(f: DataFrame): DataFrame = if (cache) f.persist() else f
+      bands: Int = 4, cache: Boolean = true,
+      stabilize: Option[DataFrame => DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    // `stabilize = Some(_.localCheckpoint())` swaps the lazy persist for an
+    // EAGER materialize-and-truncate: a lazy persist short-circuits
+    // re-EXECUTION but every downstream action still re-ANALYZES and
+    // re-OPTIMIZES the full shingle pipeline under it — measured on the
+    // micro-batch flows as a ~0.6 s driver-side gap before each group
+    // commit's write jobs (JobProfile q116, r17). A per-batch caller with
+    // several downstream plans over the same tiny index frames pays that
+    // per ACTION; truncating the lineage makes each downstream plan a
+    // 1-node LogicalRDD. Batch replay + the exactly-once applied marker
+    // make the non-fault-tolerant checkpoint blocks safe: a lost block
+    // fails the batch, the stream retries it, the marker dedups.
+    def cached(f: DataFrame): DataFrame = stabilize match {
+      case Some(st) => st(f)
+      case None => if (cache) f.persist() else f
+    }
     require(numHashes % bands == 0, "bands must divide numHashes")
     val toked = df.select(col(idCol).as("id"),
       TextFunctions.tokens(TextFunctions.normalized(col(textCol))).as("toks"))
