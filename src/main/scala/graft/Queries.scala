@@ -2461,10 +2461,11 @@ object Queries {
       val fsSrc = new Path(s"$dir/embeddings.parquet")
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val stamp = {
-        val it = fsSrc.listFiles(new Path(s"$dir/embeddings.parquet"), true)
+        // FsWalk, not listFiles(recursive) — see FsWalk's scaladoc
         var len = 0L; var mt = 0L; var nf = 0L
-        while (it.hasNext) {
-          val st = it.next(); len += st.getLen
+        graft.sources.FsWalk.files(fsSrc,
+            new Path(s"$dir/embeddings.parquet")).foreach { st =>
+          len += st.getLen
           mt = math.max(mt, st.getModificationTime); nf += 1
         }
         // v4: centroid+assignment pair commits as ONE atomic VersionedLake

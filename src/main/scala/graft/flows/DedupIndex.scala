@@ -55,10 +55,9 @@ object DedupIndex {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) "absent"
     else {
-      val it = fs.listFiles(p, true)
+      // FsWalk, not listFiles(recursive) — see FsWalk's scaladoc
       var len = 0L; var mt = 0L; var n = 0L
-      while (it.hasNext) {
-        val st = it.next()
+      graft.sources.FsWalk.files(fs, p).foreach { st =>
         len += st.getLen; mt = math.max(mt, st.getModificationTime); n += 1
       }
       s"$len|$mt|$n"

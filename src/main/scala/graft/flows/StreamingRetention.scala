@@ -151,19 +151,12 @@ private[flows] object StreamingRetention {
       .map(rel => rel.split("/").take(3).mkString("/")) // t/_data/vN
       .toSet
     val sizes: Map[String, Long] = versionDirs.flatMap { vd =>
-      val p = new Path(root, vd)
-      if (!f.exists(p)) Seq.empty
-      else {
-        val it = f.listFiles(p, true)
-        val b = Seq.newBuilder[(String, Long)]
-        while (it.hasNext) {
-          val s = it.next()
-          if (s.isFile)
-            b += s.getPath.toUri.getPath.stripPrefix(rootPrefix)
-              .stripPrefix("/") -> s.getLen
-        }
-        b.result()
-      }
+      // FsWalk, not listFiles(recursive): the located listing's per-file
+      // cost is exactly the O(accrued files) toll this batched sizing
+      // exists to avoid (FsWalk scaladoc for the measured numbers)
+      graft.sources.FsWalk.files(f, new Path(root, vd)).map(s =>
+        s.getPath.toUri.getPath.stripPrefix(rootPrefix)
+          .stripPrefix("/") -> s.getLen)
     }.toMap
     val carryThreshold = math.max(1L, targetBytes / 2)
     val census = Seq.newBuilder[String]

@@ -46,11 +46,9 @@ object Lake {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
-    val rows = Iterator.continually(it)
-      .takeWhile(_.hasNext)
-      .map { i => val st = i.next(); (st.getPath.toString, st.getModificationTime) }
-      .toSeq
+    // FsWalk, not listFiles(recursive) — see FsWalk's scaladoc
+    val rows = FsWalk.files(fs, new org.apache.hadoop.fs.Path(dir))
+      .map(st => (st.getPath.toString, st.getModificationTime))
     rows.toDF("path", "mod_time")
   }
 

@@ -272,17 +272,15 @@ object VersionedLake {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir.toString)
     val dataPrefix = f.makeQualified(dataDir).toUri.getPath
-    val it = f.listFiles(dataDir, true)
-    val b = Seq.newBuilder[String]
-    while (it.hasNext) {
-      val s = it.next()
-      if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
+    // FsWalk (not listFiles(recursive)): this runs after EVERY table
+    // write, and the located listing's per-file cost dominated small
+    // commits on the local FS (see FsWalk's scaladoc for the numbers)
+    FsWalk.files(f, dataDir).collect {
+      case s if s.getPath.getName.endsWith(".parquet") =>
         val rel = s.getPath.toUri.getPath.stripPrefix(dataPrefix)
           .stripPrefix("/")
-        b += s"$relPrefix/$rel"
-      }
-    }
-    b.result().sorted
+        s"$relPrefix/$rel"
+    }.sorted
   }
 
   def commit(df: DataFrame, table: String, mode: String = "overwrite",
@@ -1028,22 +1026,21 @@ object VersionedLake {
         .map(s => new Path(s.getPath, "_data"))
         .filter(f.exists)
     tableDirs.foreach { dataRoot =>
-      val it = f.listFiles(dataRoot, true)
-      val victims = Seq.newBuilder[Path]
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile) {
-          val rel = s.getPath.toUri.getPath
-            .stripPrefix(rootPrefix).stripPrefix("/")
-          // rel = <table>/_data/v{N}/…: leave in-flight versions alone
-          val ver = rel.split("/").lift(2).collect {
-            case v if v.matches("v\\d+") => v.drop(1).toLong
-          }
-          if (!live.contains(rel) && !ver.exists(inFlight.contains))
-            victims += s.getPath
+      // FsWalk, not listFiles(recursive) — the located listing's
+      // per-file cost made each superseding vacuum a multi-second stall
+      // on the local FS (FsWalk scaladoc)
+      val victims = FsWalk.files(f, dataRoot).flatMap { s =>
+        val rel = s.getPath.toUri.getPath
+          .stripPrefix(rootPrefix).stripPrefix("/")
+        // rel = <table>/_data/v{N}/…: leave in-flight versions alone
+        val ver = rel.split("/").lift(2).collect {
+          case v if v.matches("v\\d+") => v.drop(1).toLong
         }
+        if (!live.contains(rel) && !ver.exists(inFlight.contains))
+          Some(s.getPath)
+        else None
       }
-      victims.result().foreach { p => if (f.delete(p, false)) deleted += 1 }
+      victims.foreach { p => if (f.delete(p, false)) deleted += 1 }
     }
     vs.filterNot(keep.contains).foreach { v =>
       store.deleteManifest(v)
@@ -1092,22 +1089,19 @@ object VersionedLake {
     val tablePrefix = f.makeQualified(new Path(table)).toUri.getPath
     var deleted = 0
     if (f.exists(dataRoot)) {
-      val it = f.listFiles(dataRoot, true)
-      val victims = Seq.newBuilder[Path]
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile) {
-          val rel = s.getPath.toUri.getPath
-            .stripPrefix(tablePrefix).stripPrefix("/")
-          // rel = _data/v{N}/...: leave in-flight versions' files alone
-          val ver = rel.split("/").lift(1).collect {
-            case v if v.matches("v\\d+") => v.drop(1).toLong
-          }
-          if (!live.contains(rel) && !ver.exists(inFlight.contains))
-            victims += s.getPath
+      // FsWalk, not listFiles(recursive) — see FsWalk's scaladoc
+      val victims = FsWalk.files(f, dataRoot).flatMap { s =>
+        val rel = s.getPath.toUri.getPath
+          .stripPrefix(tablePrefix).stripPrefix("/")
+        // rel = _data/v{N}/...: leave in-flight versions' files alone
+        val ver = rel.split("/").lift(1).collect {
+          case v if v.matches("v\\d+") => v.drop(1).toLong
         }
+        if (!live.contains(rel) && !ver.exists(inFlight.contains))
+          Some(s.getPath)
+        else None
       }
-      victims.result().foreach { p => if (f.delete(p, false)) deleted += 1 }
+      victims.foreach { p => if (f.delete(p, false)) deleted += 1 }
     }
     vs.filterNot(keep.contains).foreach { v =>
       store.deleteManifest(v)
