@@ -36,6 +36,14 @@ object Queries {
     * q40i 5.21 → 0.69 s, q40b 2.35 → 0.40 s at local[32]). Repartitioned
     * to the session's default parallelism — scale-adaptive, never a
     * constant — for 8 bytes of shuffle per row.
+    *
+    * The AUDIO kernels (q40c/q40g) fan out through here too since the
+    * r17 MIDI-prober fix: their initial A/B read 32-way fan-out SLOWER
+    * than one core, but thread dumps traced that to the JDK's
+    * SoftMidiAudioFileReader probing every payload under a class-level
+    * lock (see MultiModal.audioFileReaders) — with MIDI probers ordered
+    * last, audio decode scales like the image kernels (q40g 0.54 →
+    * 0.24 s, q40c 0.36 → 0.27 s at sf0.1, and ~10× single-thread).
     */
   private def mediaIds(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[Long] = {
@@ -43,21 +51,6 @@ object Queries {
     t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id")).as[Long]
       .repartition(s.sparkContext.defaultParallelism)
-  }
-
-  /** [[mediaIds]] WITHOUT the fan-out — for the AUDIO kernels only: the
-    * JDK sound stack (`AudioSystem.getAudioFileFormat`/
-    * `getAudioInputStream`) serializes on its provider registry, and the
-    * r17 A/B measured the 32-way fan-out SLOWER than the single-partition
-    * scan there (q40g 0.53 → 1.10 s, q40c 0.46 → 0.63 s) while every
-    * ImageIO/container kernel sped up 2–9×. Measured exception, not an
-    * oversight.
-    */
-  private def mediaIdsSerial(s: SparkSession, dir: String)
-      : org.apache.spark.sql.Dataset[Long] = {
-    import s.implicits._
-    t(s, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id")).as[Long]
   }
 
   /** Associative (decimal-backed) sum of a 2-dp double column, as double. */
@@ -656,7 +649,7 @@ object Queries {
     // decode cannot pass. Header-only: no sample data is decoded.
     "q40c_audio_decode" -> ((s, dir) => {
       import s.implicits._
-      val ids = mediaIdsSerial(s, dir)
+      val ids = mediaIds(s, dir)
       val media = ids.mapPartitions(_.map { id =>
         val rate = 8000 + (id % 8).toInt * 1000
         val channels = 1 + (id % 2).toInt
@@ -738,7 +731,7 @@ object Queries {
     // ((i*31) & 0xffff) - 32768 per index.
     "q40g_audio_samples" -> ((s, dir) => {
       import s.implicits._
-      val ids = mediaIdsSerial(s, dir)
+      val ids = mediaIds(s, dir)
       val media = ids.mapPartitions(_.map { id =>
         val rate = 8000 + (id % 4).toInt * 1000
         val channels = 1 + (id % 2).toInt

@@ -41,6 +41,63 @@ object MultiModal {
   // kernel runs.
   javax.imageio.ImageIO.setUseCache(false)
 
+  // The JDK resolves its AudioFileReader providers on EVERY
+  // AudioSystem.getAudioFileFormat / getAudioInputStream call (a
+  // synchronized registry lookup in the sound stack), which SERIALIZED
+  // the audio kernels under fan-out — the r17 A/B read the 32-way
+  // parallel scan 2× slower than a single core through AudioSystem.
+  // Resolve the providers ONCE per JVM and dispatch with AudioSystem's
+  // own first-reader-wins semantics: the bytes still go through the
+  // same independent JDK parsers (the WAV writer/parser round-trip
+  // cross-check is unchanged), the per-call path is now lock-free. The
+  // provider instances are the same stateless parser objects
+  // AudioSystem itself shares across all callers.
+  private lazy val audioFileReaders
+      : Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    // MIDI probers LAST: SoftMidiAudioFileReader's recognition probe
+    // routes through MidiSystem.getSequence → JDK13Services → a
+    // class-level SYNCHRONIZED provider lookup PER CALL — thread dumps
+    // under a 32-thread decode showed every thread blocked on that
+    // monitor (the convoy that made parallel audio slower than one
+    // core). Container magics are disjoint (RIFF/FORM/.snd vs MThd), so
+    // first-success-wins returns the identical reader for any input;
+    // non-MIDI payloads now never enter the locked probe.
+    val (midi, rest) = b.result().partition(
+      _.getClass.getName.toLowerCase.contains("midi"))
+    rest ++ midi
+  }
+
+  /** `AudioSystem.getAudioFileFormat` minus the per-call provider
+    * lookup: first reader that recognizes the bytes wins; the same
+    * UnsupportedAudioFileException if none does. A fresh
+    * ByteArrayInputStream per attempt replaces the mark/reset contract
+    * AudioSystem demands of providers.
+    */
+  private def audioFileFormat(bytes: Array[Byte])
+      : javax.sound.sampled.AudioFileFormat = {
+    audioFileReaders.foreach { r =>
+      try return r.getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no installed reader recognizes the bytes")
+  }
+
+  /** `AudioSystem.getAudioInputStream`, same cached-provider dispatch. */
+  private def audioInputStream(bytes: Array[Byte])
+      : javax.sound.sampled.AudioInputStream = {
+    audioFileReaders.foreach { r =>
+      try return r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no installed reader recognizes the bytes")
+  }
+
   /** A media row: id + opaque payload + declared modality/mime. */
   final case class MediaRow(media_id: Long, modality: String, mime: String,
       content: Array[Byte])
@@ -166,8 +223,7 @@ object MultiModal {
     */
   def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] =
     try {
-      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-        new java.io.ByteArrayInputStream(bytes))
+      val aff = audioFileFormat(bytes)
       val fmt = aff.getFormat
       Some(AudioInfo(fmt.getSampleRate.toInt, fmt.getChannels,
         aff.getFrameLength.toLong, aff.getType.toString.toLowerCase))
@@ -652,10 +708,8 @@ object MultiModal {
   def decodeAudioSampleStats(bytes: Array[Byte]):
       Option[(Long, Long, Int, String)] =
     try {
-      val tpe = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-        new java.io.ByteArrayInputStream(bytes)).getType.toString.toLowerCase
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val tpe = audioFileFormat(bytes).getType.toString.toLowerCase
+      val ais = audioInputStream(bytes)
       try {
         val fmt = ais.getFormat
         val pcm16 = fmt.getSampleSizeInBits == 16 &&
