@@ -1078,7 +1078,15 @@ object Queries {
     // Document → training-sample chunking: 64-token windows, 16-token
     // overlap, short tail kept. One row per (doc, chunk).
     "q58_token_chunks" -> ((s, dir) => {
+      // repartition before the chunk kernel: the compact documents file
+      // arrives as ONE scan split, and tokenize+chunk+explode is the
+      // heavy per-row work here — without redistribution the whole
+      // query ran on a single core (same §2.5 shape and fix as
+      // mediaIds; the sf1 gate caught it at 12.6× wall on 10× rows,
+      // linear single-core growth). Scale-adaptive, 0 result impact
+      // (total-order sort below).
       t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           explode(TextFunctions.chunkByTokens(col("text"), 64, 16)).as("c"))
         .select(col("doc_id"), col("c.start").as("start"),
