@@ -125,6 +125,20 @@ object StreamingAnnIndex {
     // KB-scale frame replaces two batch scans and their per-action
     // re-planning (same rationale as StreamingDedup.applyBatch)
     val src = AnnIndex.normalized(batch, idCol, vecCol).localCheckpoint()
+    try applyBatchLoop(src, batchId, idCol, vecCol, root, scale,
+      maxAttempts, raceWindow)
+    finally {
+      // release the checkpoint blocks (ADVICE r17: they otherwise linger
+      // until the ContextCleaner GCs the RDD — slow accumulation on long
+      // streams; mirrors StreamingDedup's nh/nb handling)
+      src.unpersist(blocking = false); ()
+    }
+  }
+
+  private def applyBatchLoop(src: DataFrame, batchId: Long, idCol: String,
+      vecCol: String, root: String, scale: Int, maxAttempts: Int,
+      raceWindow: () => Unit): Boolean = {
+    val spark = src.sparkSession
     var attempt = 0
     while (attempt < maxAttempts) {
       val gc = VersionedLake.beginGroupCommit(spark, root)
@@ -139,9 +153,12 @@ object StreamingAnnIndex {
           "applied", Some(v), "batch_id")
         if (batchId <= lastApplied) { gc.abort(); Some(false) }
         else {
-          val coarse = VersionedLake.readTable(spark, root, "coarse",
+          // driver-side model read (readTableLocal): both tables are
+          // bounded literal frames the encode kernel collects anyway —
+          // the per-batch Spark jobs reading them were pure lifecycle
+          val coarse = VersionedLake.readTableLocal(spark, root, "coarse",
             Some(v))
-          val books = VersionedLake.readTable(spark, root, "codebooks",
+          val books = VersionedLake.readTableLocal(spark, root, "codebooks",
             Some(v))
           // carry EVERYTHING this commit does not write — model tables
           // AND a mid-stream retirement's tombstones

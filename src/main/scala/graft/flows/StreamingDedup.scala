@@ -128,48 +128,51 @@ object StreamingDedup {
       shingleN, numHashes, bands,
       stabilize = Some(_.localCheckpoint()))
     try {
-      // explicit schemas: partition-column inference would read the ph/pb
-      // dir values back as INT and the pruning filters' BIGINT literals
-      // would cast the partition attribute, defeating PartitionFilters.
-      // Path choice is the MEASURED state-size dial
-      // ([[Dedup.pruneStoredReads]]): the pruned reads win once the
-      // stored tables clear ~1 GiB; below that the full-scan join's two
-      // passes cost less than the pruned path's fixed per-batch toll.
-      val pairs = v match {
-        case None =>
-          Dedup.minHashIncrementalPairsFromIndexes(
-            nh.limit(0), nb.limit(0), nh, nb)
-        case Some(vv) =>
-          val sh = VersionedLake.readTable(spark, root, "hashed", Some(vv),
-            schemaDDL = "id BIGINT, hs ARRAY<BIGINT>, " +
-              s"${Dedup.IdLayoutCol} BIGINT")
-          val sb = VersionedLake.readTable(spark, root, "banded", Some(vv),
-            schemaDDL = "id BIGINT, band INT, bucket BIGINT, " +
-              s"${Dedup.BandLayoutCol} BIGINT")
-          if (Dedup.pruneStoredReads(sh, sb))
-            Dedup.minHashIncrementalPairsPruned(sh, sb, nh, nb)
-          else
-            Dedup.minHashIncrementalPairsFromIndexes(sh, sb, nh, nb)
-      }
-      val dropped = pairs
-        .filter(col("jaccard") >= jaccardThreshold)
-        .select(col("id_b")).distinct()
-      val survivors = docs.select(col("__doc_id"))
-        .join(dropped, col("__doc_id") === col("id_b"), "left_anti")
-        .select(col("__doc_id").as(idCol), lit(batchId).as("batch_id"))
+      // begin the commit FIRST and stage the two layout writes
+      // asynchronously: they depend only on the already-checkpointed
+      // nh/nb, so their write jobs (repartition + partitioned write each)
+      // overlap the pair-plan construction and the survivors write below
+      // instead of queueing behind them (guide §2.6 — writeAllAsync)
       val gc = VersionedLake.beginGroupCommit(spark, root)
-      // the three data tables are independent frames over the persisted
-      // batch index — stage them concurrently (one write job each; the
-      // sequential loop was a visible slice of the per-batch floor), and
-      // the one-row marker lands driver-side (no job at all)
-      gc.writeAll(Seq(
-        ("hashed", Dedup.layoutHashed(nh), "append",
-          Seq(Dedup.IdLayoutCol)),
-        ("banded", Dedup.layoutBanded(nb), "append",
-          Seq(Dedup.BandLayoutCol)),
-        ("survivors", survivors, "append", Nil)))
-      gc.writeMarkerLong("applied", "batch_id", batchId)
-      gc.publish()
+      VersionedLake.runOrAbort(gc) {
+        gc.writeAllAsync(Seq(
+          ("hashed", Dedup.layoutHashed(nh), "append",
+            Seq(Dedup.IdLayoutCol)),
+          ("banded", Dedup.layoutBanded(nb), "append",
+            Seq(Dedup.BandLayoutCol))))
+        // explicit schemas: partition-column inference would read the ph/pb
+        // dir values back as INT and the pruning filters' BIGINT literals
+        // would cast the partition attribute, defeating PartitionFilters.
+        // Path choice is the MEASURED state-size dial
+        // ([[Dedup.pruneStoredReads]]): the pruned reads win once the
+        // stored tables clear ~1 GiB; below that the full-scan join's two
+        // passes cost less than the pruned path's fixed per-batch toll.
+        val pairs = v match {
+          case None =>
+            Dedup.minHashIncrementalPairsFromIndexes(
+              nh.limit(0), nb.limit(0), nh, nb)
+          case Some(vv) =>
+            val sh = VersionedLake.readTable(spark, root, "hashed", Some(vv),
+              schemaDDL = "id BIGINT, hs ARRAY<BIGINT>, " +
+                s"${Dedup.IdLayoutCol} BIGINT")
+            val sb = VersionedLake.readTable(spark, root, "banded", Some(vv),
+              schemaDDL = "id BIGINT, band INT, bucket BIGINT, " +
+                s"${Dedup.BandLayoutCol} BIGINT")
+            if (Dedup.pruneStoredReads(sh, sb))
+              Dedup.minHashIncrementalPairsPruned(sh, sb, nh, nb)
+            else
+              Dedup.minHashIncrementalPairsFromIndexes(sh, sb, nh, nb)
+        }
+        val dropped = pairs
+          .filter(col("jaccard") >= jaccardThreshold)
+          .select(col("id_b")).distinct()
+        val survivors = docs.select(col("__doc_id"))
+          .join(dropped, col("__doc_id") === col("id_b"), "left_anti")
+          .select(col("__doc_id").as(idCol), lit(batchId).as("batch_id"))
+        gc.writeAll(Seq(("survivors", survivors, "append", Nil)))
+        gc.writeMarkerLong("applied", "batch_id", batchId)
+        gc.publish()
+      }
       true
     } finally { nh.unpersist(); nb.unpersist(); () }
   }

@@ -221,6 +221,32 @@ object VersionedLake {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Bound on any one staging write inside a group commit (ADVICE r17:
+    * an unbounded Await turned a wedged write job into a silent
+    * whole-flow hang at deployment scale). Generous — a healthy table
+    * write is seconds; past the bound the batch FAILS with a diagnostic
+    * and the exactly-once marker makes the retry safe. Var so a
+    * deployment (or a spec) dials it; never consulted until a staging
+    * write is actually in flight.
+    */
+  @volatile var StagingTimeoutMs: Long = 30L * 60 * 1000
+
+  /** ONE shared daemon pool for group-commit staging writes (ADVICE r17:
+    * allocating and tearing down a fresh pool per commit churned threads
+    * on the hot per-batch path — several commits per micro-batch across
+    * flows). Small fixed cap: staging writes are Spark ACTIONS — the
+    * pool threads only submit jobs and wait, the cluster does the work —
+    * so a handful of in-flight actions saturates the overlap win (guide
+    * §2.6: "2-3 jobs in flight is plenty"). Daemon threads: the pool
+    * must never hold the JVM open.
+    */
+  private lazy val stagingPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+      val t = new Thread(r, "lake-staging")
+      t.setDaemon(true)
+      t
+    })
+
   private def storeFor(spark: SparkSession, table: String,
       override_ : Option[ManifestStore]): ManifestStore =
     override_.getOrElse(new HadoopManifestStore(fs(spark, table), table))
@@ -265,6 +291,18 @@ object VersionedLake {
   /** Write `df` under `dataDir` and return the written parquet files as
     * paths relative to the root owning `relPrefix` (recursive: partitioned
     * layouts nest files under col=value dirs).
+    *
+    * TASK-COMMIT hardening for committer v2 ([[graft.GraftSession]]): v2
+    * tasks rename straight into `dataDir`, so a task attempt retried
+    * after a PARTIALLY completed task commit can leave BOTH attempts'
+    * part files behind — and this manifest-building listing would publish
+    * the duplicate rows. The manifest CAS substitutes only for
+    * JOB-commit atomicity, not task-commit atomicity, so the listing
+    * itself rejects the signature of a double task commit: two files in
+    * one directory sharing a task partition number under DIFFERENT
+    * attempt UUIDs (one attempt's multi-file output — maxRecordsPerFile
+    * splits — shares a single UUID and stays legal). Failing here is
+    * pre-manifest: nothing is published, the batch retries cleanly.
     */
   private def writeData(df: DataFrame, f: FileSystem, dataDir: Path,
       relPrefix: String, partitionBy: Seq[String]): Seq[String] = {
@@ -275,12 +313,26 @@ object VersionedLake {
     // FsWalk (not listFiles(recursive)): this runs after EVERY table
     // write, and the located listing's per-file cost dominated small
     // commits on the local FS (see FsWalk's scaladoc for the numbers)
-    FsWalk.files(f, dataDir).collect {
+    val rels = FsWalk.files(f, dataDir).collect {
       case s if s.getPath.getName.endsWith(".parquet") =>
         val rel = s.getPath.toUri.getPath.stripPrefix(dataPrefix)
           .stripPrefix("/")
         s"$relPrefix/$rel"
     }.sorted
+    val partFile = "part-(\\d+)-([0-9a-fA-F-]{36})".r.unanchored
+    val dupes = rels.flatMap { rel =>
+      val dir = rel.substring(0, rel.lastIndexOf('/'))
+      rel.substring(rel.lastIndexOf('/') + 1) match {
+        case partFile(num, uuid) => Some(((dir, num), uuid))
+        case _ => None
+      }
+    }.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1)
+    if (dupes.nonEmpty)
+      throw new java.io.IOException(
+        s"duplicate task-attempt output under $dataDir (a v2 task commit " +
+          s"raced its retry): ${dupes.keys.take(3).mkString(", ")} — " +
+          "aborting before the manifest publishes duplicate rows")
+    rels
   }
 
   def commit(df: DataFrame, table: String, mode: String = "overwrite",
@@ -552,7 +604,8 @@ object VersionedLake {
         partitionBy: Seq[String] = Nil): Unit = {
       require(!published && !aborted, "group already published or aborted")
       require(tableNameOk(table), s"invalid group table name '$table'")
-      require(!staged.contains(table), s"table $table already staged in v$version")
+      require(!staged.contains(table) && !pending.contains(table),
+        s"table $table already staged in v$version")
       require(mode == "overwrite" || mode == "append", s"unknown mode $mode")
       val newFiles = writeData(df, fs(spark, root),
         new Path(root, s"$table/_data/v$version"),
@@ -580,10 +633,27 @@ object VersionedLake {
       * the sweep.
       */
     def writeAll(tables: Seq[(String, DataFrame, String, Seq[String])]): Unit = {
+      writeAllAsync(tables)
+      settle()
+    }
+
+    /** [[writeAll]] WITHOUT the barrier: the staging writes are submitted
+      * to the shared pool and this returns immediately, so the caller's
+      * own Spark actions (a pair join, a probe, another flow's commit)
+      * overlap the write jobs instead of queueing behind them (guide
+      * §2.6 — the per-micro-batch flows interleave index writes with the
+      * batch's survivor computation this way). [[settle]] is the matching
+      * barrier; [[publish]] settles implicitly, and [[abort]] waits for
+      * every in-flight write before sweeping. Multiple async batches may
+      * be in flight on one commit (table-name disjointness is enforced at
+      * submission).
+      */
+    def writeAllAsync(tables: Seq[(String, DataFrame, String, Seq[String])]): Unit = {
       require(!published && !aborted, "group already published or aborted")
       tables.foreach { case (t, _, mode, _) =>
         require(tableNameOk(t), s"invalid group table name '$t'")
-        require(!staged.contains(t), s"table $t already staged in v$version")
+        require(!staged.contains(t) && !pending.contains(t),
+          s"table $t already staged in v$version")
         require(mode == "overwrite" || mode == "append", s"unknown mode $mode")
       }
       require(tables.map(_._1).distinct.size == tables.size,
@@ -593,7 +663,7 @@ object VersionedLake {
         if (tables.exists(_._3 == "append") && prevVersion.nonEmpty)
           groupManifestFiles(store, root, prevVersion.get)
         else Map.empty
-      stageConcurrently(tables.map { case (t, df, mode, pb) =>
+      stageAsync(tables.map { case (t, df, mode, pb) =>
         (t, df, if (mode == "append") prevFiles.getOrElse(t, Seq.empty)
           else Seq.empty, pb)
       })
@@ -610,44 +680,72 @@ object VersionedLake {
       require(!published && !aborted, "group already published or aborted")
       tables.foreach { case (t, _, carriedFiles, _) =>
         require(tableNameOk(t), s"invalid group table name '$t'")
-        require(!staged.contains(t), s"table $t already staged in v$version")
+        require(!staged.contains(t) && !pending.contains(t),
+          s"table $t already staged in v$version")
         require(carriedFiles.forall(_.startsWith(s"$t/_data/")),
           s"carried files must belong to $t (got " +
             s"${carriedFiles.filterNot(_.startsWith(s"$t/_data/")).take(3).mkString(", ")})")
       }
       require(tables.map(_._1).distinct.size == tables.size,
         s"duplicate table in writeAllWithCarried: ${tables.map(_._1).mkString(", ")}")
-      stageConcurrently(tables)
+      stageAsync(tables)
+      settle()
     }
 
-    private def stageConcurrently(
+    /** In-flight staging writes: table → future of its staged file list.
+      * Insertion-ordered so [[settle]] stages deterministically.
+      */
+    private val pending = scala.collection.mutable.LinkedHashMap
+      .empty[String, java.util.concurrent.Future[Seq[String]]]
+
+    private def stageAsync(
         tables: Seq[(String, DataFrame, Seq[String], Seq[String])]): Unit = {
       if (tables.isEmpty) return
       wroteData ++= tables.map(_._1) // abort() sweeps even on partial failure
       val f = fs(spark, root)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(tables.size)
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try {
-        val futs = tables.map { case (t, df, carried, pb) =>
-          scala.concurrent.Future {
-            val newFiles = writeData(df, f,
-              new Path(root, s"$t/_data/v$version"), s"$t/_data/v$version", pb)
-            t -> (carried ++ newFiles)
-          }
-        }
-        // settle EVERYTHING before surfacing the first failure: the
-        // caller's abort() deletes _data/v{N} dirs, which must not race
-        // a writer that is still emitting into one of them
-        val settled = scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(futs.map(_.transform(scala.util.Success(_)))),
-          scala.concurrent.duration.Duration.Inf)
-        settled.collectFirst { case scala.util.Failure(e) => throw e }
-        settled.foreach {
-          case scala.util.Success((t, files)) => staged(t) = files
-          case scala.util.Failure(_) => ()
-        }
-      } finally { pool.shutdown(); () }
+      tables.foreach { case (t, df, carried, pb) =>
+        pending(t) = stagingPool.submit(() => {
+          val newFiles = writeData(df, f,
+            new Path(root, s"$t/_data/v$version"), s"$t/_data/v$version", pb)
+          carried ++ newFiles
+        })
+      }
+    }
+
+    /** Barrier for [[writeAllAsync]]: wait for every in-flight staging
+      * write (bounded by [[VersionedLake.StagingTimeoutMs]] — a wedged
+      * write job must fail the batch with a diagnostic, not hang the
+      * whole flow forever), settle ALL of them before surfacing the first
+      * failure (an abort() sweep must never race a still-running writer),
+      * then stage the file lists. Idempotent; [[publish]] calls it.
+      */
+    def settle(): Unit = {
+      if (pending.isEmpty) return
+      val results = pending.toSeq.map { case (t, fut) =>
+        t -> (try Right(fut.get(StagingTimeoutMs,
+          java.util.concurrent.TimeUnit.MILLISECONDS))
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Left(e.getCause)
+          case e: java.util.concurrent.TimeoutException =>
+            fut.cancel(true)
+            // the cancelled writer may still be mid-write: wait for it to
+            // actually die before anyone sweeps its directory
+            try fut.get(60000, java.util.concurrent.TimeUnit.MILLISECONDS)
+            catch { case _: Throwable => () }
+            Left(new java.io.IOException(
+              s"staging write of table $t at $root exceeded " +
+                s"$StagingTimeoutMs ms — failing the commit " +
+                "(the version claim is released; retry is safe)", e))
+        })
+      }
+      pending.clear()
+      results.foreach {
+        case (t, Right(files)) => staged(t) = files
+        case _ => ()
+      }
+      results.collectFirst { case (_, Left(e)) => throw e }
+      ()
     }
 
     /** Stage a ONE-ROW marker table (e.g. a stream's `applied` batch id)
@@ -664,7 +762,8 @@ object VersionedLake {
     def writeMarkerLong(table: String, column: String, value: Long): Unit = {
       require(!published && !aborted, "group already published or aborted")
       require(tableNameOk(table), s"invalid group table name '$table'")
-      require(!staged.contains(table), s"table $table already staged in v$version")
+      require(!staged.contains(table) && !pending.contains(table),
+        s"table $table already staged in v$version")
       val rel = s"$table/_data/v$version/part-00000-marker.parquet"
       val p = new Path(root, rel)
       wroteData += table
@@ -697,7 +796,8 @@ object VersionedLake {
         carriedFiles: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
       require(!published && !aborted, "group already published or aborted")
       require(tableNameOk(table), s"invalid group table name '$table'")
-      require(!staged.contains(table), s"table $table already staged in v$version")
+      require(!staged.contains(table) && !pending.contains(table),
+        s"table $table already staged in v$version")
       require(carriedFiles.forall(_.startsWith(s"$table/_data/")),
         s"carried files must belong to $table (got " +
           s"${carriedFiles.filterNot(_.startsWith(s"$table/_data/")).take(3).mkString(", ")})")
@@ -720,6 +820,21 @@ object VersionedLake {
       require(!published, "group already published")
       if (!aborted) {
         aborted = true
+        // drain in-flight staging writes first (outcome irrelevant — the
+        // sweep below must not race a writer still emitting into its
+        // _data/v{N} dir), bounded like settle()
+        pending.values.foreach { fut =>
+          try fut.get(StagingTimeoutMs,
+            java.util.concurrent.TimeUnit.MILLISECONDS)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              fut.cancel(true)
+              try fut.get(60000, java.util.concurrent.TimeUnit.MILLISECONDS)
+              catch { case _: Throwable => () }
+            case _: Throwable => ()
+          }
+        }
+        pending.clear()
         val f = fs(spark, root)
         wroteData.foreach { t =>
           f.delete(new Path(root, s"$t/_data/v$version"), true); () }
@@ -767,7 +882,8 @@ object VersionedLake {
       */
     def carry(table: String): Unit = {
       require(!published && !aborted, "group already published or aborted")
-      require(!staged.contains(table), s"table $table already staged in v$version")
+      require(!staged.contains(table) && !pending.contains(table),
+        s"table $table already staged in v$version")
       val prev = prevVersion.getOrElse(throw new IllegalArgumentException(
         s"no previous version at $root to carry $table from"))
       staged(table) = groupManifestFiles(store, root, prev).getOrElse(table,
@@ -776,16 +892,23 @@ object VersionedLake {
       ()
     }
 
-    /** Read a table staged in THIS commit (pre-publish). */
+    /** Read a table staged in THIS commit (pre-publish). Settles any
+      * in-flight async staging first (the requested table may still be
+      * writing).
+      */
     def readStaged(table: String, mergeSchema: Boolean = true): DataFrame = {
+      settle()
       val files = staged.getOrElse(table, throw new IllegalArgumentException(
         s"table $table not staged in v$version (staged: ${staged.keys.mkString(", ")})"))
       readFiles(spark, root, files, mergeSchema, null)
     }
 
-    /** Atomically publish every staged table as version [[version]]. */
+    /** Atomically publish every staged table as version [[version]]
+      * (settles any in-flight [[writeAllAsync]] staging first).
+      */
     def publish(): Long = {
       require(!published && !aborted, "group already published or aborted")
+      settle()
       require(staged.nonEmpty, "publish with no staged tables")
       val body = staged.map { case (t, files) =>
         "\"" + t + "\":" + files.map(p => "\"" + jsonEscape(p) + "\"")
@@ -940,6 +1063,144 @@ object VersionedLake {
     } else
       readTable(spark, root, table, version, manifestStore = manifestStore)
         .select(column).head().getLong(0)
+  }
+
+  /** DRIVER-SIDE read of a SMALL member table into a LOCAL DataFrame.
+    *
+    * The stored-model tables (coarse centroids, PQ codebooks, k-means
+    * centroids) are BOUNDED driver state by contract — every consumer
+    * collects them to plan literals anyway — yet each read paid a full
+    * Spark job (plan → schedule → task → collect) per consumer per
+    * batch/search, a fixed lifecycle cost with KB of data on it (the
+    * same argument as [[readMarkerLong]], generalized). This reads the
+    * manifest-listed files with parquet-mr on the driver and returns a
+    * LocalRelation-backed frame: a downstream `.collect()` or literal
+    * embedding runs with NO Spark job. The driver memory profile is
+    * UNCHANGED versus the collect the caller was already doing.
+    *
+    * Covers the flat/list shapes the model tables use (BOOLEAN, INT32,
+    * INT64, FLOAT, DOUBLE, UTF8 strings, and standard 3-level LISTs of
+    * those); anything else — or a table over `maxRows` (footer count, no
+    * data read) or with drifting per-file schemas — falls back to the
+    * distributed [[readTable]]. Correctness never depends on the fast
+    * path: both paths return the same rows.
+    */
+  def readTableLocal(spark: SparkSession, root: String, table: String,
+      version: Option[Long] = None, maxRows: Long = 1L << 18,
+      manifestStore: Option[ManifestStore] = None): DataFrame = {
+    import org.apache.parquet.schema.{GroupType, MessageType, Type => PType}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.spark.sql.types._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = tableFiles(spark, root, table, version, manifestStore)
+    def fallback: DataFrame =
+      readTable(spark, root, table, version, manifestStore = manifestStore)
+    def primType(t: PType): Option[DataType] = {
+      if (!t.isPrimitive) return None
+      val p = t.asPrimitiveType()
+      val ann = p.getLogicalTypeAnnotation
+      p.getPrimitiveTypeName match {
+        case INT64 if ann == null => Some(LongType)
+        case INT32 if ann == null => Some(IntegerType)
+        case DOUBLE => Some(DoubleType)
+        case FLOAT => Some(FloatType)
+        case BOOLEAN => Some(BooleanType)
+        case BINARY if ann ==
+            org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
+          Some(StringType)
+        case _ => None
+      }
+    }
+    // standard 3-level list: optional group F (LIST) { repeated group list
+    // { <repetition> element } } — what Spark writes (legacy mode off)
+    def listElem(t: PType): Option[PType] = t match {
+      case g: GroupType if !g.isPrimitive &&
+          g.getLogicalTypeAnnotation ==
+            org.apache.parquet.schema.LogicalTypeAnnotation.listType() &&
+          g.getFieldCount == 1 && !g.getType(0).isPrimitive &&
+          g.getType(0).getRepetition == PType.Repetition.REPEATED &&
+          g.getType(0).asGroupType().getFieldCount == 1 =>
+        Some(g.getType(0).asGroupType().getType(0))
+      case _ => None
+    }
+    def sparkField(t: PType): Option[StructField] = {
+      val nullable = t.getRepetition != PType.Repetition.REQUIRED
+      primType(t).map(dt => StructField(t.getName, dt, nullable)).orElse(
+        listElem(t).flatMap(e => primType(e).map(et =>
+          StructField(t.getName,
+            ArrayType(et, e.getRepetition != PType.Repetition.REQUIRED),
+            nullable))))
+    }
+    try {
+      // one footer pass: schema agreement + the row-count bound
+      var schema: MessageType = null
+      var rows = 0L
+      files.foreach { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val s = r.getFooter.getFileMetaData.getSchema
+          if (schema == null) schema = s
+          else if (schema != s) return fallback
+          rows += r.getRecordCount
+        } finally r.close()
+      }
+      if (schema == null || rows > maxRows) return fallback
+      val fieldsOpt = (0 until schema.getFieldCount)
+        .map(i => sparkField(schema.getType(i)))
+      if (fieldsOpt.exists(_.isEmpty)) return fallback
+      val sparkSchema = StructType(fieldsOpt.map(_.get))
+      def cell(g: org.apache.parquet.example.data.Group, i: Int): Any = {
+        val ft = schema.getType(i)
+        if (g.getFieldRepetitionCount(i) == 0) return null
+        listElem(ft) match {
+          case Some(elem) =>
+            val lst = g.getGroup(i, 0)
+            val n = lst.getFieldRepetitionCount(0)
+            val out = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              val entry = lst.getGroup(0, j)
+              out(j) = if (entry.getFieldRepetitionCount(0) == 0) null
+              else prim(entry, 0, elem)
+              j += 1
+            }
+            out.toSeq
+          case None => prim(g, i, ft)
+        }
+      }
+      def prim(g: org.apache.parquet.example.data.Group, i: Int,
+          t: PType): Any = t.asPrimitiveType().getPrimitiveTypeName match {
+        case INT64 => g.getLong(i, 0)
+        case INT32 => g.getInteger(i, 0)
+        case DOUBLE => g.getDouble(i, 0)
+        case FLOAT => g.getFloat(i, 0)
+        case BOOLEAN => g.getBoolean(i, 0)
+        case BINARY => g.getString(i, 0)
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      files.foreach { p =>
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            new Path(p))
+          .withConf(conf).build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            out.add(org.apache.spark.sql.Row.fromSeq(
+              (0 until schema.getFieldCount).map(cell(g, _))))
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+      spark.createDataFrame(out, sparkSchema)
+    } catch {
+      // a foreign writer's layout the example API trips on — the
+      // distributed read is the correctness path
+      case scala.util.control.NonFatal(_) => fallback
+    }
   }
 
   def tableRowCount(spark: SparkSession, root: String, table: String,
